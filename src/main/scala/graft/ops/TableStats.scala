@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table statistics — the agent's GetTableStats tool and the stats
+  * panel, as single-pass aggregations.
+  *
+  * Reference: src/oracle_duckdb_sync/agent/tools/query_tools.py:43
+  * (GetTableStatsTool), src/oracle_duckdb_sync/application/
+  * query_service.py:280-310 (MIN/MAX/AVG per numeric column, with
+  * TRY_CAST for varchar-typed numerics), src/oracle_duckdb_sync/
+  * data/query_core.py:63 (row count).
+  *
+  * One job, one partial-agg shuffle of a single row of state per
+  * column — O(columns), not O(rows), over the wire at any scale.
+  */
+object TableStats {
+
+  /** count + min/max/avg(rounded) for each numeric column, one row. */
+  def numericStats(table: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("row_count") +:
+      numericCols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max"),
+            round(avg(col(c)), 6).as(s"${c}_avg"))
+      }
+    table.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** COUNT(*) per table of a catalog — list_tables + row counts. */
+  def rowCounts(spark: SparkSession, dir: String,
+                names: Seq[String]): DataFrame = {
+    import graft.core.Tables
+    names.map { n =>
+      Tables.load(spark, dir, n)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+}

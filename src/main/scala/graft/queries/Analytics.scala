@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The analytics surface under the reference's dashboard/agent —
+  * aggregation, joins, windows, top-k, pivot, rollup, sessionize,
+  * as-of — expressed as declarative Spark plans.
+  *
+  * Scale notes: all dims (region/nation/supplier at TPC-H ratios)
+  * are explicitly broadcast; fact-fact joins shuffle on their keys
+  * with AQE; every groupBy benefits from map-side partial
+  * aggregation. Float aggregates are rounded identically to the
+  * DuckDB oracle (SURVEY.md §5).
+  */
+object Analytics {
+
+  /** Flagship: pricing summary (TPC-H Q1 shape) over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per nation: fact joined to broadcast dims. */
+  def joinDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** TPC-H Q5 shape: 5-way join, region filter, revenue per nation. */
+  def multiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+                          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-10 customers by total order value (TakeOrdered — no global
+    * sort materialization).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Top-3 customers by balance within each nation (window rank). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("c_nationkey", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_nationkey", "rank_in_nation")
+  }
+
+  /** Running order-value total per customer over time. Bounded to a
+    * keyset so the oracle output stays small; the plan is the same at
+    * any scale (one shuffle on the partition key).
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_total")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Exact distinct counts per group (partial-agg distinct). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** EXISTS / NOT EXISTS via left_semi / left_anti joins. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("segment"), col("n"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("segment"), col("n"))
+    withOrders.unionByName(withoutOrders).orderBy("segment")
+  }
+
+  /** Pivot order counts: status × priority via conditional aggregation
+    * (portable to ANSI SQL, unlike engine-specific PIVOT).
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))), 2).as("finished_value"))
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP subtotals over returnflag × linestatus. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** As-of join: for each event, the user's most recent order at event
+    * time. Composed as an equi-join on the key with the temporal
+    * predicate, then keep-latest per event — Catalyst plans the
+    * equi-part as a hash join; AQE handles key skew. (A custom
+    * sort-merge AsOfJoinExec is the dedicated-operator alternative;
+    * the composed form stays inside whole-stage codegen.)
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+      "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  /** Sessionize events: a >30-minute gap starts a new session; emit
+    * per-session stats. lag + cumulative flag sum — two window passes
+    * over one shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // unix_micros (exact integer µs) == DuckDB epoch_us: the gap
+    // comparison is integer on both engines, no float truncation.
+    val gapFlag = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1
+    ).otherwise(0)
+    Tables.events(spark, dir)
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+}

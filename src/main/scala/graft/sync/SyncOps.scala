@@ -1,0 +1,77 @@
+package graft.sync
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's sync-engine surface re-expressed as declarative
+  * Spark transforms.
+  *
+  * Reference anchors:
+  *  - full sync:        src/oracle_duckdb_sync/database/sync_engine.py:102
+  *  - incremental sync: src/oracle_duckdb_sync/database/sync_engine.py:180 and
+  *                      src/oracle_duckdb_sync/database/oracle_source.py:239-240
+  *                      (`WHERE col > last_value ORDER BY col ASC`)
+  *  - PK upsert:        src/oracle_duckdb_sync/database/duckdb_source.py:74
+  *                      (`INSERT OR REPLACE` == keep latest row per key)
+  *  - keep-last dedup:  src/oracle_duckdb_sync/data/incremental_loader.py:196
+  *  - merge slices:     src/oracle_duckdb_sync/data/incremental_loader.py:139
+  *                      (concat + sort by time column)
+  *
+  * Scale notes (100 TB):
+  *  - `incremental` is a parquet-pushed predicate — row groups outside
+  *    the watermark are skipped via min/max stats, so an incremental
+  *    pull reads only the new tail, exactly like the reference's
+  *    indexed Oracle range scan.
+  *  - `upsertKeepLatest`/`dedupKeepLast` shuffle once on the key
+  *    columns (window row_number). AQE splits skewed key partitions;
+  *    no driver-side state.
+  *  - `mergeSlices` is a union (no shuffle) — the global sort is only
+  *    applied when the caller needs total order; for re-writing a
+  *    partitioned table, sortWithinPartitions suffices.
+  */
+object SyncOps {
+
+  /** Full-table snapshot: scan everything, in deterministic key order. */
+  def fullSnapshot(table: DataFrame, orderCols: Seq[String]): DataFrame =
+    table.orderBy(orderCols.map(col): _*)
+
+  /** Rows strictly past the watermark, time-ordered (incremental pull).
+    * The filter is pushed into the parquet scan.
+    */
+  def incremental(table: DataFrame, timeCol: String, watermark: String,
+                  tieBreak: Seq[String] = Nil): DataFrame =
+    table
+      .filter(col(timeCol) > lit(watermark).cast("timestamp"))
+      .orderBy((timeCol +: tieBreak).map(col): _*)
+
+  /** Keep the latest row per primary key — the batch equivalent of the
+    * reference's INSERT OR REPLACE upsert. Latest = max (timeCol,
+    * tieBreak...) per key; tieBreak makes the result total.
+    */
+  def upsertKeepLatest(table: DataFrame, keys: Seq[String], timeCol: String,
+                       tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).desc, col(tieBreak).desc)
+    table.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** keep='last' dedup on unique columns, where "last" is last in
+    * (timeCol, tieBreak) order — the reference dedupes a time-sorted
+    * frame, so frame order IS time order.
+    */
+  def dedupKeepLast(table: DataFrame, uniqueCols: Seq[String],
+                    timeCol: String, tieBreak: String): DataFrame =
+    upsertKeepLatest(table, uniqueCols, timeCol, tieBreak)
+
+  /** Concatenate an existing slice with a newly-fetched slice and
+    * restore total time order (duplicates preserved — the reference's
+    * merge does not dedupe; that is a separate explicit step).
+    */
+  def mergeSlices(existing: DataFrame, fresh: DataFrame,
+                  timeCol: String, tieBreak: Seq[String]): DataFrame =
+    existing.unionByName(fresh)
+      .orderBy((timeCol +: tieBreak).map(col): _*)
+}
