@@ -4,9 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.Hashes
+import graft.mm.Multimodal
 import graft.ops.{TableStats, TimeBucketAgg, TypeInference}
 import graft.queries.Analytics
+import graft.sim.Similarity
 import graft.sync.{SyncOps, TypeMapper}
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every entry in `queries` has a matching DuckDB `oracleSql` (same
@@ -92,6 +97,71 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+
+    // ---- §2c LLM-training-data pipeline ------------------------------
+    "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "d_dedup_minhash" -> ((s, d) =>
+      Dedup.lshBuckets(
+        Dedup.minhashSignature(
+          Dedup.shingles(Tables.documents(s, d), 3)
+            .select(col("doc_id"), col("shingles")), 32),
+        32, 8).orderBy("doc_id", "band_id")),
+    "d_dedup_minhash_pairs" -> ((s, d) => {
+      // inject a deterministic near-dup per doc (first 3 words dropped,
+      // id + 10000) and recover the pairs via MinHash+LSH
+      val docs = Tables.documents(s, d)
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+      Dedup.minhashNearDups(
+        docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
+    }),
+    "d_dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("simhash", Hashes.simhash64(split(col("text"), " ")))
+        .withColumn("band", shiftrightunsigned(col("simhash"), 48))
+        .select("doc_id", "simhash", "band")
+        .orderBy("doc_id")),
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardAdjacent(Tables.documents(s, d), 2)),
+    "d_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), 3)
+    }),
+    "d_ann_lsh" -> ((s, d) =>
+      Similarity.lshBucketSizes(Tables.embeddings(s, d), 12)),
+    "d_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))
+        .select("doc_id", "lang", "pred_lang").orderBy("doc_id")),
+    "d_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "quality")
+        .orderBy("doc_id")),
+    "d_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .select("doc_id", "n_chars_calc", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")),
+    "d_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d))
+        .select("doc_id", "fp_md5").orderBy("doc_id")),
+    "d_fingerprint_rolling" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp_rolling", Hashes.rolling_hash(col("text")))
+        .withColumn("fp_simhash", Hashes.simhash64(split(col("text"), " ")))
+        .select("doc_id", "fp_rolling", "fp_simhash").orderBy("doc_id")),
+    "m_multimodal_meta" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")),
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleOffsets(
+        Multimodal.mediaTable(Tables.documents(s, d)))
+        .select("doc_id", "duration_ms", "n_frames").orderBy("doc_id")),
+    "q_lttb_downsample" -> ((s, d) =>
+      graft.ops.Lttb.downsample(
+        Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double")),
+        "ts_d", "value", 500, Seq("event_id"))
+        .select("event_id", "ts", "value")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +309,78 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM events) s) g
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS shingles
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id_a""".stripMargin,
+    "d_cosine_topk" ->
+      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+        |      c.vec_id) AS INT) AS rank,
+        |    round(list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) q
+        |    ON c.vec_id != q.vec_id) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "d_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    (length(text) - length(replace(text, ' the ', ''))) / 5 + (length(text) - length(replace(text, ' and ', ''))) / 5 AS s_en,
+        |    (length(text) - length(replace(text, ' der ', ''))) / 5 + (length(text) - length(replace(text, ' und ', ''))) / 5 AS s_de,
+        |    (length(text) - length(replace(text, ' el ', ''))) / 4 + (length(text) - length(replace(text, ' los ', ''))) / 5 AS s_es,
+        |    (length(text) - length(replace(text, ' le ', ''))) / 4 + (length(text) - length(replace(text, ' les ', ''))) / 5 AS s_fr,
+        |    (length(text) - length(replace(text, '的', ''))) / 1 + (length(text) - length(replace(text, '是', ''))) / 1 AS s_zh
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "d_quality_score" ->
+      """SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  round(punct / len, 6) AS punct_ratio,
+        |  round(stop / n_words, 6) AS stopword_ratio,
+        |  round(least(1.0, n_words / 100) * (1 - punct / len), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS len,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 + (length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE) AS stop
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "d_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+        |  CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+        |  CAST(48 + (doc_id % 12) * 8 AS INT) AS height,
+        |  md5(text) AS feature_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_frame_sample" ->
+      """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
+        |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
   )
 }

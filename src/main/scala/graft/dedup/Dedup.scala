@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data corpus: exact, MinHash+LSH,
+  * n-gram Jaccard. (SimHash lives in graft.functions.SimHash64.)
+  *
+  * Scale design:
+  *  - exact: one groupBy on a 128-bit content hash — the shuffle
+  *    carries (hash, id), never the text.
+  *  - MinHash: signatures are computed map-side from word shingles
+  *    (xxhash64 per permutation — codegen'd array exprs, no UDF);
+  *    the LSH band join shuffles only (band, bandHash, id) tuples, so
+  *    candidate generation is linear-ish, never O(n²) over documents.
+  *  - Jaccard verification joins candidate pairs back to shingle sets
+  *    by id — only candidate rows rehydrate text-derived arrays.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  /** Word k-shingles of `textCol` as a distinct array column. */
+  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.withColumn("__words", split(col(textCol), " "))
+      .withColumn("shingles", array_distinct(expr(
+        s"transform(sequence(0, greatest(size(__words) - $k, 0)), " +
+        s"i -> array_join(slice(__words, i + 1, $k), ' '))")))
+      .drop("__words")
+
+  /** MinHash signature: sig(i) = min over shingles of
+    * xxhash64(i || shingle). A seeded hash family without RNG state —
+    * fully deterministic and codegen-friendly.
+    */
+  def minhashSignature(withShingles: DataFrame, numPerm: Int): DataFrame = {
+    val sigCols: Seq[Column] = (0 until numPerm).map { i =>
+      array_min(expr(s"transform(shingles, s -> xxhash64('p$i|', s))"))
+    }
+    withShingles.withColumn("sig", array(sigCols: _*))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numPerm / bands` rows; each band hashes to a bucket key.
+    * Near-duplicates agree on ≥1 band with high probability.
+    */
+  def lshBuckets(withSig: DataFrame, numPerm: Int, bands: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val rows = numPerm / bands
+    val banded = (0 until bands).map { b =>
+      withSig.select(
+        col(idCol),
+        lit(b).as("band_id"),
+        xxhash64(lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*).as("band_hash"))
+    }
+    banded.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs (a < b) sharing an LSH bucket, with exact
+    * shingle-Jaccard verification ≥ `threshold`.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
+                      threshold: Double, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, k, textCol).select(col(idCol), col("shingles"))
+    val buckets = lshBuckets(minhashSignature(sh, numPerm), numPerm, bands, idCol)
+    val a = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_a"))
+    val b = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    pairs.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram (word) Jaccard similarity for given id pairs. */
+  def ngramJaccardAdjacent(docs: DataFrame, n: Int,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol)
+      .select(col(idCol), col("shingles"))
+    val a = sh.select(col(idCol).as("doc_id_a"), col("shingles").as("sh_a"))
+    val b = sh.select((col(idCol) - 1).as("doc_id_a"),
+      col(idCol).as("doc_id_b"), col("shingles").as("sh_b"))
+    a.join(b, "doc_id_a")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .orderBy("doc_id_a")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for fingerprinting — single-pass,
+  * no UDF serialization overhead, usable inside any DataFrame plan.
+  * (CodegenFallback for now: the eval path is a tight loop over
+  * UTF8String bytes; a doGenCode upgrade is mechanical if these show
+  * up hot in a profile.)
+  */
+
+/** 64-bit SimHash over an array<string> of tokens: token hashes via
+  * the engine's xxhash64 (same family as `functions.xxhash64`), one
+  * signed vote per bit, sign → bit. Near-identical token multisets
+  * yield small Hamming distance.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound) over
+  * a string's UTF-8 bytes — the reference-style document fingerprint
+  * primitive for shift-tolerant chunk hashing.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 1469598103934665603L // FNV offset basis as a non-zero seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xff)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+object Hashes {
+  // Spark 4 Columns are Connect-agnostic; the classic bridge converts
+  // Column <-> catalyst Expression.
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,77 @@
+package graft.mm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque binary payloads with
+  * typed metadata, batch-decoded per partition.
+  *
+  * The decode itself is STUBBED (no image/audio libs in this
+  * environment): `decodeStub` produces a deterministic fingerprint of
+  * the payload bytes instead of real pixels/samples. Everything
+  * Spark-side — schema, binary column handling, partition-batched
+  * decode signature, downstream joins — is real and tested; swapping
+  * `decodeStub` for a JNI/lib decoder changes no plumbing.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
+                      width: Int, height: Int, duration_ms: Int)
+  case class MediaFeature(doc_id: Long, media_type: String, payload_bytes: Int,
+                          width: Int, height: Int, feature_hash: String)
+
+  /** Derive a media table from the documents corpus: payload = UTF-8
+    * bytes of the text (deterministic stand-in for real media bytes),
+    * metadata derived from the id.
+    */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"),
+      (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 12) * 8).cast("int").as("height"),
+      ((col("doc_id") % 30 + 1) * 1000).cast("int").as("duration_ms"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: a real implementation would decode pixels/samples
+    * here; this produces the md5 of the payload as the "feature".
+    * Deterministic so the pipeline is oracle-checkable end to end.
+    */
+  private def decodeStub(payload: Array[Byte]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(payload).map("%02x".format(_)).mkString
+  }
+
+  /** Partition-batched feature extraction: the decoder is invoked once
+    * per partition iterator (the batch shape a native decoder wants),
+    * never per-row on the driver.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup cost (decoder init) amortized here
+      rows.map { r =>
+        MediaFeature(r.doc_id, r.media_type, r.payload.length,
+          r.width, r.height, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Frame-sample offsets for video rows: one offset per second. */
+  def frameSampleOffsets(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .filter(col("media_type") === "video")
+      .withColumn("frame_offsets_ms",
+        sequence(lit(0), col("duration_ms") - 1, lit(1000)))
+      .select(col("doc_id"), col("duration_ms"), col("frame_offsets_ms"),
+        size(col("frame_offsets_ms")).as("n_frames"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,103 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set, one narrow pass over the corpus, per-query top-k via window.
+  * Scale path: random-hyperplane LSH bucketing — signatures map-side,
+  * then candidates only within a bucket.
+  *
+  * All folds are sequential `aggregate` over double-cast arrays so the
+  * arithmetic is reproducible (and matches an oracle computing the
+  * same left-to-right sum).
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine top-k: for each query vector, the `k` nearest corpus
+    * vectors by cosine similarity (self excluded). The query side is
+    * broadcast; the corpus is scanned once — no shuffle of vectors.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("va"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("vb"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded Gaussian),
+    * generated driver-side — tiny (planes × dims doubles) and baked
+    * into the plan as literals, i.e. broadcast for free.
+    */
+  def hyperplanes(numPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dims)(rnd.nextGaussian())
+  }
+
+  /** Sign-of-projection LSH bucket id (one bit per hyperplane). */
+  def lshBucketCol(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(lit(_)): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket histogram — the data-distribution view of the LSH index. */
+  def lshBucketSizes(corpus: DataFrame, numPlanes: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seed: Long = 42L): DataFrame = {
+    val dims = 64
+    val planes = hyperplanes(numPlanes, dims, seed)
+    corpus.withColumn("bucket", lshBucketCol(toDouble(col(vecCol)), planes))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col(idCol)).as("min_vec_id"))
+      .orderBy("bucket")
+  }
+
+  /** ANN via LSH: candidates share the query's bucket; exact cosine
+    * re-rank of candidates only — a bucket equi-join instead of a
+    * cross product, at the cost of recall.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
+             dims: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dims, seed)
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("va"))
+      .withColumn("bucket", lshBucketCol(col("va"), planes))
+    val qb = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("vb"))
+      .withColumn("bucket", lshBucketCol(col("vb"), planes))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+}

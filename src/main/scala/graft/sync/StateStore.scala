@@ -1,0 +1,74 @@
+package graft.sync
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Watermark / checkpoint state for batch incremental sync.
+  *
+  * Reference: src/oracle_duckdb_sync/database/sync_engine.py:568-760
+  * (save_state / load_state / create_state_checkpoint / rollback /
+  * partial progress) — a JSON state file keyed by table.
+  *
+  * Implemented over the Hadoop FileSystem API so the same code works
+  * on local FS, HDFS, or an object store; writes go through a temp
+  * file + atomic rename (the cluster-safe equivalent of the
+  * reference's overwrite).
+  */
+class StateStore(spark: SparkSession, storePath: String) {
+
+  private def fs: FileSystem =
+    new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def path(table: String) = new Path(storePath, s"$table.state.json")
+
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Save the last-synced watermark value for a table. */
+  def saveWatermark(table: String, value: String): Unit = {
+    val p = path(table)
+    val tmp = new Path(storePath, s".${table}.state.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"table": "${esc(table)}", "last_value": "${esc(value)}"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Load the last-synced watermark, or None on first sync. */
+  def loadWatermark(table: String): Option[String] = {
+    val p = path(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+      """"last_value":\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+  }
+
+  /** Snapshot all table states (the reference's checkpoint). */
+  def checkpoint(): Map[String, String] = {
+    val dir = new Path(storePath)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".state.json"))
+      .map(_.stripSuffix(".state.json"))
+      .flatMap(t => loadWatermark(t).map(t -> _))
+      .toMap
+  }
+
+  /** Restore a previously taken checkpoint (the reference's rollback). */
+  def rollback(state: Map[String, String]): Unit =
+    state.foreach { case (t, v) => saveWatermark(t, v) }
+}

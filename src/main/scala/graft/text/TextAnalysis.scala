@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure codegen'd string expressions — no UDFs — so each op is a
+  * single narrow map over the corpus at any scale (no shuffle at all
+  * until a downstream aggregation).
+  */
+object TextAnalysis {
+
+  /** Exact occurrence count of literal `s` in `c` (replace trick —
+    * identical arithmetic is expressible in ANSI SQL for the oracle).
+    */
+  def countOccurrences(c: Column, s: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(s), ""))) / s.length
+
+  private def score(c: Column, markers: Seq[String]): Column =
+    markers.map(countOccurrences(c, _)).reduce(_ + _)
+
+  /** Stopword-marker language ID. Deterministic argmax with a fixed
+    * priority order (en, de, es, fr, zh) on ties.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val sEn = score(t, Seq(" the ", " and "))
+    val sDe = score(t, Seq(" der ", " und "))
+    val sEs = score(t, Seq(" el ", " los "))
+    val sFr = score(t, Seq(" le ", " les "))
+    val sZh = score(t, Seq("的", "是"))
+    docs.withColumn("pred_lang",
+      when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+        .when(sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+        .when(sEs >= sFr && sEs >= sZh, "es")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh"))
+  }
+
+  /** Length / punctuation / stopword quality features + a composite
+    * score in [0, 1].
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(split(t, " "))
+    val punct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
+    val stop = countOccurrences(t, " the ") + countOccurrences(t, " a ")
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("punct_ratio", round(punct.cast("double") / length(t), 6))
+      .withColumn("stopword_ratio", round(stop.cast("double") / nWords, 6))
+      .withColumn("quality",
+        round(least(lit(1.0), nWords.cast("double") / 100) *
+          (lit(1.0) - punct.cast("double") / length(t)), 6))
+  }
+
+  /** Whitespace tokens + a BPE-ish regex token count + char count. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_calc", length(t))
+      .withColumn("ws_tokens", size(split(trim(t), "\\s+")))
+      .withColumn("bpe_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
+  }
+
+  /** Canonical-form md5 fingerprint: lowercase, collapsed whitespace.
+    * (The rolling-hash variant lives in graft.functions.RollingHash.)
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp_md5",
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
+}

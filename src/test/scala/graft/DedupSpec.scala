@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.Hashes
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 1
+    (3L, "completely different words about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs).select("keep_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH recovers near-duplicate pairs, no false positives") {
+    val pairs = Dedup.minhashNearDups(docs, 2, 32, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val j = Dedup.ngramJaccardAdjacent(
+      Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text"), 2)
+      .select("doc_id_a", "jaccard").as[(Long, Double)].collect().toMap
+    assert(j(1L) == 1.0 && j(2L) == 0.0)
+  }
+
+  test("simhash: identical tokens agree, near tokens within small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+    ).toDF("doc_id", "text")
+      .withColumn("sh", Hashes.simhash64(split(col("text"), " ")))
+    val m = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) < 20)
+  }
+
+  test("rolling hash: deterministic, shift-sensitive") {
+    val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdeg"))
+      .toDF("doc_id", "text")
+      .withColumn("rh", Hashes.rolling_hash(col("text")))
+    val m = df.select("doc_id", "rh").as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+}

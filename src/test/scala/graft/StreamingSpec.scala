@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalStream
+import graft.sync.StateStore
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming incremental: file source -> windowed agg -> memory sink") {
+    // drive the streaming query with the real events table as a batch
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft_stream_in").toString
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val stream = IncrementalStream.readEvents(spark, tmp,
+      batch.schema, maxFilesPerTrigger = 2)
+    val agg = IncrementalStream.bucketedCounts(stream, "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_test").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with a 10min
+      // watermark over a 30-day batch all but the tail are closed
+      val got = spark.table("graft_stream_test")
+      val batchAgg = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(got.count() > 0)
+      assert(got.count() <= batchAgg.count())
+      // closed windows must match the batch aggregation exactly
+      val g = got.select(col("bucket_ts"), col("event_type"), col("n_events"))
+      val b = batchAgg.select(col("window.start").as("bucket_ts"),
+        col("event_type"), col("n_events"))
+      assert(g.join(b, Seq("bucket_ts", "event_type", "n_events"), "left_anti").count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming keep-latest per key within watermark") {
+    val batch = graft.core.Tables.events(spark, sfDir).limit(100)
+    val tmp = Files.createTempDirectory("graft_stream_dd").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val stream = IncrementalStream.readEvents(spark, tmp, batch.schema)
+    val dd = IncrementalStream.latestPerKey(stream, "ts", "user_id", "1 hour")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dd_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_dd_test")
+      assert(got.count() > 0)
+      assert(got.count() <= batch.select("user_id").distinct().count())
+    } finally q.stop()
+  }
+
+  test("state store: save/load/checkpoint/rollback round-trip") {
+    val tmp = Files.createTempDirectory("graft_state").toString
+    val st = new StateStore(spark, tmp)
+    assert(st.loadWatermark("events").isEmpty)
+    st.saveWatermark("events", "2024-01-20 00:00:00")
+    st.saveWatermark("orders", "1998-01-01")
+    assert(st.loadWatermark("events").contains("2024-01-20 00:00:00"))
+    val cp = st.checkpoint()
+    st.saveWatermark("events", "2024-02-01 00:00:00")
+    assert(st.loadWatermark("events").contains("2024-02-01 00:00:00"))
+    st.rollback(cp)
+    assert(st.loadWatermark("events").contains("2024-01-20 00:00:00"))
+    assert(cp == Map("events" -> "2024-01-20 00:00:00", "orders" -> "1998-01-01"))
+  }
+}

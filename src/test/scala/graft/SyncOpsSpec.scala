@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sync.{SyncOps, TypeMapper}
+
+class SyncOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents = Seq(
+    (1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+    (2L, "2024-01-01 10:05:00", 1L, "click", 2.0),
+    (3L, "2024-01-01 11:00:00", 2L, "view", 3.0),
+    (4L, "2024-01-01 09:00:00", 2L, "click", 4.0),
+  ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("incremental keeps only rows past the watermark, time-ordered") {
+    val got = SyncOps.incremental(mkEvents, "ts", "2024-01-01 10:00:00", Seq("event_id"))
+      .select("event_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("upsertKeepLatest keeps the newest row per key") {
+    val got = SyncOps.upsertKeepLatest(mkEvents, Seq("user_id"), "ts", "event_id")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("dedupKeepLast on (user, type) keeps last occurrence in time order") {
+    val got = SyncOps.dedupKeepLast(mkEvents, Seq("user_id", "event_type"), "ts", "event_id")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("mergeSlices preserves duplicates and restores time order") {
+    val a = mkEvents.filter(col("event_id") <= 2)
+    val b = mkEvents.filter(col("event_id") >= 2)
+    val got = SyncOps.mergeSlices(a, b, "ts", Seq("event_id"))
+    assert(got.count() == 5) // event 2 duplicated, like the reference's concat
+    assert(got.select("event_id").as[Long].head() == 4L) // earliest ts first
+  }
+
+  test("TypeMapper follows the reference precedence") {
+    assert(TypeMapper.mapSourceType("NUMBER(10,2)") == "DOUBLE")
+    assert(TypeMapper.mapSourceType("VARCHAR2(100)") == "STRING")
+    assert(TypeMapper.mapSourceType("DATE") == "TIMESTAMP")
+    assert(TypeMapper.mapSourceType("TIMESTAMP(6)") == "TIMESTAMP")
+    assert(TypeMapper.mapSourceType("CLOB") == "STRING")
+  }
+}

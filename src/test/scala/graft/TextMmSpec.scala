@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.Multimodal
+import graft.text.TextAnalysis
+
+class TextMmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the marker-dominant language deterministically") {
+    val df = Seq(
+      (1L, "x the y and z the w"),
+      (2L, "x der y und z der w"),
+      (3L, "no markers here at all"),
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.langId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "en" && m(2L) == "de" && m(3L) == "en") // tie → priority order
+  }
+
+  test("tokenCounts: ws vs bpe-ish counts") {
+    val r = TextAnalysis.tokenCounts(Seq((1L, "Hello, world 42!")).toDF("doc_id", "text"))
+      .select("ws_tokens", "bpe_tokens").as[(Int, Int)].head()
+    assert(r == ((3, 6))) // Hello , world 4 2 !
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = Seq((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val m = TextAnalysis.fingerprint(df).select("doc_id", "fp_md5")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+
+  test("multimodal: payload round-trips, stub features deterministic, batch shape per partition") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    val one = feats.filter(col("doc_id") === 0).head()
+    assert(one.feature_hash.length == 32)
+    val frames = Multimodal.frameSampleOffsets(media)
+    assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
+  }
+}
