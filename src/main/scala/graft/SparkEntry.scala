@@ -122,6 +122,16 @@ object SparkEntry {
         .withColumn("band", shiftrightunsigned(col("simhash"), 48))
         .select("doc_id", "simhash", "band")
         .orderBy("doc_id")),
+    "d_dedup_simhash_pairs" -> ((s, d) => {
+      // deterministic near-dup per doc: drop the first 2 words
+      // (small token-multiset change => small hamming distance)
+      val docs = Tables.documents(s, d)
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 3, 1000000), ' ')").as("text"))
+      Dedup.simhashNearDups(
+        docs.select("doc_id", "text").unionByName(mutated), 3)
+    }),
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardAdjacent(Tables.documents(s, d), 2)),
     "d_cosine_topk" -> ((s, d) => {
@@ -130,6 +140,22 @@ object SparkEntry {
     }),
     "d_ann_lsh" -> ((s, d) =>
       Similarity.lshBucketSizes(Tables.embeddings(s, d), 12)),
+    "d_dedup_embed" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+    "d_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.sim.Ivf.train(emb, 8, 2)
+      graft.sim.Ivf.annIvf(emb, emb.filter(col("vec_id") < 10), 3, cents, 2)
+    }),
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+    "q_skew_profile" -> ((s, d) =>
+      graft.ops.Skew.keySkewProfile(Tables.events(s, d), Seq("user_id"), 20)),
     "d_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))
         .select("doc_id", "lang", "pred_lang").orderBy("doc_id")),
@@ -323,6 +349,18 @@ object SparkEntry {
         |        len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id_a""".stripMargin,
+    "d_dedup_embed" ->
+      """SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+        |    ON a.vec_id < b.vec_id) t
+        |WHERE cs >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_skew_profile" ->
+      """SELECT user_id, n_rows, round(n_rows / CAST((SELECT COUNT(*) FROM events) AS DOUBLE), 6) AS share
+        |FROM (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id) t
+        |ORDER BY n_rows DESC, CAST(user_id AS VARCHAR) LIMIT 20""".stripMargin,
     "d_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cos_sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,31 +1,23 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom Catalyst expressions for fingerprinting — single-pass,
-  * no UDF serialization overhead, usable inside any DataFrame plan.
-  * (CodegenFallback for now: the eval path is a tight loop over
-  * UTF8String bytes; a doGenCode upgrade is mechanical if these show
-  * up hot in a profile.)
+/** Shared hashing kernels: tight loops over UTF8String bytes, called
+  * from BOTH the interpreted eval path and generated Java (a top-level
+  * Scala object exposes static forwarders, so `HashKernels.f(x)` is a
+  * valid Java call inside whole-stage codegen).
   */
+object HashKernels {
 
-/** 64-bit SimHash over an array<string> of tokens: token hashes via
-  * the engine's xxhash64 (same family as `functions.xxhash64`), one
-  * signed vote per bit, sign → bit. Near-identical token multisets
-  * yield small Hamming distance.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 64-bit SimHash over an array<string> of tokens: token hashes via
+    * the engine's xxhash64 family, one signed vote per bit, sign → bit.
+    */
+  def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -45,30 +37,52 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
-}
-
-/** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound) over
-  * a string's UTF-8 bytes — the reference-style document fingerprint
-  * primitive for shift-tolerant chunk hashing.
-  */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound)
+    * over a string's UTF-8 bytes.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var h = 1469598103934665603L // FNV offset basis as a non-zero seed
     var i = 0
     while (i < bytes.length) {
       h = h * 1000003L + (bytes(i) & 0xff)
       i += 1
     }
-    java.lang.Long.valueOf(h)
+    h
   }
+}
+
+/** Custom Catalyst expressions for fingerprinting — single-pass, no UDF
+  * serialization, and codegen'd (the generated Java calls the static
+  * kernel, so the expression stays inside the WholeStageCodegen span
+  * instead of forcing a CodegenFallback row-conversion boundary).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Rolling-hash fingerprint expression — see [[HashKernels.rollingHash]]. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.rollingHash($c)")
 
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }

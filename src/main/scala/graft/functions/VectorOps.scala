@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Vector kernels for embedding math — called from both interpreted
+  * eval and generated Java (static forwarders, see HashKernels).
+  *
+  * The fold order is strictly left-to-right over doubles, bit-identical
+  * to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to DuckDB's
+  * list_dot_product — required for oracle hash-matches on similarity
+  * scores.
+  */
+object VectorKernels {
+  /** Sequential dot product of two double arrays (null if sizes differ). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd dot product over two array<double> columns — replaces the
+  * `aggregate(zip_with(...))` higher-order pipeline, which allocates an
+  * intermediate array per row-pair and is the hot path of brute-force
+  * similarity (O(corpus × queries) evaluations).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Dot product of two array<double> columns (codegen'd kernel). */
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+}

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Largest-Triangle-Three-Buckets downsampling, distributed.
   *
@@ -21,11 +22,13 @@ import org.apache.spark.sql.functions._
   * equivalent (both preserve local extrema); the spec pins the exact
   * variant semantics.
   *
-  * Scale note: the global row index uses a single window ordered by x.
-  * For a 100 TB input you'd range-partition on x and offset per-
-  * partition row numbers by a (driver-side, num-partitions-sized)
-  * cumulative count — same plan shape, no single-partition sort. The
-  * output is threshold rows either way (viz-sized, tiny).
+  * Two global-index strategies:
+  *  - `downsample`: single-partition window row_number — fine up to
+  *    ~10M points per series (viz inputs), simplest plan.
+  *  - `downsampleRangePartitioned`: range-partition on x, sort within
+  *    partitions, per-partition offsets via zipWithIndex — no
+  *    single-partition stage, the 100 TB path. Spec pins it equal to
+  *    `downsample`.
   */
 object Lttb {
 
@@ -33,16 +36,46 @@ object Lttb {
                  threshold: Int, tieBreak: Seq[String] = Nil): DataFrame = {
     val n = df.count()
     if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
-
-    val cols = df.columns
-    val bs = (n - 2).toDouble / (threshold - 2)
-    val lastBucket = threshold - 3
-
     val indexed = df
       .withColumn("__x", col(xCol).cast("double"))
       .withColumn("__y", col(yCol).cast("double"))
       .withColumn("__i", row_number().over(
         Window.orderBy(col("__x") +: tieBreak.map(col): _*)) - 1)
+    core(indexed, n, df.columns, threshold)
+  }
+
+  /** Scale path: global index without a single-partition window.
+    * repartitionByRange + sortWithinPartitions gives a total order
+    * across partitions; zipWithIndex stamps contiguous indices with
+    * one lightweight count job (partition sizes only to the driver).
+    */
+  def downsampleRangePartitioned(df: DataFrame, xCol: String, yCol: String,
+                                 threshold: Int, tieBreak: Seq[String] = Nil,
+                                 numPartitions: Int = 0): DataFrame = {
+    val n = df.count()
+    if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
+    val prepared = df
+      .withColumn("__x", col(xCol).cast("double"))
+      .withColumn("__y", col(yCol).cast("double"))
+    val sortCols = (col("__x") +: tieBreak.map(col)).map(_.asc)
+    val parts = if (numPartitions > 0) numPartitions
+      else prepared.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = prepared.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add("__i", LongType, nullable = false)
+    val indexed = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    core(indexed, n, df.columns, threshold)
+  }
+
+  /** Shared bucket-anchor-argmax stage over a globally-indexed input
+    * (`__x`, `__y`, `__i` ∈ [0, n)).
+    */
+  private def core(indexed: DataFrame, n: Long, cols: Array[String],
+                   threshold: Int): DataFrame = {
+    val bs = (n - 2).toDouble / (threshold - 2)
+    val lastBucket = threshold - 3
 
     val interior = indexed.filter(col("__i") > 0 && col("__i") < n - 1)
       .withColumn("__b",

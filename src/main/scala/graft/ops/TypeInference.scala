@@ -58,4 +58,25 @@ object TypeInference {
     if (numericParseRate(table, c) >= threshold)
       table.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)"))
     else table
+
+  /** Datetime counterpart of [[convertIfNumeric]]. */
+  def convertIfDatetime(table: DataFrame, c: String,
+                        threshold: Double = DefaultThreshold): DataFrame =
+    if (datetimeParseRate(table, c) >= threshold)
+      table.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
+    else table
+
+  /** The reference's convert_automatic (converter.py:150-233): for each
+    * candidate string column, numeric wins if it clears the threshold,
+    * else datetime, else leave as string.
+    */
+  def inferAndConvert(table: DataFrame, candidates: Seq[String],
+                      threshold: Double = DefaultThreshold): DataFrame =
+    candidates.foldLeft(table) { (t, c) =>
+      if (numericParseRate(t, c) >= threshold)
+        t.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)"))
+      else if (datetimeParseRate(t, c) >= threshold)
+        t.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
+      else t
+    }
 }

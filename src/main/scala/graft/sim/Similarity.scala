@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+  private[sim] def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential left-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product of two double arrays — a
+    * codegen'd kernel expression (bit-identical to the
+    * `aggregate(zip_with(...))` formulation and to DuckDB's
+    * list_dot_product, but without per-pair array allocation).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -30,14 +33,22 @@ object Similarity {
     * vectors by cosine similarity (self excluded). The query side is
     * broadcast; the corpus is scanned once — no shuffle of vectors.
     */
+  /** cosine with per-side precomputed self-dots (same fp values as
+    * `cosine`, but the O(pairs) stage reuses the O(rows) norms).
+    */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (sqrt(na) * sqrt(nb))
+
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("va"))
+      .withColumn("na", dot(col("va"), col("va")))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -45,6 +56,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with
+    * cosine ≥ threshold — the exact, oracle-checkable baseline.
+    * One side is broadcast; filter applies before any rounding.
+    * Scale path: the same verification over LSH candidates only
+    * (`annLsh`-style bucket join) instead of the cross product.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), toDouble(col(vecCol)).as("va"))
+      .withColumn("na", dot(col("va"), col("va")))
+    val b = corpus.select(col(idCol).as("vec_b"), toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded Gaussian),
@@ -86,12 +117,14 @@ object Similarity {
     val cb = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("va"))
       .withColumn("bucket", lshBucketCol(col("va"), planes))
+      .withColumn("na", dot(col("va"), col("va")))
     val qb = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("vb"))
       .withColumn("bucket", lshBucketCol(col("vb"), planes))
+      .withColumn("nb", dot(col("vb"), col("vb")))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

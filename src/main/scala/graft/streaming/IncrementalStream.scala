@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's scheduler loop (scheduler/sync_worker.py: poll →
@@ -47,6 +49,39 @@ object IncrementalStream {
     events
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(keyCol))
+
+  /** Per-key sync watermark as CUSTOM distributed state
+    * (mapGroupsWithState): for every key, track the max event time and
+    * how many rows arrived past the previous watermark — the
+    * reference's driver-held `last_value` (sync_engine.py:568) sharded
+    * across executors, checkpoint-backed, no driver bottleneck.
+    * Emits one (key, watermark, new_rows, total_rows) row per key per
+    * micro-batch.
+    */
+  case class KeyWatermark(key: Long, watermark: Timestamp,
+                          new_rows: Long, total_rows: Long)
+
+  def watermarkPerKey(events: DataFrame, keyCol: String,
+                      timeCol: String): Dataset[KeyWatermark] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"), col(timeCol).as("t"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Timestamp, Long), KeyWatermark](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Timestamp, Long)]) =>
+          val batch = rows.toSeq
+          val (prevWm, prevTotal) = state.getOption.getOrElse(
+            (new Timestamp(Long.MinValue), 0L))
+          val fresh = batch.filter(_._2.after(prevWm))
+          val newWm = (prevWm +: batch.map(_._2)).maxBy(_.getTime)
+          val total = prevTotal + fresh.size
+          state.update((newWm, total))
+          KeyWatermark(key, newWm, fresh.size.toLong, total)
+      }
+  }
 
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.

@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(j(1L) == 1.0 && j(2L) == 0.0)
   }
 
+  test("simhash near-dup pairs: banding recovers hamming<=3 pairs exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // identical -> hamming 0
+      (3L, "completely different words about database synchronization engines"),
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.simhashNearDups(docs, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
   test("simhash: identical tokens agree, near tokens within small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -46,6 +46,16 @@ class LttbSpec extends SparkSpec {
     assert(got.head == 0.0 && got.last == 999.0)
   }
 
+  test("range-partitioned index path == single-window path") {
+    val xs = (0 until 500).map(_.toDouble).toArray
+    val ys = xs.map(x => math.sin(x / 5) * 50 + (if (x.toInt % 23 == 0) 300 else 0))
+    val df = xs.zip(ys).toSeq.toDF("x", "y").repartition(7)
+    val a = Lttb.downsample(df, "x", "y", 40).select("x").as[Double].collect()
+    val b = Lttb.downsampleRangePartitioned(df, "x", "y", 40, numPartitions = 5)
+      .select("x").as[Double].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("no-op when threshold >= n") {
     val df = (0 until 10).map(i => (i.toDouble, 1.0)).toDF("x", "y")
     assert(Lttb.downsample(df, "x", "y", 100).count() == 10)

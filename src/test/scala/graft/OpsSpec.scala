@@ -25,6 +25,16 @@ class OpsSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0 && row.getDouble(2) == 3.0 && row.getDouble(3) == 2.0)
   }
 
+  test("approx_count_distinct within 5% of exact on lineitem partkeys") {
+    val got = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("type inference converts >=90% numeric strings, leaves others") {
     val good = (1 to 95).map(_.toString) ++ Seq.fill(5)("x")
     val bad = (1 to 50).map(_.toString) ++ Seq.fill(50)("x")
@@ -34,5 +44,15 @@ class OpsSpec extends SparkSpec {
     assert(conv.schema("s").dataType.typeName == "double")
     val kept = TypeInference.convertIfNumeric(bad.toDF("s"), "s")
     assert(kept.schema("s").dataType.typeName == "string")
+  }
+
+  test("inferAndConvert: numeric wins, then datetime, else string") {
+    val df = (1 to 100).map(i =>
+      (i.toString, f"2024-01-${i % 28 + 1}%02d 12:00:00", s"txt$i"))
+      .toDF("num_s", "dt_s", "plain_s")
+    val conv = TypeInference.inferAndConvert(df, Seq("num_s", "dt_s", "plain_s"))
+    assert(conv.schema("num_s").dataType.typeName == "double")
+    assert(conv.schema("dt_s").dataType.typeName == "timestamp")
+    assert(conv.schema("plain_s").dataType.typeName == "string")
   }
 }

@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState watermark-per-key matches batch max(ts) per user") {
+    val batch = graft.core.Tables.events(spark, sfDir).limit(500)
+    val tmp = Files.createTempDirectory("graft_stream_wm").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val stream = IncrementalStream.readEvents(spark, tmp, batch.schema)
+    val wm = IncrementalStream.watermarkPerKey(stream, "user_id", "ts")
+    val q = wm.writeStream.outputMode("update")
+      .format("memory").queryName("graft_wm_test").start()
+    try {
+      q.processAllAvailable()
+      // last state per key must equal the batch max(ts) / count per key
+      val got = spark.table("graft_wm_test")
+        .groupBy("key")
+        .agg(max(col("watermark")).as("watermark"),
+             max(col("total_rows")).as("total_rows"))
+      val want = batch.groupBy(col("user_id").cast("long").as("key"))
+        .agg(max(col("ts")).as("watermark"), count(lit(1)).as("total_rows"))
+      assert(got.join(want, Seq("key", "watermark", "total_rows"), "left_anti")
+        .count() == 0)
+      assert(got.count() == want.count())
+    } finally q.stop()
+  }
+
   test("state store: save/load/checkpoint/rollback round-trip") {
     val tmp = Files.createTempDirectory("graft_state").toString
     val st = new StateStore(spark, tmp)
