@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash, SimHash64}
+
+/** SQL registration of graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT simhash64(split(text, ' ')) ...")` works exactly
+  * like the DataFrame API (`graft.functions.Hashes`).
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — imperative, for an existing
+  *    session (tests, notebooks).
+  *  - `spark.sql.extensions=graft.GraftExtensions` — declarative, for
+  *    cluster-wide deployment (the SparkSessionExtensions path).
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", { case Seq(c) => SimHash64(c) }),
+    ("rolling_hash", { case Seq(c) => RollingHash(c) }),
+    ("dot_product", { case Seq(a, b) => DotProduct(a, b) }))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      builder)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft", "simhash64"),
+      { case Seq(c) => SimHash64(c) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo("graft", "rolling_hash"),
+      { case Seq(c) => RollingHash(c) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo("graft", "dot_product"),
+      { case Seq(a, b) => DotProduct(a, b) }: Seq[Expression] => Expression))
+  }
+}

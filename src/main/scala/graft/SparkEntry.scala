@@ -179,12 +179,17 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")),
+    "m_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.mediaTable(Tables.documents(s, d)), 128, 96)),
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleOffsets(
         Multimodal.mediaTable(Tables.documents(s, d)))
         .select("doc_id", "duration_ms", "n_frames").orderBy("doc_id")),
     "q_lttb_downsample" -> ((s, d) =>
-      graft.ops.Lttb.downsample(
+      // the range-partitioned (no single-partition stage) variant;
+      // spec pins it equal to the window-indexed form
+      graft.ops.Lttb.downsampleRangePartitioned(
         Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double")),
         "ts_d", "value", 500, Seq("event_id"))
         .select("event_id", "ts", "value")),
@@ -416,6 +421,16 @@ object SparkEntry {
         |  CAST(48 + (doc_id % 12) * 8 AS INT) AS height,
         |  md5(text) AS feature_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_resize" ->
+      """SELECT doc_id, width, height,
+        |  CASE WHEN width * 96 <= height * 128 THEN CAST(FLOOR(width * 96.0 / height) AS INT) ELSE 128 END AS out_w,
+        |  CASE WHEN width * 96 <= height * 128 THEN 96 ELSE CAST(FLOOR(height * 128.0 / width) AS INT) END AS out_h
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+        |    CAST(48 + (doc_id % 12) * 8 AS INT) AS height
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0) t
+        |ORDER BY doc_id""".stripMargin,
     "m_frame_sample" ->
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames

@@ -65,6 +65,27 @@ object Multimodal {
     }
   }
 
+  /** Resize plan for image rows: target box fit preserving aspect
+    * ratio (the metadata math is real; the pixel resample itself would
+    * live in the decoder slot of extractFeatures). Ceil-free integer
+    * math: scaled = dim * scaleNum / scaleDen with the larger-side fit.
+    */
+  def resizePlan(media: Dataset[MediaRow], maxW: Int, maxH: Int): DataFrame =
+    media.toDF()
+      .filter(col("media_type") === "image")
+      // floor division spelled out so the semantics are engine-agnostic
+      // (Spark casts double->int by truncation, DuckDB by rounding)
+      .withColumn("out_w",
+        when(col("width") * maxH <= col("height") * maxW, // height-bound
+          floor(col("width") * maxH / col("height")).cast("int"))
+        .otherwise(lit(maxW)))
+      .withColumn("out_h",
+        when(col("width") * maxH <= col("height") * maxW, lit(maxH))
+        .otherwise(floor(col("height") * maxW / col("width")).cast("int")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+      .orderBy("doc_id")
+
   /** Frame-sample offsets for video rows: one offset per second. */
   def frameSampleOffsets(media: Dataset[MediaRow]): DataFrame =
     media.toDF()

@@ -29,6 +29,40 @@ object TableStats {
     table.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Stats over VARCHAR columns holding numerics — the reference's
+    * TRY_CAST stats path (query_service.py:280-310): cast failures
+    * count as NULL, min/max/avg over the parseable values.
+    */
+  def varcharNumericStats(table: DataFrame, varcharCols: Seq[String]): DataFrame = {
+    val casted = varcharCols.foldLeft(table) { (t, c) =>
+      t.withColumn(s"__$c", expr(s"try_cast(`$c` AS DOUBLE)"))
+    }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("row_count") +:
+      varcharCols.flatMap { c =>
+        Seq(count(col(s"__$c")).as(s"${c}_parsed"),
+            min(col(s"__$c")).as(s"${c}_min"),
+            max(col(s"__$c")).as(s"${c}_max"),
+            round(avg(col(s"__$c")), 6).as(s"${c}_avg"))
+      }
+    casted.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Numeric / datetime column detection from the schema — the
+    * reference's visualization column picker (ui/visualization.py
+    * numeric_columns / datetime_columns).
+    */
+  def numericColumns(table: DataFrame): Seq[String] =
+    table.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+
+  def datetimeColumns(table: DataFrame): Seq[String] =
+    table.schema.fields.collect {
+      case f if f.dataType.typeName.startsWith("timestamp") ||
+                f.dataType.typeName == "date" => f.name
+    }.toSeq
+
   /** COUNT(*) per table of a catalog — list_tables + row counts. */
   def rowCounts(spark: SparkSession, dir: String,
                 names: Seq[String]): DataFrame = {

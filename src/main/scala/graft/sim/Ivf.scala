@@ -103,13 +103,9 @@ object Ivf {
     val scored = c.join(broadcast(q), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("va"), col("vb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+    // nprobe > 1 explodes the query over distinct cids; the corpus side
+    // has one cid per vector, so each (query, neighbor) pair scores once
+    Similarity.topKSelect(scored, k)
   }
 
   /** Inverted-list histogram — the data-distribution view of the index

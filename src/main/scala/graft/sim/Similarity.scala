@@ -39,6 +39,20 @@ object Similarity {
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (sqrt(na) * sqrt(nb))
 
+  /** Per-query top-k of scored candidates via the k-bounded heap
+    * aggregate (graft.functions.TopK) — shuffles k pairs per query
+    * instead of window-sorting every candidate row. Tie-break: score
+    * desc, neighbor_id asc (identical to the row_number formulation).
+    */
+  private[sim] def topKSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKByScore(
+        col("sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("neighbor_id"), round(col("p.score"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -49,13 +63,7 @@ object Similarity {
       .withColumn("nb", dot(col("vb"), col("vb")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+    topKSelect(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
@@ -125,12 +133,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+    // one bucket per vector => each (query, neighbor) pair scores once
+    topKSelect(scored, k)
   }
 }

@@ -46,6 +46,35 @@ class OpsSpec extends SparkSpec {
     assert(kept.schema("s").dataType.typeName == "string")
   }
 
+  test("SQL function registration: simhash64/rolling_hash/dot_product callable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(split('a b c', ' ')) AS sh,
+        |       rolling_hash('abc') AS rh,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""".stripMargin)
+      .head()
+    assert(row.getLong(0) == graft.functions.HashKernels.simhash64(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString))))
+    assert(row.getLong(1) != 0L)
+    assert(row.getDouble(2) == 11.0)
+  }
+
+  test("varchar numeric stats parse with try_cast, count parseable") {
+    val df = Seq("1.5", "2.5", "x", "4.0").toDF("v")
+    val row = graft.ops.TableStats.varcharNumericStats(df, Seq("v")).head()
+    // row_count, v_parsed, v_min, v_max, v_avg
+    assert(row.getLong(0) == 4L && row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 1.5 && row.getDouble(3) == 4.0)
+  }
+
+  test("numeric/datetime column detection from schema") {
+    val df = Seq((1L, 2.0, "x")).toDF("a", "b", "c")
+      .withColumn("t", current_timestamp())
+    assert(graft.ops.TableStats.numericColumns(df) == Seq("a", "b"))
+    assert(graft.ops.TableStats.datetimeColumns(df) == Seq("t"))
+  }
+
   test("inferAndConvert: numeric wins, then datetime, else string") {
     val df = (1 to 100).map(i =>
       (i.toString, f"2024-01-${i % 28 + 1}%02d 12:00:00", s"txt$i"))

@@ -42,4 +42,18 @@ class TextMmSpec extends SparkSpec {
     val frames = Multimodal.frameSampleOffsets(media)
     assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
   }
+
+  test("resizePlan: aspect-preserving box fit, floor division") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = Multimodal.resizePlan(Multimodal.mediaTable(docs), 128, 96)
+    val rows = plan.select("width", "height", "out_w", "out_h")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, h, ow, oh) =>
+      assert(ow <= 128 && oh <= 96)
+      assert(ow == 128 || oh == 96) // always fills one box side
+      // aspect preserved under floor: ow/oh within 1 unit of w/h scale
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1)
+    }
+  }
 }
