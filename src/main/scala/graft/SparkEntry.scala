@@ -92,6 +92,8 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Analytics.windowRank(s, d)),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(s, d)),
     "q_distinct_agg" -> ((s, d) => Analytics.distinctAgg(s, d)),
+    "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
+    "q_window_moving" -> ((s, d) => Analytics.movingAverage(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotStatus(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
@@ -301,6 +303,19 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_moving" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_semi_anti" ->
       """SELECT * FROM (
         |  SELECT 'with_orders' AS segment, COUNT(*) AS n FROM customer

@@ -102,6 +102,36 @@ object Analytics {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Exact interpolated percentiles per group — the stats-panel
+    * quantile view. Spark's `percentile` and DuckDB's quantile_cont
+    * share the sorted-interpolation definition.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Time-range moving aggregate: 7-day trailing average order value
+    * per customer — window rangeBetween over an epoch-seconds key (one
+    * shuffle on the partition key; the range frame is evaluated with a
+    * sliding pointer, not a re-scan).
+    */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = unix_timestamp(col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(epoch)
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("avg_7d", round(avg(col("o_totalprice")).over(w), 6))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "avg_7d")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Exact distinct counts per group (partial-agg distinct). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
