@@ -83,6 +83,75 @@ object IncrementalStream {
       }
   }
 
+  case class SessionOut(key: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+  /** Open-session state (public: the state encoder codegen needs a
+    * visible constructor).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  private def usToTs(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** Streaming sessionization with CUSTOM state
+    * (flatMapGroupsWithState + event-time timeout): events within
+    * `gapMinutes` of the open session extend it; a larger gap closes
+    * and emits it; the timeout flushes a session once the watermark
+    * passes its close point. This is the streaming form of the batch
+    * `Analytics.sessionize` — same gap rule (strictly-greater starts a
+    * new session), state sharded per key across executors.
+    *
+    * Late events beyond the watermark are dropped by the watermark
+    * itself; in-batch disorder is handled by sorting each micro-batch.
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, timeCol: String,
+                       gapMinutes: Int, watermark: String): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark(timeCol, watermark)
+      // the watermarked timestamp column must survive projection for
+      // the event-time timeout to resolve
+      .select(col(keyCol).cast("long").as("k"), col(timeCol).as("t"),
+        unix_micros(col(timeCol)).as("us"))
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+              .map(s => SessionOut(key, usToTs(s.startUs), usToTs(s.lastUs), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.map(_._3).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            batch.foreach { t =>
+              open match {
+                case null => open = OpenSession(t, t, 1)
+                case o if t - o.lastUs <= gapUs =>
+                  open = o.copy(lastUs = math.max(o.lastUs, t), n = o.n + 1)
+                case o =>
+                  closed += SessionOut(key, usToTs(o.startUs), usToTs(o.lastUs), o.n)
+                  open = OpenSession(t, t, 1)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              // flush once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1000L,
+                open.lastUs / 1000L + gapMinutes * 60L * 1000L))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.
     */

@@ -66,6 +66,15 @@ object SyncOps {
                     timeCol: String, tieBreak: String): DataFrame =
     upsertKeepLatest(table, uniqueCols, timeCol, tieBreak)
 
+  /** One full incremental-sync application: merge freshly-pulled rows
+    * into the target and keep the latest version per key — the batch
+    * equivalent of the reference's fetch-then-INSERT-OR-REPLACE cycle
+    * (sync_engine.py:180 + duckdb_source.py:74) as a single shuffle.
+    */
+  def applyIncremental(target: DataFrame, fresh: DataFrame, keys: Seq[String],
+                       timeCol: String, tieBreak: String): DataFrame =
+    upsertKeepLatest(target.unionByName(fresh), keys, timeCol, tieBreak)
+
   /** Concatenate an existing slice with a newly-fetched slice and
     * restore total time order (duplicates preserved — the reference's
     * merge does not dedupe; that is a separate explicit step).

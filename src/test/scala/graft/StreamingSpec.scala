@@ -77,6 +77,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions match batch sessionize") {
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft_stream_sess").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val stream = IncrementalStream.readEvents(spark, tmp, batch.schema,
+      maxFilesPerTrigger = 1)
+    val sess = IncrementalStream.sessionizeStream(stream, "user_id", "ts",
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_sess_test")
+        .select(col("key"), col("session_start"), col("session_end"), col("n_events"))
+      assert(got.count() > 0)
+      // every emitted (closed) session must exist verbatim in the batch result
+      val want = graft.queries.Analytics.sessionize(spark, sfDir)
+        .select(col("user_id").cast("long").as("key"),
+          col("session_start"), col("session_end"), col("n_events"))
+      assert(got.join(want,
+        Seq("key", "session_start", "session_end", "n_events"), "left_anti")
+        .count() == 0)
+    } finally q.stop()
+  }
+
   test("state store: save/load/checkpoint/rollback round-trip") {
     val tmp = Files.createTempDirectory("graft_state").toString
     val st = new StateStore(spark, tmp)

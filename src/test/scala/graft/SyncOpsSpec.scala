@@ -1,5 +1,6 @@
 package graft
 
+
 import org.apache.spark.sql.functions._
 
 import graft.sync.{SyncOps, TypeMapper}
@@ -39,6 +40,18 @@ class SyncOpsSpec extends SparkSpec {
     val got = SyncOps.mergeSlices(a, b, "ts", Seq("event_id"))
     assert(got.count() == 5) // event 2 duplicated, like the reference's concat
     assert(got.select("event_id").as[Long].head() == 4L) // earliest ts first
+  }
+
+  test("applyIncremental: fresh rows replace stale versions per key") {
+    val target = mkEvents
+    val fresh = Seq(
+      (5L, "2024-01-01 12:00:00", 1L, "click", 9.0), // newer for user 1
+      (6L, "2024-01-01 08:00:00", 3L, "view", 7.0),  // brand-new user 3
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = SyncOps.applyIncremental(target, fresh, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 3L, 3L -> 6L))
   }
 
   test("TypeMapper follows the reference precedence") {
