@@ -56,6 +56,63 @@ class StateStore(spark: SparkSession, storePath: String) {
     }
   }
 
+  // ---- schema mapping versions (sync_engine.py:589 save_schema_mapping /
+  // load_schema_mapping): one file per (table, version) + a latest
+  // pointer, so schema drift across syncs is detectable and reversible.
+
+  private def schemaPath(table: String, version: String) =
+    new Path(storePath, s"$table.schema.$version.json")
+  private def latestPath(table: String) =
+    new Path(storePath, s"$table.schema.LATEST")
+
+  private def writeFile(p: Path, body: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  private def readFile(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Save a table's schema (e.g. `df.schema.json`) under a version and
+    * move the latest pointer.
+    */
+  def saveSchema(table: String, schemaJson: String, version: String): Unit = {
+    writeFile(schemaPath(table, version), schemaJson)
+    writeFile(latestPath(table), version)
+  }
+
+  /** Load a schema by version (default: latest). */
+  def loadSchema(table: String, version: Option[String] = None): Option[String] =
+    version.orElse(readFile(latestPath(table)))
+      .flatMap(v => readFile(schemaPath(table, v)))
+
+  /** All saved versions for a table, sorted. */
+  def schemaVersions(table: String): Seq[String] = {
+    val dir = new Path(storePath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$table.schema.") && n.endsWith(".json"))
+      .map(_.stripPrefix(s"$table.schema.").stripSuffix(".json"))
+      .sorted
+  }
+
+  /** True iff `schemaJson` differs from the latest saved version —
+    * the sync engine's drift check before an incremental run.
+    */
+  def schemaChanged(table: String, schemaJson: String): Boolean =
+    !loadSchema(table).contains(schemaJson)
+
   /** Snapshot all table states (the reference's checkpoint). */
   def checkpoint(): Map[String, String] = {
     val dir = new Path(storePath)

@@ -68,6 +68,17 @@ class OpsSpec extends SparkSpec {
     assert(row.getDouble(2) == 1.5 && row.getDouble(3) == 4.0)
   }
 
+  test("yAxisRange pads 5%, handles flat series and empty input") {
+    import graft.ops.VizPrep
+    val df = Seq(10.0, 20.0).toDF("v")
+    assert(VizPrep.yAxisRange(df, "v").contains((9.5, 20.5)))
+    val flat = Seq(10.0, 10.0).toDF("v")
+    val Some((lo, hi)) = VizPrep.yAxisRange(flat, "v")
+    assert(lo < 10.0 && hi > 10.0)
+    assert(VizPrep.yAxisRange(Seq.empty[Double].toDF("v"), "v").isEmpty)
+    assert(VizPrep.filterByRange(df, "v", 0, 15).count() == 1)
+  }
+
   test("numeric/datetime column detection from schema") {
     val df = Seq((1L, 2.0, "x")).toDF("a", "b", "c")
       .withColumn("t", current_timestamp())

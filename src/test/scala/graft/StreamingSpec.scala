@@ -116,4 +116,22 @@ class StreamingSpec extends SparkSpec {
     assert(st.loadWatermark("events").contains("2024-01-20 00:00:00"))
     assert(cp == Map("events" -> "2024-01-20 00:00:00", "orders" -> "1998-01-01"))
   }
+
+  test("schema versioning: save/load/latest pointer/drift detection") {
+    val tmp = Files.createTempDirectory("graft_schema").toString
+    val st = new StateStore(spark, tmp)
+    val v1 = graft.core.Tables.orders(spark, sfDir).schema.json
+    val v2 = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("extra", lit(1)).schema.json
+    assert(st.loadSchema("orders").isEmpty)
+    assert(st.schemaChanged("orders", v1))
+    st.saveSchema("orders", v1, "1.0")
+    assert(st.loadSchema("orders").contains(v1))
+    assert(!st.schemaChanged("orders", v1))
+    st.saveSchema("orders", v2, "2.0")
+    assert(st.loadSchema("orders").contains(v2)) // latest
+    assert(st.loadSchema("orders", Some("1.0")).contains(v1))
+    assert(st.schemaVersions("orders") == Seq("1.0", "2.0"))
+    assert(st.schemaChanged("orders", v1)) // latest is v2 now
+  }
 }
