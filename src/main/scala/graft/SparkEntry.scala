@@ -66,7 +66,7 @@ object SparkEntry {
         .withColumn("k_str", regexp_extract(col("props"), "[0-9]+", 0))
       TypeInference.convertIfNumeric(withK, "k_str")
         .groupBy(col("event_type"))
-        .agg(round(avg(col("k_str")), 6).as("k_avg"), count(lit(1)).as("n"))
+        .agg((sum(col("k_str").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("k_avg"), count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
     "q_filter_range" -> ((s, d) =>
@@ -220,19 +220,21 @@ object SparkEntry {
         |ORDER BY ts, event_id""".stripMargin,
     "q_time_bucket_agg" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_ts, COUNT(*) AS point_count,
-        |  round(AVG(value), 6) AS value_avg, MIN(value) AS value_min, MAX(value) AS value_max
+        |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS value_avg,
+        |  MIN(value) AS value_min, MAX(value) AS value_max
         |FROM events GROUP BY bucket_ts ORDER BY bucket_ts""".stripMargin,
     "q_time_bucket_strptime" ->
       """SELECT time_bucket(INTERVAL '1 hour', strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S')) AS bucket_ts,
         |  COUNT(*) AS point_count,
-        |  round(AVG(value), 6) AS value_avg, MIN(value) AS value_min, MAX(value) AS value_max
+        |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS value_avg,
+        |  MIN(value) AS value_min, MAX(value) AS value_max
         |FROM events GROUP BY bucket_ts ORDER BY bucket_ts""".stripMargin,
     "q_table_stats" ->
       """SELECT COUNT(*) AS row_count,
-        |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max, round(AVG(l_quantity), 6) AS l_quantity_avg,
-        |  MIN(l_extendedprice) AS l_extendedprice_min, MAX(l_extendedprice) AS l_extendedprice_max, round(AVG(l_extendedprice), 6) AS l_extendedprice_avg,
-        |  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max, round(AVG(l_discount), 6) AS l_discount_avg,
-        |  MIN(l_tax) AS l_tax_min, MAX(l_tax) AS l_tax_max, round(AVG(l_tax), 6) AS l_tax_avg
+        |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max, CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity) AS l_quantity_avg,
+        |  MIN(l_extendedprice) AS l_extendedprice_min, MAX(l_extendedprice) AS l_extendedprice_max, CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice) AS l_extendedprice_avg,
+        |  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max, CAST(SUM(CAST(l_discount AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_discount) AS l_discount_avg,
+        |  MIN(l_tax) AS l_tax_min, MAX(l_tax) AS l_tax_max, CAST(SUM(CAST(l_tax AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_tax) AS l_tax_avg
         |FROM lineitem""".stripMargin,
     "q_row_counts" ->
       Tables.all.sorted.map(t =>
@@ -241,7 +243,7 @@ object SparkEntry {
     "q_select_limit" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey LIMIT 100",
     "q_type_inference" ->
-      """SELECT event_type, round(AVG(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE)), 6) AS k_avg, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS k_avg, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_filter_range" ->
       "SELECT * FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 5000 ORDER BY l_orderkey, l_linenumber",
@@ -258,20 +260,20 @@ object SparkEntry {
         |ORDER BY column_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(SUM(l_quantity), 2) AS sum_qty,
-        |  round(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(AVG(l_quantity), 6) AS avg_qty,
-        |  round(AVG(l_discount), 6) AS avg_disc,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_dim" ->
-      """SELECT n_name, round(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+      """SELECT n_name, round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_multi_join" ->
-      """SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -283,7 +285,7 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_topk" ->
-      """SELECT c_custkey, c_name, round(SUM(o_totalprice), 2) AS revenue
+      """SELECT c_custkey, c_name, round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
     "q_window_rank" ->
@@ -329,10 +331,10 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
-        |  round(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_value
+        |  round(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE), 2) AS finished_value
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+      """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->

@@ -22,9 +22,12 @@ object TableStats {
     val aggs: Seq[Column] =
       count(lit(1)).as("row_count") +:
       numericCols.flatMap { c =>
+        // avg via associative decimal sum: deterministic across any
+        // partitioning (see TimeBucketAgg scaladoc)
         Seq(min(col(c)).as(s"${c}_min"),
             max(col(c)).as(s"${c}_max"),
-            round(avg(col(c)), 6).as(s"${c}_avg"))
+            (sum(col(c).cast("decimal(30,12)")).cast("double") /
+              count(col(c))).as(s"${c}_avg"))
       }
     table.agg(aggs.head, aggs.tail: _*)
   }

@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object TimeBucketAgg {
 
-  /** AVG (rounded for cross-engine float stability) + exact MIN/MAX
-    * per value column, plus the bucket row count.
+  /** AVG + exact MIN/MAX per value column, plus the bucket row count.
+    *
+    * The average is double(SUM(decimal)) / count, UNROUNDED: double
+    * summation is order-dependent (a distributed partial-agg order
+    * differs from any single-node engine's), so the sum runs through
+    * associative DECIMAL(30,12) — bit-identical for any plan shape or
+    * parallelism. The quotient of identical doubles is identical, and
+    * skipping the final round also sidesteps engine-specific
+    * round-half behavior at exact .5·10⁻ⁿ boundaries (observed at
+    * sf0.1: power-of-two bucket counts over 2-dp data land there
+    * often).
     */
   def bucketed(table: DataFrame, timeCol: String, interval: String,
                valueCols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
       count(lit(1)).as("point_count") +:
       valueCols.flatMap { c =>
-        Seq(round(avg(col(c)), 6).as(s"${c}_avg"),
+        Seq((sum(col(c).cast("decimal(30,12)")).cast("double") /
+              count(lit(1))).as(s"${c}_avg"),
             min(col(c)).as(s"${c}_min"),
             max(col(c)).as(s"${c}_max"))
       }

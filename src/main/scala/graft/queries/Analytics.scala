@@ -24,11 +24,11 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sum(col("l_quantity").cast("decimal(30,12)")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(30,12)")).cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,12)")).cast("double"), 2).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_discount").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -39,7 +39,7 @@ object Analytics {
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(round(sum(col("o_totalprice").cast("decimal(30,12)")).cast("double"), 2).as("revenue"),
            count(lit(1)).as("n_orders"))
       .orderBy("n_name")
 
@@ -60,7 +60,7 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,12)")).cast("double"), 2)
         .as("revenue"))
       .orderBy("n_name")
   }
@@ -72,7 +72,7 @@ object Analytics {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(30,12)")).cast("double"), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
 
@@ -164,14 +164,14 @@ object Analytics {
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
         round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-          .otherwise(lit(0.0))), 2).as("finished_value"))
+          .otherwise(lit(0.0)).cast("decimal(30,12)")).cast("double"), 2).as("finished_value"))
       .orderBy("o_orderpriority")
 
   /** ROLLUP subtotals over returnflag × linestatus. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(round(sum(col("l_quantity").cast("decimal(30,12)")).cast("double"), 2).as("sum_qty"),
            count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 

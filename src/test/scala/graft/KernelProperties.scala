@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{HashKernels, TopKBuffer}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks for the pure kernels (no Spark session). */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val scoreIdGen = Gen.listOf(Gen.zip(
+    Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L)))
+
+  property("TopKBuffer == sort-take reference, any insertion order") =
+    forAll(scoreIdGen, Gen.chooseNum(1, 10)) { (pairs, k) =>
+      val buf = new TopKBuffer(k)
+      pairs.foreach { case (s, id) => buf.add(s, id) }
+      val wantDup = pairs.sortBy { case (s, id) => (-s, id) }.take(k)
+      buf.sorted == wantDup
+    }
+
+  property("TopKBuffer merge == single-buffer over concatenation") =
+    forAll(scoreIdGen, scoreIdGen, Gen.chooseNum(1, 8)) { (a, b, k) =>
+      val b1 = new TopKBuffer(k); a.foreach { case (s, id) => b1.add(s, id) }
+      val b2 = new TopKBuffer(k); b.foreach { case (s, id) => b2.add(s, id) }
+      b1.addAll(b2)
+      val ref = new TopKBuffer(k); (a ++ b).foreach { case (s, id) => ref.add(s, id) }
+      b1.sorted == ref.sorted
+    }
+
+  property("rollingHash: incremental append law h(s+c) = h(s)*B + c") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableChar) { (s, c) =>
+      val h = HashKernels.rollingHash(UTF8String.fromString(s))
+      val h2 = HashKernels.rollingHash(UTF8String.fromString(s + c))
+      h2 == h * 1000003L + (c.toByte & 0xff)
+    }
+
+  property("simhash64: permutation-invariant over token multisets") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr)) { tokens =>
+      def sig(ts: Seq[String]): Long = HashKernels.simhash64(
+        ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray))
+      sig(tokens) == sig(scala.util.Random.shuffle(tokens))
+    }
+
+  property("dot kernel == left fold") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)),
+           Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))) { (a, b) =>
+      val got = graft.functions.VectorKernels.dot(
+        ArrayData.toArrayData(a.toArray),
+        ArrayData.toArrayData(b.toArray))
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      got == want
+    }
+}
