@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Centroid-assignment kernels. The centroid matrix lives in the
+  * expression as a reference object — NOT as per-centroid literal
+  * arrays, which would inline nlist × dims constants into generated
+  * code (compilation blowup and per-row literal array construction;
+  * measured 3× slower at nlist=8, dims=64).
+  *
+  * Scoring is dot product against each centroid; "nearest" = max dot
+  * (centroids are unit-normalized by the trainer), ties to the lowest
+  * centroid id — identical to sorting (-dot, cid) structs ascending.
+  */
+object CentroidKernels {
+
+  private def dotRow(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+    acc
+  }
+
+  def nearest(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = dotRow(v, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val d = dotRow(v, cents(i))
+      if (d > bestDot) { best = i; bestDot = d }
+      i += 1
+    }
+    best
+  }
+
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      if (dotRow(v, planes(p)) > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Top-`nprobe` centroid ids, nearest first (selection over nlist). */
+  def probes(v: ArrayData, cents: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val dots = Array.tabulate(cents.length)(i => dotRow(v, cents(i)))
+    val picked = new Array[Boolean](cents.length)
+    val out = new Array[Int](math.min(nprobe, cents.length))
+    var k = 0
+    while (k < out.length) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        if (!picked(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
+        i += 1
+      }
+      picked(best) = true
+      out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out.map(Int.box))
+  }
+}
+
+/** Random-hyperplane LSH bucket id: bit p is the sign of the
+  * projection onto plane p. Planes ride as a reference object.
+  */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidKernels.lshBucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernels.lshBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidKernels.nearest(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernels.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+case class ProbeCentroids(child: Expression, cents: Array[Array[Double]],
+                          nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidKernels.probes(input.asInstanceOf[ArrayData], cents, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CentroidKernels.probes($c, $ref, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProbeCentroids =
+    copy(child = c)
+}
+
+object CentroidOps {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(vec), cents))
+
+  def probeCentroids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    column(ProbeCentroids(expression(vec), cents, nprobe))
+
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    column(LshBucket(expression(vec), planes))
+}

@@ -26,6 +26,23 @@ object VectorKernels {
     }
     acc
   }
+
+  /** L2-normalize in one pass (zero vectors pass through). A
+    * `transform(v, x => x / sqrt(aggregate(...)))` formulation would
+    * re-evaluate the norm aggregate per element — O(dims²) per row.
+    */
+  def l2normalize(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    if (norm > 0) while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    else while (i < n) { out(i) = a.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Codegen'd dot product over two array<double> columns — replaces the
@@ -48,10 +65,30 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd single-pass L2 normalization of an array<double> column. */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.l2normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.l2normalize($c)")
+
+  override protected def withNewChildInternal(c: Expression): L2Normalize =
+    copy(child = c)
+}
+
 object VectorOps {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** Dot product of two array<double> columns (codegen'd kernel). */
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Single-pass L2 normalization of an array<double> column. */
+  def l2normalize(v: Column): Column =
+    column(L2Normalize(expression(v)))
 }

@@ -26,29 +26,23 @@ import Similarity.{dot, toDouble}
   */
 object Ivf {
 
-  /** L2-normalize (zero vectors pass through unchanged). */
-  private[sim] def normalize(v: Column): Column = {
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
-    transform(v, x => when(n > 0, x / n).otherwise(x))
-  }
-
-  /** (negative-dot, centroid-id) struct per centroid — struct ordering
-    * is lexicographic, so array_min = argmax dot with min-id tie-break.
+  /** L2-normalize (zero vectors pass through unchanged) — one kernel
+    * pass per row; see [[graft.functions.VectorKernels.l2normalize]].
     */
-  private def scoredCentroids(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(0.0) - dot(vec, array(c.map(lit(_)): _*))).as("d"),
-        lit(i).as("cid"))
-    }: _*)
+  private[sim] def normalize(v: Column): Column =
+    graft.functions.VectorOps.l2normalize(v)
 
-  /** Nearest centroid id of a normalized vector (map-side argmin). */
+  /** Nearest centroid id of a normalized vector (map-side argmax dot,
+    * ties to the lowest id). The centroid matrix rides along as an
+    * expression reference object — see
+    * [[graft.functions.CentroidKernels]] for why not literal arrays.
+    */
   def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
-    array_min(scoredCentroids(vec, cents)).getField("cid")
+    graft.functions.CentroidOps.nearestCentroid(vec, cents)
 
   /** The `nprobe` nearest centroid ids, nearest first. */
   def probeCentroids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
-    transform(slice(array_sort(scoredCentroids(vec, cents)), 1, nprobe),
-      s => s.getField("cid"))
+    graft.functions.CentroidOps.probeCentroids(vec, cents, nprobe)
 
   /** Spherical k-means on a deterministic sample: init = first `nlist`
     * vectors in xxhash64(id) order, then `iters` Lloyd steps. Each

@@ -95,12 +95,12 @@ object Similarity {
     Array.fill(numPlanes, dims)(rnd.nextGaussian())
   }
 
-  /** Sign-of-projection LSH bucket id (one bit per hyperplane). */
+  /** Sign-of-projection LSH bucket id (one bit per hyperplane) — a
+    * single kernel pass; the plane matrix is an expression reference
+    * object, not inlined literals.
+    */
   def lshBucketCol(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val planeLit = array(plane.map(lit(_)): _*)
-      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.CentroidOps.lshBucket(vec, planes)
 
   /** Bucket histogram — the data-distribution view of the LSH index. */
   def lshBucketSizes(corpus: DataFrame, numPlanes: Int,
