@@ -41,14 +41,10 @@ object Dedup {
     * per-permutation string hashing). A seeded hash family without RNG
     * state — fully deterministic and codegen-friendly.
     */
-  def minhashSignature(withShingles: DataFrame, numPerm: Int): DataFrame = {
-    val withBase = withShingles.withColumn("__h0",
-      expr("transform(shingles, s -> xxhash64(s))"))
-    val sigCols: Seq[Column] = (0 until numPerm).map { i =>
-      array_min(transform(col("__h0"), h => xxhash64(lit(i), h)))
-    }
-    withBase.withColumn("sig", array(sigCols: _*)).drop("__h0")
-  }
+  def minhashSignature(withShingles: DataFrame, numPerm: Int): DataFrame =
+    withShingles.withColumn("sig",
+      graft.functions.Hashes.minhash_sig(
+        expr("transform(shingles, s -> xxhash64(s))"), numPerm))
 
   /** LSH banding: split the signature into `bands` bands of
     * `numPerm / bands` rows; each band hashes to a bucket key.

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,6 +39,37 @@ object HashKernels {
     }
     out
   }
+
+  /** All `numPerm` MinHash permutation minima in ONE pass over the
+    * base-hash array. Value-identical to the per-permutation
+    * `array_min(transform(base, h -> xxhash64(i, h)))` formulation:
+    * Spark's XxHash64 chains seed 42 → hashInt(i) → hashLong(h), and
+    * `seeds` carries the precomputed per-permutation intermediate.
+    * Empty input yields all-null minima (array_min of empty is null).
+    */
+  def minhashSig(base: ArrayData, seeds: Array[Long]): GenericArrayData = {
+    val n = base.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](seeds.length))
+    val mins = Array.fill(seeds.length)(Long.MaxValue)
+    var e = 0
+    while (e < n) {
+      if (!base.isNullAt(e)) {
+        val h = base.getLong(e)
+        var i = 0
+        while (i < seeds.length) {
+          val v = XXH64.hashLong(h, seeds(i))
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(mins.map(Long.box))
+  }
+
+  /** The chained xxhash64 seed after hashing permutation index `i`. */
+  def minhashSeeds(numPerm: Int): Array[Long] =
+    Array.tabulate(numPerm)(i => XXH64.hashInt(i, 42L))
 
   /** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound)
     * over a string's UTF-8 bytes.
@@ -87,6 +118,28 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
 
+/** One-pass MinHash signature over an array<long> of base hashes —
+  * replaces numPerm separate transform+array_min passes (numPerm
+  * intermediate arrays per row) with a single kernel loop.
+  */
+case class MinHashSig(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  private val seeds = HashKernels.minhashSeeds(numPerm)
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
 object Hashes {
   // Spark 4 Columns are Connect-agnostic; the classic bridge converts
   // Column <-> catalyst Expression.
@@ -94,6 +147,8 @@ object Hashes {
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
+  def minhash_sig(baseHashes: Column, numPerm: Int): Column =
+    column(MinHashSig(expression(baseHashes), numPerm))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

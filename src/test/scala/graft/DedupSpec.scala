@@ -36,6 +36,19 @@ class DedupSpec extends SparkSpec {
     assert(j(1L) == 1.0 && j(2L) == 0.0)
   }
 
+  test("minhash_sig kernel == per-permutation xxhash64(i, h) formulation") {
+    val sh = Dedup.shingles(docs, 3)
+      .withColumn("__h0", expr("transform(shingles, s -> xxhash64(s))"))
+    val viaKernel = sh
+      .withColumn("sig", Hashes.minhash_sig(col("__h0"), 8))
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val viaExprs = sh
+      .withColumn("sig", array((0 until 8).map(i =>
+        array_min(transform(col("__h0"), h => xxhash64(lit(i), h)))): _*))
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(viaKernel == viaExprs)
+  }
+
   test("simhash near-dup pairs: banding recovers hamming<=3 pairs exactly") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
