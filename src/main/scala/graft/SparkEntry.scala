@@ -97,6 +97,9 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotStatus(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
+    "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_date_parts" -> ((s, d) => Analytics.datePartsAgg(s, d)),
+    "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
 
@@ -337,6 +340,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  concat_ws('|', c_name, c_mktsegment) AS name_seg
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, ts, user_id, o_orderkey, o_orderdate FROM (
         |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,

@@ -175,6 +175,39 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE: all grouping-set combinations of returnflag × linestatus. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity").cast("decimal(30,12)")).cast("double"), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Calendar breakdown: revenue by (year, quarter, month). */
+  def datePartsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice").cast("decimal(30,12)")).cast("double"), 2).as("revenue"))
+      .orderBy("y", "q", "m")
+
+  /** String-function sweep over customer names (codegen'd built-ins,
+    * ANSI-identical semantics on both engines).
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"))
+      .orderBy("c_custkey").limit(200)
+
   /** As-of join: for each event, the user's most recent order at event
     * time. Composed as an equi-join on the key with the temporal
     * predicate, then keep-latest per event — Catalyst plans the
