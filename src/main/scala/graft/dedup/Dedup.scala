@@ -101,22 +101,25 @@ object Dedup {
     val sigs = docs
       .withColumn("sig", graft.functions.Hashes.simhash64(split(col(textCol), " ")))
       .select(col(idCol), col("sig"))
-    val banded = (0 until 4).map { b =>
-      sigs.select(col(idCol), lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-    }.reduce(_ unionByName _)
-    val a = banded.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
-    val b = banded.select(col("band"), col("bkey"), col(idCol).as("doc_b"))
-    val pairs = a.join(b, Seq("band", "bkey"))
+    // the 8-byte sig rides THROUGH the band join (unlike MinHash, where
+    // shingle sets are too big to shuffle and candidates rehydrate by
+    // id) — no second/third evaluation of the signature subtree, and
+    // the verify step needs no extra joins. One posexplode pass per side.
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("hamming",
-        graft.functions.Hashes.hamming64(col("sig_a"), col("sig_b")).cast("int"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Hashes.hamming64(col("sig_a"), col("sig_b"))
+          .cast("int").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -41,6 +41,7 @@ object Lttb {
       .withColumn("__y", col(yCol).cast("double"))
       .withColumn("__i", row_number().over(
         Window.orderBy(col("__x") +: tieBreak.map(col): _*)) - 1)
+      .persist() // core() reads it from 3 branches (interior/first/last)
     core(indexed, n, df.columns, threshold)
   }
 
@@ -66,8 +67,14 @@ object Lttb {
     val indexed = sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
+      .persist() // core() reads it from 3 branches; avoids re-sorting
     core(indexed, n, df.columns, threshold)
   }
+
+  // Scale note: persist() assumes the input is the viz slice (the
+  // reference range-filters before downsampling). For a full-table
+  // 100 TB input, filter to the plotted range first — the output is
+  // `threshold` rows either way.
 
   /** Shared bucket-anchor-argmax stage over a globally-indexed input
     * (`__x`, `__y`, `__i` ∈ [0, n)).
