@@ -101,6 +101,7 @@ object SparkEntry {
     "q_date_parts" -> ((s, d) => Analytics.datePartsAgg(s, d)),
     "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "q_asof_join_merge" -> ((s, d) => graft.queries.AsOf.asofJoinMerged(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
 
     // ---- §2c LLM-training-data pipeline ------------------------------
@@ -359,6 +360,14 @@ object SparkEntry {
         |  concat_ws('|', c_name, c_mktsegment) AS name_seg
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
     "q_asof_join" ->
+      """SELECT event_id, ts, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_join_merge" ->
       """SELECT event_id, ts, user_id, o_orderkey, o_orderdate FROM (
         |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id
