@@ -162,6 +162,8 @@ object SparkEntry {
         .orderBy("l_returnflag")),
     "q_skew_profile" -> ((s, d) =>
       graft.ops.Skew.keySkewProfile(Tables.events(s, d), Seq("user_id"), 20)),
+    "d_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d))),
     "d_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))
         .select("doc_id", "lang", "pred_lang").orderBy("doc_id")),
@@ -424,6 +426,17 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) q
         |    ON c.vec_id != q.vec_id) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "d_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |  COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique_fp,
+        |  CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS quality_avg
+        |FROM (
+        |  SELECT lang, text,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100) *
+        |      (1 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)), 6) AS q
+        |  FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "d_lang_id" ->
       """SELECT doc_id, lang,
         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'

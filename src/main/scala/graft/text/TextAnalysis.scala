@@ -71,4 +71,23 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp_md5",
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
+
+  /** Per-language corpus roll-up: the pipeline-health dashboard over a
+    * corpus — doc counts, token volume, duplicate fingerprints, mean
+    * quality. One narrow map (all of the above) + one partial-agg
+    * shuffle of per-language states.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val enriched = fingerprint(
+      qualityScore(tokenCounts(docs, textCol), textCol), textCol)
+    enriched.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("total_ws_tokens"),
+        countDistinct(col("fp_md5")).as("n_unique_fp"),
+        (sum(col("quality").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("quality_avg"))
+      .orderBy(langCol)
+  }
 }
