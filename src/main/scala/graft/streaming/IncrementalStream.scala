@@ -152,6 +152,51 @@ object IncrementalStream {
       }
   }
 
+  /** Stream-stream interval join: each left row joined to right rows
+    * of the same key within `[ts - interval, ts]`. Both sides carry
+    * watermarks so the join state is bounded and expired by event
+    * time — the streaming form of the as-of/enrichment join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   interval: String, watermark: String): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTime BETWEEN $leftTime - INTERVAL $interval AND $leftTime"))
+
+  /** Streaming upsert sink (foreachBatch): every micro-batch merges
+    * into a parquet target keeping the latest row per key — the
+    * reference's INSERT OR REPLACE loop (duckdb_source.py:74) as a
+    * streaming sink. `localCheckpoint` materializes the merge before
+    * the overwrite so the target can be read and rewritten in one
+    * batch; a production deployment writes a fresh snapshot directory
+    * per batch and swaps a pointer (or uses a table format's atomic
+    * commit) instead.
+    */
+  def sinkUpsert(df: DataFrame, targetDir: String, checkpointDir: String,
+                 keys: Seq[String], timeCol: String,
+                 tieBreak: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val existing =
+          try Some(sp.read.parquet(targetDir))
+          catch { case _: Throwable => None }
+        val merged = existing match {
+          case Some(t) => graft.sync.SyncOps
+            .applyIncremental(t, batch.select(t.columns.map(col): _*),
+              keys, timeCol, tieBreak)
+          case None => graft.sync.SyncOps
+            .upsertKeepLatest(batch, keys, timeCol, tieBreak)
+        }
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(targetDir)
+      }
+
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.
     */

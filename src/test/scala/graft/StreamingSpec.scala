@@ -117,6 +117,51 @@ class StreamingSpec extends SparkSpec {
     assert(cp == Map("events" -> "2024-01-20 00:00:00", "orders" -> "1998-01-01"))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val batch = graft.core.Tables.events(spark, sfDir).limit(300)
+    val tmp = Files.createTempDirectory("graft_ss_join").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val a = IncrementalStream.readEvents(spark, tmp, batch.schema)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = IncrementalStream.readEvents(spark, tmp, batch.schema)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = IncrementalStream.intervalJoin(a, b,
+      "a_user", "b_user", "a_ts", "b_ts", "1 HOUR", "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_ssj_test").count()
+      val ba = batch.select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val bb = batch.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val want = ba.join(bb, expr(
+        "a_user = b_user AND b_ts BETWEEN a_ts - INTERVAL 1 HOUR AND a_ts")).count()
+      assert(got == want)
+      assert(got > 0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink converges to batch upsertKeepLatest") {
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val in = Files.createTempDirectory("graft_upsert_in").toString
+    val target = Files.createTempDirectory("graft_upsert_out").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ck").toString
+    batch.write.mode("overwrite").parquet(in)
+    val stream = IncrementalStream.readEvents(spark, in, batch.schema,
+      maxFilesPerTrigger = 2)
+    val q = IncrementalStream.sinkUpsert(stream, target, ckpt,
+      Seq("user_id"), "ts", "event_id").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+      val want = graft.sync.SyncOps
+        .upsertKeepLatest(batch, Seq("user_id"), "ts", "event_id")
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("schema versioning: save/load/latest pointer/drift detection") {
     val tmp = Files.createTempDirectory("graft_schema").toString
     val st = new StateStore(spark, tmp)
