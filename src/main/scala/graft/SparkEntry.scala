@@ -98,6 +98,9 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotStatus(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_set_ops" -> ((s, d) => Analytics.setOps(s, d)),
+    "q_having" -> ((s, d) => Analytics.havingAgg(s, d)),
+    "q_null_handling" -> ((s, d) => Analytics.nullHandling(s, d)),
     "q_date_parts" -> ((s, d) => Analytics.datePartsAgg(s, d)),
     "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
@@ -347,6 +350,25 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |     b AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT * FROM (
+        |  SELECT 'both_years' AS segment, COUNT(*) AS n FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) t1
+        |  UNION ALL
+        |  SELECT 'only_1996' AS segment, COUNT(*) AS n FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) t2
+        |  UNION ALL
+        |  SELECT 'either_year' AS segment, COUNT(*) AS n FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b) t3) u
+        |ORDER BY segment""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 18 ORDER BY o_custkey""".stripMargin,
+    "q_null_handling" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+        |  CAST(c_acctbal IS NULL AS INT) AS bal_was_null
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
     "q_date_parts" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,

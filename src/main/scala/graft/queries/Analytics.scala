@@ -175,6 +175,42 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Set operations (distinct semantics, like SQL INTERSECT/EXCEPT/
+    * UNION): customer activity across two years.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def custIn(y: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val a = custIn(1996)
+    val b = custIn(1997)
+    def seg(name: String, df: DataFrame) =
+      df.distinct().agg(count(lit(1)).as("n")).select(lit(name).as("segment"), col("n"))
+    seg("both_years", a.intersect(b))
+      .unionByName(seg("only_1996", a.except(b)))
+      .unionByName(seg("either_year", a.union(b)))
+      .orderBy("segment")
+  }
+
+  /** HAVING: post-aggregation filter on group counts. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 18)
+      .orderBy("o_custkey")
+
+  /** NULL-handling sweep: coalesce / nullif / conditional nulls. */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal_pos"),
+        col("c_acctbal").isNull.cast("int").as("bal_was_null"))
+      .orderBy("c_custkey").limit(300)
+
   /** CUBE: all grouping-set combinations of returnflag × linestatus. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
