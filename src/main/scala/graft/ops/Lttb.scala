@@ -81,6 +81,8 @@ object Lttb {
     */
   private def core(indexed: DataFrame, n: Long, cols: Array[String],
                    threshold: Int): DataFrame = {
+    val sp = indexed.sparkSession
+    import sp.implicits._
     val bs = (n - 2).toDouble / (threshold - 2)
     val lastBucket = threshold - 3
 
@@ -88,22 +90,31 @@ object Lttb {
       .withColumn("__b",
         least(floor((col("__i") - 1) / bs).cast("int"), lit(lastBucket)))
 
-    val avgs = interior.groupBy(col("__b"))
+    // bucket averages and the two endpoints are tiny (threshold-sized):
+    // collect once and rebuild the anchor tables as LOCAL relations, so
+    // the two broadcast joins don't each re-execute an agg subplan
+    val avgRows: Map[Int, (Double, Double)] = interior
+      .groupBy(col("__b"))
       .agg(avg(col("__x")).as("__ax"), avg(col("__y")).as("__ay"))
+      .as[(Int, Double, Double)].collect()
+      .map { case (b, ax, ay) => b -> ((ax, ay)) }.toMap
+    val endpoints = indexed.filter(col("__i") === 0 || col("__i") === n - 1)
+      .select(col("__i"), col("__x"), col("__y"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val (fx, fy) = (endpoints.head._2, endpoints.head._3)
+    val (lx, ly) = (endpoints.last._2, endpoints.last._3)
+
+    val prevAnchors = (0 to lastBucket).map { b =>
+      if (b == 0) (b, fx, fy)
+      else { val (ax, ay) = avgRows(b - 1); (b, ax, ay) }
+    }.toDF("__b", "__px", "__py")
+    val nextAnchors = (0 to lastBucket).map { b =>
+      if (b == lastBucket) (b, lx, ly)
+      else { val (ax, ay) = avgRows(b + 1); (b, ax, ay) }
+    }.toDF("__b", "__nx", "__ny")
 
     val firstRow = indexed.filter(col("__i") === 0)
     val lastRow = indexed.filter(col("__i") === n - 1)
-
-    // prev anchor of bucket b = avg of bucket b-1 (b=0 -> first point)
-    val prevAnchors = avgs.filter(col("__b") < lastBucket)
-      .select((col("__b") + 1).as("__b"), col("__ax").as("__px"), col("__ay").as("__py"))
-      .unionByName(firstRow.select(lit(0).as("__b"),
-        col("__x").as("__px"), col("__y").as("__py")))
-    // next anchor of bucket b = avg of bucket b+1 (last bucket -> last point)
-    val nextAnchors = avgs.filter(col("__b") > 0)
-      .select((col("__b") - 1).as("__b"), col("__ax").as("__nx"), col("__ay").as("__ny"))
-      .unionByName(lastRow.select(lit(lastBucket).as("__b"),
-        col("__x").as("__nx"), col("__y").as("__ny")))
 
     val withArea = interior
       .join(broadcast(prevAnchors), "__b")
