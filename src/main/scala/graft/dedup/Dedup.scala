@@ -77,6 +77,11 @@ object Dedup {
     val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // verification rehydrates shingle SETS by id (recomputing the
+    // narrow map for the join sides). Measured faster than carrying
+    // candidate text through the joins at bench scale; for a corpus
+    // where candidates ≪ documents, join `pairs` to the raw text and
+    // shingle only candidates instead.
     val shA = sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
     pairs.join(shA, "doc_a").join(shB, "doc_b")
