@@ -125,6 +125,18 @@ object SparkEntry {
       Dedup.minhashNearDups(
         docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
     }),
+    "d_dedup_clusters" -> ((s, d) => {
+      // pairs from the same injected near-dups as d_dedup_minhash_pairs,
+      // resolved into connected components (cluster id = min doc id)
+      val docs = Tables.documents(s, d)
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+      val pairs = Dedup.minhashNearDups(
+        docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
+      graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("id")
+    }),
     "d_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("simhash", Hashes.simhash64(split(col("text"), " ")))

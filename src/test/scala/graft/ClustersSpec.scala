@@ -1,0 +1,51 @@
+package graft
+
+import graft.dedup.{Clusters, Dedup}
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory union-find reference. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents == union-find on a chain+clique+singleton-pair graph") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),           // chain -> comp 1
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle -> comp 10
+      (20L, 21L),                             // pair -> comp 20
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L)) // clique + tail -> 30
+    val got = Clusters.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == ufComponents(edges))
+  }
+
+  test("dedupByComponents keeps one representative per near-dup cluster") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),   // exact dup of 1
+      (3L, "totally different text here entirely"),
+      (4L, "aa bb cc dd ee ff gg xx"),   // near-dup of 1/2
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, 2, 32, 8, 0.3)
+    val kept = Clusters.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L)) // untouched singleton
+    assert(kept.contains(1L)) // cluster representative (min id)
+    assert(!kept.contains(2L))
+    // 4 survives only if minhash missed it; with jaccard>=0.3 over
+    // 2-shingles it should cluster with 1
+    assert(!kept.contains(4L))
+  }
+}
