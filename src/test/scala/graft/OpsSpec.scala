@@ -68,6 +68,24 @@ class OpsSpec extends SparkSpec {
     assert(row.getDouble(2) == 1.5 && row.getDouble(3) == 4.0)
   }
 
+  test("incremental bucket-agg merge == full recompute, bit-identical") {
+    import graft.ops.{IncrementalAgg, TimeBucketAgg}
+    val events = graft.core.Tables.events(spark, sfDir)
+    val cut = "2024-01-15 00:00:00"
+    val old = events.filter(col("ts") < lit(cut).cast("timestamp"))
+    val fresh = events.filter(col("ts") >= lit(cut).cast("timestamp"))
+    val merged = IncrementalAgg.readState(IncrementalAgg.mergeStates(
+      IncrementalAgg.bucketState(old, "ts", "1 hour", "value"),
+      IncrementalAgg.bucketState(fresh, "ts", "1 hour", "value")))
+    val full = TimeBucketAgg.bucketed(events, "ts", "1 hour", Seq("value"))
+    val m = merged.as[(java.sql.Timestamp, Long, Double, Double, Double)]
+      .collect().toSet
+    val f = full.as[(java.sql.Timestamp, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(m == f)
+    assert(m.nonEmpty)
+  }
+
   test("yAxisRange pads 5%, handles flat series and empty input") {
     import graft.ops.VizPrep
     val df = Seq(10.0, 20.0).toDF("v")
