@@ -58,6 +58,8 @@ object SparkEntry {
       TableStats.numericStats(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_row_counts" -> ((s, d) => TableStats.rowCounts(s, d, Tables.all)),
+    "q_histogram" -> ((s, d) =>
+      TableStats.histogram(Tables.lineitem(s, d), "l_extendedprice", 20)),
     "q_select_limit" -> ((s, d) =>
       Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey").limit(100)),
@@ -267,6 +269,12 @@ object SparkEntry {
         .mkString("", " UNION ALL ", " ORDER BY table_name"),
     "q_select_limit" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey LIMIT 100",
+    "q_histogram" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS INT) AS bin,
+        |  COUNT(*) AS n
+        |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_type_inference" ->
       """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS k_avg, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -66,6 +66,31 @@ object TableStats {
                 f.dataType.typeName == "date" => f.name
     }.toSeq
 
+  /** Equal-width histogram of a numeric column: one min/max pass (tiny
+    * driver round-trip), then one groupBy over computed bin ids — the
+    * distribution view behind the stats panel. The top edge folds into
+    * the last bin (`least`), matching the usual closed-right-edge rule.
+    */
+  def histogram(table: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val r = table.agg(min(col(c).cast("double")).as("lo"),
+      max(col(c).cast("double")).as("hi")).head()
+    if (r.isNullAt(0))
+      return table.sparkSession.emptyDataFrame
+        .select(lit(0).as("bin"), lit(0L).as("n"))
+        .limit(0)
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    if (hi == lo)
+      return table.filter(col(c).isNotNull)
+        .agg(count(lit(1)).as("n")).select(lit(0).as("bin"), col("n"))
+    val width = (hi - lo) / bins
+    table.filter(col(c).isNotNull)
+      .select(least(floor((col(c).cast("double") - lo) / width).cast("int"),
+        lit(bins - 1)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   /** COUNT(*) per table of a catalog — list_tables + row counts. */
   def rowCounts(spark: SparkSession, dir: String,
                 names: Seq[String]): DataFrame = {

@@ -68,6 +68,20 @@ class OpsSpec extends SparkSpec {
     assert(row.getDouble(2) == 1.5 && row.getDouble(3) == 4.0)
   }
 
+  test("histogram: bins cover all rows, edges fold correctly") {
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val h = graft.ops.TableStats.histogram(df, "x", 10)
+      .as[(Int, Long)].collect().toMap
+    assert(h.values.sum == 100)
+    assert(h.keys.min == 0 && h.keys.max == 9)
+    assert(h(9) == 10) // 90..99 including the max edge fold
+    // flat column -> single bin
+    val flat = Seq(5.0, 5.0, 5.0).toDF("x")
+    val hf = graft.ops.TableStats.histogram(flat, "x", 10)
+      .as[(Int, Long)].collect()
+    assert(hf.toSeq == Seq((0, 3L)))
+  }
+
   test("incremental bucket-agg merge == full recompute, bit-identical") {
     import graft.ops.{IncrementalAgg, TimeBucketAgg}
     val events = graft.core.Tables.events(spark, sfDir)
