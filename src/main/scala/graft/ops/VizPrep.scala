@@ -19,9 +19,11 @@ object VizPrep {
     */
   def yAxisRange(df: DataFrame, valueCol: String,
                  paddingPercent: Double = DefaultPaddingPercent): Option[(Double, Double)] = {
-    val row: Row = df.agg(
-      min(col(valueCol).cast("double")).as("mn"),
-      max(col(valueCol).cast("double")).as("mx")).head()
+    // NaN-safe like the reference's np.nanmin/nanmax: Spark's min/max
+    // sort NaN as the LARGEST double, so an unfiltered max would be NaN
+    val v = col(valueCol).cast("double")
+    val row: Row = df.filter(v.isNotNull && !isnan(v))
+      .agg(min(v).as("mn"), max(v).as("mx")).head()
     if (row.isNullAt(0)) None
     else {
       val (mn, mx) = (row.getDouble(0), row.getDouble(1))

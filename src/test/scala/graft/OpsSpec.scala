@@ -111,6 +111,31 @@ class OpsSpec extends SparkSpec {
     assert(VizPrep.filterByRange(df, "v", 0, 15).count() == 1)
   }
 
+  test("yAxisRange ignores NaN; filterByRange is inclusive and drops NaN") {
+    import graft.ops.VizPrep
+    val withNan = Seq(10.0, 20.0, Double.NaN).toDF("v")
+    assert(VizPrep.yAxisRange(withNan, "v").contains((9.5, 20.5)))
+    assert(VizPrep.yAxisRange(Seq(Double.NaN).toDF("v"), "v").isEmpty)
+    // boundaries inclusive, NaN excluded
+    val f = VizPrep.filterByRange(withNan, "v", 10.0, 20.0)
+    assert(f.count() == 2)
+  }
+
+  test("Retry.withRetries: succeeds after transient failures, rethrows at cap") {
+    var calls = 0
+    val got = graft.sync.Retry.withRetries(3) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      graft.sync.Retry.withRetries(2) { calls2 += 1; throw new RuntimeException("hard") }
+    }
+    assert(calls2 == 2)
+  }
+
   test("numeric/datetime column detection from schema") {
     val df = Seq((1L, 2.0, "x")).toDF("a", "b", "c")
       .withColumn("t", current_timestamp())
