@@ -46,6 +46,19 @@ class QueryServiceSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
+  test("queryAggregatedLegacy parses varchar YYYYMMDDHHMMSS then buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs-legacy").toString
+    graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss"))
+      .drop("ts")
+      .write.mode("overwrite").parquet(s"$tmp/legacy.parquet")
+    val svc2 = new QueryService(spark, tmp)
+    val agg = svc2.queryAggregatedLegacy("legacy", "ts_str", "1 hour", Seq("value"))
+    val direct = svc.queryAggregated("events", "ts", "1 hour", Seq("value"))
+    assert(agg.count() == direct.count())
+    assert(agg.join(direct, Seq("bucket_ts", "point_count"), "left_anti").count() == 0)
+  }
+
   test("tableStats auto-detects numeric columns") {
     val stats = svc.tableStats("lineitem")
     assert(stats.columns.contains("l_quantity_avg"))
