@@ -9,6 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // footer-stat COUNT/MIN/MAX: metadata-only scans where eligible
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // events.parquet stores TIMESTAMP(NANOS) — session-scoped, set at build
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -168,7 +168,20 @@ object SparkEntry {
     "d_ann_lsh" -> ((s, d) =>
       Similarity.lshBucketSizes(Tables.embeddings(s, d), 12)),
     "d_dedup_embed" -> ((s, d) =>
+      // exact all-pairs baseline: oracle-checks the verification math
+      // at a low threshold where bucketing cannot bound candidates;
+      // the scale path is d_dedup_embed_lsh below
       Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+    "d_dedup_embed_lsh" -> ((s, d) => {
+      // inject an exact duplicate of every vector (vec_id + 10000) and
+      // recover the pairs through the bucketed LSH path — candidates
+      // come from band-bucket joins, never all-pairs; identical
+      // vectors share every band bucket, so recall on the injected
+      // dups is exact and the oracle hash-matches
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dup = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.nearDupPairsLsh(emb.unionByName(dup), 0.95)
+    }),
     "d_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = graft.sim.Ivf.train(emb, 8, 2)
@@ -222,6 +235,13 @@ object SparkEntry {
         Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double")),
         "ts_d", "value", 500, Seq("event_id"))
         .select("event_id", "ts", "value")),
+    "q_lttb_exact" -> ((s, d) =>
+      // reference-exact sequential LTTB, one kernel run per event_type
+      // series (spec pins index-exact equality vs the reference algo)
+      graft.ops.Lttb.downsampleExact(
+        Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double")),
+        "ts_d", "value", 200, Seq("event_type"))
+        .select("event_type", "ts", "value").orderBy("event_type", "ts")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -457,6 +477,16 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
         |    ON a.vec_id < b.vec_id) t
         |WHERE cs >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "d_dedup_embed_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE cs >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
     "q_skew_profile" ->
       """SELECT user_id, n_rows, round(n_rows / CAST((SELECT COUNT(*) FROM events) AS DOUBLE), 6) AS share
         |FROM (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id) t

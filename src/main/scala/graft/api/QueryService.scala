@@ -84,4 +84,18 @@ class QueryService(spark: SparkSession, dir: String) {
     val t = Tables.loadNormalized(spark, dir, table)
     TableStats.numericStats(t, TableStats.numericColumns(t))
   }
+
+  /** As-of join between two catalog tables — ALWAYS the merge
+    * (cogroup two-pointer) path, O(left + right) per key. The composed
+    * window formulation (Analytics.asofJoin) is the oracle baseline
+    * only; library callers get this.
+    */
+  def asofJoin(leftTable: String, rightTable: String,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightTieBreak: Seq[String] = Nil): DataFrame =
+    graft.queries.AsOf.asofJoinTables(
+      Tables.loadNormalized(spark, dir, leftTable),
+      Tables.loadNormalized(spark, dir, rightTable),
+      leftKey, rightKey, leftTime, rightTime, rightTieBreak)
 }

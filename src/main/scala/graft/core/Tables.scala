@@ -39,9 +39,16 @@ object Tables {
     * vectorized reader rejects. Read nanos as raw INT64 (legacy conf)
     * and convert with integer division — `ts div 1000` keeps exact µs
     * (a double division would lose precision above 2^53 ns).
+    *
+    * The nanosAsLong conf is session-scoped, so set it at session
+    * build (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")`)
+    * as Bench/Verify do; the guarded set below only covers sessions
+    * built elsewhere, and never rewrites an already-correct conf (no
+    * per-read global side effect).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -21,36 +21,51 @@ object Clusters {
   /** (id, component) for every vertex appearing in `pairs`; component
     * = min id reachable. `maxIter` bounds the label-propagation rounds
     * (diameter cap); iteration stops early on convergence.
+    *
+    * Each round is ONE materialization job: the aggregation carries the
+    * vertex's previous label alongside the new min (tagged union, so no
+    * extra join), and the round's `localCheckpoint` both executes it
+    * and replaces the logical plan with the materialized RDD —
+    * constant-size plans regardless of round count, no lineage growth,
+    * no re-execution of earlier rounds on cache pressure. The
+    * convergence probe then scans the in-memory result (`limit(1)`
+    * short-circuit over checkpointed partitions — no recompute). On a
+    * fault-tolerant cluster run, point `spark.sparkContext.
+    * setCheckpointDir` at durable storage and swap `localCheckpoint`
+    * for `checkpoint` if executor loss mid-job must be survivable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // symmetric edge list
+    // symmetric edge list, materialized once — every round re-reads it
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each vertex pulls neighbors' labels; keep the min of own + pulled
+      // each vertex pulls neighbors' labels; keep the min of own +
+      // pulled. The own row is tagged so the same aggregation also
+      // yields the previous label (min over a single tagged row) —
+      // convergence detection costs no second join.
       val pulled = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(pulled)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
-      labels.unpersist()
-      labels = next
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"), lit(false).as("own"))
+      val next = labels.select(col("id"), col("comp"), lit(true).as("own"))
+        .unionByName(pulled)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .localCheckpoint() // the round's single job
+      val changed = next.filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -244,12 +244,14 @@ object Analytics {
         concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"))
       .orderBy("c_custkey").limit(200)
 
-  /** As-of join: for each event, the user's most recent order at event
-    * time. Composed as an equi-join on the key with the temporal
-    * predicate, then keep-latest per event — Catalyst plans the
-    * equi-part as a hash join; AQE handles key skew. (A custom
-    * sort-merge AsOfJoinExec is the dedicated-operator alternative;
-    * the composed form stays inside whole-stage codegen.)
+  /** As-of join, composed window formulation — ORACLE BASELINE ONLY.
+    * The equi-join with `o_orderdate <= ts` materializes every
+    * (event × prior-order) pair per user before the window keeps rank
+    * 1: quadratic in per-key history, measured 3.4× slower than the
+    * merge path at sf0.1 on identical output. It exists to hash-check
+    * the semantics against DuckDB; library callers get
+    * `AsOf.asofJoinTables` (cogroup two-pointer, O(events + orders)
+    * per key) via `QueryService.asofJoin`.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select("event_id", "ts", "user_id")

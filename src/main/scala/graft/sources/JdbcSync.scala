@@ -42,12 +42,36 @@ object JdbcSync {
       "fetchsize" -> fetchSize.toString)
   }
 
+  /** Plain-identifier shape that may pass through unquoted: bare or
+    * schema-qualified SQL identifiers only.
+    */
+  private val PlainIdent =
+    "^[A-Za-z_][A-Za-z0-9_$#]*(\\.[A-Za-z_][A-Za-z0-9_$#]*)?$".r
+
+  /** Defensive identifier quoting: plain (optionally schema-qualified)
+    * identifiers pass through; anything else is double-quoted per
+    * dot-part with embedded quotes doubled, so a hostile value can
+    * never escape into SQL. Control characters are rejected outright.
+    */
+  private[sources] def safeIdent(id: String): String = {
+    require(id.nonEmpty && !id.exists(_ < ' '),
+      s"invalid SQL identifier: ${id.take(40)}")
+    id match {
+      case PlainIdent(_) => id
+      case _ => id.split('.')
+        .map(part => "\"" + part.replace("\"", "\"\"") + "\"")
+        .mkString(".")
+    }
+  }
+
   /** The reference's incremental pull (`WHERE col > last ORDER BY col`)
     * as a pushed-down subquery — the remote engine sees only the tail.
+    * `table`/`timeCol` are quoted defensively; `lastValue` is
+    * escaped as a string literal.
     */
   def incrementalQuery(table: String, timeCol: String, lastValue: String): String = {
     val esc = lastValue.replace("'", "''")
-    s"(SELECT * FROM $table WHERE $timeCol > '$esc') sync_src"
+    s"(SELECT * FROM ${safeIdent(table)} WHERE ${safeIdent(timeCol)} > '$esc') sync_src"
   }
 
   /** Partitioned JDBC read. The caller appends `.filter(...)` freely:

@@ -23,6 +23,26 @@ class JdbcSyncSpec extends SparkSpec {
     assert(JdbcSync.incrementalQuery("T", "C", "o'clock").contains("'o''clock'"))
   }
 
+  test("incrementalQuery neutralizes hostile identifiers") {
+    // plain and schema-qualified identifiers pass through unquoted
+    assert(JdbcSync.incrementalQuery("SALES.HISTORY", "TS", "x")
+      .startsWith("(SELECT * FROM SALES.HISTORY WHERE TS"))
+    // injection-shaped names are wrapped whole in double quotes — the
+    // payload stays inert inside a quoted identifier
+    val hostile = JdbcSync.incrementalQuery("t; DROP TABLE x--", "TS", "v")
+    assert(hostile.contains("FROM \"t; DROP TABLE x--\" WHERE"))
+    // embedded double quotes cannot close the identifier early
+    val quoted = JdbcSync.incrementalQuery("""t"ick""", "TS", "v")
+    assert(quoted.contains("FROM \"t\"\"ick\" WHERE"))
+    // hostile time column is quoted too
+    assert(JdbcSync.incrementalQuery("T", "c OR 1=1", "v")
+      .contains("WHERE \"c OR 1=1\" >"))
+    // control characters are rejected, not passed through
+    intercept[IllegalArgumentException] {
+      JdbcSync.incrementalQuery("t\nx", "TS", "v")
+    }
+  }
+
   test("writeSnapshot round-trips a partitioned parquet snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))

@@ -60,4 +60,62 @@ class LttbSpec extends SparkSpec {
     val df = (0 until 10).map(i => (i.toDouble, 1.0)).toDF("x", "y")
     assert(Lttb.downsample(df, "x", "y", 100).count() == 10)
   }
+
+  // ---- reference-exact sequential form --------------------------------
+  // expected indices computed by running the reference `_lttb_core`
+  // (data/lttb.py:89-150) on the same inputs — index-exact pinning.
+
+  test("lttbIndices: index-exact vs reference on a sine wave") {
+    val x = Array.tabulate(100)(_.toDouble)
+    val y = x.map(v => math.sin(v * 0.25))
+    assert(Lttb.lttbIndices(x, y, 20).toSeq == Seq(
+      0, 5, 9, 16, 20, 27, 31, 34, 42, 46, 54, 58, 65, 69, 72, 80, 84, 92, 95, 99))
+  }
+
+  test("lttbIndices: index-exact vs reference on constant series (first-of-bucket ties)") {
+    val x = Array.tabulate(50)(_.toDouble)
+    val y = Array.fill(50)(7.0)
+    assert(Lttb.lttbIndices(x, y, 10).toSeq == Seq(0, 1, 7, 13, 19, 25, 31, 37, 43, 49))
+  }
+
+  test("lttbIndices: index-exact vs reference, preserves an isolated peak") {
+    val x = Array.tabulate(100)(_.toDouble)
+    val y = Array.fill(100)(0.0); y(50) = 100.0
+    assert(Lttb.lttbIndices(x, y, 10).toSeq == Seq(0, 1, 13, 25, 49, 50, 62, 74, 86, 99))
+  }
+
+  test("lttbIndices: index-exact vs reference on non-divisible sawtooth") {
+    val x = Array.tabulate(97)(_.toDouble)
+    val y = x.map(v => (v % 10) * (1 + 0.01 * v))
+    assert(Lttb.lttbIndices(x, y, 13).toSeq == Seq(
+      0, 8, 10, 19, 30, 39, 50, 59, 61, 77, 80, 89, 96))
+  }
+
+  test("lttbIndices: n <= threshold returns all indices") {
+    val x = Array.tabulate(5)(_.toDouble)
+    assert(Lttb.lttbIndices(x, Array(1.0, 2.0, 3.0, 2.0, 1.0), 10).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("downsampleExact: per-series mapGroups matches the kernel per group") {
+    val xs = Array.tabulate(100)(_.toDouble)
+    val rows = for {
+      s <- Seq("a", "b")
+      i <- 0 until 100
+    } yield (s, xs(i), if (s == "a") math.sin(xs(i) * 0.25) else xs(i) % 10)
+    val df = rows.toDF("series", "x", "y").repartition(8)
+    val got = Lttb.downsampleExact(df, "x", "y", 20, Seq("series"))
+      .orderBy("series", "x").select("series", "x").as[(String, Double)].collect()
+    val wantA = Lttb.lttbIndices(xs, xs.map(v => math.sin(v * 0.25)), 20).map(xs).map(("a", _))
+    val wantB = Lttb.lttbIndices(xs, xs.map(v => v % 10), 20).map(xs).map(("b", _))
+    assert(got.toSeq == (wantA ++ wantB).toSeq)
+  }
+
+  test("downsampleExact: single global series (no key) equals the kernel") {
+    val xs = Array.tabulate(200)(_.toDouble)
+    val ys = xs.map(v => math.cos(v / 9) * 40)
+    val df = xs.zip(ys).toSeq.toDF("x", "y").repartition(5)
+    val got = Lttb.downsampleExact(df, "x", "y", 30)
+      .orderBy("x").select("x").as[Double].collect()
+    assert(got.toSeq == Lttb.lttbIndices(xs, ys, 30).map(xs).toSeq)
+  }
 }

@@ -20,6 +20,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) == 1L) // closest to (1,0,0) is (0.9,0.1,0)
   }
 
+  test("bucketed near-dup (LSH) recall >= brute force on injected near-dups") {
+    // perturbed copies of real embeddings: cos ~ 0.999 — genuine
+    // near-dups, not byte-identical vectors
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * 1.001d + 0.0005d).cast("float")).as("embedding"))
+    val corpus = emb.unionByName(perturbed)
+    val brute = Similarity.nearDupPairs(corpus, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(corpus, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // every injected copy qualifies
+    // recall: the bucketed path finds every pair the exact path finds
+    assert(brute.subsetOf(lsh))
+    // precision is exact by construction (candidates verify with the
+    // same kernel cosine) — no extra pairs either
+    assert(lsh == brute)
+  }
+
+  test("bucketed near-dup scores match the exact path bit-for-bit") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val brute = Similarity.nearDupPairs(corpus, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(corpus, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute)
+  }
+
   test("lsh ann: identical query finds its own bucket's neighbors deterministically") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), 3)
