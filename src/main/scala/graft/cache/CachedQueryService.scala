@@ -1,0 +1,125 @@
+package graft.cache
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.TypeInference
+
+/** Result of a cached query (enhanced_query_service.py:29-52). */
+case class CachedQueryResult(
+    df: DataFrame,
+    isIncremental: Boolean,
+    rowCount: Long,
+    newRows: Long)
+
+/** Caching query facade — the reference's EnhancedQueryService
+  * (application/enhanced_query_service.py:89-418 `query_with_caching`):
+  *
+  *  1. no cache (or no watermark)  → INITIAL load: earliest `limit`
+  *     rows by the time column, type-converted, cached with the max
+  *     timestamp as watermark;
+  *  2. cache + time column         → INCREMENTAL load: only rows past
+  *     the watermark leave the source (a pushed-down parquet/JDBC
+  *     predicate — row groups below the watermark are never read),
+  *     converted the same way as the cached slice, unioned with the
+  *     cached data, and re-cached with the advanced watermark;
+  *  3. nothing new                 → the cached result returns as-is,
+  *     zero source work beyond the tail probe.
+  *
+  * Conversions: `selectedConversions = None` → automatic inference
+  * (reference convert_automatic); `Some(empty)` → none; `Some(m)` →
+  * exactly `m` (reference convert_selected). The choice is recorded in
+  * the cache metadata and REAPPLIED to incremental slices so merged
+  * schemas line up (enhanced_query_service.py:352-356).
+  *
+  * Scale: the cached value is a DataFrame behind a [[CacheProvider]] —
+  * parquet-backed for durable 100 TB results (a hit is a pruned scan,
+  * not a driver-side materialization), memory-backed for dashboard
+  * latency. `nowMillis` is injectable for deterministic staleness.
+  */
+class CachedQueryService(spark: SparkSession, dir: String,
+                         cache: QueryCacheManager,
+                         nowMillis: () => Long = () => System.currentTimeMillis()) {
+
+  def queryWithCaching(table: String, limit: Int = 10000,
+                       timeCol: Option[String] = None,
+                       selectedConversions: Option[Map[String, String]] = None): CachedQueryResult = {
+    val meta = if (cache.hasCache(table)) cache.getMetadata(table) else None
+    (timeCol, meta.flatMap(_.lastTimestamp)) match {
+      case (Some(tc), Some(_)) =>
+        incrementalLoad(table, tc, meta.get, selectedConversions)
+      case _ =>
+        initialLoad(table, limit, timeCol, selectedConversions)
+    }
+  }
+
+  /** Query WITHOUT converting, plus the per-column suggestions a
+    * caller would pick from (query_with_conversion_options).
+    */
+  def queryWithConversionOptions(table: String, limit: Int = 10000,
+                                 timeCol: Option[String] = None): (CachedQueryResult, Map[String, String]) = {
+    val r = queryWithCaching(table, limit, timeCol, Some(Map.empty))
+    (r, TypeInference.suggestConversions(r.df))
+  }
+
+  def clearCache(table: Option[String] = None): Unit = cache.clearCache(table)
+
+  def getCacheInfo(table: String): Option[CachedQueryMetadata] = cache.getMetadata(table)
+
+  private def convert(df: DataFrame, sel: Option[Map[String, String]]): DataFrame =
+    sel match {
+      case None =>
+        val stringCols = df.schema.fields
+          .filter(_.dataType.typeName == "string").map(_.name).toSeq
+        TypeInference.inferAndConvert(df, stringCols)
+      case Some(m) if m.nonEmpty => TypeInference.applyConversions(df, m)
+      case Some(_) => df
+    }
+
+  private def maxTsString(df: DataFrame, tc: String): Option[String] =
+    Option(df.agg(max(col(tc)).cast("string")).head().getString(0))
+
+  private def initialLoad(table: String, limit: Int, timeCol: Option[String],
+                          sel: Option[Map[String, String]]): CachedQueryResult = {
+    val base = Tables.loadNormalized(spark, dir, table)
+    val slice = timeCol match {
+      case Some(tc) => base.orderBy(col(tc)).limit(limit)
+      case None => base.limit(limit)
+    }
+    val converted = convert(slice, sel)
+    val n = converted.count()
+    val wm = timeCol.flatMap(tc => maxTsString(converted, tc))
+    cache.setCachedData(table, converted,
+      CachedQueryMetadata(wm, n, nowMillis(), sel.getOrElse(Map.empty)))
+    val cached = cache.getCachedData(table).getOrElse(converted)
+    CachedQueryResult(ordered(cached, timeCol), isIncremental = false, n, n)
+  }
+
+  private def incrementalLoad(table: String, tc: String, meta: CachedQueryMetadata,
+                              sel: Option[Map[String, String]]): CachedQueryResult = {
+    val base = Tables.loadNormalized(spark, dir, table)
+    val wm = meta.lastTimestamp.get
+    // pushed predicate: only the tail past the watermark leaves the scan
+    val fresh = base.filter(col(tc) > lit(wm).cast(base.schema(tc).dataType))
+    val conversions = sel.orElse(Some(meta.selectedConversions).filter(_.nonEmpty))
+    val freshConv = convert(fresh, conversions)
+    val freshCount = freshConv.count()
+    val cached = cache.getCachedData(table)
+      .getOrElse(sys.error(s"cache metadata present but data missing for '$table'"))
+    if (freshCount == 0)
+      CachedQueryResult(ordered(cached, Some(tc)), isIncremental = true, meta.rowCount, 0)
+    else {
+      val merged = cached.unionByName(freshConv)
+      val newWm = maxTsString(freshConv, tc).orElse(meta.lastTimestamp)
+      val n = meta.rowCount + freshCount
+      cache.setCachedData(table, merged,
+        CachedQueryMetadata(newWm, n, nowMillis(), conversions.getOrElse(Map.empty)))
+      val back = cache.getCachedData(table).getOrElse(merged)
+      CachedQueryResult(ordered(back, Some(tc)), isIncremental = true, n, freshCount)
+    }
+  }
+
+  private def ordered(df: DataFrame, timeCol: Option[String]): DataFrame =
+    timeCol.fold(df)(tc => df.orderBy(col(tc)))
+}

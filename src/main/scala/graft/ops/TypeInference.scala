@@ -79,4 +79,51 @@ object TypeInference {
         t.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
       else t
     }
+
+  // ---- selective conversion (user-in-the-loop) -----------------------
+  // Reference: data/query.py:392 `_detect_conversion_suggestions`,
+  // data/type_converter_service.py:56 `convert_selected`, and
+  // data/converter.py:359-429 (`detect_convertible_columns` /
+  // `convert_selected_columns`): the engine SUGGESTS per-column
+  // conversions; the caller picks a subset; only the picked columns
+  // convert — a rejected suggestion leaves its column untouched.
+
+  /** Suggested target per convertible string column —
+    * `col -> "numeric" | "datetime"` (numeric wins when both parse,
+    * same precedence as the automatic path). Non-string columns and
+    * columns clearing neither threshold are absent, exactly the
+    * reference's suggestion dict. Sample-bounded: cost is constant in
+    * table size.
+    */
+  def suggestConversions(table: DataFrame,
+                         threshold: Double = DefaultThreshold,
+                         sampleSize: Int = DefaultSampleSize): Map[String, String] =
+    table.schema.fields
+      .filter(_.dataType.typeName == "string").map(_.name)
+      .flatMap { c =>
+        if (numericParseRate(table, c, sampleSize) >= threshold) Some(c -> "numeric")
+        else if (datetimeParseRate(table, c, sampleSize) >= threshold) Some(c -> "datetime")
+        else None
+      }.toMap
+
+  /** Apply ONLY the caller-selected conversions; every unselected
+    * column stays untouched even when convertible. Unknown columns and
+    * unknown targets are skipped (reference logs-and-skips). A column
+    * whose sample parses 0% is left unconverted — the Spark-shaped
+    * form of the reference's "all-NaN conversion is discarded" guard
+    * (converter.py:423), checked on the bounded sample instead of the
+    * full result so the plan stays lazy.
+    */
+  def applyConversions(table: DataFrame, selected: Map[String, String],
+                       sampleSize: Int = DefaultSampleSize): DataFrame =
+    selected.foldLeft(table) { case (t, (c, target)) =>
+      if (!t.columns.contains(c)) t
+      else target match {
+        case "numeric" if numericParseRate(t, c, sampleSize) > 0.0 =>
+          t.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)"))
+        case "datetime" if datetimeParseRate(t, c, sampleSize) > 0.0 =>
+          t.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
+        case _ => t
+      }
+    }
 }

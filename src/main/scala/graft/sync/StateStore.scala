@@ -113,6 +113,41 @@ class StateStore(spark: SparkSession, storePath: String) {
   def schemaChanged(table: String, schemaJson: String): Boolean =
     !loadSchema(table).contains(schemaJson)
 
+  // ---- partial-progress records (sync_engine.py:709-760
+  // save_partial_progress / load_partial_progress /
+  // clear_partial_progress): a long full sync persists how far it got
+  // so an interrupted run resumes mid-table instead of restarting.
+
+  private def progressPath(table: String) =
+    new Path(storePath, s"$table.progress.json")
+
+  /** Record how far a running full sync has advanced: rows completed
+    * and the last id covered by a finished slice.
+    */
+  def savePartialProgress(table: String, rowsProcessed: Long,
+                          lastRowId: Long): Unit =
+    writeFile(progressPath(table),
+      s"""{"table": "${esc(table)}", "rows_processed": $rowsProcessed, """ +
+        s""""last_row_id": $lastRowId}""")
+
+  /** (rowsProcessed, lastRowId) of an interrupted sync, or None. */
+  def loadPartialProgress(table: String): Option[(Long, Long)] = {
+    val rp = """"rows_processed":\s*(-?\d+)""".r
+    val lr = """"last_row_id":\s*(-?\d+)""".r
+    readFile(progressPath(table)).flatMap { body =>
+      for {
+        r <- rp.findFirstMatchIn(body).map(_.group(1).toLong)
+        l <- lr.findFirstMatchIn(body).map(_.group(1).toLong)
+      } yield (r, l)
+    }
+  }
+
+  /** Drop the progress record after a sync completes. */
+  def clearPartialProgress(table: String): Unit = {
+    val p = progressPath(table)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Snapshot all table states (the reference's checkpoint). */
   def checkpoint(): Map[String, String] = {
     val dir = new Path(storePath)

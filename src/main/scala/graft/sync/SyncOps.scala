@@ -83,4 +83,52 @@ object SyncOps {
                   timeCol: String, tieBreak: Seq[String]): DataFrame =
     existing.unionByName(fresh)
       .orderBy((timeCol +: tieBreak).map(col): _*)
+
+  /** RESUMABLE full sync: process the table in id-ordered slices of
+    * `sliceSize` rows, persisting partial progress after every slice —
+    * an interrupted run picks up past the last COMPLETED slice and
+    * never re-reads (or re-writes) finished work.
+    *
+    * Reference: sync_engine.py:568-760 (`_process_batches_with_limit`
+    * + save/load/clear_partial_progress) — the reference walks a
+    * cursor and records (rows_processed, last_row_id); this walks
+    * strictly-increasing `idCol` ranges, so each slice is a pushed
+    * `idCol > lastId` predicate + ordered LIMIT (parquet row groups /
+    * remote index ranges below the watermark are skipped, same as the
+    * reference's indexed range scan). `onSlice` is the caller's sink
+    * (e.g. `JdbcSync.writeSnapshot` into a per-slice partition dir);
+    * progress persists only AFTER the sink returns, so a crash
+    * mid-slice re-runs that slice — at-least-once per slice, exactly-
+    * once per completed slice, matching the reference's semantics.
+    *
+    * Returns total rows processed across all runs (resumed + current).
+    */
+  def fullSyncResumable(table: DataFrame, idCol: String, sliceSize: Int,
+                        state: StateStore, name: String)
+                       (onSlice: DataFrame => Unit): Long = {
+    require(sliceSize > 0, s"sliceSize must be positive: $sliceSize")
+    var (total, lastId) = state.loadPartialProgress(name).getOrElse((0L, Long.MinValue))
+    var done = false
+    while (!done) {
+      val slice = table
+        .filter(col(idCol) > lit(lastId))
+        .orderBy(col(idCol))
+        .limit(sliceSize)
+        .persist() // sink + stats read it; never recompute the scan twice
+      try {
+        val stats = slice.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+        val n = stats.getLong(0)
+        if (n == 0) done = true
+        else {
+          onSlice(slice)
+          total += n
+          lastId = stats.getLong(1)
+          state.savePartialProgress(name, total, lastId)
+          if (n < sliceSize) done = true
+        }
+      } finally slice.unpersist()
+    }
+    state.clearPartialProgress(name)
+    total
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.cache._
+
+/** Cache layer specs — mirrors the reference's
+  * test/application/test_cache_provider.py surfaces: hit/miss +
+  * statistics, staleness invalidation, and incremental refresh
+  * equaling a full recompute.
+  */
+class CacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf(n: Int) = (1 to n).map(i =>
+    (i.toLong, Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), s"v$i", i.toString))
+    .toDF("id", "ts", "name", "v_str")
+
+  test("metadata JSON round-trips, including null watermark and conversions") {
+    val full = CachedQueryMetadata(Some("2024-01-01 00:00:10"), 42L, 1700000000000L,
+      Map("v_str" -> "numeric", "d\"quoted" -> "datetime"))
+    assert(CachedQueryMetadata.fromJson(CachedQueryMetadata.toJson(full)).contains(full))
+    val bare = CachedQueryMetadata(None, 0L, 5L)
+    assert(CachedQueryMetadata.fromJson(CachedQueryMetadata.toJson(bare)).contains(bare))
+  }
+
+  test("memory provider: hit/miss statistics, hasCache needs data AND metadata") {
+    val mgr = new QueryCacheManager(new MemoryCacheProvider)
+    assert(mgr.getCachedData("t").isEmpty)            // miss
+    assert(!mgr.hasCache("t"))
+    mgr.setCachedData("t", eventsDf(3), CachedQueryMetadata(None, 3L, 0L))
+    assert(mgr.hasCache("t"))
+    assert(mgr.getCachedData("t").exists(_.count() == 3)) // hit
+    val (hits, misses, rate) = mgr.statistics
+    assert(hits == 1 && misses == 1 && rate == 0.5)
+    mgr.clearCache(Some("t"))
+    assert(!mgr.hasCache("t"))
+    assert(mgr.statistics == ((0L, 0L, 0.0)))          // stats reset on clear
+  }
+
+  test("cache keys separate tables and custom cache keys") {
+    val mgr = new QueryCacheManager(new MemoryCacheProvider)
+    mgr.setCachedData("t", eventsDf(1), CachedQueryMetadata(None, 1L, 0L))
+    mgr.setCachedData("t", eventsDf(2), CachedQueryMetadata(None, 2L, 0L), Some("k2"))
+    assert(mgr.getCachedData("t").exists(_.count() == 1))
+    assert(mgr.getCachedData("t", Some("k2")).exists(_.count() == 2))
+    mgr.clearCache(Some("t"))                          // default key only
+    assert(!mgr.hasCache("t") && mgr.hasCache("t", Some("k2")))
+  }
+
+  test("invalidateIfStale drops only entries past max age (injected clock)") {
+    var now = 1000L * 1000
+    val mgr = new QueryCacheManager(new MemoryCacheProvider, () => now)
+    mgr.setCachedData("t", eventsDf(2), CachedQueryMetadata(None, 2L, now))
+    assert(!mgr.invalidateIfStale("t", maxAgeSeconds = 300))
+    assert(mgr.hasCache("t"))
+    now += 301 * 1000                                  // advance past the TTL
+    assert(mgr.invalidateIfStale("t", maxAgeSeconds = 300))
+    assert(!mgr.hasCache("t"))
+    assert(!mgr.invalidateIfStale("t", maxAgeSeconds = 300)) // nothing left
+  }
+
+  test("updateMetadata merges fields without replacing the record") {
+    val mgr = new QueryCacheManager(new MemoryCacheProvider)
+    mgr.setCachedData("t", eventsDf(2),
+      CachedQueryMetadata(Some("a"), 2L, 7L, Map("x" -> "numeric")))
+    mgr.updateMetadata("t", _.copy(rowCount = 99L))
+    val m = mgr.getMetadata("t").get
+    assert(m.rowCount == 99L && m.lastTimestamp.contains("a")
+      && m.selectedConversions == Map("x" -> "numeric"))
+  }
+
+  test("parquet-backed queryWithCaching: initial, incremental, no-new-data") {
+    val srcDir = Files.createTempDirectory("graft-cache-src").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-store").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedQueryService(spark, srcDir, mgr)
+
+    // initial: 10 source rows
+    eventsDf(10).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.queryWithCaching("t", limit = 1000, timeCol = Some("ts"),
+      selectedConversions = Some(Map.empty))
+    assert(!r1.isIncremental && r1.rowCount == 10 && r1.newRows == 10)
+    assert(mgr.getMetadata("t").flatMap(_.lastTimestamp)
+      .exists(_.startsWith("2024-01-01 00:00:10")))
+
+    // the source grows to 15 rows → only the 5-row tail is new
+    eventsDf(15).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = svc.queryWithCaching("t", timeCol = Some("ts"))
+    assert(r2.isIncremental && r2.rowCount == 15 && r2.newRows == 5)
+    // incremental refresh equals a full recompute
+    val got = r2.df.select("id", "name").as[(Long, String)].collect().toSeq
+    val want = eventsDf(15).select("id", "name").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.sortBy(_._1) == want)
+
+    // third call: nothing past the watermark → cached result, 0 new
+    val r3 = svc.queryWithCaching("t", timeCol = Some("ts"))
+    assert(r3.isIncremental && r3.rowCount == 15 && r3.newRows == 0)
+  }
+
+  test("selected conversions persist in metadata and reapply on refresh") {
+    val srcDir = Files.createTempDirectory("graft-cache-src2").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-store2").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedQueryService(spark, srcDir, mgr)
+
+    eventsDf(8).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.queryWithCaching("t", timeCol = Some("ts"),
+      selectedConversions = Some(Map("v_str" -> "numeric")))
+    assert(r1.df.schema("v_str").dataType.typeName == "double")
+    assert(r1.df.schema("name").dataType.typeName == "string") // unselected survives
+
+    // refresh without restating the conversions — metadata carries them,
+    // so the fresh slice converts identically and the union lines up
+    eventsDf(12).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = svc.queryWithCaching("t", timeCol = Some("ts"))
+    assert(r2.newRows == 4)
+    assert(r2.df.schema("v_str").dataType.typeName == "double")
+    assert(r2.df.select(sum("v_str")).head().getDouble(0) == (1 to 12).sum.toDouble)
+  }
+
+  test("queryWithConversionOptions returns suggestions without converting") {
+    val srcDir = Files.createTempDirectory("graft-cache-src3").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-store3").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedQueryService(spark, srcDir, mgr)
+    eventsDf(6).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val (r, suggestions) = svc.queryWithConversionOptions("t", timeCol = Some("ts"))
+    assert(r.df.schema("v_str").dataType.typeName == "string") // untouched
+    assert(suggestions == Map("v_str" -> "numeric"))
+  }
+}

@@ -152,4 +152,30 @@ class OpsSpec extends SparkSpec {
     assert(conv.schema("dt_s").dataType.typeName == "timestamp")
     assert(conv.schema("plain_s").dataType.typeName == "string")
   }
+
+  test("suggestConversions reports convertible string columns only") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, i.toString, f"2024-01-${i % 28 + 1}%02d 12:00:00", s"txt$i"))
+      .toDF("already_num", "num_s", "dt_s", "plain_s")
+    val got = TypeInference.suggestConversions(df)
+    // non-string and non-parseable columns are absent from suggestions
+    assert(got == Map("num_s" -> "numeric", "dt_s" -> "datetime"))
+  }
+
+  test("applyConversions converts the selected subset, leaves the rest untouched") {
+    val df = (1 to 100).map(i =>
+      (i.toString, f"2024-01-${i % 28 + 1}%02d 12:00:00", s"txt$i"))
+      .toDF("num_s", "dt_s", "plain_s")
+    // user accepts only the numeric suggestion — dt_s stays string even
+    // though it is convertible (the rejected-suggestion contract)
+    val conv = TypeInference.applyConversions(df, Map("num_s" -> "numeric"))
+    assert(conv.schema("num_s").dataType.typeName == "double")
+    assert(conv.schema("dt_s").dataType.typeName == "string")
+    assert(conv.schema("plain_s").dataType.typeName == "string")
+    // unknown columns and targets are skipped; a 0%-parseable selection
+    // leaves the column unconverted rather than wiping it to nulls
+    val same = TypeInference.applyConversions(df,
+      Map("missing" -> "numeric", "plain_s" -> "numeric", "num_s" -> "bogus"))
+    assert(same.schema == df.schema)
+  }
 }
