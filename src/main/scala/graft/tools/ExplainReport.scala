@@ -1,0 +1,98 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+
+/** Dev tool: write EXPLAIN.md — a diffable plan-audit artifact.
+  *
+  * Per query: pushed-filter presence, join strategies, codegen span
+  * count, and smell flags, as one summary table; full formatted plans
+  * for the headline queries. Re-run after plan-affecting changes and
+  * diff the file to catch plan regressions (a lost broadcast, a scan
+  * that stopped pushing filters) before they cost bench time.
+  *
+  * Usage: sbt "runMain graft.tools.ExplainReport [sfDir] [outPath]"
+  */
+object ExplainReport {
+
+  private val headline = Seq(
+    "q1_agg", "q_multi_join", "q_topk", "q_asof_join_merge",
+    "d_dedup_minhash_pairs", "d_dedup_embed_lsh", "d_cosine_topk",
+    "q_incremental_sync", "q_time_bucket_agg", "d_pipeline_curate")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outPath = args.lift(1).getOrElse("EXPLAIN.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# EXPLAIN audit\n\n")
+    sb.append(s"Physical-plan audit of every `SparkEntry.queries` entry at `$sfDir`.\n")
+    sb.append("Regenerate with `sbt \"runMain graft.tools.ExplainReport\"` and diff.\n\n")
+    sb.append("| query | scans | pushed filters | broadcast joins | SMJ | BNLJ | shuffles | flags |\n")
+    sb.append("|---|---|---|---|---|---|---|---|\n")
+
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      name -> plan
+    }
+
+    // formatted mode prints each node in the tree AND the details
+    // section — count only the details form "(N) NodeName"
+    def count(plan: String, node: String): Int =
+      s"\\(\\d+\\) $node".r.findAllMatchIn(plan).length
+
+    plans.foreach { case (name, plan) =>
+      val scans = count(plan, "Scan parquet")
+      val pushed = "PushedFilters: \\[[^\\]]".r.findAllMatchIn(plan).length // non-empty
+      val bhj = count(plan, "BroadcastHashJoin")
+      val smj = count(plan, "SortMergeJoin")
+      val bnlj = count(plan, "BroadcastNestedLoopJoin")
+      val wsc = count(plan, "Exchange") // shuffle + broadcast exchanges
+      val flags = Seq(
+        (plan.contains("CartesianProduct"), "cartesian"),
+        (plan.startsWith("ERROR"), "error"),
+      ).collect { case (true, f) => f }.mkString(" ")
+      sb.append(s"| $name | $scans | $pushed | $bhj | $smj | $bnlj | $wsc | $flags |\n")
+    }
+
+    sb.append("\nNotes:\n")
+    sb.append("- `shuffles` counts Exchange nodes (hash/range/broadcast) in the pre-AQE ")
+    sb.append("plan — the number to watch when scaling: an extra Exchange on a fact table ")
+    sb.append("is the difference between one pass and two at 100 TB.\n")
+    sb.append("- `pushed filters` counts scans with a NON-empty PushedFilters list; ")
+    sb.append("full-table aggregates legitimately show 0.\n")
+    sb.append("- `SMJ` (sort-merge join) is expected only where both sides are large ")
+    sb.append("(fact-fact joins, LSH band self-joins); a dim join appearing here is a regression.\n")
+    sb.append("- `BNLJ` is acceptable only where documented: d_dedup_embed (oracle-baseline ")
+    sb.append("all-pairs form) and the cosine top-k family (a BROADCAST non-equi join of a ")
+    sb.append("small query set against one corpus pass, k-bounded — not all-pairs). ")
+    sb.append("Anywhere else it is a regression.\n")
+
+    sb.append("\n## Headline plans\n")
+    val byName = plans.toMap
+    headline.filter(byName.contains).foreach { name =>
+      sb.append(s"\n### $name\n\n```\n${byName(name).trim.take(8000)}\n```\n")
+    }
+
+    Files.write(Paths.get(outPath), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote $outPath (${plans.size} queries)")
+    spark.stop()
+  }
+}
