@@ -1,0 +1,116 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-side sync orchestration: one cycle per configured table.
+  *
+  * Reference: src/oracle_duckdb_sync/application/sync_service.py
+  * (start_sync / get_status around the sync engine) and
+  * agent/tools/sync_tools.py (StartSyncTool / GetSyncStatusTool) —
+  * here the pieces already built compose into the full loop:
+  *
+  *   TableConfig (what to sync) → full or incremental decision from
+  *   the StateStore watermark → SyncOps pull/upsert → parquet target
+  *   (temp + swap, since the incremental plan READS the current
+  *   target) → watermark advance → SyncLogRepo audit record.
+  *
+  * `source` abstracts where rows come from (a parquet catalog in
+  * tests, `JdbcSync.read` against a database in production) — the
+  * runner is source-agnostic, like the reference's engine behind
+  * SyncService.
+  *
+  * Scale: the incremental pull is a pushed watermark predicate; the
+  * upsert is ONE shuffle on the primary key (AQE handles skew); the
+  * target rewrite is the standard batch-upsert-to-immutable-storage
+  * pattern. Nothing driver-side grows with table size.
+  */
+class SyncRunner(spark: SparkSession,
+                 source: TableConfig => DataFrame,
+                 targetDir: String,
+                 state: StateStore,
+                 log: SyncLogRepo) {
+
+  private def targetPath(cfg: TableConfig) = s"$targetDir/${cfg.targetTable}.parquet"
+
+  private def fs = new Path(targetDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def targetExists(cfg: TableConfig): Boolean =
+    fs.exists(new Path(targetPath(cfg)))
+
+  /** Read the current synced target (after at least one sync). */
+  def target(cfg: TableConfig): DataFrame = spark.read.parquet(targetPath(cfg))
+
+  private def writeTarget(cfg: TableConfig, df: DataFrame): Unit = {
+    // temp + swap: an incremental merge plan reads the live target
+    val tmp = new Path(targetDir, s".${cfg.targetTable}.parquet.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val p = new Path(targetPath(cfg))
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** One sync cycle for one table. Full on first run (or without a
+    * time column); incremental past the stored watermark otherwise.
+    * Every run leaves an audit record; failures are logged and
+    * re-thrown.
+    */
+  def syncTable(cfg: TableConfig): SyncLogEntry = {
+    val incremental = cfg.hasTimeColumn &&
+      state.loadWatermark(cfg.targetTable).isDefined && targetExists(cfg)
+    val entry = log.logStart(cfg.targetTable,
+      if (incremental) "incremental" else "full")
+    try {
+      val src = source(cfg)
+      val rows =
+        if (incremental) {
+          val tc = cfg.timeColumn.get
+          val wm = state.loadWatermark(cfg.targetTable).get
+          val fresh = SyncOps.incremental(src, tc, wm)
+          val nFresh = fresh.count()
+          if (nFresh > 0) {
+            val merged = SyncOps.applyIncremental(
+              target(cfg), fresh, Seq(cfg.primaryKey), tc, cfg.primaryKey)
+            writeTarget(cfg, merged)
+            advanceWatermark(cfg)
+          }
+          nFresh
+        } else {
+          writeTarget(cfg, src)
+          if (cfg.hasTimeColumn) advanceWatermark(cfg)
+          target(cfg).count()
+        }
+      log.logComplete(entry, rows)
+    } catch {
+      case e: Throwable =>
+        log.logFailure(entry, Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
+  }
+
+  private def advanceWatermark(cfg: TableConfig): Unit =
+    cfg.timeColumn.foreach { tc =>
+      Option(target(cfg).agg(max(col(tc)).cast("string")).head().getString(0))
+        .foreach(state.saveWatermark(cfg.targetTable, _))
+    }
+
+  /** Sync every ENABLED config; disabled tables are skipped, one
+    * table's failure doesn't stop the rest (the reference's worker
+    * loop semantics). Returns the audit record per attempted table.
+    */
+  def syncAll(configs: TableConfigRepo): Seq[SyncLogEntry] =
+    configs.syncTargets.map { cfg =>
+      try syncTable(cfg)
+      catch { case _: Throwable => log.recentLogs(1, Some(cfg.targetTable)).head }
+    }
+
+  /** Current status per target — last run + totals (GetSyncStatusTool). */
+  def status(table: Option[String] = None): Seq[(SyncLogEntry, SyncLogStats)] =
+    log.entries()
+      .filter(e => table.forall(_ == e.table))
+      .groupBy(_.table).values
+      .map(runs => (runs.maxBy(_.startMillis), log.statistics(Some(runs.head.table))))
+      .toSeq.sortBy(_._1.table)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sync._
+
+/** Multi-table sync config + orchestration specs (reference:
+  * table_config/service.py, application/sync_service.py).
+  */
+class SyncRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def srcRows(n: Int, bump: Map[Long, Int] = Map.empty) =
+    (1 to n).map { i =>
+      val v = bump.getOrElse(i.toLong, 0)
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${(i + v * n) / 60}%02d:${(i + v * n) % 60}%02d"),
+        s"v$i-$v")
+    }.toDF("id", "updated_at", "payload")
+
+  test("TableConfig validation + repo CRUD + toggle") {
+    val dir = Files.createTempDirectory("graft-tc").toString
+    val repo = new TableConfigRepo(spark, dir)
+    val good = TableConfig("SALES", "HISTORY", "history", "id",
+      timeColumn = Some("updated_at"), description = Some("sales history"))
+    assert(repo.upsert(good).isRight)
+    assert(repo.upsert(good.copy(primaryKey = "")).isLeft)       // required
+    assert(repo.upsert(good.copy(batchSize = 0)).isLeft)
+    assert(repo.upsert(good.copy(batchSize = 200000)).isLeft)
+
+    assert(repo.get("history").contains(good))
+    assert(repo.get("history").exists(_.sourceFullName == "SALES.HISTORY"))
+
+    repo.upsert(TableConfig("SALES", "ORDERS", "orders_t", "o_id"))
+    assert(repo.all().map(_.targetTable) == Seq("history", "orders_t"))
+    assert(repo.toggleSync("orders_t", enabled = false))
+    assert(repo.syncTargets.map(_.targetTable) == Seq("history"))
+    assert(repo.delete("orders_t"))
+    assert(repo.all().size == 1)
+    assert(!repo.toggleSync("missing", enabled = true))
+  }
+
+  test("full sync then incremental: watermark advances, upsert keeps latest per pk") {
+    val srcDir = Files.createTempDirectory("graft-runner-src").toString
+    val tgtDir = Files.createTempDirectory("graft-runner-tgt").toString
+    val stateDir = Files.createTempDirectory("graft-runner-state").toString
+    val logDir = Files.createTempDirectory("graft-runner-log").toString
+    val state = new StateStore(spark, stateDir)
+    val log = new SyncLogRepo(spark, logDir)
+    val runner = new SyncRunner(spark,
+      cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
+      tgtDir, state, log)
+    val cfg = TableConfig("S", "t", "t_sync", "id", timeColumn = Some("updated_at"))
+
+    // first run: full
+    srcRows(10).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = runner.syncTable(cfg)
+    assert(r1.syncType == "full" && r1.status == "completed" && r1.totalRows == 10)
+    assert(state.loadWatermark("t_sync").isDefined)
+    assert(runner.target(cfg).count() == 10)
+
+    // source gains 5 new rows AND updates row 3 (newer timestamp)
+    srcRows(15, bump = Map(3L -> 1)).write.mode("overwrite")
+      .parquet(s"$srcDir/t.parquet")
+    val r2 = runner.syncTable(cfg)
+    assert(r2.syncType == "incremental" && r2.status == "completed")
+    assert(r2.totalRows == 6) // 5 new + 1 updated past the watermark
+    val tgt = runner.target(cfg)
+    assert(tgt.count() == 15) // upsert: no duplicate for id=3
+    assert(tgt.filter(col("id") === 3).select("payload").as[String].head() == "v3-1")
+
+    // nothing new: zero-row incremental, target untouched
+    val r3 = runner.syncTable(cfg)
+    assert(r3.syncType == "incremental" && r3.totalRows == 0)
+    assert(runner.target(cfg).count() == 15)
+
+    // audit trail holds all three runs in order
+    assert(log.recentLogs(10, Some("t_sync")).map(_.syncType) ==
+      Seq("incremental", "incremental", "full"))
+  }
+
+  test("syncAll runs enabled targets, skips disabled, survives one failure") {
+    val srcDir = Files.createTempDirectory("graft-runner2-src").toString
+    val tgtDir = Files.createTempDirectory("graft-runner2-tgt").toString
+    val state = new StateStore(spark, Files.createTempDirectory("s").toString)
+    val log = new SyncLogRepo(spark, Files.createTempDirectory("l").toString)
+    val repo = new TableConfigRepo(spark, Files.createTempDirectory("c").toString)
+    repo.upsert(TableConfig("S", "a", "a_sync", "id"))
+    repo.upsert(TableConfig("S", "missing", "b_sync", "id")) // source won't exist
+    repo.upsert(TableConfig("S", "c", "c_sync", "id", syncEnabled = false))
+    srcRows(4).write.mode("overwrite").parquet(s"$srcDir/a.parquet")
+
+    val runner = new SyncRunner(spark,
+      cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
+      tgtDir, state, log)
+    val results = runner.syncAll(repo)
+    assert(results.size == 2) // c_sync skipped entirely
+    val byTable = results.map(e => e.table -> e.status).toMap
+    assert(byTable("a_sync") == "completed")
+    assert(byTable("b_sync") == "failed")
+    assert(log.entries().forall(_.table != "c_sync"))
+
+    val st = runner.status()
+    assert(st.map(_._1.table) == Seq("a_sync", "b_sync"))
+    assert(st.find(_._1.table == "a_sync").exists(_._2.completed == 1))
+  }
+}
