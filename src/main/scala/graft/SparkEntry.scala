@@ -143,6 +143,29 @@ object SparkEntry {
       graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("id")
     }),
+    "d_dedup_clusters_sql" -> ((s, d) => {
+      // ORACLE-CHECKED connected components: the edge set is fully
+      // SQL-expressible (4 mutation levels of each doc; level k links
+      // to level k+1 iff exact 3-gram jaccard >= 0.5), forming 4-node
+      // CHAINS — min labels need >= 3 propagation rounds, so the
+      // iterative CC loop is exercised and hash-checked against a
+      // DuckDB recursive-CTE transitive closure.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = (0 to 3).map(k => docs.select(
+        (col("doc_id") + 10000 * k).as("doc_id"),
+        expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
+        .reduce(_ unionByName _)
+      val sh = Dedup.shingles(copies, 3).select(col("doc_id"), col("shingles"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = sh.select((col("doc_id") - 10000).as("doc_a"),
+        col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      val pairs = a.join(b, "doc_a")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+        .select("doc_a", "doc_b")
+      graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("id")
+    }),
     "d_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("simhash", Hashes.simhash64(split(col("text"), " ")))
@@ -477,6 +500,34 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
         |    ON a.vec_id < b.vec_id) t
         |WHERE cs >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "d_dedup_clusters_sql" ->
+      """WITH RECURSIVE copies AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string((string_split(text, ' '))[4:], ' ') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string((string_split(text, ' '))[7:], ' ') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, array_to_string((string_split(text, ' '))[10:], ' ') FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingles
+        |  FROM copies
+        |), chain AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |), edges AS (
+        |  SELECT src, dst FROM chain UNION SELECT dst, src FROM chain
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, MIN(dst)) AS BIGINT) AS comp
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "d_dedup_embed_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
