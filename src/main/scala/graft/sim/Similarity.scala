@@ -112,6 +112,14 @@ object Similarity {
     * (cos = 1) collide in every band, so recall on exact dups is 1 by
     * construction. More `planesPerBand` → smaller buckets (fewer false
     * candidates); more `bands` → higher recall.
+    *
+    * Output-size caveat (measured in the scale soak): if the corpus
+    * contains a near-dup CLIQUE of size m, the pair list is Θ(m²) —
+    * that is the answer's size, not a plan flaw. For corpus PRUNING
+    * (the usual goal) don't materialize all pairs: feed these pairs
+    * into `Clusters.dedupByComponents`, which keeps one representative
+    * per component and never stores a clique's full pair set
+    * downstream.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
                       bands: Int = 8, planesPerBand: Int = 16,

@@ -123,6 +123,40 @@ class CacheSpec extends SparkSpec {
     assert(r2.df.select(sum("v_str")).head().getDouble(0) == (1 to 12).sum.toDouble)
   }
 
+  test("cached aggregate refresh is bit-identical to a full recompute") {
+    val srcDir = Files.createTempDirectory("graft-cache-agg").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-aggstore").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedAggService(spark, srcDir, mgr)
+    // ts monotone in id so appended rows are past the watermark
+    def rows(n: Int) = (1 to n).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        i * 1.7 - 3))
+      .toDF("id", "ts", "v")
+
+    rows(200).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.aggregateWithCaching("t", "ts", "1 hour", "v")
+    assert(!r1.isIncremental && r1.rowCount == 200)
+
+    // source grows; refresh aggregates only the tail and merges state
+    rows(300).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = svc.aggregateWithCaching("t", "ts", "1 hour", "v")
+    assert(r2.isIncremental && r2.rowCount == 300 && r2.newRows == 100)
+
+    // bit-identical to aggregating the full table from scratch
+    val full = graft.ops.IncrementalAgg.readState(
+      graft.ops.IncrementalAgg.bucketState(
+        spark.read.parquet(s"$srcDir/t.parquet"), "ts", "1 hour", "v"))
+    val got = r2.df.collect().map(_.toSeq).toSeq
+    val want = full.collect().map(_.toSeq).toSeq
+    assert(got == want)
+
+    // no new data: cached state returns untouched
+    val r3 = svc.aggregateWithCaching("t", "ts", "1 hour", "v")
+    assert(r3.isIncremental && r3.newRows == 0)
+    assert(r3.df.collect().map(_.toSeq).toSeq == want)
+  }
+
   test("queryWithConversionOptions returns suggestions without converting") {
     val srcDir = Files.createTempDirectory("graft-cache-src3").toString
     val cacheDir = Files.createTempDirectory("graft-cache-store3").toString

@@ -53,4 +53,35 @@ object KernelProperties extends Properties("graft.kernels") {
       val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
       got == want
     }
+
+  // ---- exact sequential LTTB kernel invariants ----------------------
+
+  private val seriesGen = for {
+    n <- Gen.chooseNum(3, 300)
+    ys <- Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
+  } yield ys.toArray
+
+  property("lttbIndices: size == min(threshold, n); endpoints kept; strictly increasing") =
+    forAll(seriesGen, Gen.chooseNum(3, 50)) { (ys, thr) =>
+      val xs = Array.tabulate(ys.length)(_.toDouble)
+      val idx = graft.ops.Lttb.lttbIndices(xs, ys, thr)
+      val expectedLen = if (thr >= ys.length) ys.length else thr
+      Prop(idx.length == expectedLen) :| s"len ${idx.length} != $expectedLen" &&
+        Prop(idx.head == 0 && idx.last == ys.length - 1) :| "endpoints" &&
+        Prop(idx.zip(idx.tail).forall { case (a, b) => a < b }) :| "monotone"
+    }
+
+  property("lttbIndices: the global max and min of a spiky series survive") =
+    forAll(Gen.chooseNum(30, 200), Gen.chooseNum(5, 25)) { (n, thr) =>
+      val xs = Array.tabulate(n)(_.toDouble)
+      val ys = xs.map(x => math.sin(x / 3) * 10)
+      val hi = n / 3
+      val lo = 2 * n / 3
+      ys(hi) = 10000.0
+      ys(lo) = -10000.0
+      val kept = graft.ops.Lttb.lttbIndices(xs, ys, thr).toSet
+      // a spike dominates every triangle in its bucket; with >= 5
+      // interior buckets both extremes must be selected
+      thr < 7 || (kept.contains(hi) && kept.contains(lo))
+    }
 }
