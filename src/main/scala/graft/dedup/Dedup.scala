@@ -70,20 +70,28 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                       threshold: Double, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, k, textCol).select(col(idCol), col("shingles"))
-    val buckets = lshBuckets(minhashSignature(sh, numPerm), numPerm, bands, idCol)
+    // shingles hash to 64-bit longs ONCE; the signature consumes the
+    // hashed array directly, and verification compares HASHED shingle
+    // sets — exact Jaccard over distinct sets is unchanged (modulo
+    // ~2^-64 collisions) while the rehydrate joins shuffle 8-byte
+    // longs instead of shingle strings (~hundreds of bytes per doc
+    // saved through two joins at corpus scale).
+    val sh = shingles(docs, k, textCol)
+      .select(col(idCol), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+    val withSig = sh.withColumn("sig",
+      graft.functions.Hashes.minhash_sig(col("hs"), numPerm))
+    val buckets = lshBuckets(withSig, numPerm, bands, idCol)
     val a = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_a"))
     val b = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_b"))
     val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verification rehydrates shingle SETS by id (recomputing the
-    // narrow map for the join sides). Measured faster than carrying
-    // candidate text through the joins at bench scale; for a corpus
-    // where candidates ≪ documents, join `pairs` to the raw text and
+    // verification rehydrates hashed shingle SETS by id (recomputing
+    // the narrow map for the join sides). For a corpus where
+    // candidates ≪ documents, join `pairs` to the raw text and
     // shingle only candidates instead.
-    val shA = sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
     pairs.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
