@@ -33,9 +33,14 @@ object Bench {
     // warm the JVM/codegen/parquet-footer paths once (tiny sf) so the
     // first timed query doesn't absorb session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> medianTime(runs) { fn(spark, sfDir).count() }
-    }
+    // optional comma-separated filter for targeted perf work
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> medianTime(runs) { fn(spark, sfDir).count() }
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

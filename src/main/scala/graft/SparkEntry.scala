@@ -163,7 +163,11 @@ object SparkEntry {
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
         .select("doc_a", "doc_b")
-      graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      // smallGraphEdges = 0 forces the DISTRIBUTED label-propagation
+      // loop (not the small-graph union-find fast path) — this query
+      // exists to hash-check the iterative path against DuckDB
+      graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b",
+        smallGraphEdges = 0L)
         .orderBy("id")
     }),
     "d_dedup_simhash" -> ((s, d) =>

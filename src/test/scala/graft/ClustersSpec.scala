@@ -25,10 +25,17 @@ class ClustersSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L),     // triangle -> comp 10
       (20L, 21L),                             // pair -> comp 20
       (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L)) // clique + tail -> 30
-    val got = Clusters.connectedComponents(
+    val want = ufComponents(edges)
+    // small-graph fast path (default threshold)
+    val fast = Clusters.connectedComponents(
       edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
-    assert(got == ufComponents(edges))
+    assert(fast == want)
+    // distributed label-propagation loop (threshold forced to 0)
+    val looped = Clusters.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(looped == want)
   }
 
   test("dedupByComponents keeps one representative per near-dup cluster") {
