@@ -239,6 +239,10 @@ object SparkEntry {
     "d_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d))
         .select("doc_id", "fp_md5").orderBy("doc_id")),
+    "d_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))
+        .select("doc_id", "n_words", "dup_word_frac", "n_grams", "dup_3gram_frac")
+        .orderBy("doc_id")),
     "d_fingerprint_rolling" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("fp_rolling", Hashes.rolling_hash(col("text")))
@@ -603,6 +607,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_repetition" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS dup_word_frac,
+        |  CAST(greatest(len(string_split(text, ' ')) - 3, 0) + 1 AS INT) AS n_grams,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS DOUBLE)
+        |    / (greatest(len(string_split(text, ' ')) - 3, 0) + 1), 6) AS dup_3gram_frac
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,

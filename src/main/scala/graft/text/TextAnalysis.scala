@@ -72,6 +72,26 @@ object TextAnalysis {
     docs.withColumn("fp_md5",
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
 
+  /** Repetition signals — the Gopher/C4-style "repetitious document"
+    * filters: fraction of duplicate words and of duplicate word
+    * 3-grams (1 − distinct/total). Machine-generated and boilerplate
+    * text scores high; a pipeline gates on these exactly like quality.
+    * Pure codegen'd array expressions — zero shuffle, one pass.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = expr(
+      s"transform(sequence(0, greatest(size(split($textCol, ' ')) - 3, 0)), " +
+      s"i -> array_join(slice(split($textCol, ' '), i + 1, 3), ' '))")
+    docs
+      .withColumn("n_words", size(words))
+      .withColumn("dup_word_frac", round(
+        lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 6))
+      .withColumn("n_grams", size(grams))
+      .withColumn("dup_3gram_frac", round(
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

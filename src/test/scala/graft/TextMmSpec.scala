@@ -32,6 +32,26 @@ class TextMmSpec extends SparkSpec {
     assert(m(1L) == m(2L) && m(1L) != m(3L))
   }
 
+  test("repetitionSignals: duplicate word/3-gram fractions, hand-computed") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // all distinct: dup fracs 0
+      (2L, "a a a a a a"),      // 6 words 1 distinct; 4 grams 1 distinct
+      (3L, "a b a b a b"),      // 6 words 2 distinct; grams: "a b a","b a b","a b a","b a b" -> 2/4
+      (4L, "x"),                // single word: 1 gram ("x"), no dups
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "n_words", "dup_word_frac", "n_grams", "dup_3gram_frac")
+      .as[(Long, Int, Double, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 6, 0.0, 4, 0.0),
+      (2L, 6, round6(1 - 1.0 / 6), 4, 0.75),
+      (3L, 6, round6(1 - 2.0 / 6), 4, 0.5),
+      (4L, 1, 0.0, 1, 0.0)))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("multimodal: payload round-trips, stub features deterministic, batch shape per partition") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val media = Multimodal.mediaTable(docs)
