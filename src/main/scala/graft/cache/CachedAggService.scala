@@ -19,6 +19,12 @@ import graft.ops.IncrementalAgg
   * At 100 TB: the cached state is buckets × 4 values (tiny — it
   * broadcasts), the refresh scan is a pushed time-range predicate, and
   * the merge shuffles state rows, never history.
+  *
+  * Watermark contract (same as CachedQueryService): refresh reads rows
+  * STRICTLY past the stored watermark. The bit-identical guarantee
+  * holds for append-in-time-order sources; late arrivals that EQUAL
+  * the watermark are out-of-order data — handle those with the
+  * streaming path (event-time watermarks) or clearCache + rebuild.
   */
 class CachedAggService(spark: SparkSession, dir: String,
                        cache: QueryCacheManager,

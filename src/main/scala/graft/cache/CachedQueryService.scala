@@ -28,10 +28,19 @@ case class CachedQueryResult(
   *     zero source work beyond the tail probe.
   *
   * Conversions: `selectedConversions = None` → automatic inference
-  * (reference convert_automatic); `Some(empty)` → none; `Some(m)` →
-  * exactly `m` (reference convert_selected). The choice is recorded in
-  * the cache metadata and REAPPLIED to incremental slices so merged
-  * schemas line up (enhanced_query_service.py:352-356).
+  * (reference convert_automatic), resolved to a concrete per-column
+  * map ONCE at initial load; `Some(empty)` → none; `Some(m)` →
+  * exactly `m` (reference convert_selected). The resolved map is
+  * recorded in the cache metadata and REAPPLIED verbatim to every
+  * incremental slice so merged schemas always line up
+  * (enhanced_query_service.py:352-356) — tail slices are never
+  * re-inferred.
+  *
+  * Watermark contract: refresh fetches rows with time STRICTLY past
+  * the stored watermark (the reference's `> last_timestamp`). Late
+  * arrivals that EQUAL the watermark are out-of-order data and are not
+  * picked up — handle genuinely out-of-order sources with the
+  * streaming path (event-time watermarks) or a full reload.
   *
   * Scale: the cached value is a DataFrame behind a [[CacheProvider]] —
   * parquet-backed for durable 100 TB results (a hit is a pruned scan,
@@ -67,15 +76,15 @@ class CachedQueryService(spark: SparkSession, dir: String,
 
   def getCacheInfo(table: String): Option[CachedQueryMetadata] = cache.getMetadata(table)
 
-  private def convert(df: DataFrame, sel: Option[Map[String, String]]): DataFrame =
-    sel match {
-      case None =>
-        val stringCols = df.schema.fields
-          .filter(_.dataType.typeName == "string").map(_.name).toSeq
-        TypeInference.inferAndConvert(df, stringCols)
-      case Some(m) if m.nonEmpty => TypeInference.applyConversions(df, m)
-      case Some(_) => df
-    }
+  /** Resolve the conversions that WILL be applied. `None` (automatic)
+    * resolves to the inferred per-column map up front, so the SAME map
+    * is recorded in the cache metadata and reapplied verbatim to every
+    * incremental slice — re-inferring on a tail slice could decide
+    * differently and corrupt the cached schema on union.
+    */
+  private def resolveConversions(df: DataFrame,
+                                 sel: Option[Map[String, String]]): Map[String, String] =
+    sel.getOrElse(TypeInference.suggestConversions(df))
 
   private def maxTsString(df: DataFrame, tc: String): Option[String] =
     Option(df.agg(max(col(tc)).cast("string")).head().getString(0))
@@ -83,15 +92,27 @@ class CachedQueryService(spark: SparkSession, dir: String,
   private def initialLoad(table: String, limit: Int, timeCol: Option[String],
                           sel: Option[Map[String, String]]): CachedQueryResult = {
     val base = Tables.loadNormalized(spark, dir, table)
+    // watermark-tie safety: take the earliest `limit` rows, then widen
+    // to EVERY row at or before the boundary timestamp — otherwise
+    // rows tying the boundary beyond the limit would sit below the
+    // stored watermark and no later incremental pull could ever fetch
+    // them (silent permanent loss).
     val slice = timeCol match {
-      case Some(tc) => base.orderBy(col(tc)).limit(limit)
+      case Some(tc) =>
+        maxTsString(base.orderBy(col(tc)).limit(limit), tc) match {
+          case Some(b) => base.filter(col(tc) <= lit(b).cast(base.schema(tc).dataType))
+          case None => base.limit(limit) // empty table
+        }
       case None => base.limit(limit)
     }
-    val converted = convert(slice, sel)
+    val conversions = resolveConversions(slice, sel)
+    // force: the resolved map is the authoritative schema decision —
+    // both the initial slice and every future tail apply it verbatim
+    val converted = TypeInference.applyConversions(slice, conversions, force = true)
     val n = converted.count()
     val wm = timeCol.flatMap(tc => maxTsString(converted, tc))
     cache.setCachedData(table, converted,
-      CachedQueryMetadata(wm, n, nowMillis(), sel.getOrElse(Map.empty)))
+      CachedQueryMetadata(wm, n, nowMillis(), conversions))
     val cached = cache.getCachedData(table).getOrElse(converted)
     CachedQueryResult(ordered(cached, timeCol), isIncremental = false, n, n)
   }
@@ -102,8 +123,10 @@ class CachedQueryService(spark: SparkSession, dir: String,
     val wm = meta.lastTimestamp.get
     // pushed predicate: only the tail past the watermark leaves the scan
     val fresh = base.filter(col(tc) > lit(wm).cast(base.schema(tc).dataType))
-    val conversions = sel.orElse(Some(meta.selectedConversions).filter(_.nonEmpty))
-    val freshConv = convert(fresh, conversions)
+    // reapply EXACTLY the conversions recorded at initial load (or the
+    // caller's override) — never re-infer on the tail slice
+    val conversions = sel.getOrElse(meta.selectedConversions)
+    val freshConv = TypeInference.applyConversions(fresh, conversions, force = true)
     val freshCount = freshConv.count()
     val cached = cache.getCachedData(table)
       .getOrElse(sys.error(s"cache metadata present but data missing for '$table'"))
@@ -114,7 +137,7 @@ class CachedQueryService(spark: SparkSession, dir: String,
       val newWm = maxTsString(freshConv, tc).orElse(meta.lastTimestamp)
       val n = meta.rowCount + freshCount
       cache.setCachedData(table, merged,
-        CachedQueryMetadata(newWm, n, nowMillis(), conversions.getOrElse(Map.empty)))
+        CachedQueryMetadata(newWm, n, nowMillis(), conversions))
       val back = cache.getCachedData(table).getOrElse(merged)
       CachedQueryResult(ordered(back, Some(tc)), isIncremental = true, n, freshCount)
     }

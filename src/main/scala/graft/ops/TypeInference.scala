@@ -108,20 +108,25 @@ object TypeInference {
 
   /** Apply ONLY the caller-selected conversions; every unselected
     * column stays untouched even when convertible. Unknown columns and
-    * unknown targets are skipped (reference logs-and-skips). A column
-    * whose sample parses 0% is left unconverted — the Spark-shaped
-    * form of the reference's "all-NaN conversion is discarded" guard
-    * (converter.py:423), checked on the bounded sample instead of the
-    * full result so the plan stays lazy.
+    * unknown targets are skipped (reference logs-and-skips). By
+    * default a column whose sample parses 0% is left unconverted — the
+    * Spark-shaped form of the reference's "all-NaN conversion is
+    * discarded" guard (converter.py:423), checked on the bounded
+    * sample so the plan stays lazy. `force = true` skips that guard
+    * and applies the map VERBATIM — required when a recorded schema
+    * decision must reapply to a new slice regardless of what the
+    * slice's values look like (the cache refresh path: an unparseable
+    * tail must become a null double column, not flip back to string).
     */
   def applyConversions(table: DataFrame, selected: Map[String, String],
-                       sampleSize: Int = DefaultSampleSize): DataFrame =
+                       sampleSize: Int = DefaultSampleSize,
+                       force: Boolean = false): DataFrame =
     selected.foldLeft(table) { case (t, (c, target)) =>
       if (!t.columns.contains(c)) t
       else target match {
-        case "numeric" if numericParseRate(t, c, sampleSize) > 0.0 =>
+        case "numeric" if force || numericParseRate(t, c, sampleSize) > 0.0 =>
           t.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)"))
-        case "datetime" if datetimeParseRate(t, c, sampleSize) > 0.0 =>
+        case "datetime" if force || datetimeParseRate(t, c, sampleSize) > 0.0 =>
           t.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
         case _ => t
       }

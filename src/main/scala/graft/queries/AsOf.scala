@@ -55,25 +55,7 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  /** Orderable scalar for sort/compare inside the merge: timestamps at
-    * exact microsecond precision (getTime is ms-truncated; nanos carry
-    * the rest), dates/numbers as-is.
-    */
-  private def num(v: Any): Double = v match {
-    case null => Double.NegativeInfinity
-    case t: java.sql.Timestamp =>
-      (t.getTime / 1000L).toDouble * 1e6 + (t.getNanos / 1000).toDouble
-    case i: java.time.Instant =>
-      i.getEpochSecond.toDouble * 1e6 + (i.getNano / 1000).toDouble
-    case l: java.time.LocalDateTime => // TIMESTAMP_NTZ rows
-      val u = l.toEpochSecond(java.time.ZoneOffset.UTC)
-      u.toDouble * 1e6 + (l.getNano / 1000).toDouble
-    case d: java.time.LocalDate => d.toEpochDay.toDouble * 86400e6
-    case d: java.sql.Date => d.getTime.toDouble
-    case b: java.math.BigDecimal => b.doubleValue
-    case n: Number => n.doubleValue
-    case other => other.toString.toDouble
-  }
+  private def num(v: Any): Double = graft.core.RowNum.num(v)
 
   /** GENERIC as-of join — the library entry point (QueryService routes
     * here). For every left row: the right row with the greatest
@@ -103,9 +85,19 @@ object AsOf {
     val rTimeI = rSchema.fieldIndex(rightTime)
     val rTieIs = rightTieBreak.map(rSchema.fieldIndex)
     val rWidth = rSchema.length
-    val lg = left.groupByKey((r: Row) => String.valueOf(r.get(lKeyI)))(Encoders.STRING)
-    val rg = right.groupByKey((r: Row) => String.valueOf(r.get(rKeyI)))(Encoders.STRING)
-    lg.cogroup(rg) { (_, ls, rs) =>
+    // SQL join semantics (matching the composed-window oracle baseline):
+    // a null LEFT key matches nothing → null-extend directly, outside
+    // the cogroup; RIGHT rows with a null key or null time can never be
+    // "the most recent match" → dropped before the merge. Without this,
+    // string-keying would equi-match null with null.
+    val nullExtended = left.filter(left(leftKey).isNull)
+      .select(lSchema.fieldNames.map(col) ++
+        rSchema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lValid = left.filter(left(leftKey).isNotNull)
+    val rValid = right.filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
+    val lg = lValid.groupByKey((r: Row) => String.valueOf(r.get(lKeyI)))(Encoders.STRING)
+    val rg = rValid.groupByKey((r: Row) => String.valueOf(r.get(rKeyI)))(Encoders.STRING)
+    val merged = lg.cogroup(rg) { (_, ls, rs) =>
       import scala.math.Ordering.Implicits.seqOrdering
       val lsArr = ls.toArray.sortBy(r => num(r.get(lTimeI)))
       val rsArr = rs.toArray.sortBy(r =>
@@ -121,5 +113,6 @@ object AsOf {
         else Row.fromSeq(lrow.toSeq ++ last.toSeq)
       }
     }(Encoders.row(outSchema))
+    merged.unionByName(nullExtended)
   }
 }

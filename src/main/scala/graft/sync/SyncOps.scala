@@ -37,12 +37,15 @@ object SyncOps {
     table.orderBy(orderCols.map(col): _*)
 
   /** Rows strictly past the watermark, time-ordered (incremental pull).
-    * The filter is pushed into the parquet scan.
+    * The filter is pushed into the parquet scan. The watermark literal
+    * casts to the COLUMN's own type — a numeric or string time column
+    * works the same as a timestamp one (a hard timestamp cast would
+    * throw under ANSI mode, or silently match nothing without it).
     */
   def incremental(table: DataFrame, timeCol: String, watermark: String,
                   tieBreak: Seq[String] = Nil): DataFrame =
     table
-      .filter(col(timeCol) > lit(watermark).cast("timestamp"))
+      .filter(col(timeCol) > lit(watermark).cast(table.schema(timeCol).dataType))
       .orderBy((timeCol +: tieBreak).map(col): _*)
 
   /** Keep the latest row per primary key — the batch equivalent of the
@@ -92,8 +95,9 @@ object SyncOps {
     * Reference: sync_engine.py:568-760 (`_process_batches_with_limit`
     * + save/load/clear_partial_progress) — the reference walks a
     * cursor and records (rows_processed, last_row_id); this walks
-    * strictly-increasing `idCol` ranges, so each slice is a pushed
-    * `idCol > lastId` predicate + ordered LIMIT (parquet row groups /
+    * ascending `idCol` ranges (integral column; duplicates allowed —
+    * a boundary tie group is always processed atomically), so each
+    * slice is a pushed `idCol > lastId` predicate (parquet row groups /
     * remote index ranges below the watermark are skipped, same as the
     * reference's indexed range scan). `onSlice` is the caller's sink
     * (e.g. `JdbcSync.writeSnapshot` into a per-slice partition dir);
@@ -107,26 +111,37 @@ object SyncOps {
                         state: StateStore, name: String)
                        (onSlice: DataFrame => Unit): Long = {
     require(sliceSize > 0, s"sliceSize must be positive: $sliceSize")
+    require(table.schema(idCol).dataType.typeName match {
+      case "byte" | "short" | "integer" | "long" => true
+      case _ => false
+    }, s"fullSyncResumable needs an integral id column; '$idCol' is " +
+      table.schema(idCol).dataType.typeName)
     var (total, lastId) = state.loadPartialProgress(name).getOrElse((0L, Long.MinValue))
     var done = false
     while (!done) {
-      val slice = table
-        .filter(col(idCol) > lit(lastId))
-        .orderBy(col(idCol))
-        .limit(sliceSize)
-        .persist() // sink + stats read it; never recompute the scan twice
-      try {
-        val stats = slice.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
-        val n = stats.getLong(0)
-        if (n == 0) done = true
-        else {
+      // tie-safe slicing: find the sliceSize-th id value, then take
+      // EVERY row up to and including that boundary — duplicate ids
+      // straddling a pure LIMIT cut would otherwise be skipped forever
+      // by the next round's `id > lastId` filter. A boundary tie group
+      // may push a slice slightly over sliceSize; it is processed
+      // atomically.
+      val remaining = table.filter(col(idCol).cast("long") > lastId)
+      val head = remaining.orderBy(col(idCol)).limit(sliceSize)
+        .agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+      val nHead = head.getLong(0)
+      if (nHead == 0) done = true
+      else {
+        val boundary = head.getLong(1)
+        val slice = remaining.filter(col(idCol).cast("long") <= boundary)
+          .persist() // sink + count read it; never recompute the scan twice
+        try {
           onSlice(slice)
-          total += n
-          lastId = stats.getLong(1)
+          total += slice.count()
+          lastId = boundary
           state.savePartialProgress(name, total, lastId)
-          if (n < sliceSize) done = true
-        }
-      } finally slice.unpersist()
+          if (nHead < sliceSize) done = true
+        } finally slice.unpersist()
+      }
     }
     state.clearPartialProgress(name)
     total

@@ -103,7 +103,14 @@ class SyncRunner(spark: SparkSession,
   def syncAll(configs: TableConfigRepo): Seq[SyncLogEntry] =
     configs.syncTargets.map { cfg =>
       try syncTable(cfg)
-      catch { case _: Throwable => log.recentLogs(1, Some(cfg.targetTable)).head }
+      catch {
+        case e: Throwable =>
+          // even if logging itself failed before writing the 'running'
+          // record, report a failed entry rather than aborting the rest
+          log.recentLogs(1, Some(cfg.targetTable)).headOption.getOrElse(
+            SyncLogEntry("unlogged", cfg.targetTable, "full", "failed",
+              0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+      }
     }
 
   /** Current status per target — last run + totals (GetSyncStatusTool). */

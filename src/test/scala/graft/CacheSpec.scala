@@ -157,6 +157,50 @@ class CacheSpec extends SparkSpec {
     assert(r3.df.collect().map(_.toSeq).toSeq == want)
   }
 
+  test("automatic inference resolves once and is recorded for refreshes") {
+    val srcDir = Files.createTempDirectory("graft-cache-auto").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-autostore").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedQueryService(spark, srcDir, mgr)
+
+    eventsDf(8).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.queryWithCaching("t", timeCol = Some("ts")) // sel = None
+    assert(r1.df.schema("v_str").dataType.typeName == "double") // inferred
+    // the inferred decision is persisted as a concrete map
+    assert(mgr.getMetadata("t").exists(_.selectedConversions == Map("v_str" -> "numeric")))
+
+    // the fresh tail alone would NOT infer v_str numeric (values are
+    // non-numeric) — the recorded map must still apply so the union
+    // keeps the cached schema instead of corrupting it
+    val tail = (9 to 12).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), s"v$i", s"x$i"))
+      .toDF("id", "ts", "name", "v_str")
+    eventsDf(8).unionByName(tail).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = svc.queryWithCaching("t", timeCol = Some("ts"))
+    assert(r2.newRows == 4)
+    assert(r2.df.schema("v_str").dataType.typeName == "double") // schema stable
+    // unparseable tail values become null, cached bulk keeps its values
+    assert(r2.df.filter(col("v_str").isNull).count() == 4)
+  }
+
+  test("initial-load watermark includes the whole boundary-timestamp tie group") {
+    val srcDir = Files.createTempDirectory("graft-cache-tie").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-tiestore").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedQueryService(spark, srcDir, mgr)
+    // 6 rows share the boundary timestamp; limit = 4 cuts inside the group
+    val ties = (1 to 8).map { i =>
+      val ts = if (i <= 6) "2024-01-01 00:00:01" else "2024-01-01 00:00:09"
+      (i.toLong, Timestamp.valueOf(ts), s"v$i", i.toString)
+    }.toDF("id", "ts", "name", "v_str")
+    ties.write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.queryWithCaching("t", limit = 4, timeCol = Some("ts"),
+      selectedConversions = Some(Map.empty))
+    assert(r1.rowCount == 6) // widened to the full tie group — no silent loss
+    val r2 = svc.queryWithCaching("t", timeCol = Some("ts"))
+    assert(r2.rowCount == 8 && r2.newRows == 2) // the rest arrives incrementally
+  }
+
   test("queryWithConversionOptions returns suggestions without converting") {
     val srcDir = Files.createTempDirectory("graft-cache-src3").toString
     val cacheDir = Files.createTempDirectory("graft-cache-store3").toString

@@ -86,6 +86,27 @@ class SyncLogSpec extends SparkSpec {
     assert(state.loadPartialProgress("t").isEmpty) // cleared on completion
   }
 
+  test("resumable full sync: duplicate ids straddling a slice boundary are never dropped") {
+    val stateDir = Files.createTempDirectory("graft-resume3").toString
+    val state = new StateStore(spark, stateDir)
+    // ids [1,2,2,3,3,3,4]: a pure LIMIT cut at sliceSize=2 would split
+    // the id=2 (and id=3) tie groups and lose rows to the `> lastId`
+    // filter of the next round
+    val table = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L).zipWithIndex
+      .map { case (id, i) => (id, s"r$i") }.toDF("id", "v")
+    var rows = Seq.empty[Long]
+    val total = SyncOps.fullSyncResumable(table, "id", 2, state, "t3") { s =>
+      rows = rows ++ s.select("id").as[Long].collect().sorted
+    }
+    assert(total == 7L)
+    assert(rows.sorted == Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L))
+    // non-integral id column rejected up front, not mid-sync
+    intercept[IllegalArgumentException] {
+      SyncOps.fullSyncResumable(table.withColumn("id", $"id".cast("string")),
+        "id", 2, state, "t4")(_ => ())
+    }
+  }
+
   test("resumable full sync: clean single run covers the table in order") {
     val stateDir = Files.createTempDirectory("graft-resume2").toString
     val state = new StateStore(spark, stateDir)
