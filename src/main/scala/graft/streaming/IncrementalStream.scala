@@ -197,6 +197,39 @@ object IncrementalStream {
           .write.mode("overwrite").parquet(targetDir)
       }
 
+  /** Streaming CACHED-AGGREGATE sink: every micro-batch aggregates its
+    * rows into mergeable bucket state (count / decimal sum / min /
+    * max) and merges it into the parquet-backed state — the streaming
+    * form of CachedAggService's refresh, and the full replacement for
+    * the reference's "scheduler re-aggregates the dashboard query"
+    * loop. Because the state algebra is associative and the sums run
+    * through DECIMAL, the maintained state is bit-identical to
+    * aggregating all batches at once (same argument as
+    * IncrementalAgg) regardless of how the stream was micro-batched.
+    * Exactly-once per batch id is the streaming checkpoint's job; the
+    * overwrite is atomic per the same localCheckpoint note as
+    * [[sinkUpsert]].
+    */
+  def sinkAggState(df: DataFrame, stateDir: String, checkpointDir: String,
+                   timeCol: String, interval: String,
+                   valueCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val fresh = graft.ops.IncrementalAgg
+          .bucketState(batch, timeCol, interval, valueCol)
+        val merged =
+          (try Some(sp.read.parquet(stateDir))
+           catch { case _: Throwable => None }) match {
+            case Some(prev) => graft.ops.IncrementalAgg.mergeStates(prev, fresh)
+            case None => fresh
+          }
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(stateDir)
+      }
+
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.
     */

@@ -162,6 +162,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch agg-state sink == batch bucketState, bit-identical across micro-batching") {
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val in = Files.createTempDirectory("graft_aggsink_in").toString
+    val stateDir = Files.createTempDirectory("graft_aggsink_out").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft_aggsink_ck").toString
+    batch.write.mode("overwrite").parquet(in)
+    // small trigger size so the state is built through MANY merges
+    val stream = IncrementalStream.readEvents(spark, in, batch.schema,
+      maxFilesPerTrigger = 1)
+    val q = IncrementalStream.sinkAggState(stream, stateDir, ckpt,
+      "ts", "15 minutes", "value").start()
+    try {
+      q.processAllAvailable()
+      val got = graft.ops.IncrementalAgg.readState(spark.read.parquet(stateDir))
+        .collect().map(_.toSeq).toSeq
+      val want = graft.ops.IncrementalAgg.readState(
+        graft.ops.IncrementalAgg.bucketState(batch, "ts", "15 minutes", "value"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want) // decimal-sum state algebra: merge order irrelevant
+    } finally q.stop()
+  }
+
   test("schema versioning: save/load/latest pointer/drift detection") {
     val tmp = Files.createTempDirectory("graft_schema").toString
     val st = new StateStore(spark, tmp)
