@@ -23,72 +23,134 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    prunes/pushes down like any other table).
   *  - [[MemoryCacheProvider]]: `persist()`-backed DataFrames for
   *    single-application dashboard latency; metadata in-process.
-  * Metadata rides next to the data as a small JSON document (same
-  * atomic temp-file + rename pattern as graft.sync.StateStore).
+  * Metadata rides next to the data as a small JSON document; data and
+  * metadata COMMIT TOGETHER (versioned entry + atomic pointer swap in
+  * the parquet provider) so a crash can never pair a dataset with a
+  * stale watermark.
   */
 trait CacheProvider {
-  def putData(key: String, df: DataFrame): Unit
-  def getData(key: String): Option[DataFrame]
-  def hasData(key: String): Boolean
+  /** Atomically commit data AND metadata for `key`: readers see the
+    * previous entry or the new one, never a mix. The pairing matters —
+    * cached data committed with a STALE watermark makes the next
+    * incremental refresh re-union rows it already holds (duplicates
+    * served durably from then on).
+    */
+  def putEntry(key: String, df: DataFrame, metaJson: String): Unit
+  /** Metadata-only update for an existing entry (no-op when absent). */
   def putMeta(key: String, json: String): Unit
+  def getData(key: String): Option[DataFrame]
   def getMeta(key: String): Option[String]
-  def hasMeta(key: String): Boolean
+  /** True iff a COMPLETE entry (data + metadata) is present. */
+  def hasEntry(key: String): Boolean
   def delete(key: String): Unit
   def clear(): Unit
 }
 
-/** Durable provider: `dir/<key>` parquet datasets + `dir/<key>.meta.json`. */
+/** Durable provider: versioned parquet entries with an atomic pointer.
+  *
+  * Layout: `dir/<key>/v-<n>/data` (parquet) + `dir/<key>/v-<n>/meta.json`
+  * + `dir/<key>/CURRENT` (one line naming the committed version).
+  * Commit: (1) write the new version fully (data, then meta);
+  * (2) swap CURRENT via temp + delete + rename; (3) delete older
+  * versions. Readers resolve CURRENT and fall back to the highest
+  * COMPLETE version (data `_SUCCESS` + meta.json present), so a crash
+  * anywhere leaves either the old or the new complete entry readable
+  * — never data paired with the wrong metadata, and never a window
+  * where a concurrent reader sees a half-deleted dataset (the old
+  * version's files are untouched until the new pointer is live).
+  */
 class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvider {
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def dataPath(key: String) = new Path(dir, key)
-  private def metaPath(key: String) = new Path(dir, s"$key.meta.json")
+  private def keyDir(key: String) = new Path(dir, key)
+  private def currentPtr(key: String) = new Path(keyDir(key), "CURRENT")
 
-  /** Write-to-temp + swap: an incremental refresh WRITES a plan that
-    * READS the current cached dataset (cached ∪ fresh) — a direct
-    * overwrite would delete its own input mid-job. The temp dataset is
-    * fully materialized before the old one is dropped.
+  private def versionName(n: Long) = f"v-$n%010d"
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v-")) name.stripPrefix("v-").toLongOption else None
+  private def isComplete(vdir: Path): Boolean =
+    fs.exists(new Path(vdir, "data/_SUCCESS")) && fs.exists(new Path(vdir, "meta.json"))
+
+  private def writeSmall(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** The committed version dir: pointer first, highest complete
+    * version as crash recovery for an interrupted swap.
     */
-  override def putData(key: String, df: DataFrame): Unit = {
-    val tmp = new Path(dir, s".$key.tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val p = dataPath(key)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+  private def resolve(key: String): Option[(Long, Path)] = {
+    val kd = keyDir(key)
+    if (!fs.exists(kd)) return None
+    val fromPtr =
+      if (fs.exists(currentPtr(key))) {
+        val name = readSmall(currentPtr(key)).trim
+        parseVersion(name).map(n => (n, new Path(kd, name)))
+          .filter { case (_, p) => isComplete(p) }
+      } else None
+    fromPtr.orElse {
+      fs.listStatus(kd).toSeq
+        .flatMap(s => parseVersion(s.getPath.getName).map(_ -> s.getPath))
+        .filter { case (_, p) => isComplete(p) }
+        .sortBy(-_._1)
+        .headOption
+    }
   }
 
-  override def getData(key: String): Option[DataFrame] =
-    if (hasData(key)) Some(spark.read.parquet(dataPath(key).toString)) else None
-
-  override def hasData(key: String): Boolean = fs.exists(dataPath(key))
-
-  override def putMeta(key: String, json: String): Unit = {
-    val p = metaPath(key)
-    val tmp = new Path(dir, s".$key.meta.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+  override def putEntry(key: String, df: DataFrame, metaJson: String): Unit = {
+    val prev = resolve(key)
+    val next = prev.map(_._1 + 1).getOrElse(0L)
+    val vdir = new Path(keyDir(key), versionName(next))
+    // an incremental refresh WRITES a plan that READS the current
+    // version (cached ∪ fresh) — the new version is fully materialized
+    // into a fresh directory before the old one is dropped
+    df.write.mode("overwrite").parquet(new Path(vdir, "data").toString)
+    writeSmall(new Path(vdir, "meta.json"), metaJson)
+    val tmp = new Path(keyDir(key), "CURRENT.tmp")
+    writeSmall(tmp, versionName(next))
+    if (fs.exists(currentPtr(key))) fs.delete(currentPtr(key), false)
+    fs.rename(tmp, currentPtr(key))
+    fs.listStatus(keyDir(key)).foreach { s =>
+      if (parseVersion(s.getPath.getName).exists(_ != next))
+        fs.delete(s.getPath, true)
+    }
   }
 
-  override def getMeta(key: String): Option[String] =
-    if (!fs.exists(metaPath(key))) None
-    else {
-      val p = metaPath(key)
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, StandardCharsets.UTF_8))
-      } finally in.close()
+  override def putMeta(key: String, json: String): Unit =
+    resolve(key).foreach { case (_, vdir) =>
+      // metadata-only update: in-place temp + rename inside the
+      // committed version (data unchanged; a crash mid-swap degrades
+      // the entry to incomplete = cache miss, never to a wrong pairing)
+      val p = new Path(vdir, "meta.json")
+      val tmp = new Path(vdir, "meta.json.tmp")
+      writeSmall(tmp, json)
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
     }
 
-  override def hasMeta(key: String): Boolean = fs.exists(metaPath(key))
+  override def getData(key: String): Option[DataFrame] =
+    resolve(key).map { case (_, p) =>
+      spark.read.parquet(new Path(p, "data").toString)
+    }
+
+  override def getMeta(key: String): Option[String] =
+    resolve(key).map { case (_, p) => readSmall(new Path(p, "meta.json")) }
+
+  override def hasEntry(key: String): Boolean = resolve(key).isDefined
 
   override def delete(key: String): Unit = {
-    if (fs.exists(dataPath(key))) fs.delete(dataPath(key), true)
-    if (fs.exists(metaPath(key))) fs.delete(metaPath(key), false)
+    val kd = keyDir(key)
+    if (fs.exists(kd)) fs.delete(kd, true)
   }
 
   override def clear(): Unit = {
@@ -97,30 +159,29 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
   }
 }
 
-/** In-process provider: `persist()`ed plans keyed in a concurrent map. */
+/** In-process provider: `persist()`ed plans keyed in a concurrent map.
+  * `putEntry` swaps the (data, meta) pair under the entry's lock, so
+  * in-process readers never observe data paired with stale metadata.
+  */
 class MemoryCacheProvider extends CacheProvider {
-  private val data = TrieMap.empty[String, DataFrame]
-  private val meta = TrieMap.empty[String, String]
+  private val entries = TrieMap.empty[String, (DataFrame, String)]
 
-  override def putData(key: String, df: DataFrame): Unit = {
+  override def putEntry(key: String, df: DataFrame, metaJson: String): Unit = {
     val cached = df.persist()
     cached.count() // materialize: a cache hit must not re-run the source plan
     // only then drop the previous entry — the new plan may READ it
-    data.put(key, cached).foreach(_.unpersist())
+    entries.put(key, (cached, metaJson)).foreach(_._1.unpersist())
   }
-  override def getData(key: String): Option[DataFrame] = data.get(key)
-  override def hasData(key: String): Boolean = data.contains(key)
-  override def putMeta(key: String, json: String): Unit = meta.put(key, json)
-  override def getMeta(key: String): Option[String] = meta.get(key)
-  override def hasMeta(key: String): Boolean = meta.contains(key)
-  override def delete(key: String): Unit = {
-    data.remove(key).foreach(_.unpersist())
-    meta.remove(key)
-  }
+  override def putMeta(key: String, json: String): Unit =
+    entries.updateWith(key)(_.map { case (df, _) => (df, json) })
+  override def getData(key: String): Option[DataFrame] = entries.get(key).map(_._1)
+  override def getMeta(key: String): Option[String] = entries.get(key).map(_._2)
+  override def hasEntry(key: String): Boolean = entries.contains(key)
+  override def delete(key: String): Unit =
+    entries.remove(key).foreach(_._1.unpersist())
   override def clear(): Unit = {
-    data.values.foreach(_.unpersist())
-    data.clear()
-    meta.clear()
+    entries.values.foreach(_._1.unpersist())
+    entries.clear()
   }
 }
 
@@ -175,44 +236,55 @@ object CachedQueryMetadata {
 class QueryCacheManager(provider: CacheProvider,
                         nowMillis: () => Long = () => System.currentTimeMillis()) {
 
-  private val DataPrefix = "query_data"
-  private val MetaPrefix = "query_metadata"
   private var hits = 0L
   private var misses = 0L
 
-  private def dataKey(table: String, custom: Option[String]) =
-    custom.fold(s"${DataPrefix}_$table")(k => s"${DataPrefix}_${table}_$k")
-  private def metaKey(table: String, custom: Option[String]) =
-    custom.fold(s"${MetaPrefix}_$table")(k => s"${MetaPrefix}_${table}_$k")
+  /** Escape a key component so the '_' join and the filesystem path
+    * are unambiguous: without it (table="a", key="b") and
+    * (table="a_b", no key) would collide on "a_b" and silently
+    * overwrite each other. The escaped alphabet never contains '_',
+    * '/', or '%', so the join below round-trips uniquely and the key
+    * is path-safe.
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '%' => "%25"
+    case '_' => "%5F"
+    case '/' => "%2F"
+    case '\\' => "%5C"
+    case ':' => "%3A"
+    case '.' => "%2E"
+    case c => c.toString
+  }
+
+  private def entryKey(table: String, custom: Option[String]) =
+    custom.fold(esc(table))(k => s"${esc(table)}_${esc(k)}")
 
   def getCachedData(table: String, cacheKey: Option[String] = None): Option[DataFrame] = {
-    val r = provider.getData(dataKey(table, cacheKey))
+    val r = provider.getData(entryKey(table, cacheKey))
     if (r.isDefined) hits += 1 else misses += 1
     r
   }
 
+  /** Data and metadata commit as ONE atomic entry — see
+    * [[CacheProvider.putEntry]] for why the pairing must be atomic.
+    */
   def setCachedData(table: String, df: DataFrame, meta: CachedQueryMetadata,
-                    cacheKey: Option[String] = None): Unit = {
-    provider.putData(dataKey(table, cacheKey), df)
-    provider.putMeta(metaKey(table, cacheKey), CachedQueryMetadata.toJson(meta))
-  }
+                    cacheKey: Option[String] = None): Unit =
+    provider.putEntry(entryKey(table, cacheKey), df, CachedQueryMetadata.toJson(meta))
 
   def getMetadata(table: String, cacheKey: Option[String] = None): Option[CachedQueryMetadata] =
-    provider.getMeta(metaKey(table, cacheKey)).flatMap(CachedQueryMetadata.fromJson)
+    provider.getMeta(entryKey(table, cacheKey)).flatMap(CachedQueryMetadata.fromJson)
 
-  /** True iff BOTH data and metadata are present (reference has_cache). */
+  /** True iff a complete entry (data + metadata) is present (reference has_cache). */
   def hasCache(table: String, cacheKey: Option[String] = None): Boolean =
-    provider.hasData(dataKey(table, cacheKey)) &&
-      provider.hasMeta(metaKey(table, cacheKey))
+    provider.hasEntry(entryKey(table, cacheKey))
 
   /** Clear one (table, key) entry, or everything when `table` is None.
     * Statistics reset either way (reference clear_cache).
     */
   def clearCache(table: Option[String] = None, cacheKey: Option[String] = None): Unit = {
     table match {
-      case Some(t) =>
-        provider.delete(dataKey(t, cacheKey))
-        provider.delete(metaKey(t, cacheKey))
+      case Some(t) => provider.delete(entryKey(t, cacheKey))
       case None => provider.clear()
     }
     hits = 0L
@@ -223,7 +295,7 @@ class QueryCacheManager(provider: CacheProvider,
   def updateMetadata(table: String, update: CachedQueryMetadata => CachedQueryMetadata,
                      cacheKey: Option[String] = None): Unit =
     getMetadata(table, cacheKey).foreach { m =>
-      provider.putMeta(metaKey(table, cacheKey), CachedQueryMetadata.toJson(update(m)))
+      provider.putMeta(entryKey(table, cacheKey), CachedQueryMetadata.toJson(update(m)))
     }
 
   /** Drop the entry if it is older than `maxAgeSeconds`; returns true

@@ -36,7 +36,7 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          smallGraphEdges: Long = 1L << 22): DataFrame = {
+                          smallGraphEdges: Long = 1L << 20): DataFrame = {
     // symmetric edge list, materialized once — every round re-reads it
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
@@ -44,9 +44,12 @@ object Clusters {
       .localCheckpoint()
     // the verified-candidate graph is orders of magnitude smaller than
     // the corpus (pairs, not documents) — when it fits comfortably on
-    // the driver (smallGraphEdges × 16 B ≈ 64 MB at the default), a
-    // path-compressed union-find beats paying per-round job + shuffle
-    // overhead for a few thousand rows. The distributed loop below is
+    // the driver, a path-compressed union-find beats paying per-round
+    // job + shuffle overhead for a few thousand rows. The budget is
+    // JVM-realistic: each collected edge is a boxed Tuple2 row plus up
+    // to two HashMap entries, ~150-200 B together, so the 2^20 default
+    // is ~200 MB of driver heap — not the 16 B/edge a primitive layout
+    // would suggest. The distributed loop below is
     // the general path for graphs that DON'T fit; the spec pins both
     // paths equal, and the driver's CC oracle query forces the loop
     // (smallGraphEdges = 0) so the iterative path stays hash-checked.

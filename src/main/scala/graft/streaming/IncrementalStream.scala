@@ -166,14 +166,34 @@ object IncrementalStream {
         expr(s"$leftKey = $rightKey AND " +
           s"$rightTime BETWEEN $leftTime - INTERVAL $interval AND $leftTime"))
 
+  /** One upsert micro-batch against the snapshot-store target —
+    * exposed so the replay/crash semantics are directly testable.
+    * Keep-latest-per-key is idempotent, so a replayed batch would be
+    * harmless anyway; the batch-id skip still avoids the wasted merge
+    * job, and the [[SnapshotStore]] commit makes the target rewrite
+    * atomic (no window where concurrent readers see no data).
+    */
+  def mergeUpsertBatch(batch: DataFrame, batchId: Long, targetDir: String,
+                       keys: Seq[String], timeCol: String,
+                       tieBreak: String): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, targetDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
+    val merged = store.read() match {
+      case Some(t) => graft.sync.SyncOps
+        .applyIncremental(t, batch.select(t.columns.map(col): _*),
+          keys, timeCol, tieBreak)
+      case None => graft.sync.SyncOps
+        .upsertKeepLatest(batch, keys, timeCol, tieBreak)
+    }
+    store.commit(merged, batchId)
+  }
+
   /** Streaming upsert sink (foreachBatch): every micro-batch merges
     * into a parquet target keeping the latest row per key — the
     * reference's INSERT OR REPLACE loop (duckdb_source.py:74) as a
-    * streaming sink. `localCheckpoint` materializes the merge before
-    * the overwrite so the target can be read and rewritten in one
-    * batch; a production deployment writes a fresh snapshot directory
-    * per batch and swaps a pointer (or uses a table format's atomic
-    * commit) instead.
+    * streaming sink. The target is a [[SnapshotStore]]: fresh snapshot
+    * directory per batch + atomic pointer swap, read back with
+    * [[readUpsertTarget]].
     */
   def sinkUpsert(df: DataFrame, targetDir: String, checkpointDir: String,
                  keys: Seq[String], timeCol: String,
@@ -181,34 +201,49 @@ object IncrementalStream {
     df.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val existing =
-          try Some(sp.read.parquet(targetDir))
-          catch { case _: Throwable => None }
-        val merged = existing match {
-          case Some(t) => graft.sync.SyncOps
-            .applyIncremental(t, batch.select(t.columns.map(col): _*),
-              keys, timeCol, tieBreak)
-          case None => graft.sync.SyncOps
-            .upsertKeepLatest(batch, keys, timeCol, tieBreak)
-        }
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeUpsertBatch(batch, batchId, targetDir, keys, timeCol, tieBreak)
       }
+
+  /** The committed upsert target (None until the first batch commits). */
+  def readUpsertTarget(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    new SnapshotStore(spark, targetDir).read()
+
+  /** One aggregate-state micro-batch merge — exposed for direct replay
+    * testing. foreachBatch is at-least-once and a state MERGE is NOT
+    * idempotent: after a failure between the state write and the
+    * streaming checkpoint commit, the replayed batch would be merged a
+    * second time and permanently double-count sums/counts. The
+    * [[SnapshotStore]] records the last committed batch id with the
+    * state, so a replayed `batchId <= lastCommitted` is skipped — the
+    * sink is effectively-once end to end.
+    */
+  def mergeAggBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                    timeCol: String, interval: String,
+                    valueCol: String): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, stateDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay: already merged
+    val fresh = graft.ops.IncrementalAgg
+      .bucketState(batch, timeCol, interval, valueCol)
+    val merged = store.read() match {
+      case Some(prev) => graft.ops.IncrementalAgg.mergeStates(prev, fresh)
+      case None => fresh
+    }
+    store.commit(merged, batchId)
+  }
 
   /** Streaming CACHED-AGGREGATE sink: every micro-batch aggregates its
     * rows into mergeable bucket state (count / decimal sum / min /
-    * max) and merges it into the parquet-backed state — the streaming
-    * form of CachedAggService's refresh, and the full replacement for
-    * the reference's "scheduler re-aggregates the dashboard query"
-    * loop. Because the state algebra is associative and the sums run
-    * through DECIMAL, the maintained state is bit-identical to
-    * aggregating all batches at once (same argument as
-    * IncrementalAgg) regardless of how the stream was micro-batched.
-    * Exactly-once per batch id is the streaming checkpoint's job; the
-    * overwrite is atomic per the same localCheckpoint note as
-    * [[sinkUpsert]].
+    * max) and merges it into the snapshot-store-backed state — the
+    * streaming form of CachedAggService's refresh, and the full
+    * replacement for the reference's "scheduler re-aggregates the
+    * dashboard query" loop. Because the state algebra is associative
+    * and the sums run through DECIMAL, the maintained state is
+    * bit-identical to aggregating all batches at once (same argument
+    * as IncrementalAgg) regardless of how the stream was
+    * micro-batched; the batch-id skip in [[mergeAggBatch]] extends
+    * that to at-least-once replays, and the snapshot commit makes
+    * every state transition atomic. Read back with [[readAggState]].
     */
   def sinkAggState(df: DataFrame, stateDir: String, checkpointDir: String,
                    timeCol: String, interval: String,
@@ -216,19 +251,13 @@ object IncrementalStream {
     df.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val fresh = graft.ops.IncrementalAgg
-          .bucketState(batch, timeCol, interval, valueCol)
-        val merged =
-          (try Some(sp.read.parquet(stateDir))
-           catch { case _: Throwable => None }) match {
-            case Some(prev) => graft.ops.IncrementalAgg.mergeStates(prev, fresh)
-            case None => fresh
-          }
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeAggBatch(batch, batchId, stateDir, timeCol, interval, valueCol)
       }
+
+  /** The committed aggregate state (None until the first batch commits). */
+  def readAggState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    new SnapshotStore(spark, stateDir).read()
 
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.

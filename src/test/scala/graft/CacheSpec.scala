@@ -73,6 +73,37 @@ class CacheSpec extends SparkSpec {
       && m.selectedConversions == Map("x" -> "numeric"))
   }
 
+  test("composed keys are unambiguous: (a, b) never collides with (a_b, none)") {
+    val mgr = new QueryCacheManager(new MemoryCacheProvider)
+    mgr.setCachedData("a", eventsDf(1), CachedQueryMetadata(None, 1L, 0L), Some("b"))
+    mgr.setCachedData("a_b", eventsDf(2), CachedQueryMetadata(None, 2L, 0L))
+    assert(mgr.getCachedData("a", Some("b")).exists(_.count() == 1))
+    assert(mgr.getCachedData("a_b").exists(_.count() == 2))
+    mgr.clearCache(Some("a_b"))
+    assert(mgr.hasCache("a", Some("b")) && !mgr.hasCache("a_b")) // no cross-invalidation
+  }
+
+  test("parquet provider: data+meta commit atomically and survive pointer loss") {
+    val cacheDir = Files.createTempDirectory("graft-cache-atomic").toString
+    val prov = new ParquetCacheProvider(spark, cacheDir)
+    val mgr = new QueryCacheManager(prov)
+    mgr.setCachedData("t", eventsDf(5), CachedQueryMetadata(Some("wm1"), 5L, 0L))
+    // refresh: the new plan READS the current entry (cached ∪ fresh)
+    val merged = mgr.getCachedData("t").get.unionByName(eventsDf(7).filter(col("id") > 5))
+    mgr.setCachedData("t", merged, CachedQueryMetadata(Some("wm2"), 7L, 1L))
+    assert(mgr.getCachedData("t").exists(_.count() == 7))
+    assert(mgr.getMetadata("t").flatMap(_.lastTimestamp).contains("wm2"))
+    // crash recovery: lose the CURRENT pointer mid-swap — the complete
+    // version still resolves, with data and ITS metadata paired
+    val keyDir = new java.io.File(cacheDir).listFiles().filter(_.isDirectory).head
+    assert(new java.io.File(keyDir, "CURRENT").delete())
+    assert(mgr.hasCache("t"))
+    assert(mgr.getCachedData("t").exists(_.count() == 7))
+    assert(mgr.getMetadata("t").flatMap(_.lastTimestamp).contains("wm2"))
+    // old versions were garbage-collected after the swap
+    assert(keyDir.listFiles().count(_.getName.startsWith("v-")) == 1)
+  }
+
   test("parquet-backed queryWithCaching: initial, incremental, no-new-data") {
     val srcDir = Files.createTempDirectory("graft-cache-src").toString
     val cacheDir = Files.createTempDirectory("graft-cache-store").toString

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.IncrementalStream
+import graft.streaming.{IncrementalStream, SnapshotStore}
 import graft.sync.StateStore
 
 class StreamingSpec extends SparkSpec {
@@ -153,7 +153,7 @@ class StreamingSpec extends SparkSpec {
       Seq("user_id"), "ts", "event_id").start()
     try {
       q.processAllAvailable()
-      val got = spark.read.parquet(target)
+      val got = IncrementalStream.readUpsertTarget(spark, target).get
         .select("user_id", "event_id").as[(Long, Long)].collect().toMap
       val want = graft.sync.SyncOps
         .upsertKeepLatest(batch, Seq("user_id"), "ts", "event_id")
@@ -175,13 +175,59 @@ class StreamingSpec extends SparkSpec {
       "ts", "15 minutes", "value").start()
     try {
       q.processAllAvailable()
-      val got = graft.ops.IncrementalAgg.readState(spark.read.parquet(stateDir))
+      val got = graft.ops.IncrementalAgg.readState(
+        IncrementalStream.readAggState(spark, stateDir).get)
         .collect().map(_.toSeq).toSeq
       val want = graft.ops.IncrementalAgg.readState(
         graft.ops.IncrementalAgg.bucketState(batch, "ts", "15 minutes", "value"))
         .collect().map(_.toSeq).toSeq
       assert(got == want) // decimal-sum state algebra: merge order irrelevant
     } finally q.stop()
+  }
+
+  test("agg-state sink skips replayed batch ids (at-least-once foreachBatch)") {
+    val events = graft.core.Tables.events(spark, sfDir).limit(2000)
+      .localCheckpoint()
+    val stateDir = Files.createTempDirectory("graft_aggreplay").toString + "/s"
+    val half = events.filter(col("event_id") % 2 === 0)
+    val rest = events.filter(col("event_id") % 2 =!= 0)
+    IncrementalStream.mergeAggBatch(half, 0L, stateDir, "ts", "15 minutes", "value")
+    val afterFirst = graft.ops.IncrementalAgg.readState(
+      IncrementalStream.readAggState(spark, stateDir).get).collect().map(_.toSeq).toSeq
+    // replay of batch 0 (failure between sink commit and checkpoint
+    // commit): the merge must be skipped, not double-counted
+    IncrementalStream.mergeAggBatch(half, 0L, stateDir, "ts", "15 minutes", "value")
+    val afterReplay = graft.ops.IncrementalAgg.readState(
+      IncrementalStream.readAggState(spark, stateDir).get).collect().map(_.toSeq).toSeq
+    assert(afterReplay == afterFirst)
+    IncrementalStream.mergeAggBatch(rest, 1L, stateDir, "ts", "15 minutes", "value")
+    val got = graft.ops.IncrementalAgg.readState(
+      IncrementalStream.readAggState(spark, stateDir).get).collect().map(_.toSeq).toSeq
+    val want = graft.ops.IncrementalAgg.readState(
+      graft.ops.IncrementalAgg.bucketState(events, "ts", "15 minutes", "value"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("snapshot store: atomic commit, pointer recovery, batch-id tracking") {
+    val dir = Files.createTempDirectory("graft_snapstore").toString + "/t"
+    val store = new SnapshotStore(spark, dir)
+    assert(store.read().isEmpty && store.lastCommittedBatch.isEmpty)
+    store.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    assert(store.lastCommittedBatch.contains(0L))
+    assert(store.read().get.count() == 2)
+    // a commit whose plan READS the previous snapshot (merge-into-state)
+    val merged = store.read().get.unionByName(Seq((3L, "c")).toDF("id", "v"))
+    store.commit(merged, 1L)
+    assert(store.lastCommittedBatch.contains(1L))
+    assert(store.read().get.count() == 3)
+    // crash recovery: lose the pointer mid-swap — the complete snapshot
+    // is still resolved (state is never silently reset)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "CURRENT"), false)
+    assert(store.lastCommittedBatch.contains(1L))
+    assert(store.read().get.count() == 3)
   }
 
   test("schema versioning: save/load/latest pointer/drift detection") {
