@@ -155,7 +155,12 @@ object SparkEntry {
         (col("doc_id") + 10000 * k).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
         .reduce(_ unionByName _)
-      val sh = Dedup.shingles(copies, 3).select(col("doc_id"), col("shingles"))
+      // shingle strings hash to longs before the join (distinct-set
+      // jaccard unchanged modulo ~2^-64 collisions; the join shuffles
+      // 8-byte longs instead of shingle strings — same trick as
+      // Dedup.minhashNearDups)
+      val sh = Dedup.shingles(copies, 3).select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("shingles"))
       val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val b = sh.select((col("doc_id") - 10000).as("doc_a"),
         col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
