@@ -1,61 +1,84 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark harness — a REGRESSION GATE, not just a stopwatch.
   *
-  * Guarantees (round-4 hardening):
-  *   - a query that throws is recorded as a failure (name + exception) in
-  *     the JSON and the process exits nonzero — a broken query can never
-  *     bench as ~0s and pass unnoticed;
+  * Guarantees (round-4/5 hardening):
+  *   - a query that throws is recorded as a failure (name + exception) and
+  *     the process exits nonzero — a broken query can never bench as ~0s
+  *     and pass unnoticed; runs completed before the failure are kept so
+  *     an intermittent failure still leaves timing evidence;
+  *   - only `NonFatal` errors are caught per-query; an OutOfMemoryError or
+  *     similar fatal condition aborts the whole bench (timings taken after
+  *     a fatal error would be garbage);
   *   - execution order is sorted by query name, so run-to-run JIT/GC
   *     history is identical regardless of Map hash layout;
   *   - `System.gc()` + a short settle between queries keeps one query's
   *     garbage from being collected on the next query's clock;
-  *   - per-query spread (min/median/max over `runs`) is published in the
-  *     artifact so variance is visible, not inferred.
+  *   - an unknown name in SPARK_GRAFT_BENCH_ONLY is an error, not a silent
+  *     empty (and green-looking) bench.
   *
-  * One JSON line on stdout:
+  * Output protocol: the LAST stdout line is ONE compact JSON object
   *   {"metric":"total","value":N,"unit":"sec","runs":R,
-  *    "queries":{name:medianSec,...},
-  *    "spread":{name:{"min":s,"median":s,"max":s},...},
-  *    "failures":{name:"exception msg",...},"sf":"..."}
+  *    "queries":{name:medianSec,...},"failures":F,"sf":"..."}
+  * with seconds at 3 decimals so the whole line stays well under the
+  * driver's 2000-char output-tail window (the round-4 artifact proved a
+  * long line gets cut and the headline is lost). Full detail — per-run
+  * timings, min/median/max spread, failure messages — goes to
+  * BENCH_DETAIL.json in the working directory and to stderr.
   */
 object Bench {
 
   private def jsonEscape(s: String): String =
     s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case '\n'          => "\\n"
-      case '\r'          => "\\r"
-      case '\t'          => "\\t"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
     }
 
-  /** All `runs` timings (seconds), or the failure message of the first run
-    * that threw. The FIRST run warms codegen/parquet footers for this query
-    * and is included — the median discards it unless the query is genuinely
-    * variance-free, which is the point of reporting medians.
+  /** Timings for runs that completed, plus the failure message of the run
+    * that threw (if any); runs after a failure are not attempted. The FIRST
+    * run warms codegen/parquet footers for this query and is included — the
+    * median discards it unless the query is genuinely variance-free, which
+    * is the point of reporting medians.
     */
-  private def timeRuns(runs: Int)(body: => Unit): Either[String, Seq[Double]] =
-    try {
-      Right((1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e9
-      })
-    } catch {
-      case e: Throwable =>
-        Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+  private def timeRuns(runs: Int)(body: => Unit): (Seq[Double], Option[String]) = {
+    val done = Seq.newBuilder[Double]
+    var i = 0
+    while (i < runs) {
+      val t0 = System.nanoTime()
+      try body
+      catch {
+        case NonFatal(e) =>
+          return (done.result(), Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"))
+      }
+      done += (System.nanoTime() - t0) / 1e9
+      i += 1
     }
+    (done.result(), None)
+  }
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+  /** Median with the even-n midpoint averaged (not the biased upper-middle). */
+  private def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty seq")
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def f3(d: Double): String = f"$d%.3f"
+  private def f6(d: Double): String = f"$d%.6f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,16 +88,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen/parquet-footer paths once (tiny sf) so the first
     // timed query doesn't absorb session startup; a warmup failure is real
     // (entry is the flagship query) and must surface, not vanish
     val warmupFailure =
       try { SparkEntry.entry(spark).count(); None }
-      catch { case e: Throwable => Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}") }
-    // optional comma-separated filter for targeted perf work
+      catch { case NonFatal(e) => Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}") }
+    // optional comma-separated filter for targeted perf work; a name that
+    // matches no query is an error — a typo must not produce an empty bench
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { req =>
+      val unknown = req.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
       .sorted // pinned order: hash-layout changes must not reshuffle JIT/GC history
@@ -83,25 +111,37 @@ object Bench {
     warmupFailure.foreach(msg => failures("_warmup_entry") = msg)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      timeRuns(runs) { fn(spark, sfDir).count() } match {
-        case Right(ts) => timings(name) = ts
-        case Left(msg) => failures(name) = msg
-      }
+      val (ts, fail) = timeRuns(runs) { fn(spark, sfDir).count() }
+      if (ts.nonEmpty) timings(name) = ts
+      fail.foreach(msg => failures(name) = msg)
       // settle: collect this query's garbage on its own time, not the next's
       System.gc()
       Thread.sleep(200)
     }
-    val qs = timings.map { case (k, ts) => s"\"$k\":${median(ts)}" }
+    // queries/total cover only fully-clean queries so totals stay comparable;
+    // a failed query's partial timings live in the detail file, and rc!=0
+    // plus the failure count in the headline make the breakage visible
+    val clean = timings.filter { case (k, _) => !failures.contains(k) }
+    val total = clean.values.map(median).sum
+    val qs = clean.map { case (k, ts) => s"\"$k\":${f3(median(ts))}" }
       .mkString("{", ",", "}")
     val spread = timings.map { case (k, ts) =>
-      s"""\"$k\":{"min":${ts.min},"median":${median(ts)},"max":${ts.max}}"""
+      val runsJson = ts.map(f6).mkString("[", ",", "]")
+      s"""\"$k\":{"min":${f6(ts.min)},"median":${f6(median(ts))},"max":${f6(ts.max)},"runs":$runsJson}"""
     }.mkString("{", ",", "}")
     val fails = failures.map { case (k, msg) => s"\"$k\":\"${jsonEscape(msg)}\"" }
       .mkString("{", ",", "}")
-    val total = timings.values.map(median).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"failures":$fails,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir","total":${f6(total)},"spread":$spread,"failures":$fails}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    System.err.println(s"BENCH_DETAIL -> ${detailPath.toAbsolutePath}")
+    System.err.println(detail)
     spark.stop()
+    // contract line LAST on stdout, compact, after spark.stop() so no late
+    // log line can land between it and process exit
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"failures":${failures.size},"sf":"$sfDir"}""")
     if (failures.nonEmpty) {
       System.err.println(s"BENCH FAILURES (${failures.size}): ${failures.keys.mkString(", ")}")
       sys.exit(1)
