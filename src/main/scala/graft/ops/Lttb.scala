@@ -128,7 +128,9 @@ object Lttb {
       .withColumn("__i", row_number().over(
         Window.orderBy(col("__x") +: tieBreak.map(col): _*)) - 1)
       .persist() // core() reads it from 3 branches (interior/first/last)
-    core(indexed, n, df.columns, threshold)
+    try core(indexed, n, df.columns, threshold)
+    finally indexed.unpersist() // core() is eager; holding the cache past
+                                // return leaked one input copy per call
   }
 
   /** Scale path: global index without a single-partition window.
@@ -154,7 +156,8 @@ object Lttb {
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
       .persist() // core() reads it from 3 branches; avoids re-sorting
-    core(indexed, n, df.columns, threshold)
+    try core(indexed, n, df.columns, threshold)
+    finally indexed.unpersist()
   }
 
   // Scale note: persist() assumes the input is the viz slice (the
@@ -164,6 +167,18 @@ object Lttb {
 
   /** Shared bucket-anchor-argmax stage over a globally-indexed input
     * (`__x`, `__y`, `__i` ∈ [0, n)).
+    *
+    * EAGER: the result is at most `threshold` rows — it is computed
+    * here and returned as a local relation, so callers can release the
+    * persisted input immediately instead of holding executor cache
+    * until some later action (the round-3/4 bench variance traced to
+    * exactly that leak — one cached copy of the input per call, never
+    * freed, compounding across a 63-query run).
+    *
+    * The per-bucket argmax is a `max_by` aggregation, not a window:
+    * partial aggregation reduces each bucket map-side to one candidate
+    * row, so the shuffle carries ≤ threshold×partitions rows instead of
+    * every interior row sorted per bucket.
     */
   private def core(indexed: DataFrame, n: Long, cols: Array[String],
                    threshold: Int): DataFrame = {
@@ -184,11 +199,12 @@ object Lttb {
       .agg(avg(col("__x")).as("__ax"), avg(col("__y")).as("__ay"))
       .as[(Int, Double, Double)].collect()
       .map { case (b, ax, ay) => b -> ((ax, ay)) }.toMap
-    val endpoints = indexed.filter(col("__i") === 0 || col("__i") === n - 1)
-      .select(col("__i"), col("__x"), col("__y"))
-      .as[(Long, Double, Double)].collect().sortBy(_._1)
-    val (fx, fy) = (endpoints.head._2, endpoints.head._3)
-    val (lx, ly) = (endpoints.last._2, endpoints.last._3)
+    val endpointRows = indexed.filter(col("__i") === 0 || col("__i") === n - 1)
+      .select(struct(cols.map(col): _*).as("r"),
+        col("__i").cast("long").as("__i"), col("__x"), col("__y"))
+      .collect().sortBy(_.getLong(1))
+    val (fx, fy) = (endpointRows.head.getDouble(2), endpointRows.head.getDouble(3))
+    val (lx, ly) = (endpointRows.last.getDouble(2), endpointRows.last.getDouble(3))
 
     val prevAnchors = (0 to lastBucket).map { b =>
       if (b == 0) (b, fx, fy)
@@ -199,9 +215,6 @@ object Lttb {
       else { val (ax, ay) = avgRows(b + 1); (b, ax, ay) }
     }.toDF("__b", "__nx", "__ny")
 
-    val firstRow = indexed.filter(col("__i") === 0)
-    val lastRow = indexed.filter(col("__i") === n - 1)
-
     val withArea = interior
       .join(broadcast(prevAnchors), "__b")
       .join(broadcast(nextAnchors), "__b")
@@ -209,17 +222,26 @@ object Lttb {
         (col("__px") - col("__nx")) * (col("__y") - col("__py")) -
         (col("__px") - col("__x")) * (col("__ny") - col("__py"))))
 
-    val pick = Window.partitionBy(col("__b"))
-      .orderBy(col("__area").desc, col("__i"))
-    val selected = withArea
-      .withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .select(cols.map(col) :+ col("__i"): _*)
+    // argmax per bucket; ties keep the FIRST maximum: the ordering
+    // struct compares (area, -index) lexicographically, so the max is
+    // the largest area and, within equal areas, the smallest index —
+    // same contract as the previous `row_number` form, minus its
+    // full per-bucket sort
+    val selectedRows = withArea
+      .groupBy(col("__b"))
+      .agg(max_by(
+        struct(struct(cols.map(col): _*).as("r"), col("__i").cast("long").as("__i")),
+        struct(col("__area"), (-col("__i").cast("long")).as("__negi"))).as("s"))
+      .select(col("s.r").as("r"), col("s.__i").as("__i"))
+      .collect()
 
-    firstRow.select(cols.map(col) :+ col("__i"): _*)
-      .unionByName(selected)
-      .unionByName(lastRow.select(cols.map(col) :+ col("__i"): _*))
-      .orderBy("__i")
-      .select(cols.map(col): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      cols.map(c => indexed.schema(c)))
+    val ordered = (endpointRows.take(1).map(r => (r.getStruct(0), r.getLong(1))) ++
+        selectedRows.map(r => (r.getStruct(0), r.getLong(1))) ++
+        endpointRows.takeRight(1).map(r => (r.getStruct(0), r.getLong(1))))
+      .sortBy(_._2)
+      .map { case (r, _) => Row.fromSeq(r.toSeq) }
+    sp.createDataFrame(sp.sparkContext.parallelize(ordered.toIndexedSeq, 1), outSchema)
   }
 }
