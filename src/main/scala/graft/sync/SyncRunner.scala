@@ -90,6 +90,32 @@ class SyncRunner(spark: SparkSession,
     }
   }
 
+  /** Row-limited smoke sync — rehearse the pipeline on a bounded slice
+    * before committing to a full pull (reference sync_engine.py:135
+    * `test_sync`, default row_limit=100000: drops and rewrites the
+    * target with at most `rowLimit` rows).
+    *
+    * The limit is applied at the SOURCE read, so Spark plans a
+    * LocalLimit under the scan (and a JDBC source pushes it into the
+    * query) — a 100 TB table costs a 100k-row pull, not a full scan.
+    * The watermark is deliberately NOT advanced: a smoke run must not
+    * make the next real incremental sync skip rows. Like the
+    * reference, point `cfg.targetTable` at a scratch name if the live
+    * target must survive the rehearsal — this overwrites it.
+    */
+  def testSync(cfg: TableConfig, rowLimit: Int = 100000): SyncLogEntry = {
+    require(rowLimit > 0, s"rowLimit must be positive, got $rowLimit")
+    val entry = log.logStart(cfg.targetTable, "test")
+    try {
+      writeTarget(cfg, source(cfg).limit(rowLimit))
+      log.logComplete(entry, target(cfg).count())
+    } catch {
+      case e: Throwable =>
+        log.logFailure(entry, Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
+  }
+
   private def advanceWatermark(cfg: TableConfig): Unit =
     cfg.timeColumn.foreach { tc =>
       Option(target(cfg).agg(max(col(tc)).cast("string")).head().getString(0))

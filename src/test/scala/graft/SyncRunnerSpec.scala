@@ -82,6 +82,44 @@ class SyncRunnerSpec extends SparkSpec {
       Seq("incremental", "incremental", "full"))
   }
 
+  test("testSync: row-limited, watermark untouched, next full sync unaffected") {
+    val srcDir = Files.createTempDirectory("graft-test-src").toString
+    val tgtDir = Files.createTempDirectory("graft-test-tgt").toString
+    val state = new StateStore(spark, Files.createTempDirectory("ts").toString)
+    val log = new SyncLogRepo(spark, Files.createTempDirectory("tl").toString)
+    val runner = new SyncRunner(spark,
+      cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
+      tgtDir, state, log)
+    val cfg = TableConfig("S", "t", "t_sync", "id", timeColumn = Some("updated_at"))
+    srcRows(50).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+
+    // smoke run: target holds <= rowLimit rows, audit says "test",
+    // no watermark appears
+    val r = runner.testSync(cfg, rowLimit = 7)
+    assert(r.syncType == "test" && r.status == "completed" && r.totalRows == 7)
+    assert(runner.target(cfg).count() == 7)
+    assert(state.loadWatermark("t_sync").isEmpty)
+
+    // a limit above the source size takes everything, no error
+    assert(runner.testSync(cfg, rowLimit = 1000).totalRows == 50)
+
+    // the next real sync is a FULL one (no watermark was written) and
+    // sees the complete source, not the rehearsal slice
+    val full = runner.syncTable(cfg)
+    assert(full.syncType == "full" && full.totalRows == 50)
+    assert(state.loadWatermark("t_sync").isDefined)
+
+    // after a real watermark exists, a test run still must not move it
+    val wmBefore = state.loadWatermark("t_sync").get
+    runner.testSync(cfg, rowLimit = 3)
+    assert(state.loadWatermark("t_sync").contains(wmBefore))
+
+    assert(log.recentLogs(10, Some("t_sync")).map(_.syncType) ==
+      Seq("test", "full", "test", "test"))
+    assert(intercept[IllegalArgumentException](
+      runner.testSync(cfg, rowLimit = 0)).getMessage.contains("rowLimit"))
+  }
+
   test("syncAll runs enabled targets, skips disabled, survives one failure") {
     val srcDir = Files.createTempDirectory("graft-runner2-src").toString
     val tgtDir = Files.createTempDirectory("graft-runner2-tgt").toString
