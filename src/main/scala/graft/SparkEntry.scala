@@ -266,9 +266,13 @@ object SparkEntry {
         .select("doc_id", "duration_ms", "n_frames").orderBy("doc_id")),
     "q_lttb_downsample" -> ((s, d) =>
       // the range-partitioned (no single-partition stage) variant;
-      // spec pins it equal to the window-indexed form
+      // spec pins it equal to the window-indexed form. Project down to
+      // the plotted columns BEFORE the operator — it returns every
+      // input column, so pruning can't happen inside it, and carrying
+      // the unused props map through sort+cache is pure waste
       graft.ops.Lttb.downsampleRangePartitioned(
-        Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double")),
+        Tables.events(s, d).withColumn("ts_d", unix_micros(col("ts")).cast("double"))
+          .select("event_id", "ts", "value", "ts_d"),
         "ts_d", "value", 500, Seq("event_id"))
         .select("event_id", "ts", "value")),
     "q_lttb_exact" -> ((s, d) =>

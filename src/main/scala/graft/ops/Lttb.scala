@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Largest-Triangle-Three-Buckets downsampling, distributed.
   *
@@ -31,9 +30,12 @@ import org.apache.spark.sql.types.LongType
   *  - `downsample`: single-partition window row_number — fine up to
   *    ~10M points per series (viz inputs), simplest plan.
   *  - `downsampleRangePartitioned`: range-partition on x, sort within
-  *    partitions, per-partition offsets via zipWithIndex — no
-  *    single-partition stage, the 100 TB path. Spec pins it equal to
-  *    `downsample`.
+  *    partitions, then a DataFrame-native contiguous index:
+  *    `monotonically_increasing_id` stamps (pid, local ordinal) as rows
+  *    stream out of each partition's sort, one tiny per-pid count job
+  *    yields global offsets (and n), and a broadcast join adds them —
+  *    no single-partition stage, no RDD detour, the 100 TB path. Spec
+  *    pins it equal to `downsample`.
   */
 object Lttb {
 
@@ -135,14 +137,21 @@ object Lttb {
 
   /** Scale path: global index without a single-partition window.
     * repartitionByRange + sortWithinPartitions gives a total order
-    * across partitions; zipWithIndex stamps contiguous indices with
-    * one lightweight count job (partition sizes only to the driver).
+    * across partitions. The contiguous index stays DataFrame-native:
+    * `monotonically_increasing_id()` encodes (partitionId << 33) +
+    * local ordinal, assigned in the order rows stream out of each
+    * partition's sort (the expression is nondeterministic to Catalyst,
+    * so the projection cannot be reordered below the Sort); one
+    * per-pid count job (≤ numPartitions rows to the driver) gives both
+    * n and the cumulative offsets; a broadcast join stamps
+    * `__i = offset(pid) + ordinal`. Everything stays columnar/codegen —
+    * the previous rdd.zipWithIndex form deserialized every row (maps
+    * included) to external Rows, ran an extra count job, and cached an
+    * RDD-backed frame, which was the round-5 bench-variance suspect.
     */
   def downsampleRangePartitioned(df: DataFrame, xCol: String, yCol: String,
                                  threshold: Int, tieBreak: Seq[String] = Nil,
                                  numPartitions: Int = 0): DataFrame = {
-    val n = df.count()
-    if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
     val prepared = df
       .withColumn("__x", col(xCol).cast("double"))
       .withColumn("__y", col(yCol).cast("double"))
@@ -151,13 +160,28 @@ object Lttb {
       else prepared.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = prepared.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema.add("__i", LongType, nullable = false)
-    val indexed = sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+      .withColumn("__mid", monotonically_increasing_id())
       .persist() // core() reads it from 3 branches; avoids re-sorting
-    try core(indexed, n, df.columns, threshold)
-    finally indexed.unpersist()
+    try {
+      // one job: per-partition counts — materializes the columnar
+      // cache and yields n as their sum (no separate count() pass)
+      val pidCounts = sorted
+        .groupBy(shiftright(col("__mid"), 33).as("__pid")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = pidCounts.map(_._2).sum
+      if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
+      var acc = 0L
+      val offsets = pidCounts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+      val sp = df.sparkSession
+      import sp.implicits._
+      val offDf = offsets.toSeq.toDF("__pid", "__off")
+      val indexed = sorted
+        .withColumn("__pid", shiftright(col("__mid"), 33))
+        .join(broadcast(offDf), "__pid")
+        .withColumn("__i", col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+        .drop("__pid", "__off", "__mid")
+      core(indexed, n, df.columns, threshold)
+    } finally sorted.unpersist()
   }
 
   // Scale note: persist() assumes the input is the viz slice (the
@@ -174,6 +198,12 @@ object Lttb {
     * until some later action (the round-3/4 bench variance traced to
     * exactly that leak — one cached copy of the input per call, never
     * freed, compounding across a 63-query run).
+    *
+    * Driver-memory bound: eagerness moves `threshold × rowWidth` bytes
+    * through the driver (ALL input columns ride in the argmax struct).
+    * At viz thresholds (≤ ~10k rows) that is small, but with wide
+    * binary/multimodal columns project the input down to the plotted
+    * columns before calling — the operator cannot prune for you.
     *
     * The per-bucket argmax is a `max_by` aggregation, not a window:
     * partial aggregation reduces each bucket map-side to one candidate
