@@ -236,8 +236,11 @@ object CachedQueryMetadata {
 class QueryCacheManager(provider: CacheProvider,
                         nowMillis: () => Long = () => System.currentTimeMillis()) {
 
-  private var hits = 0L
-  private var misses = 0L
+  // AtomicLong: a manager may be shared across caller threads (e.g. a
+  // query service handling concurrent requests); plain vars would drop
+  // increments under contention
+  private val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val misses = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Escape a key component so the '_' join and the filesystem path
     * are unambiguous: without it (table="a", key="b") and
@@ -261,7 +264,7 @@ class QueryCacheManager(provider: CacheProvider,
 
   def getCachedData(table: String, cacheKey: Option[String] = None): Option[DataFrame] = {
     val r = provider.getData(entryKey(table, cacheKey))
-    if (r.isDefined) hits += 1 else misses += 1
+    if (r.isDefined) hits.incrementAndGet() else misses.incrementAndGet()
     r
   }
 
@@ -287,8 +290,8 @@ class QueryCacheManager(provider: CacheProvider,
       case Some(t) => provider.delete(entryKey(t, cacheKey))
       case None => provider.clear()
     }
-    hits = 0L
-    misses = 0L
+    hits.set(0L)
+    misses.set(0L)
   }
 
   /** Merge metadata field updates without replacing the whole record. */
@@ -312,7 +315,8 @@ class QueryCacheManager(provider: CacheProvider,
 
   /** (hits, misses, hitRate) since construction or the last clear. */
   def statistics: (Long, Long, Double) = {
-    val total = hits + misses
-    (hits, misses, if (total == 0) 0.0 else hits.toDouble / total)
+    val (h, m) = (hits.get(), misses.get())
+    val total = h + m
+    (h, m, if (total == 0) 0.0 else h.toDouble / total)
   }
 }
