@@ -47,10 +47,11 @@ object Bench {
     * median discards it unless the query is genuinely variance-free, which
     * is the point of reporting medians.
     */
-  private def timeRuns(runs: Int)(body: => Unit): (Seq[Double], Option[String]) = {
+  private def timeRuns(runs: Int, onRun: Int => Unit = _ => ())(body: => Unit): (Seq[Double], Option[String]) = {
     val done = Seq.newBuilder[Double]
     var i = 0
     while (i < runs) {
+      onRun(i)
       val t0 = System.nanoTime()
       try body
       catch {
@@ -63,6 +64,28 @@ object Bench {
     (done.result(), None)
   }
 
+  /** Total GC milliseconds across all collector beans of this JVM —
+    * in local mode the driver JVM IS the executors, so a delta of this
+    * around a run is the run's whole GC bill (including work the stage
+    * labels misattribute).
+    */
+  private def jvmGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Whole-stage-codegen compilations so far in this JVM (count, total
+    * bytecode bytes). A nonzero per-run delta on a STEADY-STATE run
+    * means the generated-class cache is missing — each miss serializes
+    * every task of the stage behind one Janino compile.
+    */
+  private def codegenStats(): (Long, Long) = {
+    val m = org.apache.spark.metrics.source.CodegenMetrics
+    (m.METRIC_COMPILATION_TIME.getCount,
+      m.METRIC_GENERATED_METHOD_BYTECODE_SIZE.getCount)
+  }
+
   /** Median with the even-n midpoint averaged (not the biased upper-middle). */
   private def median(xs: Seq[Double]): Double = {
     require(xs.nonEmpty, "median of empty seq")
@@ -71,14 +94,17 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  private def f3(d: Double): String = f"$d%.3f"
-  private def f6(d: Double): String = f"$d%.6f"
+  // Locale.ROOT: under a comma-decimal default locale the f-interpolator
+  // would emit "1,234" and corrupt the JSON contract line
+  private def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+  private def f6(d: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    val traceOn = sys.env.get("SPARK_GRAFT_BENCH_TRACE").exists(v => v == "1" || v == "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,6 +115,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in per-stage trace (SPARK_GRAFT_BENCH_TRACE=1) → BENCH_TRACE.json;
+    // labels each stage with the (query,run) active at submission and logs a
+    // driver-JVM GC delta per run — evidence for in-suite variance hunts
+    val tracer = if (traceOn) Some(new graft.tools.BenchTraceListener) else None
+    tracer.foreach(spark.sparkContext.addSparkListener)
+    val runMeta = Seq.newBuilder[(String, Double, Long, Long)]
     // warm the JVM/codegen/parquet-footer paths once (tiny sf) so the first
     // timed query doesn't absorb session startup; a warmup failure is real
     // (entry is the flagship query) and must surface, not vanish
@@ -111,12 +143,31 @@ object Bench {
     warmupFailure.foreach(msg => failures("_warmup_entry") = msg)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val (ts, fail) = timeRuns(runs) { fn(spark, sfDir).count() }
+      val perRunGc = Seq.newBuilder[Long]
+      val perRunCompiles = Seq.newBuilder[Long]
+      val (ts, fail) = timeRuns(runs,
+        i => tracer.foreach(_.setLabel(s"$name#$i"))) {
+        val g0 = jvmGcMs()
+        val (c0, _) = codegenStats()
+        fn(spark, sfDir).count()
+        perRunGc += jvmGcMs() - g0
+        perRunCompiles += codegenStats()._1 - c0
+      }
       if (ts.nonEmpty) timings(name) = ts
       fail.foreach(msg => failures(name) = msg)
+      if (tracer.nonEmpty)
+        runMeta ++= ts.zip(perRunGc.result()).zip(perRunCompiles.result()).zipWithIndex.map {
+          case (((w, g), c), i) => (s"$name#$i", w, g, c)
+        }
+      tracer.foreach(_.setLabel(s"_settle_after_$name"))
       // settle: collect this query's garbage on its own time, not the next's
       System.gc()
       Thread.sleep(200)
+    }
+    tracer.foreach { t =>
+      Thread.sleep(300) // let the listener bus drain the last events
+      graft.tools.BenchTrace.write("BENCH_TRACE.json", t, runMeta.result())
+      System.err.println(s"BENCH_TRACE -> ${java.nio.file.Paths.get("BENCH_TRACE.json").toAbsolutePath}")
     }
     // queries/total cover only fully-clean queries so totals stay comparable;
     // a failed query's partial timings live in the detail file, and rc!=0

@@ -122,8 +122,9 @@ object Lttb {
 
   def downsample(df: DataFrame, xCol: String, yCol: String,
                  threshold: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    if (threshold <= 2) return df.orderBy(xCol) // before any job — no n needed
     val n = df.count()
-    if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
+    if (threshold >= n) return df.orderBy(xCol)
     val indexed = df
       .withColumn("__x", col(xCol).cast("double"))
       .withColumn("__y", col(yCol).cast("double"))
@@ -131,8 +132,9 @@ object Lttb {
         Window.orderBy(col("__x") +: tieBreak.map(col): _*)) - 1)
       .persist() // core() reads it from 3 branches (interior/first/last)
     try core(indexed, n, df.columns, threshold)
-    finally indexed.unpersist() // core() is eager; holding the cache past
-                                // return leaked one input copy per call
+    finally indexed.unpersist(blocking = true) // core() is eager; async
+      // unpersist would leave this run's blocks draining while the next
+      // run races them for cache/GC — the round-6 in-suite variance suspect
   }
 
   /** Scale path: global index without a single-partition window.
@@ -152,6 +154,7 @@ object Lttb {
   def downsampleRangePartitioned(df: DataFrame, xCol: String, yCol: String,
                                  threshold: Int, tieBreak: Seq[String] = Nil,
                                  numPartitions: Int = 0): DataFrame = {
+    if (threshold <= 2) return df.orderBy(xCol) // before the sort/cache cycle
     val prepared = df
       .withColumn("__x", col(xCol).cast("double"))
       .withColumn("__y", col(yCol).cast("double"))
@@ -168,8 +171,16 @@ object Lttb {
       val pidCounts = sorted
         .groupBy(shiftright(col("__mid"), 33).as("__pid")).count()
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // the (pid << 33) + ordinal decomposition needs every partition's
+      // ordinal to fit in 33 bits — a >8.6B-row range partition (skewed
+      // x / too few partitions) would silently corrupt __i; fail loudly
+      pidCounts.foreach { case (pid, c) =>
+        require(c < (1L << 33),
+          s"range partition $pid has $c rows >= 2^33; raise numPartitions " +
+            "so monotonically_increasing_id ordinals cannot overflow into pid bits")
+      }
       val n = pidCounts.map(_._2).sum
-      if (threshold >= n || threshold <= 2) return df.orderBy(xCol)
+      if (threshold >= n) return df.orderBy(xCol)
       var acc = 0L
       val offsets = pidCounts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
       val sp = df.sparkSession
@@ -181,7 +192,8 @@ object Lttb {
         .withColumn("__i", col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
         .drop("__pid", "__off", "__mid")
       core(indexed, n, df.columns, threshold)
-    } finally sorted.unpersist()
+    } finally sorted.unpersist(blocking = true) // see downsample(): async
+      // unpersist leaves cache blocks draining into the next bench run
   }
 
   // Scale note: persist() assumes the input is the viz slice (the
