@@ -157,6 +157,39 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
     val d = new Path(dir)
     if (fs.exists(d)) fs.listStatus(d).foreach(s => fs.delete(s.getPath, true))
   }
+
+  /** Garbage-collect crash debris across ALL keys: version dirs other
+    * than each key's committed version (a `putEntry` interrupted before
+    * its pointer swap strands a full `v-*`; one interrupted during
+    * step (3) strands older complete versions), leftover `CURRENT.tmp`
+    * files, and key dirs with no complete version at all. Idempotent;
+    * committed entries and pointers are never touched, so concurrent
+    * readers are unaffected. Returns how many paths were removed.
+    */
+  def vacuum(): Int = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return 0
+    var removed = 0
+    fs.listStatus(d).filter(_.isDirectory).foreach { kd =>
+      val key = kd.getPath.getName
+      resolve(key) match {
+        case Some((keepV, _)) =>
+          fs.listStatus(kd.getPath).foreach { s =>
+            val name = s.getPath.getName
+            val stray = parseVersion(name) match {
+              case Some(v) => v != keepV
+              case None => name == "CURRENT.tmp"
+            }
+            if (stray) { fs.delete(s.getPath, true); removed += 1 }
+          }
+        case None =>
+          // no complete version: nothing a reader could resolve — the
+          // whole key dir is debris
+          fs.delete(kd.getPath, true); removed += 1
+      }
+    }
+    removed
+  }
 }
 
 /** In-process provider: `persist()`ed plans keyed in a concurrent map.
@@ -313,7 +346,12 @@ class QueryCacheManager(provider: CacheProvider,
       case _ => false
     }
 
-  /** (hits, misses, hitRate) since construction or the last clear. */
+  /** (hits, misses, hitRate) since construction or the last clear.
+    * Best-effort snapshot: hits and misses are read (and reset by
+    * clearCache) independently, so a concurrent caller can observe a
+    * count from mid-update (e.g. a hit without its denominator). Fine
+    * for monitoring; don't build invariants on exact ratios.
+    */
   def statistics: (Long, Long, Double) = {
     val (h, m) = (hits.get(), misses.get())
     val total = h + m

@@ -111,4 +111,26 @@ class SnapshotStore(spark: SparkSession, dir: String) {
         fs.delete(s.getPath, true)
     }
   }
+
+  /** Garbage-collect crash debris: snapshots OTHER than the committed
+    * one (a commit interrupted between write and pointer swap strands
+    * its half-written `snap-*`; step (3) of a crashed commit strands
+    * older complete ones) plus a leftover `CURRENT.tmp`. Idempotent;
+    * never touches the committed snapshot or the pointer, so readers
+    * are unaffected. Returns how many entries were removed.
+    */
+  def vacuum(): Int = {
+    if (!fs.exists(root)) return 0
+    val keep = resolve().map(_._1)
+    var removed = 0
+    fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      val stray = parseId(name) match {
+        case Some(id) => !keep.contains(id)
+        case None => name == "CURRENT.tmp"
+      }
+      if (stray) { fs.delete(s.getPath, true); removed += 1 }
+    }
+    removed
+  }
 }

@@ -112,6 +112,21 @@ class SyncLogRepo(spark: SparkSession, logDir: String,
     e
   }
 
+  /** Record a run that never started because another process holds the
+    * sync lease (or the time budget was already spent): one terminal
+    * record, no "running" intermediate. `status` is "skipped" for lease
+    * contention, "paused" for an exhausted time budget.
+    */
+  def logTerminal(table: String, syncType: String, status: String,
+                  totalRows: Long, reason: String,
+                  syncId: String = UUID.randomUUID().toString): SyncLogEntry = {
+    val now = nowMillis()
+    val e = SyncLogEntry(syncId, table, syncType, status, now, Some(now),
+      totalRows, Some(reason))
+    write(e, 0)
+    e
+  }
+
   /** Transition a run to failed with the error (reference `update`). */
   def logFailure(entry: SyncLogEntry, error: String): SyncLogEntry = {
     val e = entry.copy(status = "failed", endMillis = Some(nowMillis()),

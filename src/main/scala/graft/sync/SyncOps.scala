@@ -109,16 +109,52 @@ object SyncOps {
     */
   def fullSyncResumable(table: DataFrame, idCol: String, sliceSize: Int,
                         state: StateStore, name: String)
-                       (onSlice: DataFrame => Unit): Long = {
+                       (onSlice: DataFrame => Unit): Long =
+    fullSyncInBatches(table, idCol, sliceSize, state, name)(onSlice).rowsProcessed
+
+  /** Outcome of a (possibly time-boxed) batched sync: rows processed
+    * across ALL runs so far, whether the table finished, and how many
+    * slices this call completed.
+    */
+  case class BatchSyncResult(rowsProcessed: Long, completed: Boolean, slices: Int)
+
+  /** [[fullSyncResumable]] with a TIME BUDGET: the deadline is checked
+    * between slices (reference sync_engine.py:237-243 `sync_in_batches`
+    * with `max_duration`, deadline check at :288) — a slice in flight
+    * always finishes (its progress persists), then the loop stops
+    * cleanly and reports `completed = false`. The partial-progress
+    * record is deliberately LEFT IN PLACE on pause, so the next call
+    * resumes past the last completed slice; it is cleared only when the
+    * table actually finishes. Pass `audit` to leave a "paused" /
+    * "completed" record per call, like the reference's batch log.
+    */
+  def fullSyncInBatches(table: DataFrame, idCol: String, sliceSize: Int,
+                        state: StateStore, name: String,
+                        maxDurationMillis: Long = Long.MaxValue,
+                        audit: Option[SyncLogRepo] = None,
+                        nowMillis: () => Long = () => System.currentTimeMillis())
+                       (onSlice: DataFrame => Unit): BatchSyncResult = {
     require(sliceSize > 0, s"sliceSize must be positive: $sliceSize")
+    require(maxDurationMillis > 0, s"maxDurationMillis must be positive: $maxDurationMillis")
     require(table.schema(idCol).dataType.typeName match {
       case "byte" | "short" | "integer" | "long" => true
       case _ => false
     }, s"fullSyncResumable needs an integral id column; '$idCol' is " +
       table.schema(idCol).dataType.typeName)
+    val deadline =
+      if (maxDurationMillis == Long.MaxValue) Long.MaxValue
+      else nowMillis() + maxDurationMillis
     var (total, lastId) = state.loadPartialProgress(name).getOrElse((0L, Long.MinValue))
+    var slices = 0
     var done = false
     while (!done) {
+      if (nowMillis() >= deadline) {
+        // budget spent: progress for every COMPLETED slice is already
+        // persisted; resume picks up exactly here
+        audit.foreach(_.logTerminal(name, "batched", "paused", total,
+          s"time budget ${maxDurationMillis}ms exhausted after $slices slice(s)"))
+        return BatchSyncResult(total, completed = false, slices)
+      }
       // tie-safe slicing: find the sliceSize-th id value, then take
       // EVERY row up to and including that boundary — duplicate ids
       // straddling a pure LIMIT cut would otherwise be skipped forever
@@ -138,12 +174,15 @@ object SyncOps {
           onSlice(slice)
           total += slice.count()
           lastId = boundary
+          slices += 1
           state.savePartialProgress(name, total, lastId)
           if (nHead < sliceSize) done = true
         } finally slice.unpersist()
       }
     }
     state.clearPartialProgress(name)
-    total
+    audit.foreach(_.logTerminal(name, "batched", "completed", total,
+      s"finished in $slices slice(s)"))
+    BatchSyncResult(total, completed = true, slices)
   }
 }

@@ -96,8 +96,12 @@ class SyncRunner(spark: SparkSession,
     * target with at most `rowLimit` rows).
     *
     * The limit is applied at the SOURCE read, so Spark plans a
-    * LocalLimit under the scan (and a JDBC source pushes it into the
-    * query) — a 100 TB table costs a 100k-row pull, not a full scan.
+    * LocalLimit over the scan and stops consuming after `rowLimit`
+    * rows per task (the V1 JDBC source does NOT push LIMIT into the
+    * remote query — it stops fetching after the limit is satisfied,
+    * which with `fetchsize` batching costs one or a few batches per
+    * partition, not a full pull; to bound the remote side hard, wrap
+    * the query with the dialect's own row-limit clause in `dbtable`).
     * The watermark is deliberately NOT advanced: a smoke run must not
     * make the next real incremental sync skip rows. Like the
     * reference, point `cfg.targetTable` at a scratch name if the live
@@ -138,6 +142,42 @@ class SyncRunner(spark: SparkSession,
               0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
       }
     }
+
+  /** Cross-process exclusive variant of [[syncAll]]: acquire `lease`
+    * first; if another process holds it, every enabled table gets a
+    * terminal "skipped" audit record and NOTHING is read or written —
+    * the reference's PID-lock semantics (state/sync_state.py:30-40).
+    * While holding, the heartbeat is renewed between tables so a long
+    * multi-table pass doesn't go stale mid-run; the lease is released
+    * on exit (also on failure — a crashed holder is covered by the
+    * stale-takeover timeout instead).
+    */
+  def syncAllExclusive(configs: TableConfigRepo, lease: SyncLease): Seq[SyncLogEntry] =
+    if (!lease.tryAcquire()) {
+      val who = lease.holder.map { case (o, p, _) => s"$o (pid $p)" }.getOrElse("unknown")
+      configs.syncTargets.map(cfg =>
+        log.logTerminal(cfg.targetTable, "full", "skipped", 0L,
+          s"sync lease held by $who"))
+    } else try {
+      configs.syncTargets.map { cfg =>
+        lease.renew()
+        try syncTable(cfg)
+        catch {
+          case e: Throwable =>
+            log.recentLogs(1, Some(cfg.targetTable)).headOption.getOrElse(
+              SyncLogEntry("unlogged", cfg.targetTable, "full", "failed",
+                0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+      }
+    } finally lease.release()
+
+  /** Single-table exclusive sync — see [[syncAllExclusive]]. */
+  def syncTableExclusive(cfg: TableConfig, lease: SyncLease): SyncLogEntry =
+    if (!lease.tryAcquire()) {
+      val who = lease.holder.map { case (o, p, _) => s"$o (pid $p)" }.getOrElse("unknown")
+      log.logTerminal(cfg.targetTable, "full", "skipped", 0L,
+        s"sync lease held by $who")
+    } else try syncTable(cfg) finally lease.release()
 
   /** Current status per target — last run + totals (GetSyncStatusTool). */
   def status(table: Option[String] = None): Seq[(SyncLogEntry, SyncLogStats)] =
