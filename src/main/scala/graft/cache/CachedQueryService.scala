@@ -133,12 +133,17 @@ class CachedQueryService(spark: SparkSession, dir: String,
     if (freshCount == 0)
       CachedQueryResult(ordered(cached, Some(tc)), isIncremental = true, meta.rowCount, 0)
     else {
-      val merged = cached.unionByName(freshConv)
+      // O(tail) commit: only the fresh slice is written — the provider
+      // manifests it alongside the already-cached slices, so refresh
+      // cost tracks the tail, not the (possibly 100 TB) cached total.
+      // select() pins the slice to the cached column order (and errors
+      // on a missing column) so every slice shares one schema.
+      val aligned = freshConv.select(cached.columns.map(col).toIndexedSeq: _*)
       val newWm = maxTsString(freshConv, tc).orElse(meta.lastTimestamp)
       val n = meta.rowCount + freshCount
-      cache.setCachedData(table, merged,
+      cache.appendCachedData(table, aligned,
         CachedQueryMetadata(newWm, n, nowMillis(), conversions))
-      val back = cache.getCachedData(table).getOrElse(merged)
+      val back = cache.getCachedData(table).getOrElse(cached.unionByName(freshConv))
       CachedQueryResult(ordered(back, Some(tc)), isIncremental = true, n, freshCount)
     }
   }

@@ -36,6 +36,14 @@ trait CacheProvider {
     * served durably from then on).
     */
   def putEntry(key: String, df: DataFrame, metaJson: String): Unit
+  /** Append `tail` to the existing entry and commit with `metaJson`
+    * atomically, writing O(tail) data — the refresh path that still
+    * works when the cached result is 100 TB and the tail is 1%. Falls
+    * back to a full `putEntry` when no entry exists. All slices of an
+    * entry share the schema fixed at initial load (the service
+    * reapplies the recorded conversions verbatim to every tail).
+    */
+  def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit
   /** Metadata-only update for an existing entry (no-op when absent). */
   def putMeta(key: String, json: String): Unit
   def getData(key: String): Option[DataFrame]
@@ -48,18 +56,34 @@ trait CacheProvider {
 
 /** Durable provider: versioned parquet entries with an atomic pointer.
   *
-  * Layout: `dir/<key>/v-<n>/data` (parquet) + `dir/<key>/v-<n>/meta.json`
-  * + `dir/<key>/CURRENT` (one line naming the committed version).
-  * Commit: (1) write the new version fully (data, then meta);
-  * (2) swap CURRENT via temp + delete + rename; (3) delete older
-  * versions. Readers resolve CURRENT and fall back to the highest
-  * COMPLETE version (data `_SUCCESS` + meta.json present), so a crash
+  * Layout: `dir/<key>/slice-<m>/` (immutable parquet slices, shared
+  * across versions) + `dir/<key>/v-<n>/manifest` (newline-separated
+  * slice names this version reads) + `dir/<key>/v-<n>/meta.json` +
+  * `dir/<key>/CURRENT` (one line naming the committed version).
+  * Commit: (1) write the new slice fully; (2) write manifest + meta;
+  * (3) swap CURRENT via temp + delete + rename; (4) delete version
+  * dirs and slices the new manifest no longer references. Readers
+  * resolve CURRENT and fall back to the highest COMPLETE version
+  * (manifest slices all `_SUCCESS` + meta.json present), so a crash
   * anywhere leaves either the old or the new complete entry readable
   * — never data paired with the wrong metadata, and never a window
-  * where a concurrent reader sees a half-deleted dataset (the old
-  * version's files are untouched until the new pointer is live).
+  * where a concurrent reader sees a half-deleted dataset (a committed
+  * version's slices are untouched until the next pointer is live).
+  *
+  * Why slices: an incremental refresh appends a tail manifest entry
+  * and writes ONLY the tail (`appendEntry`) — at 100 TB cached + 1%
+  * tail, rewriting the full dataset per refresh would dominate the
+  * sync. `putEntry` is also the compactor: any full rewrite collapses
+  * the entry back to one slice, and `appendEntry` self-compacts once
+  * the manifest reaches `compactThreshold` slices, so read fan-in
+  * stays bounded however many refreshes run (amortized: one O(total)
+  * rewrite per `compactThreshold` O(tail) appends). (Legacy
+  * `v-<n>/data` entries without a manifest remain readable; the first
+  * append migrates them.)
   */
-class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvider {
+class ParquetCacheProvider(spark: SparkSession, dir: String,
+                           compactThreshold: Int = 32) extends CacheProvider {
+  require(compactThreshold >= 1, s"compactThreshold must be >= 1, got $compactThreshold")
 
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,8 +93,25 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
   private def versionName(n: Long) = f"v-$n%010d"
   private def parseVersion(name: String): Option[Long] =
     if (name.startsWith("v-")) name.stripPrefix("v-").toLongOption else None
-  private def isComplete(vdir: Path): Boolean =
-    fs.exists(new Path(vdir, "data/_SUCCESS")) && fs.exists(new Path(vdir, "meta.json"))
+  private def sliceName(n: Long) = f"slice-$n%010d"
+  private def parseSlice(name: String): Option[Long] =
+    if (name.startsWith("slice-")) name.stripPrefix("slice-").toLongOption else None
+  private def manifestPath(vdir: Path) = new Path(vdir, "manifest")
+
+  /** The parquet dirs a version reads: its manifest's slices, or the
+    * legacy in-version `data` dir when no manifest exists.
+    */
+  private def slicesOf(key: String, vdir: Path): Seq[Path] = {
+    val mp = manifestPath(vdir)
+    if (fs.exists(mp))
+      readSmall(mp).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+        .map(new Path(keyDir(key), _))
+    else Seq(new Path(vdir, "data"))
+  }
+
+  private def isComplete(key: String, vdir: Path): Boolean =
+    fs.exists(new Path(vdir, "meta.json")) &&
+      slicesOf(key, vdir).forall(s => fs.exists(new Path(s, "_SUCCESS")))
 
   private def writeSmall(p: Path, s: String): Unit = {
     val out = fs.create(p, true)
@@ -96,35 +137,75 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
       if (fs.exists(currentPtr(key))) {
         val name = readSmall(currentPtr(key)).trim
         parseVersion(name).map(n => (n, new Path(kd, name)))
-          .filter { case (_, p) => isComplete(p) }
+          .filter { case (_, p) => isComplete(key, p) }
       } else None
     fromPtr.orElse {
       fs.listStatus(kd).toSeq
         .flatMap(s => parseVersion(s.getPath.getName).map(_ -> s.getPath))
-        .filter { case (_, p) => isComplete(p) }
+        .filter { case (_, p) => isComplete(key, p) }
         .sortBy(-_._1)
         .headOption
+    }
+  }
+
+  private def nextSliceNum(key: String): Long = {
+    val kd = keyDir(key)
+    if (!fs.exists(kd)) 0L
+    else fs.listStatus(kd).toSeq
+      .flatMap(s => parseSlice(s.getPath.getName))
+      .maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** Commit `slices` + meta as version `next`, swap the pointer, then
+    * GC version dirs other than `next` and slice dirs the new manifest
+    * does not reference. Everything the OLD version reads stays on
+    * disk until the new pointer is live.
+    */
+  private def commitVersion(key: String, next: Long, slices: Seq[String],
+                            metaJson: String): Unit = {
+    val vdir = new Path(keyDir(key), versionName(next))
+    writeSmall(manifestPath(vdir), slices.mkString("\n"))
+    writeSmall(new Path(vdir, "meta.json"), metaJson)
+    val tmp = new Path(keyDir(key), "CURRENT.tmp")
+    writeSmall(tmp, versionName(next))
+    if (fs.exists(currentPtr(key))) fs.delete(currentPtr(key), false)
+    fs.rename(tmp, currentPtr(key))
+    val keep = slices.toSet
+    fs.listStatus(keyDir(key)).foreach { s =>
+      val name = s.getPath.getName
+      val stray = parseVersion(name).exists(_ != next) ||
+        (parseSlice(name).isDefined && !keep.contains(name))
+      if (stray) fs.delete(s.getPath, true)
     }
   }
 
   override def putEntry(key: String, df: DataFrame, metaJson: String): Unit = {
     val prev = resolve(key)
     val next = prev.map(_._1 + 1).getOrElse(0L)
-    val vdir = new Path(keyDir(key), versionName(next))
-    // an incremental refresh WRITES a plan that READS the current
-    // version (cached ∪ fresh) — the new version is fully materialized
-    // into a fresh directory before the old one is dropped
-    df.write.mode("overwrite").parquet(new Path(vdir, "data").toString)
-    writeSmall(new Path(vdir, "meta.json"), metaJson)
-    val tmp = new Path(keyDir(key), "CURRENT.tmp")
-    writeSmall(tmp, versionName(next))
-    if (fs.exists(currentPtr(key))) fs.delete(currentPtr(key), false)
-    fs.rename(tmp, currentPtr(key))
-    fs.listStatus(keyDir(key)).foreach { s =>
-      if (parseVersion(s.getPath.getName).exists(_ != next))
-        fs.delete(s.getPath, true)
-    }
+    val slice = sliceName(nextSliceNum(key))
+    // a full-rewrite plan may READ the current version (cached ∪
+    // fresh) — the new slice is fully materialized before any slice
+    // the old version references is dropped
+    df.write.mode("overwrite").parquet(new Path(keyDir(key), slice).toString)
+    commitVersion(key, next, Seq(slice), metaJson)
   }
+
+  override def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit =
+    resolve(key) match {
+      case None => putEntry(key, tail, metaJson)
+      case Some((_, vdir)) if !fs.exists(manifestPath(vdir)) =>
+        // legacy full-dir entry: one-time O(total) migration rewrite
+        putEntry(key, getData(key).get.unionByName(tail), metaJson)
+      case Some((cur, vdir)) =>
+        val prevSlices = slicesOf(key, vdir).map(_.getName)
+        if (prevSlices.size + 1 > compactThreshold)
+          putEntry(key, getData(key).get.unionByName(tail), metaJson)
+        else {
+          val slice = sliceName(nextSliceNum(key))
+          tail.write.mode("overwrite").parquet(new Path(keyDir(key), slice).toString)
+          commitVersion(key, cur + 1, prevSlices :+ slice, metaJson)
+        }
+    }
 
   override def putMeta(key: String, json: String): Unit =
     resolve(key).foreach { case (_, vdir) =>
@@ -140,7 +221,7 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
 
   override def getData(key: String): Option[DataFrame] =
     resolve(key).map { case (_, p) =>
-      spark.read.parquet(new Path(p, "data").toString)
+      spark.read.parquet(slicesOf(key, p).map(_.toString): _*)
     }
 
   override def getMeta(key: String): Option[String] =
@@ -159,12 +240,14 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
   }
 
   /** Garbage-collect crash debris across ALL keys: version dirs other
-    * than each key's committed version (a `putEntry` interrupted before
-    * its pointer swap strands a full `v-*`; one interrupted during
-    * step (3) strands older complete versions), leftover `CURRENT.tmp`
-    * files, and key dirs with no complete version at all. Idempotent;
-    * committed entries and pointers are never touched, so concurrent
-    * readers are unaffected. Returns how many paths were removed.
+    * than each key's committed version (a commit interrupted before
+    * its pointer swap strands a `v-*`; one interrupted during GC
+    * strands older complete versions), slice dirs the committed
+    * manifest does not reference (an `appendEntry` interrupted after
+    * its tail write), leftover `CURRENT.tmp` files, and key dirs with
+    * no complete version at all. Idempotent; committed entries and
+    * pointers are never touched, so concurrent readers are unaffected.
+    * Returns how many paths were removed.
     */
   def vacuum(): Int = {
     val d = new Path(dir)
@@ -173,12 +256,16 @@ class ParquetCacheProvider(spark: SparkSession, dir: String) extends CacheProvid
     fs.listStatus(d).filter(_.isDirectory).foreach { kd =>
       val key = kd.getPath.getName
       resolve(key) match {
-        case Some((keepV, _)) =>
+        case Some((keepV, keepDir)) =>
+          val keepSlices = slicesOf(key, keepDir).map(_.getName).toSet
           fs.listStatus(kd.getPath).foreach { s =>
             val name = s.getPath.getName
             val stray = parseVersion(name) match {
               case Some(v) => v != keepV
-              case None => name == "CURRENT.tmp"
+              case None => parseSlice(name) match {
+                case Some(_) => !keepSlices.contains(name)
+                case None => name == "CURRENT.tmp"
+              }
             }
             if (stray) { fs.delete(s.getPath, true); removed += 1 }
           }
@@ -205,6 +292,14 @@ class MemoryCacheProvider extends CacheProvider {
     // only then drop the previous entry — the new plan may READ it
     entries.put(key, (cached, metaJson)).foreach(_._1.unpersist())
   }
+  /** In-memory append re-persists cached ∪ tail — the union reads the
+    * previous entry's persisted blocks, not the source, so the churn is
+    * memory-to-memory. O(tail) durable appends are the parquet
+    * provider's job.
+    */
+  override def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit =
+    putEntry(key, getData(key).map(_.unionByName(tail)).getOrElse(tail), metaJson)
+
   override def putMeta(key: String, json: String): Unit =
     entries.updateWith(key)(_.map { case (df, _) => (df, json) })
   override def getData(key: String): Option[DataFrame] = entries.get(key).map(_._1)
@@ -307,6 +402,13 @@ class QueryCacheManager(provider: CacheProvider,
   def setCachedData(table: String, df: DataFrame, meta: CachedQueryMetadata,
                     cacheKey: Option[String] = None): Unit =
     provider.putEntry(entryKey(table, cacheKey), df, CachedQueryMetadata.toJson(meta))
+
+  /** Append-commit: only `tail` leaves the cluster — see
+    * [[CacheProvider.appendEntry]] for the O(tail) refresh contract.
+    */
+  def appendCachedData(table: String, tail: DataFrame, meta: CachedQueryMetadata,
+                       cacheKey: Option[String] = None): Unit =
+    provider.appendEntry(entryKey(table, cacheKey), tail, CachedQueryMetadata.toJson(meta))
 
   def getMetadata(table: String, cacheKey: Option[String] = None): Option[CachedQueryMetadata] =
     provider.getMeta(entryKey(table, cacheKey)).flatMap(CachedQueryMetadata.fromJson)

@@ -56,9 +56,21 @@ object ScaleSoak {
       df.withColumn("l_orderkey", col("l_orderkey") + o))
     copies("events")((df, o) => // ts stays INT64 nanos; tie-break id offset
       df.withColumn("event_id", col("event_id") + o))
-    copies("documents")((df, o) =>
+    copies("documents") { (df, o) =>
+      // decorrelate copies TEXTUALLY, not just by a trailing token: tag
+      // every word with the copy index so cross-copy shingle sets are
+      // disjoint. A trailing "uniq" suffix leaves copies of one base
+      // doc ~identical under 3-shingle Jaccard — every base doc becomes
+      // a 2·factor-clique and the near-dup pair OUTPUT grows Θ(f²) by
+      // definition (measured: 6k/34k/154k/654k candidates at 1/2/4/8×,
+      // >99.99% verifying as TRUE pairs — output-bound, not hot
+      // buckets). Within a copy the query-time mutation still yields
+      // one injected near-dup per doc, so true pairs grow linearly.
+      val k = o / Off
       df.withColumn("doc_id", col("doc_id") + o)
-        .withColumn("text", concat(col("text"), lit(s" uniq$o"))))
+        .withColumn("text", array_join(
+          expr(s"transform(split(text, ' '), w -> concat(w, '_$k'))"), " "))
+    }
     copies("embeddings") { (df, o) =>
       // geometry-preserving decorrelation: circular-rotate components
       // by the copy index. Within a copy all cosines are unchanged
@@ -75,6 +87,104 @@ object ScaleSoak {
   }
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Incremental-cache soak: initial load of the oldest ~99% of events
+    * vs a refresh that pulls only the newest ~1% tail past the
+    * watermark (reference enhanced_query_service.py:305). With the
+    * slice-append provider the refresh writes O(tail); its curve must
+    * track the TAIL as volume grows, not the cached total.
+    */
+  private def cacheSoakSection(spark: SparkSession, work: String): String = {
+    import graft.cache._
+    val rows = factors.map { f =>
+      val full = s"$work/x$f"
+      val headDir = s"$work/cachehead_x$f"
+      val raw = spark.read.parquet(s"$full/events.parquet") // ts = raw INT64 nanos
+      if (!Files.exists(Paths.get(headDir, "events.parquet"))) {
+        Files.createDirectories(Paths.get(headDir))
+        val Array(b) = raw.stat.approxQuantile("ts", Array(0.99), 1e-4)
+        raw.filter(col("ts") <= lit(b.toLong))
+          .write.mode("overwrite").parquet(s"$headDir/events.parquet")
+      }
+      val mgr = new QueryCacheManager(
+        new ParquetCacheProvider(spark, s"$work/cachestore_x$f"))
+      mgr.clearCache()
+      val headRows = spark.read.parquet(s"$headDir/events.parquet").count()
+      val (r1, tInit) = timed(new CachedQueryService(spark, headDir, mgr)
+        .queryWithCaching("events", limit = headRows.toInt, timeCol = Some("ts"),
+          selectedConversions = Some(Map.empty)))
+      val (r2, tRefresh) = timed(new CachedQueryService(spark, full, mgr)
+        .queryWithCaching("events", timeCol = Some("ts"),
+          selectedConversions = Some(Map.empty)))
+      require(r2.isIncremental && r2.newRows > 0, "refresh must be an incremental pull")
+      println(f"CACHESOAK x$f init=${tInit}%.2fs (${r1.rowCount} rows) " +
+        f"refresh=${tRefresh}%.2fs (${r2.newRows} new)")
+      Console.out.flush()
+      f"| ${f}x | ${r1.rowCount} | $tInit%.2f | ${r2.newRows} | $tRefresh%.2f |\n"
+    }
+    "\n## Incremental cache: initial load vs 1%-tail refresh\n\n" +
+      "Parquet-backed `CachedQueryService` on the scaled `events` table:\n" +
+      "initial load caches the oldest ~99% of rows; the refresh pulls only\n" +
+      "rows past the stored watermark and slice-APPENDS them (O(tail)\n" +
+      "write). Scale-sane = the initial column grows with volume while the\n" +
+      "refresh column tracks the 1% tail.\n\n" +
+      "| factor | cached rows | initial (s) | tail rows | refresh (s) |\n" +
+      "|---|---|---|---|---|\n" + rows.mkString
+  }
+
+  /** MinHash LSH candidate profile: is d_dedup_minhash_pairs' soak
+    * curve candidate-bound (hot buckets exploding super-linearly) or
+    * output-bound (candidates track the injected near-dups)? Counts
+    * band-bucket occupancy and candidate pairs at each volume step,
+    * using the exact bench corpus/params (k=3, 32 perms, 8 bands).
+    */
+  private def minhashProfileSection(spark: SparkSession, work: String): String = {
+    import graft.dedup.Dedup
+    val rows = factors.map { f =>
+      val docs = graft.core.Tables.documents(spark, s"$work/x$f")
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(mutated)
+      val nDocs = corpus.count()
+      val sh = Dedup.shingles(corpus, 3)
+        .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      val withSig = sh.withColumn("sig",
+        graft.functions.Hashes.minhash_sig(col("hs"), 32))
+      val buckets = Dedup.lshBuckets(withSig, 32, 8)
+      val occ = buckets.groupBy("band_id", "band_hash").count()
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).as("hot"), max("count").as("mx"),
+          sum(expr("count * (count - 1) / 2")).as("raw"))
+        .head()
+      val (hot, mx, raw) = (occ.getLong(0), occ.getLong(1), occ.getDouble(2).toLong)
+      val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      val b = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+      val cand = a.join(b, Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().count()
+      val verified = Dedup.minhashNearDups(corpus, 3, 32, 8, 0.5).count()
+      println(s"MINHASHPROF x$f docs=$nDocs hot=$hot max=$mx raw=$raw " +
+        s"cand=$cand verified=$verified")
+      Console.out.flush()
+      s"| ${f}x | $nDocs | $hot | $mx | $raw | $cand | $verified |\n"
+    }
+    "\n## MinHash LSH candidate profile (d_dedup_minhash_pairs corpus)\n\n" +
+      "Band-bucket occupancy at each volume step, same corpus and params\n" +
+      "as the bench query (k=3 shingles, 32 perms, 8 bands, one injected\n" +
+      "near-dup per doc). `raw cand` = Σ c·(c−1)/2 over buckets with c>1\n" +
+      "(pairs entering the candidate join before distinct); candidate and\n" +
+      "verified counts growing ~linearly with docs = output-bound\n" +
+      "(scale-sane); a super-linear `raw cand` column = hot buckets.\n\n" +
+      "| factor | docs | buckets c>1 | max bucket | raw cand | distinct cand | verified |\n" +
+      "|---|---|---|---|---|---|---|\n" + rows.mkString
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -128,6 +238,8 @@ object ScaleSoak {
       sb.append("| " + q + " |" + r.map(t => f" $t%.2f |").mkString +
         f" ${r.last / r.head}%.1f |\n")
     }
+    sb.append(cacheSoakSection(spark, work))
+    sb.append(minhashProfileSection(spark, work))
     Files.write(Paths.get(outMd), sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"wrote $outMd")
     spark.stop()

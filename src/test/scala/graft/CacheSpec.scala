@@ -104,6 +104,63 @@ class CacheSpec extends SparkSpec {
     assert(keyDir.listFiles().count(_.getName.startsWith("v-")) == 1)
   }
 
+  test("parquet provider: appendEntry writes only the tail slice; putEntry compacts") {
+    val cacheDir = Files.createTempDirectory("graft-cache-append").toString
+    val prov = new ParquetCacheProvider(spark, cacheDir)
+    prov.putEntry("t", eventsDf(10), """{"m":1}""")
+    val keyDir = new java.io.File(cacheDir).listFiles().filter(_.isDirectory).head
+    def slices = keyDir.listFiles().filter(_.getName.startsWith("slice-")).sortBy(_.getName)
+    assert(slices.length == 1)
+    val initialFiles = slices.head.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    prov.appendEntry("t", eventsDf(15).filter(col("id") > 10), """{"m":2}""")
+    // the tail landed as a SECOND slice; the initial slice's parquet
+    // files were not rewritten — the O(tail) contract
+    assert(slices.length == 2)
+    assert(slices.head.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      == initialFiles)
+    assert(spark.read.parquet(slices.last.getPath).count() == 5) // tail only
+    assert(prov.getData("t").exists(_.count() == 15)) // union reads all slices
+    assert(prov.getMeta("t").contains("""{"m":2}"""))
+    // appended entry survives pointer loss like any committed version
+    assert(new java.io.File(keyDir, "CURRENT").delete())
+    assert(prov.getData("t").exists(_.count() == 15))
+
+    // a full rewrite is the compactor: back to one slice
+    prov.putEntry("t", prov.getData("t").get.filter(col("id") <= 12), """{"m":3}""")
+    assert(slices.length == 1)
+    assert(prov.getData("t").exists(_.count() == 12))
+  }
+
+  test("parquet provider: appendEntry self-compacts at the slice threshold") {
+    val cacheDir = Files.createTempDirectory("graft-cache-compact").toString
+    val prov = new ParquetCacheProvider(spark, cacheDir, compactThreshold = 3)
+    prov.putEntry("t", eventsDf(2), """{"m":1}""")
+    prov.appendEntry("t", eventsDf(4).filter(col("id") > 2), """{"m":2}""")
+    prov.appendEntry("t", eventsDf(6).filter(col("id") > 4), """{"m":3}""")
+    val keyDir = new java.io.File(cacheDir).listFiles().filter(_.isDirectory).head
+    def nSlices = keyDir.listFiles().count(_.getName.startsWith("slice-"))
+    assert(nSlices == 3)
+    // a 4th slice would exceed the threshold → this append compacts
+    prov.appendEntry("t", eventsDf(8).filter(col("id") > 6), """{"m":4}""")
+    assert(nSlices == 1)
+    assert(prov.getData("t").exists(_.count() == 8))
+    assert(prov.getMeta("t").contains("""{"m":4}"""))
+  }
+
+  test("parquet provider: vacuum removes a stranded append slice, keeps referenced ones") {
+    val cacheDir = Files.createTempDirectory("graft-cache-strand").toString
+    val prov = new ParquetCacheProvider(spark, cacheDir)
+    prov.putEntry("t", eventsDf(3), """{"m":1}""")
+    prov.appendEntry("t", eventsDf(5).filter(col("id") > 3), """{"m":2}""")
+    // an appendEntry interrupted after its tail write strands a slice
+    // no manifest references
+    eventsDf(1).write.parquet(s"$cacheDir/t/slice-${"%010d".format(9)}")
+    assert(prov.vacuum() == 1)
+    assert(prov.getData("t").exists(_.count() == 5)) // both committed slices intact
+    assert(prov.vacuum() == 0)
+  }
+
   test("parquet-backed queryWithCaching: initial, incremental, no-new-data") {
     val srcDir = Files.createTempDirectory("graft-cache-src").toString
     val cacheDir = Files.createTempDirectory("graft-cache-store").toString
@@ -127,6 +184,9 @@ class CacheSpec extends SparkSpec {
     val want = eventsDf(15).select("id", "name").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
     assert(got.sortBy(_._1) == want)
+    // the refresh APPENDED a tail slice instead of rewriting the cache
+    assert(new java.io.File(cacheDir).listFiles().filter(_.isDirectory).head
+      .listFiles().count(_.getName.startsWith("slice-")) == 2)
 
     // third call: nothing past the watermark → cached result, 0 new
     val r3 = svc.queryWithCaching("t", timeCol = Some("ts"))
