@@ -10,7 +10,7 @@ import graft.mm.Multimodal
 import graft.ops.{TableStats, TimeBucketAgg, TypeInference}
 import graft.queries.Analytics
 import graft.sim.Similarity
-import graft.sync.{SyncOps, TypeMapper}
+import graft.sync.{PartitionedSync, SyncOps, TypeMapper}
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -40,6 +40,30 @@ object SparkEntry {
       SyncOps.dedupKeepLast(Tables.events(s, d), Seq("user_id", "event_type"),
         "ts", "event_id")
         .select(eventCols.map(col): _*).orderBy("user_id", "event_type")),
+    "q_merge_partitioned" -> ((s, d) => {
+      // year-partitioned sync target (PartitionedSync): orders before
+      // 2000 full-sync; the tail (>= 2000) plus UPDATED versions of
+      // some pre-1996 keys (o_orderkey % 97 == 0, bumped to 2002)
+      // merge incrementally — only partitions receiving fresh rows
+      // (2000/2001/2002) or holding stale versions (1995) rewrite;
+      // 1996-1999 stay byte-identical on disk.
+      val orders = Tables.orders(s, d)
+      val bucket = date_format(col("o_orderdate"), "yyyy")
+      val base = orders.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      val updates = base
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+          col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderdate", lit("2002-01-01 00:00:00").cast("timestamp"))
+        .withColumn("o_orderpriority", lit("UPDATED"))
+      val fresh = orders
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .unionByName(updates)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pmerge_${d.hashCode.toHexString}"
+      PartitionedSync.writeFull(base, bucket, path)
+      PartitionedSync.mergeIncremental(s, path, fresh,
+        Seq("o_orderkey"), "o_orderdate", "o_orderkey", bucket)
+      PartitionedSync.read(s, path).orderBy("o_orderkey")
+    }),
     "q_merge_incremental" -> ((s, d) => {
       val ev = Tables.events(s, d)
       SyncOps.mergeSlices(
@@ -299,6 +323,24 @@ object SparkEntry {
         |  SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events e) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_merge_partitioned" ->
+      """WITH base AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         TIMESTAMP '2002-01-01 00:00:00' AS o_orderdate,
+        |         'UPDATED' AS o_orderpriority
+        |  FROM base
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND o_orderkey % 97 = 0),
+        |fresh AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  UNION ALL SELECT * FROM updates),
+        |merged AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM fresh) u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM merged WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "q_merge_incremental" ->
       """SELECT * FROM (
         |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
