@@ -1,7 +1,7 @@
 package graft.sync
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Engine-side sync orchestration: one cycle per configured table.
@@ -80,6 +80,50 @@ class SyncRunner(spark: SparkSession,
         } else {
           writeTarget(cfg, src)
           if (cfg.hasTimeColumn) advanceWatermark(cfg)
+          target(cfg).count()
+        }
+      log.logComplete(entry, rows)
+    } catch {
+      case e: Throwable =>
+        log.logFailure(entry, Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
+  }
+
+  /** [[syncTable]] with a partition-pruned target ([[PartitionedSync]]):
+    * the full sync writes the `bucket`-partitioned layout; incremental
+    * merges rewrite ONLY partitions receiving fresh rows or holding a
+    * stale version of a fresh key — the 100 TB path, where
+    * [[syncTable]]'s whole-table rewrite would dominate every cycle.
+    * Requires a time column (the bucket derives from it). Read the
+    * result via [[PartitionedSync.read]] (the partition column is an
+    * implementation detail). Watermark advances only after a
+    * successful merge; a crash mid-overwrite replays idempotently.
+    */
+  def syncTablePartitioned(cfg: TableConfig, bucket: Column): SyncLogEntry = {
+    require(cfg.hasTimeColumn,
+      s"partitioned sync needs a time column on ${cfg.targetTable}")
+    val tc = cfg.timeColumn.get
+    val incremental = state.loadWatermark(cfg.targetTable).isDefined && targetExists(cfg)
+    val entry = log.logStart(cfg.targetTable,
+      if (incremental) "incremental" else "full")
+    try {
+      val src = source(cfg)
+      val rows =
+        if (incremental) {
+          val wm = state.loadWatermark(cfg.targetTable).get
+          // filter only — no order; the merge's keep-latest window
+          // neither needs nor keeps a pre-sort
+          val fresh = src.filter(
+            col(tc) > lit(wm).cast(src.schema(tc).dataType))
+          val stats = PartitionedSync.mergeIncremental(spark,
+            targetPath(cfg), fresh, Seq(cfg.primaryKey), tc,
+            cfg.primaryKey, bucket)
+          if (stats.freshRows > 0) advanceWatermark(cfg)
+          stats.freshRows
+        } else {
+          PartitionedSync.writeFull(src, bucket, targetPath(cfg))
+          advanceWatermark(cfg)
           target(cfg).count()
         }
       log.logComplete(entry, rows)

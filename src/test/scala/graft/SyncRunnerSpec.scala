@@ -82,6 +82,49 @@ class SyncRunnerSpec extends SparkSpec {
       Seq("incremental", "incremental", "full"))
   }
 
+  test("partitioned sync: full then incremental rewrites only affected partitions") {
+    val srcDir = Files.createTempDirectory("graft-psr-src").toString
+    val tgtDir = Files.createTempDirectory("graft-psr-tgt").toString
+    val state = new StateStore(spark, Files.createTempDirectory("psr-st").toString)
+    val log = new SyncLogRepo(spark, Files.createTempDirectory("psr-lg").toString)
+    val runner = new SyncRunner(spark,
+      cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
+      tgtDir, state, log)
+    val cfg = TableConfig("S", "t", "t_part", "id", timeColumn = Some("updated_at"))
+    val bucket = date_format(col("updated_at"), "yyyy-MM")
+    def df(rs: (Long, String, String)*) = rs.map { case (i, ts, v) =>
+      (i, Timestamp.valueOf(ts), v)
+    }.toDF("id", "updated_at", "payload")
+
+    df((1, "2024-01-10 00:00:00", "a"), (2, "2024-02-10 00:00:00", "b"),
+       (3, "2024-03-10 00:00:00", "c"))
+      .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = runner.syncTablePartitioned(cfg, bucket)
+    assert(r1.syncType == "full" && r1.status == "completed" && r1.totalRows == 3)
+    assert(state.loadWatermark("t_part").exists(_.startsWith("2024-03-10")))
+    val partDir = new java.io.File(s"$tgtDir/t_part.parquet", "__part=2024-02")
+    val before = partDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    // source gains a 2024-04 row AND moves id=1 forward (stale version
+    // in 2024-01 must vanish; 2024-02/03 stay byte-identical)
+    df((1, "2024-01-10 00:00:00", "a"), (2, "2024-02-10 00:00:00", "b"),
+       (3, "2024-03-10 00:00:00", "c"),
+       (4, "2024-04-05 00:00:00", "d"), (1, "2024-04-06 00:00:00", "a2"))
+      .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = runner.syncTablePartitioned(cfg, bucket)
+    assert(r2.syncType == "incremental" && r2.totalRows == 2)
+    assert(partDir.listFiles().map(f => f.getName -> f.lastModified()).toMap == before)
+    val got = PartitionedSync.read(spark, s"$tgtDir/t_part.parquet")
+      .select("id", "payload").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(state.loadWatermark("t_part").exists(_.startsWith("2024-04-06")))
+
+    // nothing new: zero-row incremental, watermark unchanged
+    val r3 = runner.syncTablePartitioned(cfg, bucket)
+    assert(r3.syncType == "incremental" && r3.totalRows == 0)
+    assert(state.loadWatermark("t_part").exists(_.startsWith("2024-04-06")))
+  }
+
   test("testSync: row-limited, watermark untouched, next full sync unaffected") {
     val srcDir = Files.createTempDirectory("graft-test-src").toString
     val tgtDir = Files.createTempDirectory("graft-test-tgt").toString
