@@ -277,6 +277,32 @@ object SparkEntry {
         .withColumn("fp_rolling", Hashes.rolling_hash(col("text")))
         .withColumn("fp_simhash", Hashes.simhash64(split(col("text"), " ")))
         .select("doc_id", "fp_rolling", "fp_simhash").orderBy("doc_id")),
+    "d_pii_redact" -> ((s, d) => {
+      // the corpus is synthetic word-salad with no PII, so inject a
+      // deterministic email/phone/SSN/IP per doc (derived from doc_id)
+      // and scrub it — the oracle performs the identical injection
+      val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val withPii = Tables.documents(s, d).withColumn("text", concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        id4, lit(" ssn 123-45-"), id4,
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      TextAnalysis.redactPii(withPii).select("doc_id", "text").orderBy("doc_id")
+    }),
+    "d_decontaminate" -> ((s, d) => {
+      // eval set = docs 0-19; corpus = docs 20+ plus LEAKED verbatim
+      // copies of every 5th eval doc (id + 20000) — those must flag
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+      val leaked = evalSet.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select("doc_id", "text").unionByName(leaked)
+      TextAnalysis.decontaminate(corpus, evalSet, 8)
+    }),
+    "d_pack_sequences" -> ((s, d) =>
+      graft.pipeline.Curation.packSequences(Tables.documents(s, d),
+        maxTokens = 512, blockSize = 100)),
     "m_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))
@@ -668,6 +694,35 @@ object SparkEntry {
         |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS DOUBLE)
         |    / (greatest(len(string_split(text, ' ')) - 3, 0) + 1), 6) AS dup_3gram_frac
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_decontaminate" ->
+      """WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM eval_docs WHERE doc_id % 5 = 0),
+        |eg AS (
+        |  SELECT DISTINCT array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM eval_docs) w,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i) t),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) w,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i) t)
+        |SELECT cg.doc_id, count(*) AS n_contaminated_grams
+        |FROM cg JOIN eg USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

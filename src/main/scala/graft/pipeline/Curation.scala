@@ -61,4 +61,60 @@ object Curation {
     sampled.select(col(idCol), col(textCol), col("pred_lang"), col("quality"))
       .orderBy(idCol)
   }
+
+  /** Sequence packing — assemble curated documents into training
+    * sequences of at most `maxTokens` whitespace tokens (the
+    * fill-the-context-window step between curation and tokenization).
+    *
+    * Semantics: first-fit CONTIGUOUS in `idCol` order — walk documents
+    * ascending, open a new bin when the next document would overflow
+    * `maxTokens`; a single document larger than `maxTokens` gets a bin
+    * of its own. Bins never cross `blockSize`-wide id blocks, so the
+    * fold is embarrassingly parallel at the price of at most one
+    * underfull bin per block (negligible for blockSize ≫ docs/bin).
+    *
+    * Spark shape: greedy packing is a sequential fold, but it is a
+    * fold over a BOUNDED block — one groupBy shuffle of (id, n_tokens)
+    * pairs, then `array_sort` + the `aggregate` higher-order function
+    * run the fold inside codegen. No mapPartitions, no driver loop,
+    * deterministic on any cluster layout. Per-block state is
+    * ≤ `blockSize` 16-byte structs, far under executor memory.
+    *
+    * Returns (idCol, n_tokens, bin_id), bin_id globally unique and
+    * deterministic: block * 2^32 + bin-within-block.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+                    blockSize: Long = 100000,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(blockSize >= 1 && blockSize <= (1L << 32),
+      s"blockSize must be in [1, 2^32], got $blockSize")
+    val toks = docs.select(
+      col(idCol),
+      (col(idCol) / blockSize).cast("long").as("__block"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val packed = toks.groupBy("__block")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("n_tokens").as("tok")))).as("ds"))
+      .withColumn("assign", expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct('bin', 0L, 'used', 0L,
+           |    'out', cast(array() as array<struct<id:bigint,tok:bigint,bin:bigint>>)),
+           |  (acc, d) -> if(acc.used + d.tok > ${maxTokens}L and acc.used > 0L,
+           |    named_struct('bin', acc.bin + 1L, 'used', d.tok,
+           |      'out', array_append(acc.out,
+           |        named_struct('id', d.id, 'tok', d.tok, 'bin', acc.bin + 1L))),
+           |    named_struct('bin', acc.bin, 'used', acc.used + d.tok,
+           |      'out', array_append(acc.out,
+           |        named_struct('id', d.id, 'tok', d.tok, 'bin', acc.bin)))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("__block"), explode(col("assign")).as("a"))
+    packed.select(
+      col("a.id").as(idCol),
+      col("a.tok").as("n_tokens"),
+      (col("__block") * (1L << 32) + col("a.bin")).as("bin_id"))
+      .orderBy(idCol)
+  }
 }

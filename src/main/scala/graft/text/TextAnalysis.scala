@@ -92,6 +92,51 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
   }
 
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything else ships: emails, phone numbers, SSN-shaped ids, and
+    * IPv4 addresses replaced with typed placeholders. Chained
+    * codegen'd `regexp_replace` — one narrow map, zero shuffle, and
+    * the patterns are dialect-portable (same regexes run in the
+    * DuckDB oracle). Order matters and is part of the contract:
+    * emails first (they contain digits and dots), then phones (the
+    * leading `+` disambiguates them from SSNs), then SSNs, then IPs.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val steps = Seq(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+      "\\+\\d{1,2}-\\d{3}-\\d{4}" -> "<PHONE>",
+      "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+    docs.withColumn(textCol, steps.foldLeft(col(textCol)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    })
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one word `n`-gram with an evaluation set, with the overlap count
+    * (the 13-gram check of GPT-3 appendix C / PaLM, here over word
+    * shingles). Returns (id, n_contaminated_grams), ordered.
+    *
+    * Scale shape: the EVAL side is small by definition (benchmarks are
+    * MBs) — its distinct gram hashes broadcast; the corpus side is one
+    * narrow shingle map + explode, so the join is broadcast-hash with
+    * ZERO corpus shuffle before the per-doc partial count. Grams ride
+    * as xxhash64 longs, never strings (~2^-64 collision, the same
+    * convention as MinHash verification).
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) =
+      graft.dedup.Dedup.shingles(df, n, textCol)
+        .select(cols :+ explode(expr("transform(shingles, g -> xxhash64(g))")).as("gh"): _*)
+    val evalGrams = grams(evalDocs).distinct()
+    grams(docs, col(idCol))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

@@ -35,4 +35,51 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  private def tokDocs(rs: (Long, Int)*) =
+    rs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+
+  test("packSequences: first-fit contiguous greedy, oversize doc gets its own bin") {
+    // token counts 4,4,4,9,12,1 with maxTokens=10:
+    //   bin0={1,2} (8), bin1={3} (4+9 would overflow), bin2={4} (9),
+    //   bin3={5} (12 - oversize, own bin), bin4={6} (12+1 overflows)
+    val got = Curation.packSequences(
+      tokDocs((1L, 4), (2L, 4), (3L, 4), (4L, 9), (5L, 12), (6L, 1)),
+      maxTokens = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 0L), (2L, 4L, 0L), (3L, 4L, 1L),
+      (4L, 9L, 2L), (5L, 12L, 3L), (6L, 1L, 4L)))
+  }
+
+  test("packSequences: bins never cross id blocks; bin ids encode the block") {
+    val B = 1L << 32
+    val got = Curation.packSequences(
+      tokDocs((1L, 4), (2L, 4), (3L, 4), (4L, 9), (5L, 12), (6L, 1)),
+      maxTokens = 10, blockSize = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // block 0 = ids {1,2,3}: bin0={1,2}, bin1={3}
+    // block 1 = ids {4,5,6}: bin0={4}, bin1={5}, bin2={6}
+    assert(got == Seq((1L, 4L, 0L), (2L, 4L, 0L), (3L, 4L, 1L),
+      (4L, 9L, B), (5L, 12L, B + 1), (6L, 1L, B + 2)))
+  }
+
+  test("packSequences is deterministic under repartitioning and fills bins") {
+    val input = tokDocs((1L to 200L).map(i => (i, (i % 7 + 1).toInt)): _*)
+    val a = Curation.packSequences(input, maxTokens = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Curation.packSequences(input.repartition(13), maxTokens = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // every bin holds <= maxTokens unless it is a single oversize doc
+    val byBin = a.groupBy(_._3).values
+    byBin.foreach(ds => assert(ds.map(_._2).sum <= 16 || ds.size == 1))
+    // greedy invariant: no bin could absorb its successor's first doc
+    val bins = a.groupBy(_._3).toSeq.sortBy(_._1).map(_._2.sortBy(_._1))
+    bins.sliding(2).foreach {
+      case Seq(cur, nxt) =>
+        assert(cur.map(_._2).sum + nxt.head._2 > 16)
+      case _ =>
+    }
+  }
 }

@@ -63,6 +63,34 @@ class TextMmSpec extends SparkSpec {
     assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
   }
 
+  test("redactPii replaces emails, phones, SSNs, IPs with typed placeholders") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org then +1-555-0042 ssn 123-45-6789 host 10.0.3.1 end"),
+      (2L, "no pii here"),
+      (3L, "version 1.2.3.4 is an ip-shaped string"), // documented false positive
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.redactPii(df).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "mail <EMAIL> then <PHONE> ssn <SSN> host <IP> end")
+    assert(m(2L) == "no pii here")
+    assert(m(3L) == "version <IP> is an ip-shaped string")
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the eval set, with counts") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),          // shares "alpha beta gamma"
+      (11L, "one two three four five"),       // full leak: 3 distinct 3-grams
+      (12L, "clean text nothing shared"),
+      (13L, "alpha beta gamma alpha beta gamma"), // dup grams count ONCE
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, eval, 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L), (11L, 3L), (13L, 1L)))
+  }
+
   test("resizePlan: aspect-preserving box fit, floor division") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = Multimodal.resizePlan(Multimodal.mediaTable(docs), 128, 96)
