@@ -303,6 +303,8 @@ object SparkEntry {
     "d_pack_sequences" -> ((s, d) =>
       graft.pipeline.Curation.packSequences(Tables.documents(s, d),
         maxTokens = 512, blockSize = 100)),
+    "d_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "m_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))
@@ -723,6 +725,14 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_unigram_logprob" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM words JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -137,6 +137,37 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Unigram log-probability scoring — the CCNet-style LM-quality
+    * proxy: score each document by the mean log P(word) under the
+    * corpus's OWN unigram distribution. Gibberish, OCR noise, and
+    * rare-token spam score low; fluent text tracks the corpus mode.
+    *
+    * Two corpus passes: (1) explode + groupBy builds the unigram
+    * table — vocab-bounded output (Zipf: MBs at any corpus size);
+    * (2) scoring re-explodes and joins the BROADCAST freq table, so
+    * the corpus itself never shuffles — the only wide exchange is the
+    * per-doc partial count/sum.
+    *
+    * Determinism contract: per-word logp rounds to 9 decimals and
+    * sums as exact decimals, so the result is identical on any
+    * partitioning AND reproducible by the SQL oracle (double `ln`
+    * may differ by an ulp across engines; the rounding absorbs it).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total"))
+    words.join(broadcast(freq), "w").crossJoin(broadcast(tot))
+      .withColumn("logp",
+        round(log(col("cnt").cast("double") / col("total")), 9).cast("decimal(30,12)"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

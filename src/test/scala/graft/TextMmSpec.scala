@@ -91,6 +91,23 @@ class TextMmSpec extends SparkSpec {
     assert(got == Seq((10L, 1L), (11L, 3L), (13L, 1L)))
   }
 
+  test("unigramLogProb: hand-computed corpus-unigram scores, partition-invariant") {
+    // corpus: "a a b" + "a c" → freq a=3, b=1, c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    def lp(p: Double) = BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((lp(0.6) * 2 + lp(0.2)) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = ((lp(0.6) + lp(0.2)) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.unigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(got(0)._3 - exp1.toDouble) < 2e-6)
+    assert(math.abs(got(1)._3 - exp2.toDouble) < 2e-6)
+    // deterministic under repartitioning (decimal sum, no double-order drift)
+    val again = TextAnalysis.unigramLogProb(docs.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("resizePlan: aspect-preserving box fit, floor division") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = Multimodal.resizePlan(Multimodal.mediaTable(docs), 128, 96)
