@@ -146,7 +146,13 @@ object Bench {
       val perRunGc = Seq.newBuilder[Long]
       val perRunCompiles = Seq.newBuilder[Long]
       val (ts, fail) = timeRuns(runs,
-        i => tracer.foreach(_.setLabel(s"$name#$i"))) {
+        i => tracer.foreach { t =>
+          // the local property rides each job's submission event (exact
+          // stage attribution); setLabel covers property-less events
+          spark.sparkContext.setLocalProperty(
+            graft.tools.BenchTrace.LabelProp, s"$name#$i")
+          t.setLabel(s"$name#$i")
+        }) {
         val g0 = jvmGcMs()
         val (c0, _) = codegenStats()
         fn(spark, sfDir).count()
@@ -159,7 +165,11 @@ object Bench {
         runMeta ++= ts.zip(perRunGc.result()).zip(perRunCompiles.result()).zipWithIndex.map {
           case (((w, g), c), i) => (s"$name#$i", w, g, c)
         }
-      tracer.foreach(_.setLabel(s"_settle_after_$name"))
+      tracer.foreach { t =>
+        spark.sparkContext.setLocalProperty(
+          graft.tools.BenchTrace.LabelProp, s"_settle_after_$name")
+        t.setLabel(s"_settle_after_$name")
+      }
       // settle: collect this query's garbage on its own time, not the next's
       System.gc()
       Thread.sleep(200)

@@ -247,11 +247,20 @@ class ParquetCacheProvider(spark: SparkSession, dir: String,
     * its tail write), leftover `CURRENT.tmp` files, and key dirs with
     * no complete version at all. Idempotent; committed entries and
     * pointers are never touched, so concurrent readers are unaffected.
-    * Returns how many paths were removed.
+    *
+    * Concurrent WRITERS are protected by `graceMillis` (default 1 h):
+    * debris younger than the grace window is left alone, because an
+    * unreferenced slice or version may be an IN-FLIGHT commit that has
+    * not swapped its pointer yet — deleting it would make the commit
+    * land a manifest naming a missing slice. Pass 0 only when no
+    * writer can be active. Returns how many paths were removed.
     */
-  def vacuum(): Int = {
+  def vacuum(graceMillis: Long = 3600000L): Int = {
     val d = new Path(dir)
     if (!fs.exists(d)) return 0
+    val cutoff = System.currentTimeMillis() - graceMillis
+    def oldEnough(s: org.apache.hadoop.fs.FileStatus) =
+      s.getModificationTime <= cutoff
     var removed = 0
     fs.listStatus(d).filter(_.isDirectory).foreach { kd =>
       val key = kd.getPath.getName
@@ -267,12 +276,14 @@ class ParquetCacheProvider(spark: SparkSession, dir: String,
                 case None => name == "CURRENT.tmp"
               }
             }
-            if (stray) { fs.delete(s.getPath, true); removed += 1 }
+            if (stray && oldEnough(s)) { fs.delete(s.getPath, true); removed += 1 }
           }
         case None =>
           // no complete version: nothing a reader could resolve — the
-          // whole key dir is debris
-          fs.delete(kd.getPath, true); removed += 1
+          // whole key dir is debris (unless a first commit is in flight)
+          if (oldEnough(fs.getFileStatus(kd.getPath))) {
+            fs.delete(kd.getPath, true); removed += 1
+          }
       }
     }
     removed
@@ -283,8 +294,10 @@ class ParquetCacheProvider(spark: SparkSession, dir: String,
   * `putEntry` swaps the (data, meta) pair under the entry's lock, so
   * in-process readers never observe data paired with stale metadata.
   */
-class MemoryCacheProvider extends CacheProvider {
+class MemoryCacheProvider(compactThreshold: Int = 32) extends CacheProvider {
+  require(compactThreshold >= 1, s"compactThreshold must be >= 1, got $compactThreshold")
   private val entries = TrieMap.empty[String, (DataFrame, String)]
+  private val appendDepth = TrieMap.empty[String, Int]
 
   override def putEntry(key: String, df: DataFrame, metaJson: String): Unit = {
     val cached = df.persist()
@@ -295,19 +308,33 @@ class MemoryCacheProvider extends CacheProvider {
   /** In-memory append re-persists cached ∪ tail — the union reads the
     * previous entry's persisted blocks, not the source, so the churn is
     * memory-to-memory. O(tail) durable appends are the parquet
-    * provider's job.
+    * provider's job. persist() truncates EXECUTION, not the logical
+    * plan: without compaction a long-lived dashboard refreshing every
+    * minute builds an ever-deeper union tree whose re-analysis cost
+    * grows per refresh — every `compactThreshold` appends the plan is
+    * cut back to a leaf with `localCheckpoint` (in-process blocks; fine
+    * for a provider that is by definition single-application).
     */
-  override def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit =
-    putEntry(key, getData(key).map(_.unionByName(tail)).getOrElse(tail), metaJson)
+  override def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit = {
+    val depth = appendDepth.updateWith(key)(d => Some(d.getOrElse(0) + 1)).getOrElse(1)
+    val merged = getData(key).map(_.unionByName(tail)).getOrElse(tail)
+    val stored =
+      if (depth % compactThreshold == 0) merged.localCheckpoint(eager = true)
+      else merged
+    putEntry(key, stored, metaJson)
+  }
 
   override def putMeta(key: String, json: String): Unit =
     entries.updateWith(key)(_.map { case (df, _) => (df, json) })
   override def getData(key: String): Option[DataFrame] = entries.get(key).map(_._1)
   override def getMeta(key: String): Option[String] = entries.get(key).map(_._2)
   override def hasEntry(key: String): Boolean = entries.contains(key)
-  override def delete(key: String): Unit =
+  override def delete(key: String): Unit = {
+    appendDepth.remove(key)
     entries.remove(key).foreach(_._1.unpersist())
+  }
   override def clear(): Unit = {
+    appendDepth.clear()
     entries.values.foreach(_._1.unpersist())
     entries.clear()
   }

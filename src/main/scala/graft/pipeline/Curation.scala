@@ -90,9 +90,16 @@ object Curation {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(blockSize >= 1 && blockSize <= (1L << 32),
       s"blockSize must be in [1, 2^32], got $blockSize")
+    // `div` = exact integral division — `/` on longs is DOUBLE division
+    // in Spark SQL and silently mis-blocks ids above 2^53. Negative ids
+    // would truncate toward zero (merging (-blockSize, blockSize) into
+    // one double-width block), so they fail loudly per-row instead.
+    val block = when(col(idCol) < 0, raise_error(lit(
+      s"packSequences: negative $idCol — block arithmetic requires non-negative ids")))
+      .otherwise(expr(s"CAST($idCol AS BIGINT) div $blockSize"))
     val toks = docs.select(
       col(idCol),
-      (col(idCol) / blockSize).cast("long").as("__block"),
+      block.as("__block"),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
     val packed = toks.groupBy("__block")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),

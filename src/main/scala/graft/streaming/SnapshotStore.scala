@@ -117,11 +117,15 @@ class SnapshotStore(spark: SparkSession, dir: String) {
     * its half-written `snap-*`; step (3) of a crashed commit strands
     * older complete ones) plus a leftover `CURRENT.tmp`. Idempotent;
     * never touches the committed snapshot or the pointer, so readers
-    * are unaffected. Returns how many entries were removed.
+    * are unaffected. `graceMillis` (default 1 h) spares debris young
+    * enough to be an IN-FLIGHT commit that has not swapped its pointer
+    * yet — pass 0 only when no writer can be active. Returns how many
+    * entries were removed.
     */
-  def vacuum(): Int = {
+  def vacuum(graceMillis: Long = 3600000L): Int = {
     if (!fs.exists(root)) return 0
     val keep = resolve().map(_._1)
+    val cutoff = System.currentTimeMillis() - graceMillis
     var removed = 0
     fs.listStatus(root).foreach { s =>
       val name = s.getPath.getName
@@ -129,7 +133,9 @@ class SnapshotStore(spark: SparkSession, dir: String) {
         case Some(id) => !keep.contains(id)
         case None => name == "CURRENT.tmp"
       }
-      if (stray) { fs.delete(s.getPath, true); removed += 1 }
+      if (stray && s.getModificationTime <= cutoff) {
+        fs.delete(s.getPath, true); removed += 1
+      }
     }
     removed
   }

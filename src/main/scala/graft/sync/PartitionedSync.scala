@@ -48,9 +48,22 @@ object PartitionedSync {
       partitionsBefore: Long,
       emptiedPartitions: Seq[String])
 
+  /** `bucket` as a string partition value, failing LOUDLY per-row on
+    * NULL (e.g. a NULL time column): a silent null would land in Hive's
+    * default partition, break the string plumbing of the merge, and its
+    * stale versions could never be located — fail at write time, inside
+    * the same job, at zero extra passes.
+    */
+  private def bucketOrFail(bucket: Column): Column = {
+    val b = bucket.cast("string")
+    when(b.isNull, raise_error(lit(
+      "PartitionedSync: bucket expression evaluated to NULL — " +
+        "filter or default null time values before syncing"))).otherwise(b)
+  }
+
   /** Full (re)write of the target, partitioned by `bucket`. */
   def writeFull(df: DataFrame, bucket: Column, path: String): Unit =
-    df.withColumn(PartCol, bucket.cast("string"))
+    df.withColumn(PartCol, bucketOrFail(bucket))
       .write.partitionBy(PartCol).mode("overwrite").parquet(path)
 
   /** The synced table as a caller sees it (partition column dropped). */
@@ -69,7 +82,7 @@ object PartitionedSync {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(path)), s"no partitioned target at $path — writeFull first")
 
-    val freshP = fresh.withColumn(PartCol, bucket.cast("string"))
+    val freshP = fresh.withColumn(PartCol, bucketOrFail(bucket))
     freshP.persist()
     try {
       val freshRows = freshP.count()

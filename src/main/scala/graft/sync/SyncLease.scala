@@ -14,24 +14,37 @@ import org.apache.spark.sql.SparkSession
   * PID-stamped lock file with a timeout and stale-lock detection.
   *
   * Shape: `storePath/_sync.lease.json` holding
-  * `{"owner": ..., "pid": ..., "acquired_ms": ..., "heartbeat_ms": ...}`.
+  * `{"owner": ..., "pid": ..., "acquired_ms": ...}`. The file content
+  * is IMMUTABLE for the lease's lifetime; the heartbeat is the file's
+  * MODIFICATION TIME, refreshed in place with `setTimes` — renewing
+  * never deletes or renames, so there is no instant at which a live
+  * lease is absent (a delete-then-recreate renew would hand a
+  * concurrent `tryAcquire` a winnable race).
+  *
   *  - acquire: `fs.create(overwrite = false)` — one creator wins; a
   *    live foreign lease (heartbeat younger than `staleMillis`) loses.
-  *  - stale takeover: a heartbeat older than `staleMillis` marks a
-  *    crashed holder; the taker deletes that SPECIFIC lease content and
-  *    re-creates. The delete-then-create window is narrow and create is
-  *    exclusive, so two takers cannot both think they won — the loser's
-  *    create throws.
-  *  - renew: the holder refreshes `heartbeat_ms` between long steps
-  *    (e.g. per table in a syncAll pass).
+  *  - stale takeover is FENCED: the taker atomically RENAMES the stale
+  *    lease to a tombstone — rename succeeds for exactly one taker —
+  *    then creates its own lease. Two takers can never both win
+  *    (delete-then-create would let taker B delete taker A's brand-new
+  *    lease; rename of the specific stale file cannot).
+  *  - renew: refresh the mtime while holding; returns false when the
+  *    lease was lost (deposed after a stale takeover) — callers MUST
+  *    stop writing when it does.
   *  - release: delete — only by the current owner.
   *
-  * On an object store without atomic exclusive-create the same layout
-  * works with a conditional PUT (if-none-match); the Hadoop local/HDFS
-  * semantics used here are the test and on-prem path.
+  * Cadence contract: the holder must renew more often than
+  * `staleMillis` (default 10 min) or a concurrent runner will depose
+  * it mid-work. `SyncRunner.syncAllExclusive` renews between tables —
+  * size `staleMillis` above the slowest single-table sync, or renew
+  * inside the work loop (e.g. per `fullSyncInBatches` slice).
+  *
+  * On an object store without atomic exclusive-create/rename the same
+  * layout works with conditional PUTs (if-none-match / if-match); the
+  * Hadoop local/HDFS semantics used here are the test and on-prem path.
   */
 class SyncLease(spark: SparkSession, storePath: String, val owner: String,
-                staleMillis: Long = 60000L,
+                staleMillis: Long = 600000L,
                 nowMillis: () => Long = () => System.currentTimeMillis()) {
 
   require(staleMillis > 0, s"staleMillis must be positive: $staleMillis")
@@ -47,22 +60,26 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
 
   private def writeLease(acquiredMs: Long): Unit = {
     // exclusive create: overwrite = false throws if the file appeared
-    // between our check and now — the loser of a takeover race fails here
+    // between our check and now — the loser of an acquire race fails here
     val out = fs.create(leasePath, false)
     try out.write(
       (s"""{"owner": "${esc(owner)}", "pid": $pid, """ +
-        s""""acquired_ms": $acquiredMs, "heartbeat_ms": ${nowMillis()}}""")
-        .getBytes(StandardCharsets.UTF_8))
+        s""""acquired_ms": $acquiredMs}""").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // heartbeat = mtime, under the injectable clock (tests included)
+    fs.setTimes(leasePath, nowMillis(), -1)
   }
 
-  /** (owner, pid, heartbeatMs) of the current lease file, if any. */
+  /** (owner, pid, heartbeatMs) of the current lease file, if any.
+    * The heartbeat is the lease file's modification time.
+    */
   def holder: Option[(String, Long, Long)] =
     if (!fs.exists(leasePath)) None
     else {
+      val status = fs.getFileStatus(leasePath)
       val in = fs.open(leasePath)
       val body = try {
-        val bytes = new Array[Byte](fs.getFileStatus(leasePath).getLen.toInt)
+        val bytes = new Array[Byte](status.getLen.toInt)
         in.readFully(bytes)
         new String(bytes, StandardCharsets.UTF_8)
       } finally in.close()
@@ -70,8 +87,7 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
         o <- """"owner":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
         p <- """"pid":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-        h <- """"heartbeat_ms":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-      } yield (o, p, h)
+      } yield (o, p, status.getModificationTime)
     }
 
   /** True iff this owner holds the lease after the call. Re-acquiring
@@ -84,33 +100,39 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
         try { writeLease(now); true }
         catch { case _: java.io.IOException => false } // lost the create race
       case Some((o, _, _)) if o == owner =>
-        renew(); true
+        renew()
       case Some((_, _, heartbeat)) if now - heartbeat > staleMillis =>
         // stale: the holder stopped heartbeating (crashed / wedged).
-        // Take over via delete + exclusive create; a concurrent taker's
-        // create throws and it correctly reports failure.
-        fs.delete(leasePath, false)
-        try { writeLease(now); true }
-        catch { case _: java.io.IOException => false }
+        // FENCE the takeover: rename the stale file to a tombstone —
+        // atomic, exactly one concurrent taker succeeds — then create
+        // our own lease. The loser's rename returns false (or throws)
+        // and it correctly reports failure.
+        val tombstone = new Path(storePath, s"._sync.lease.stale.$pid.$now")
+        val fenced =
+          try fs.rename(leasePath, tombstone)
+          catch { case _: java.io.IOException => false }
+        if (!fenced) false
+        else {
+          fs.delete(tombstone, false)
+          try { writeLease(now); true }
+          catch { case _: java.io.IOException => false }
+        }
       case _ => false // live foreign lease
     }
   }
 
-  /** Refresh the heartbeat — call between long steps while holding. */
-  def renew(): Unit =
-    holder.foreach { case (o, _, _) =>
-      if (o == owner) {
-        // rewrite via temp + rename: readers never see a torn lease
-        val tmp = new Path(storePath, "._sync.lease.json.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(
-          (s"""{"owner": "${esc(owner)}", "pid": $pid, """ +
-            s""""acquired_ms": ${nowMillis()}, "heartbeat_ms": ${nowMillis()}}""")
-            .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.exists(leasePath)) fs.delete(leasePath, false)
-        fs.rename(tmp, leasePath)
-      }
+  /** Refresh the heartbeat — call between long steps while holding.
+    * Returns false iff the lease is no longer ours (deposed by a stale
+    * takeover, or released): the caller must STOP writing immediately.
+    */
+  def renew(): Boolean =
+    holder match {
+      case Some((o, _, _)) if o == owner =>
+        // in-place mtime refresh: the lease file never disappears, so
+        // a concurrent tryAcquire never sees a no-lease window
+        fs.setTimes(leasePath, nowMillis(), -1)
+        true
+      case _ => false
     }
 
   /** Release if (and only if) held by this owner. */

@@ -119,7 +119,10 @@ class SyncRunner(spark: SparkSession,
           val stats = PartitionedSync.mergeIncremental(spark,
             targetPath(cfg), fresh, Seq(cfg.primaryKey), tc,
             cfg.primaryKey, bucket)
-          if (stats.freshRows > 0) advanceWatermark(cfg)
+          // watermark from the TAIL, not a max() over the whole
+          // target — a full time-column scan per cycle would defeat
+          // the O(affected-partitions) point of this path
+          if (stats.freshRows > 0) advanceWatermarkFrom(cfg, fresh)
           stats.freshRows
         } else {
           PartitionedSync.writeFull(src, bucket, targetPath(cfg))
@@ -165,9 +168,30 @@ class SyncRunner(spark: SparkSession,
   }
 
   private def advanceWatermark(cfg: TableConfig): Unit =
+    advanceWatermarkFrom(cfg, target(cfg))
+
+  /** Watermark = max(timeColumn) over `df`. For incremental merges
+    * pass the FRESH slice — its max equals the merged target's max
+    * (fresh rows are strictly past the old watermark) at O(tail) cost.
+    */
+  private def advanceWatermarkFrom(cfg: TableConfig, df: DataFrame): Unit =
     cfg.timeColumn.foreach { tc =>
-      Option(target(cfg).agg(max(col(tc)).cast("string")).head().getString(0))
+      Option(df.agg(max(col(tc)).cast("string")).head().getString(0))
         .foreach(state.saveWatermark(cfg.targetTable, _))
+    }
+
+  /** One table with the syncAll failure contract: a throw becomes a
+    * failed audit record instead of aborting the rest of the pass.
+    */
+  private def syncOne(cfg: TableConfig): SyncLogEntry =
+    try syncTable(cfg)
+    catch {
+      case e: Throwable =>
+        // even if logging itself failed before writing the 'running'
+        // record, report a failed entry rather than aborting the rest
+        log.recentLogs(1, Some(cfg.targetTable)).headOption.getOrElse(
+          SyncLogEntry("unlogged", cfg.targetTable, "full", "failed",
+            0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
     }
 
   /** Sync every ENABLED config; disabled tables are skipped, one
@@ -175,25 +199,19 @@ class SyncRunner(spark: SparkSession,
     * loop semantics). Returns the audit record per attempted table.
     */
   def syncAll(configs: TableConfigRepo): Seq[SyncLogEntry] =
-    configs.syncTargets.map { cfg =>
-      try syncTable(cfg)
-      catch {
-        case e: Throwable =>
-          // even if logging itself failed before writing the 'running'
-          // record, report a failed entry rather than aborting the rest
-          log.recentLogs(1, Some(cfg.targetTable)).headOption.getOrElse(
-            SyncLogEntry("unlogged", cfg.targetTable, "full", "failed",
-              0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
-      }
-    }
+    configs.syncTargets.map(syncOne)
 
   /** Cross-process exclusive variant of [[syncAll]]: acquire `lease`
     * first; if another process holds it, every enabled table gets a
     * terminal "skipped" audit record and NOTHING is read or written —
     * the reference's PID-lock semantics (state/sync_state.py:30-40).
     * While holding, the heartbeat is renewed between tables so a long
-    * multi-table pass doesn't go stale mid-run; the lease is released
-    * on exit (also on failure — a crashed holder is covered by the
+    * multi-table pass doesn't go stale mid-run (size the lease's
+    * `staleMillis` above the slowest single-table sync). A FAILED
+    * renewal means another process deposed us via stale takeover —
+    * the pass STOPS WRITING immediately: remaining tables get
+    * "skipped" audit records instead of racing the new holder. The
+    * lease is released on exit (a crashed holder is covered by the
     * stale-takeover timeout instead).
     */
   def syncAllExclusive(configs: TableConfigRepo, lease: SyncLease): Seq[SyncLogEntry] =
@@ -203,15 +221,13 @@ class SyncRunner(spark: SparkSession,
         log.logTerminal(cfg.targetTable, "full", "skipped", 0L,
           s"sync lease held by $who"))
     } else try {
+      var lost = false
       configs.syncTargets.map { cfg =>
-        lease.renew()
-        try syncTable(cfg)
-        catch {
-          case e: Throwable =>
-            log.recentLogs(1, Some(cfg.targetTable)).headOption.getOrElse(
-              SyncLogEntry("unlogged", cfg.targetTable, "full", "failed",
-                0L, None, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
-        }
+        if (!lost && !lease.renew()) lost = true
+        if (lost)
+          log.logTerminal(cfg.targetTable, "full", "skipped", 0L,
+            "sync lease lost mid-pass (deposed by a stale takeover)")
+        else syncOne(cfg)
       }
     } finally lease.release()
 

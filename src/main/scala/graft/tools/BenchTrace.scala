@@ -7,13 +7,18 @@ import scala.collection.mutable
 /** Opt-in per-stage bench instrumentation (SPARK_GRAFT_BENCH_TRACE=1).
   *
   * Purpose: turn "query X is sometimes 5× slower in-suite" from a theory
-  * contest into committed evidence. The listener labels every stage with
-  * the (query, run) active when the stage was SUBMITTED — count() is
-  * blocking, so all of a run's stages are submitted inside the run; only
-  * listener-bus delivery is async, which affects when we can READ the
-  * record, not its label. Per stage it accumulates task-level metrics
-  * (run/GC/CPU time, shuffle bytes, spills, input bytes) from onTaskEnd,
-  * which is populated for every successful task, rather than relying on
+  * contest into committed evidence. Stage→(query,run) attribution rides
+  * the job's LOCAL PROPERTIES (`graft.bench.label`, set by Bench before
+  * each run): the scheduler snapshots them at job submission and the
+  * submission event carries them, so attribution is exact even when the
+  * async listener bus delivers an event after Bench has moved to the
+  * next run — reading a shared mutable label at DELIVERY time would
+  * stamp boundary stages with the wrong run. The volatile label remains
+  * only as a fallback for events that carry no properties (RDD
+  * unpersist), whose boundary fuzziness is inherent and noted. Per
+  * stage it accumulates task-level metrics (run/GC/CPU time, shuffle
+  * bytes, spills, input bytes) from onTaskEnd, which is populated for
+  * every successful task, rather than relying on
   * StageInfo.taskMetrics internals.
   *
   * Driver-JVM GC per run is measured separately in Bench via the GC
@@ -47,7 +52,13 @@ final class BenchTraceListener extends SparkListener {
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
     val si = e.stageInfo
-    val agg = new StageAgg(label, si.stageId, si.attemptNumber(),
+    // exact attribution: the submitting job's local-property snapshot
+    // rides the event; the volatile label is only the no-properties
+    // fallback (e.g. stages submitted outside a labeled run)
+    val lab = Option(e.properties)
+      .flatMap(p => Option(p.getProperty(BenchTrace.LabelProp)))
+      .getOrElse(label)
+    val agg = new StageAgg(lab, si.stageId, si.attemptNumber(),
       si.name.linesIterator.next().take(100), si.numTasks)
     agg.submitMs = si.submissionTime.getOrElse(System.currentTimeMillis())
     stages.put((si.stageId, si.attemptNumber()), agg)
@@ -92,6 +103,11 @@ final class BenchTraceListener extends SparkListener {
 }
 
 object BenchTrace {
+
+  /** Local-property key Bench sets before each run; the scheduler's
+    * per-job snapshot delivers it with every stage-submitted event.
+    */
+  val LabelProp = "graft.bench.label"
 
   /** Serialize the trace as one JSON file. Bytes in MB (2dp) to keep the
     * file reviewable; stages under 50ms duration AND zero shuffle/spill

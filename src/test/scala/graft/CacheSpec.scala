@@ -132,6 +132,21 @@ class CacheSpec extends SparkSpec {
     assert(prov.getData("t").exists(_.count() == 12))
   }
 
+  test("memory provider: append compaction bounds the union-plan depth") {
+    val prov = new MemoryCacheProvider(compactThreshold = 2)
+    prov.putEntry("t", eventsDf(2), "{}")
+    (1 to 5).foreach(i =>
+      prov.appendEntry("t", eventsDf(2 + i).filter(col("id") > 1 + i), s"""{"i":$i}"""))
+    assert(prov.getData("t").exists(_.count() == 7))
+    assert(prov.getMeta("t").contains("""{"i":5}"""))
+    // localCheckpoint every 2 appends cuts the union chain — the plan
+    // never accumulates one Union per refresh
+    val unions = prov.getData("t").get.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(unions <= 2)
+  }
+
   test("parquet provider: appendEntry self-compacts at the slice threshold") {
     val cacheDir = Files.createTempDirectory("graft-cache-compact").toString
     val prov = new ParquetCacheProvider(spark, cacheDir, compactThreshold = 3)
@@ -156,9 +171,9 @@ class CacheSpec extends SparkSpec {
     // an appendEntry interrupted after its tail write strands a slice
     // no manifest references
     eventsDf(1).write.parquet(s"$cacheDir/t/slice-${"%010d".format(9)}")
-    assert(prov.vacuum() == 1)
+    assert(prov.vacuum(graceMillis = 0) == 1)
     assert(prov.getData("t").exists(_.count() == 5)) // both committed slices intact
-    assert(prov.vacuum() == 0)
+    assert(prov.vacuum(graceMillis = 0) == 0)
   }
 
   test("parquet-backed queryWithCaching: initial, incremental, no-new-data") {

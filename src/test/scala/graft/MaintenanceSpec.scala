@@ -39,6 +39,9 @@ class MaintenanceSpec extends SparkSpec {
     clock += 501
     assert(b.tryAcquire()) // a's heartbeat is stale — b takes over
     assert(b.holder.exists(_._1 == "runner-b"))
+    // the deposed holder's renew reports the loss — it must stop writing
+    assert(!a.renew())
+    assert(b.renew())
     // a no longer holds it and cannot release b's lease
     a.release()
     assert(b.holder.exists(_._1 == "runner-b"))
@@ -96,10 +99,10 @@ class MaintenanceSpec extends SparkSpec {
     val tmp = fs.create(new org.apache.hadoop.fs.Path(root, "CURRENT.tmp"), true)
     tmp.write("snap-junk".getBytes); tmp.close()
 
-    assert(store.vacuum() == 3)
+    assert(store.vacuum(graceMillis = 0) == 3)
     assert(store.lastCommittedBatch.contains(7L)) // committed entry untouched
     assert(store.read().get.count() == 2)
-    assert(store.vacuum() == 0) // idempotent
+    assert(store.vacuum(graceMillis = 0) == 0) // idempotent
   }
 
   test("ParquetCacheProvider.vacuum removes stranded versions and empty keys, keeps committed entries") {
@@ -117,12 +120,12 @@ class MaintenanceSpec extends SparkSpec {
     // an orphan key dir with no complete version at all
     Seq((4, "q")).toDF("id", "v").write.parquet(s"$dir/orphan/v-${"%010d".format(0)}/data")
 
-    assert(prov.vacuum() == 3)
+    assert(prov.vacuum(graceMillis = 0) == 3)
     assert(prov.hasEntry("k1"))
     assert(prov.getData("k1").get.count() == 1) // committed entry untouched
     assert(prov.getMeta("k1").contains("""{"m":1}"""))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/orphan")))
-    assert(prov.vacuum() == 0) // idempotent
+    assert(prov.vacuum(graceMillis = 0) == 0) // idempotent
   }
 
   // ---- time-boxed batch sync ---------------------------------------
