@@ -34,7 +34,8 @@ object ScaleSoak {
   private val queries = Seq(
     "q1_agg", "q_multi_join", "q_topk", "q_time_bucket_agg",
     "q_asof_join_merge", "d_dedup_exact", "d_dedup_minhash_pairs",
-    "d_cosine_topk", "d_dedup_embed_lsh", "q_events_sessionize")
+    "d_cosine_topk", "d_dedup_embed_lsh", "q_events_sessionize",
+    "d_decontaminate", "d_unigram_logprob", "d_pack_sequences")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
