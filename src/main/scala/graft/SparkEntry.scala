@@ -305,6 +305,13 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_domain_mix" -> ((s, d) =>
+      // rebalance three source domains to a 2:1:1 target mixture; the
+      // id-hash keep decision is Spark-side xxhash64 (no DuckDB
+      // equivalent) → rows-only here, exact semantics in SamplingSpec
+      graft.ops.Sampling.mixDomains(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id", "source").orderBy("doc_id")),
     "m_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))

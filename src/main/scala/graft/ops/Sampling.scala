@@ -48,4 +48,38 @@ object Sampling {
     val v = ((trainFrac + valFrac) * 1000000L).toLong
     (df.filter(b < t), df.filter(b >= t && b < v), df.filter(b >= v))
   }
+
+  /** Per-domain keep fractions realizing target mixture `weights` with
+    * MAXIMUM retention: the scarcest domain (smallest count/weight)
+    * keeps 100% and sets the total; every other domain downsamples to
+    * its weight share of that total. Pure arithmetic — exact-spec'd
+    * separately from the hash application.
+    */
+  def mixFractions(counts: Map[String, Long],
+                   weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (d, w) =>
+      require(w > 0, s"weight for '$d' must be positive, got $w")
+      require(counts.getOrElse(d, 0L) > 0, s"no rows for weighted domain '$d'")
+    }
+    // total sample size if each domain d contributes weight_d * total:
+    // bounded by the scarcest domain's full contribution
+    val total = weights.map { case (d, w) => counts(d) / w }.min
+    weights.map { case (d, w) => d -> math.min(1.0, w * total / counts(d)) }
+  }
+
+  /** Domain mixing — rebalance a corpus to target mixture weights
+    * (the data-mixing step before training; cf. DoReMi/Pile recipes):
+    * one tiny per-domain count aggregate (driver-bounded by the number
+    * of domains, never rows), then the same pushdown-friendly id-hash
+    * filter as [[stratifiedSample]]. Domains absent from `weights` are
+    * dropped. Deterministic on any partitioning.
+    */
+  def mixDomains(df: DataFrame, domainCol: String, idCol: String,
+                 weights: Map[String, Double],
+                 salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSample(df, domainCol, idCol, mixFractions(counts, weights), salt)
+  }
 }

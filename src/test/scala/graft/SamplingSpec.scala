@@ -32,6 +32,43 @@ class SamplingSpec extends SparkSpec {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("mixFractions: scarcest domain keeps 100%, others hit exact weight shares") {
+    // counts 100/300/600, target 50/25/25: domain a limits — total =
+    // min(100/.5, 300/.25, 600/.25) = 200 → keep 1.0, 200*.25/300, 200*.25/600
+    val f = Sampling.mixFractions(
+      Map("a" -> 100L, "b" -> 300L, "c" -> 600L),
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(f("a") == 1.0)
+    assert(math.abs(f("b") - 50.0 / 300) < 1e-12)
+    assert(math.abs(f("c") - 50.0 / 600) < 1e-12)
+    // degenerate: equal weights over equal counts keeps everything
+    assert(Sampling.mixFractions(Map("x" -> 10L, "y" -> 10L),
+      Map("x" -> 0.5, "y" -> 0.5)).values.forall(_ == 1.0))
+    // invalid inputs fail loudly
+    intercept[IllegalArgumentException](
+      Sampling.mixFractions(Map("x" -> 10L), Map("x" -> 0.0)))
+    intercept[IllegalArgumentException](
+      Sampling.mixFractions(Map("x" -> 10L), Map("y" -> 1.0)))
+  }
+
+  test("mixDomains: unweighted domains dropped, mixture near target, deterministic") {
+    // documents has 20 uniform 'source' domains; rebalance 3 of them 2:1:1
+    val w = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val got = Sampling.mixDomains(docs, "source", "doc_id", w)
+    val bySrc = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == w.keySet) // everything else dropped
+    // src0 is the limiting domain (weight 2× over equal counts): kept fully
+    assert(bySrc("src0") == docs.filter(col("source") === "src0").count())
+    // the id-hash filter is approximate for fractional domains; at 25
+    // docs/domain just require a real downsample toward the half share
+    assert(bySrc("src1") < bySrc("src0") && bySrc("src1") > 0)
+    assert(bySrc("src2") < bySrc("src0") && bySrc("src2") > 0)
+    val again = Sampling.mixDomains(docs.repartition(5), "source", "doc_id", w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("split3: disjoint, exhaustive, stable") {
     val (tr, va, te) = Sampling.split3(docs, "doc_id", 0.7, 0.2)
     val n = docs.count()
