@@ -128,6 +128,47 @@ class MaintenanceSpec extends SparkSpec {
     assert(prov.vacuum(graceMillis = 0) == 0) // idempotent
   }
 
+  test("lease + batched sync compose: per-slice renewal keeps a long run alive, " +
+    "a deposed runner stops at the slice boundary") {
+    val stateDir = Files.createTempDirectory("graft-lb-state").toString
+    var clock = 0L
+    val now = () => clock
+    val a = new SyncLease(spark, stateDir, "runner-a", staleMillis = 500, nowMillis = now)
+    val b = new SyncLease(spark, stateDir, "runner-b", staleMillis = 500, nowMillis = now)
+    val state = new StateStore(spark, stateDir)
+    val table = (1 to 9).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+
+    // the documented cadence: renew inside the work loop — each slice
+    // takes 300 "ms" (under staleMillis), so the lease never goes stale
+    // across a 900ms three-slice run even though 900 > staleMillis
+    assert(a.tryAcquire())
+    val r = SyncOps.fullSyncInBatches(table, "id", 3, state, "t",
+      nowMillis = now) { slice =>
+      assert(a.renew(), "holder must still own the lease at every slice")
+      slice.count(); clock += 300
+    }
+    assert(r.completed && r.rowsProcessed == 9)
+    assert(!b.tryAcquire()) // fresh heartbeat: no takeover window opened
+    a.release()
+
+    // deposed mid-run: the holder stops at the slice boundary instead
+    // of racing the new holder
+    assert(b.tryAcquire())
+    clock += 501 // b stops heartbeating → stale
+    assert(a.tryAcquire()) // a deposes b
+    var processed = 0
+    val ex = intercept[IllegalStateException] {
+      SyncOps.fullSyncInBatches(table, "id", 3, state, "t2",
+        nowMillis = now) { slice =>
+        if (!b.renew()) throw new IllegalStateException("lease lost — stop writing")
+        processed += 1; slice.count()
+      }
+    }
+    assert(ex.getMessage.contains("lease lost"))
+    assert(processed == 0) // b never wrote a slice after losing the lease
+    assert(state.loadPartialProgress("t2").isEmpty) // no progress recorded
+  }
+
   // ---- time-boxed batch sync ---------------------------------------
 
   test("fullSyncInBatches pauses at the time budget and a later call completes") {
