@@ -259,8 +259,19 @@ class ParquetCacheProvider(spark: SparkSession, dir: String,
     val d = new Path(dir)
     if (!fs.exists(d)) return 0
     val cutoff = System.currentTimeMillis() - graceMillis
+    // a directory's own mtime is set at creation and NOT refreshed by
+    // writes landing deeper inside (parquet tasks stream into nested
+    // _temporary attempt dirs) — liveness is the NEWEST mtime anywhere
+    // in the subtree, or a write running longer than the grace window
+    // would still be vacuumed mid-flight
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => newestMtime(s.getPath))).max
+    }
     def oldEnough(s: org.apache.hadoop.fs.FileStatus) =
-      s.getModificationTime <= cutoff
+      newestMtime(s.getPath) <= cutoff
     var removed = 0
     fs.listStatus(d).filter(_.isDirectory).foreach { kd =>
       val key = kd.getPath.getName
@@ -316,12 +327,15 @@ class MemoryCacheProvider(compactThreshold: Int = 32) extends CacheProvider {
     * for a provider that is by definition single-application).
     */
   override def appendEntry(key: String, tail: DataFrame, metaJson: String): Unit = {
-    val depth = appendDepth.updateWith(key)(d => Some(d.getOrElse(0) + 1)).getOrElse(1)
+    val depth = appendDepth.updateWith(key)(d => Some(d.getOrElse(0) + 1)).get
     val merged = getData(key).map(_.unionByName(tail)).getOrElse(tail)
-    val stored =
-      if (depth % compactThreshold == 0) merged.localCheckpoint(eager = true)
-      else merged
-    putEntry(key, stored, metaJson)
+    if (depth % compactThreshold == 0) {
+      // the eager checkpoint already materializes blocks — store it
+      // directly; routing through putEntry's persist()+count() would
+      // hold a SECOND full copy of the entry
+      val cp = merged.localCheckpoint(eager = true)
+      entries.put(key, (cp, metaJson)).foreach(_._1.unpersist())
+    } else putEntry(key, merged, metaJson)
   }
 
   override def putMeta(key: String, json: String): Unit =

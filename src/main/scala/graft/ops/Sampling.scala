@@ -65,7 +65,13 @@ object Sampling {
     // total sample size if each domain d contributes weight_d * total:
     // bounded by the scarcest domain's full contribution
     val total = weights.map { case (d, w) => counts(d) / w }.min
-    weights.map { case (d, w) => d -> math.min(1.0, w * total / counts(d)) }
+    weights.map { case (d, w) =>
+      val f = w * total / counts(d)
+      // snap ~1.0 up: the limiting domain's round-trip (count/w)*w/count
+      // can land at 0.9999999999999999, silently dropping ~1-per-million
+      // rows from the domain the contract says keeps 100%
+      d -> (if (f >= 1.0 - 1e-9) 1.0 else f)
+    }
   }
 
   /** Domain mixing — rebalance a corpus to target mixture weights

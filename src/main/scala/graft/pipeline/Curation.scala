@@ -96,7 +96,7 @@ object Curation {
     // one double-width block), so they fail loudly per-row instead.
     val block = when(col(idCol) < 0, raise_error(lit(
       s"packSequences: negative $idCol — block arithmetic requires non-negative ids")))
-      .otherwise(expr(s"CAST($idCol AS BIGINT) div $blockSize"))
+      .otherwise(expr(s"CAST(`$idCol` AS BIGINT) div $blockSize"))
     val toks = docs.select(
       col(idCol),
       block.as("__block"),

@@ -42,11 +42,19 @@ object PartitionedSync {
   /** Partition column added to the stored layout (dropped on read). */
   val PartCol = "__part"
 
+  /** `maxTime` is the watermark candidate: max(timeCol) over the
+    * EXACT fresh rows that were merged (computed while the tail is
+    * persisted). Deriving it afterwards by re-aggregating the fresh
+    * PLAN would re-read the live source — a row committed mid-sync
+    * would raise the watermark without having been merged and be
+    * skipped by every later incremental pull, silently forever.
+    */
   case class MergeStats(
       freshRows: Long,
       affectedPartitions: Seq[String],
       partitionsBefore: Long,
-      emptiedPartitions: Seq[String])
+      emptiedPartitions: Seq[String],
+      maxTime: Option[String])
 
   /** `bucket` as a string partition value, failing LOUDLY per-row on
     * NULL (e.g. a NULL time column): a silent null would land in Hive's
@@ -86,7 +94,11 @@ object PartitionedSync {
     freshP.persist()
     try {
       val freshRows = freshP.count()
-      if (freshRows == 0) return MergeStats(0L, Nil, partitionValues(fs, path).size.toLong, Nil)
+      if (freshRows == 0)
+        return MergeStats(0L, Nil, partitionValues(fs, path).size.toLong, Nil, None)
+      // watermark candidate from the PERSISTED tail (see MergeStats doc)
+      val maxTime = Option(
+        freshP.agg(max(col(timeCol)).cast("string")).head().getString(0))
 
       // explicit schema: partition discovery would otherwise INFER the
       // partition column's type from its values (a 'yyyy' bucket reads
@@ -131,7 +143,7 @@ object PartitionedSync {
       emptied.foreach(p => fs.delete(new Path(path, s"$PartCol=$p"), true))
       fs.delete(tmp, true)
 
-      MergeStats(freshRows, affected, before.size.toLong, emptied)
+      MergeStats(freshRows, affected, before.size.toLong, emptied, maxTime)
     } finally freshP.unpersist(blocking = true)
   }
 

@@ -71,24 +71,28 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
   }
 
   /** (owner, pid, heartbeatMs) of the current lease file, if any.
-    * The heartbeat is the lease file's modification time.
+    * The heartbeat is the lease file's modification time. The file can
+    * vanish BETWEEN the exists/stat/open steps (a fenced takeover's
+    * rename, a release) — that is simply "no lease", never a crash.
     */
   def holder: Option[(String, Long, Long)] =
-    if (!fs.exists(leasePath)) None
-    else {
-      val status = fs.getFileStatus(leasePath)
-      val in = fs.open(leasePath)
-      val body = try {
-        val bytes = new Array[Byte](status.getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, StandardCharsets.UTF_8)
-      } finally in.close()
-      for {
-        o <- """"owner":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
-          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        p <- """"pid":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-      } yield (o, p, status.getModificationTime)
-    }
+    try {
+      if (!fs.exists(leasePath)) None
+      else {
+        val status = fs.getFileStatus(leasePath)
+        val in = fs.open(leasePath)
+        val body = try {
+          val bytes = new Array[Byte](status.getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, StandardCharsets.UTF_8)
+        } finally in.close()
+        for {
+          o <- """"owner":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          p <- """"pid":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        } yield (o, p, status.getModificationTime)
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** True iff this owner holds the lease after the call. Re-acquiring
     * a lease we already hold renews it (idempotent).
@@ -124,16 +128,25 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
   /** Refresh the heartbeat — call between long steps while holding.
     * Returns false iff the lease is no longer ours (deposed by a stale
     * takeover, or released): the caller must STOP writing immediately.
+    *
+    * Check-act-verify: the ownership check, the mtime refresh, and a
+    * RE-CHECK afterwards. A takeover landing between check and refresh
+    * either removes the file under us (setTimes throws → false) or
+    * installs the new holder's lease, which our setTimes touched — the
+    * re-check sees the foreign owner and returns false, so a wedged
+    * holder waking up mid-deposal can never believe it renewed.
     */
-  def renew(): Boolean =
-    holder match {
-      case Some((o, _, _)) if o == owner =>
-        // in-place mtime refresh: the lease file never disappears, so
-        // a concurrent tryAcquire never sees a no-lease window
-        fs.setTimes(leasePath, nowMillis(), -1)
-        true
-      case _ => false
+  def renew(): Boolean = {
+    val owned = holder.exists(_._1 == owner)
+    if (!owned) false
+    else {
+      // IOException → false: failing to prove renewal means stop
+      // writing — the safe direction for a mutex
+      try fs.setTimes(leasePath, nowMillis(), -1)
+      catch { case _: java.io.IOException => return false }
+      holder.exists(_._1 == owner)
     }
+  }
 
   /** Release if (and only if) held by this owner. */
   def release(): Unit =

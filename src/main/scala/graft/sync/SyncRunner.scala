@@ -119,10 +119,11 @@ class SyncRunner(spark: SparkSession,
           val stats = PartitionedSync.mergeIncremental(spark,
             targetPath(cfg), fresh, Seq(cfg.primaryKey), tc,
             cfg.primaryKey, bucket)
-          // watermark from the TAIL, not a max() over the whole
-          // target — a full time-column scan per cycle would defeat
-          // the O(affected-partitions) point of this path
-          if (stats.freshRows > 0) advanceWatermarkFrom(cfg, fresh)
+          // watermark from the stats' max over the MERGED rows — not a
+          // full-target scan (defeats the O(affected) point) and not a
+          // re-aggregation of the fresh plan (would re-read the live
+          // source and could advance past rows the merge never saw)
+          stats.maxTime.foreach(state.saveWatermark(cfg.targetTable, _))
           stats.freshRows
         } else {
           PartitionedSync.writeFull(src, bucket, targetPath(cfg))
@@ -167,16 +168,14 @@ class SyncRunner(spark: SparkSession,
     }
   }
 
-  private def advanceWatermark(cfg: TableConfig): Unit =
-    advanceWatermarkFrom(cfg, target(cfg))
-
-  /** Watermark = max(timeColumn) over `df`. For incremental merges
-    * pass the FRESH slice — its max equals the merged target's max
-    * (fresh rows are strictly past the old watermark) at O(tail) cost.
+  /** Watermark = max(timeColumn) over the just-written TARGET (full
+    * syncs and full-rewrite merges; the partitioned path gets its
+    * watermark from `MergeStats.maxTime` instead — see there for why
+    * re-aggregating a source plan is wrong).
     */
-  private def advanceWatermarkFrom(cfg: TableConfig, df: DataFrame): Unit =
+  private def advanceWatermark(cfg: TableConfig): Unit =
     cfg.timeColumn.foreach { tc =>
-      Option(df.agg(max(col(tc)).cast("string")).head().getString(0))
+      Option(target(cfg).agg(max(col(tc)).cast("string")).head().getString(0))
         .foreach(state.saveWatermark(cfg.targetTable, _))
     }
 

@@ -53,6 +53,8 @@ class PartitionedSyncSpec extends SparkSpec {
     // affected = the fresh bucket + the stale key's old bucket; 02/03 untouched
     assert(stats.affectedPartitions == Seq("2024-01", "2024-04"))
     assert(stats.emptiedPartitions.isEmpty)
+    // watermark candidate computed from the merged tail itself
+    assert(stats.maxTime.contains("2024-04-06"))
     // untouched partition: files byte-identical (same names, same mtimes)
     assert(partFiles(path, "2024-02") == untouchedBefore)
     // merged view: key 1 served ONCE, from its new version
