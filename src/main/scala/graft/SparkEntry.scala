@@ -305,6 +305,17 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_dedup_lines" -> ((s, d) => {
+      // the corpus is single-line word salad, so build multi-line docs
+      // deterministically (a shared banner + 5-word lines) and strip
+      // lines appearing in > 10 docs; the oracle mirrors the build
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("ACCEPT COOKIES\n"), expr(
+          "array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 5.0) AS INT)), " +
+            "g -> array_join(slice(split(text, ' '), (g - 1) * 5 + 1, 5), ' ')), '\n')"))
+          .as("text"))
+      Dedup.dedupLines(lined, 10)
+    }),
     "d_domain_mix" -> ((s, d) =>
       // rebalance three source domains to a 2:1:1 target mixture; the
       // id-hash keep decision is Spark-side xxhash64 (no DuckDB
@@ -732,6 +743,19 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, string_split('ACCEPT COOKIES' || chr(10) ||
+        |    array_to_string(list_transform(range(1, CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1),
+        |      g -> array_to_string(list_slice(string_split(text, ' '), (g - 1) * 5 + 1, g * 5), ' ')), chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS line
+        |  FROM lined, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) t),
+        |hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 10)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM lines ANTI JOIN hot USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_unigram_logprob" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),

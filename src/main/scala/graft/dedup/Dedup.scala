@@ -26,6 +26,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
+  /** Line-level exact dedup — the RefinedWeb/CCNet boilerplate pass:
+    * drop every line whose exact content appears in MORE than
+    * `maxDocFrequency` distinct documents corpus-wide (cookie banners,
+    * nav headers, license stubs), then reassemble each document's
+    * surviving lines in original order. A document whose every line is
+    * boilerplate disappears entirely.
+    *
+    * Scale shape: doc-frequency counts group on the 8-byte line hash
+    * (the line text never rides the counting shuffle); the hot set is
+    * small by nature (boilerplate = repeated few) and broadcasts into
+    * an anti-join, so the corpus makes exactly one wide pass — the
+    * per-doc reassembly groupBy. Hash-vs-text equality follows the
+    * project convention (xxhash64, ~2^-64 collisions).
+    */
+  def dedupLines(docs: DataFrame, maxDocFrequency: Long,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy(xxhash64(col("line")).as("lh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDocFrequency)
+      .select("lh")
+    lines.join(broadcast(hot), xxhash64(col("line")) === col("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
+        "\n").as(textCol))
+      .orderBy(idCol)
+  }
+
   /** Word k-shingles of `textCol` as a distinct array column. */
   def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     docs.withColumn("__words", split(col(textCol), " "))

@@ -108,6 +108,21 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dedupLines strips corpus-frequent lines, keeps order, drops all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha beta\nBANNER\ngamma"),
+      (2L, "BANNER\ndelta"),
+      (3L, "BANNER\nepsilon zeta"),
+      (4L, "BANNER"), // all boilerplate → vanishes
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.dedupLines(docs, maxDocFrequency = 2)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta\ngamma"), // both BANNER copies removed, order kept
+      (2L, "delta"),
+      (3L, "epsilon zeta")))
+  }
+
   test("resizePlan: aspect-preserving box fit, floor division") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = Multimodal.resizePlan(Multimodal.mediaTable(docs), 128, 96)
