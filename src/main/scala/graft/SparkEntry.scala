@@ -305,6 +305,18 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_c4_clean" -> ((s, d) => {
+      // multi-line docs with deterministic punctuation (even lines end
+      // '.'), plus injected lorem-ipsum / curly-brace boilerplate in
+      // some docs — the C4 rules must keep exactly the even clean lines
+      val lined = Tables.documents(s, d).select(col("doc_id"), concat(
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet.\n")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("function() { var x = 1; }.\n")).otherwise(lit("")),
+        expr("array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 5.0) AS INT)), " +
+          "g -> concat(array_join(slice(split(text, ' '), (g - 1) * 5 + 1, 5), ' '), " +
+          "IF(g % 2 = 0, '.', ''))), '\n')")).as("text"))
+      TextAnalysis.c4Clean(lined)
+    }),
     "d_dedup_lines" -> ((s, d) => {
       // the corpus is single-line word salad, so build multi-line docs
       // deterministically (a shared banner + 5-word lines) and strip
@@ -743,6 +755,25 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_c4_clean" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'function() { var x = 1; }.' || chr(10) ELSE '' END) ||
+        |    array_to_string(list_transform(range(1, CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1),
+        |      g -> array_to_string(list_slice(string_split(text, ' '), (g - 1) * 5 + 1, g * 5), ' ')
+        |           || CASE WHEN g % 2 = 0 THEN '.' ELSE '' END), chr(10)) AS text
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split(l, ' ')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS kept
+        |  FROM lined)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text, CAST(len(kept) AS INT) AS n_lines_kept
+        |FROM cleaned WHERE len(kept) > 0 ORDER BY doc_id""".stripMargin,
     "d_dedup_lines" ->
       """WITH lined AS (
         |  SELECT doc_id, string_split('ACCEPT COOKIES' || chr(10) ||

@@ -137,6 +137,35 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** C4-style line quality filtering (Raffel et al. 2020 §2.2): keep
+    * only lines that end in terminal punctuation, have at least
+    * `minWordsPerLine` words, and carry none of the boilerplate
+    * markers ("javascript", "lorem ipsum", a curly brace); drop
+    * documents with no surviving lines. Returns (id, text,
+    * n_lines_kept) with surviving lines in original order.
+    *
+    * Pure codegen'd array expressions (`filter` HOF over the split
+    * lines) — one narrow map, zero shuffle; the line rules are
+    * dialect-portable and re-run verbatim in the DuckDB oracle.
+    */
+  def c4Clean(docs: DataFrame, minWordsPerLine: Int = 3,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    val kept = expr(
+      s"""filter(split($textCol, '\n'), l ->
+         |  l rlike '[.!?"]$$'
+         |  AND size(split(l, ' ')) >= $minWordsPerLine
+         |  AND NOT contains(lower(l), 'javascript')
+         |  AND NOT contains(lower(l), 'lorem ipsum')
+         |  AND NOT contains(l, '{'))""".stripMargin)
+    docs.select(col(idCol), kept.as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as(textCol),
+        size(col("__kept")).as("n_lines_kept"))
+      .orderBy(idCol)
+  }
+
   /** Unigram log-probability scoring — the CCNet-style LM-quality
     * proxy: score each document by the mean log P(word) under the
     * corpus's OWN unigram distribution. Gibberish, OCR noise, and

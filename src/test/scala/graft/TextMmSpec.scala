@@ -123,6 +123,19 @@ class TextMmSpec extends SparkSpec {
       (3L, "epsilon zeta")))
   }
 
+  test("c4Clean: terminal punctuation, min words, boilerplate markers, empty docs dropped") {
+    val docs = Seq(
+      (1L, "good clean line here.\nno terminal punctuation\ntoo short.\nanother fine sentence!"),
+      (2L, "this has javascript inside.\nlorem ipsum dolor sit.\nbraces { are code.\nsurvivor line stays."),
+      (3L, "everything here fails"), // no punctuation → doc vanishes
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "good clean line here.\nanother fine sentence!", 2),
+      (2L, "survivor line stays.", 1)))
+  }
+
   test("resizePlan: aspect-preserving box fit, floor division") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = Multimodal.resizePlan(Multimodal.mediaTable(docs), 128, 96)
