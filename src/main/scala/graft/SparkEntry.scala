@@ -766,7 +766,7 @@ object SparkEntry {
         |  FROM documents),
         |cleaned AS (
         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l ->
-        |      regexp_matches(l, '[.!?"]$')
+        |      right(l, 1) IN ('.', '!', '?', '"')
         |      AND len(string_split(l, ' ')) >= 3
         |      AND NOT contains(lower(l), 'javascript')
         |      AND NOT contains(lower(l), 'lorem ipsum')

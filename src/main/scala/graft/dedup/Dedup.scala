@@ -34,11 +34,16 @@ object Dedup {
     * boilerplate disappears entirely.
     *
     * Scale shape: doc-frequency counts group on the 8-byte line hash
-    * (the line text never rides the counting shuffle); the hot set is
-    * small by nature (boilerplate = repeated few) and broadcasts into
-    * an anti-join, so the corpus makes exactly one wide pass — the
-    * per-doc reassembly groupBy. Hash-vs-text equality follows the
-    * project convention (xxhash64, ~2^-64 collisions).
+    * (the line text never rides the counting shuffle); the corpus then
+    * makes one wide reassembly pass (per-doc groupBy) before the
+    * deterministic-output orderBy. The hot set is usually small
+    * (boilerplate = repeated few) and AQE turns the anti-join into a
+    * broadcast when it is — but it is NOT forced: on template-heavy
+    * crawls millions of distinct lines can exceed the threshold, and a
+    * forced broadcast would drive an unbounded driver collect into the
+    * 8 GB broadcast limit; the shuffled anti-join degrades gracefully
+    * instead. Hash-vs-text equality follows the project convention
+    * (xxhash64, ~2^-64 collisions).
     */
   def dedupLines(docs: DataFrame, maxDocFrequency: Long,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -48,7 +53,7 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > maxDocFrequency)
       .select("lh")
-    lines.join(broadcast(hot), xxhash64(col("line")) === col("lh"), "left_anti")
+    lines.join(hot, xxhash64(col("line")) === col("lh"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),

@@ -145,20 +145,30 @@ object TextAnalysis {
     * n_lines_kept) with surviving lines in original order.
     *
     * Pure codegen'd array expressions (`filter` HOF over the split
-    * lines) — one narrow map, zero shuffle; the line rules are
-    * dialect-portable and re-run verbatim in the DuckDB oracle.
+    * lines) — one narrow map; the only exchange is the final
+    * deterministic-output orderBy. The terminal-punctuation test is
+    * `right(l, 1)` rather than a `$`-anchored regex on purpose: Java
+    * regex `$` also matches BEFORE a final line terminator while RE2's
+    * does not, so a regex version silently judges CRLF lines
+    * differently in Spark and in the DuckDB oracle — the last-char
+    * comparison is byte-identical in both engines (a trailing `\r`
+    * fails the test on both; strip CRLF upstream if it must pass).
     */
   def c4Clean(docs: DataFrame, minWordsPerLine: Int = 3,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    // fixed internal alias: the caller's column name never lands in a
+    // raw SQL fragment (names needing backticks work like in every
+    // sibling operator)
     val kept = expr(
-      s"""filter(split($textCol, '\n'), l ->
-         |  l rlike '[.!?"]$$'
+      s"""filter(split(__t, '\n'), l ->
+         |  right(l, 1) IN ('.', '!', '?', '"')
          |  AND size(split(l, ' ')) >= $minWordsPerLine
          |  AND NOT contains(lower(l), 'javascript')
          |  AND NOT contains(lower(l), 'lorem ipsum')
          |  AND NOT contains(l, '{'))""".stripMargin)
-    docs.select(col(idCol), kept.as("__kept"))
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), kept.as("__kept"))
       .filter(size(col("__kept")) > 0)
       .select(col(idCol),
         array_join(col("__kept"), "\n").as(textCol),

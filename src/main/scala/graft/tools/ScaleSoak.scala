@@ -35,7 +35,8 @@ object ScaleSoak {
     "q1_agg", "q_multi_join", "q_topk", "q_time_bucket_agg",
     "q_asof_join_merge", "d_dedup_exact", "d_dedup_minhash_pairs",
     "d_cosine_topk", "d_dedup_embed_lsh", "q_events_sessionize",
-    "d_decontaminate", "d_unigram_logprob", "d_pack_sequences")
+    "d_decontaminate", "d_unigram_logprob", "d_pack_sequences",
+    "d_dedup_lines", "d_c4_clean")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
