@@ -305,6 +305,8 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "d_c4_clean" -> ((s, d) => {
       // multi-line docs with deterministic punctuation (even lines end
       // '.'), plus injected lorem-ipsum / curly-brace boilerplate in
@@ -755,6 +757,16 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_embed_quantize" ->
+      """WITH prep AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE) ELSE mx / 127 END AS scale,
+        |  list_transform(embedding, x -> CAST(greatest(-127, least(127,
+        |    floor(CAST(x AS DOUBLE) * (CASE WHEN mx = 0 THEN 0 ELSE 127 / mx END) + 0.5))) AS INT)) AS qvec
+        |FROM prep ORDER BY vec_id""".stripMargin,
     "d_c4_clean" ->
       """WITH lined AS (
         |  SELECT doc_id,

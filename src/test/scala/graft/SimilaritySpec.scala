@@ -65,4 +65,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == ann2)
     assert(brute.nonEmpty)
   }
+
+  test("int8 quantize: bounded round-trip error, cosine preserved, zero vector safe") {
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .unionByName(Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val q = Similarity.quantizeInt8(embs)
+    // every component within ±127 and per-component error ≤ scale/2
+    val joined = Similarity.dequantizeInt8(q).select(col("vec_id"),
+        col("scale"), col("qvec"), col("embedding").as("recon"))
+      .join(embs.select(col("vec_id"), col("embedding").as("orig")), "vec_id")
+    val bad = joined.filter(expr(
+      """exists(qvec, v -> v < -127 OR v > 127) OR
+        |exists(zip_with(recon, orig, (r, o) -> abs(r - CAST(o AS DOUBLE))),
+        |       e -> e > scale / 2 + 1e-12)""".stripMargin)).count()
+    assert(bad == 0)
+    // zero vector: scale 0, all-zero qvec (no division blow-up)
+    val z = q.filter(col("vec_id") === 999999L)
+      .select(col("scale"), expr("exists(qvec, v -> v != 0)"))
+      .as[(Double, Boolean)].head()
+    assert(z == ((0.0, false)))
+    // cosine between original and reconstruction stays ~1 on real vectors
+    val minCos = joined.filter(col("vec_id") =!= 999999L)
+      .select(min(Similarity.cosine(
+        expr("transform(orig, x -> CAST(x AS DOUBLE))"), col("recon"))))
+      .as[Double].head()
+    assert(minCos > 0.995, s"min cosine after int8 round-trip: $minCos")
+  }
 }
