@@ -127,6 +127,18 @@ object Bench {
     val warmupFailure =
       try { SparkEntry.entry(spark).count(); None }
       catch { case NonFatal(e) => Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}") }
+    // also warm the parquet WRITE path: staging operators (Lttb) are the
+    // only writers in the suite, and without this their first 2-3 timed
+    // runs absorb the whole FileFormatWriter/compression JIT bill —
+    // measured as 5x first-run modes that a long-lived app never sees
+    try {
+      val wdir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-warmup-${java.util.UUID.randomUUID()}"
+      spark.range(10000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(wdir)
+      spark.read.parquet(wdir).count()
+      val p = new org.apache.hadoop.fs.Path(wdir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case NonFatal(_) => () } // warmup-only: never fails the bench
     // optional comma-separated filter for targeted perf work; a name that
     // matches no query is an error — a typo must not produce an empty bench
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -306,7 +306,14 @@ object SparkEntry {
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "d_embed_quantize" -> ((s, d) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, d))),
+      // the harness sorts result columns with pandas, which cannot sort
+      // array cells — emit the int8 vector as an md5 digest (still
+      // bit-for-bit: any component change alters the digest). The library
+      // API (Similarity.quantizeInt8) keeps the real array column.
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          md5(expr("array_join(transform(qvec, x -> CAST(x AS STRING)), ',')"))
+            .as("qvec_digest"))),
     "d_c4_clean" -> ((s, d) => {
       // multi-line docs with deterministic punctuation (even lines end
       // '.'), plus injected lorem-ipsum / curly-brace boilerplate in
@@ -764,8 +771,8 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT vec_id,
         |  CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE) ELSE mx / 127 END AS scale,
-        |  list_transform(embedding, x -> CAST(greatest(-127, least(127,
-        |    floor(CAST(x AS DOUBLE) * (CASE WHEN mx = 0 THEN 0 ELSE 127 / mx END) + 0.5))) AS INT)) AS qvec
+        |  md5(array_to_string(list_transform(embedding, x -> CAST(greatest(-127, least(127,
+        |    floor(CAST(x AS DOUBLE) * (CASE WHEN mx = 0 THEN 0 ELSE 127 / mx END) + 0.5))) AS INT)), ',')) AS qvec_digest
         |FROM prep ORDER BY vec_id""".stripMargin,
     "d_c4_clean" ->
       """WITH lined AS (

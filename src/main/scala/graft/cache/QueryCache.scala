@@ -311,6 +311,14 @@ class MemoryCacheProvider(compactThreshold: Int = 32) extends CacheProvider {
   private val appendDepth = TrieMap.empty[String, Int]
 
   override def putEntry(key: String, df: DataFrame, metaJson: String): Unit = {
+    // a full rewrite restarts the union chain at a leaf — zero the
+    // depth counter so the localCheckpoint cadence tracks real chain
+    // depth instead of drifting across rewrites
+    appendDepth.remove(key)
+    store(key, df, metaJson)
+  }
+
+  private def store(key: String, df: DataFrame, metaJson: String): Unit = {
     val cached = df.persist()
     cached.count() // materialize: a cache hit must not re-run the source plan
     // only then drop the previous entry — the new plan may READ it
@@ -335,7 +343,8 @@ class MemoryCacheProvider(compactThreshold: Int = 32) extends CacheProvider {
       // hold a SECOND full copy of the entry
       val cp = merged.localCheckpoint(eager = true)
       entries.put(key, (cp, metaJson)).foreach(_._1.unpersist())
-    } else putEntry(key, merged, metaJson)
+      appendDepth.put(key, 0) // chain is a leaf again
+    } else store(key, merged, metaJson)
   }
 
   override def putMeta(key: String, json: String): Unit =

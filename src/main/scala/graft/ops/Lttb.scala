@@ -130,11 +130,43 @@ object Lttb {
       .withColumn("__y", col(yCol).cast("double"))
       .withColumn("__i", row_number().over(
         Window.orderBy(col("__x") +: tieBreak.map(col): _*)) - 1)
-      .persist() // core() reads it from 3 branches (interior/first/last)
-    try core(indexed, n, df.columns, threshold)
-    finally indexed.unpersist(blocking = true) // core() is eager; async
-      // unpersist would leave this run's blocks draining while the next
-      // run races them for cache/GC — the round-6 in-suite variance suspect
+    // stage once — see the staging note on stage()
+    val (st, _, cleanup) = stage(indexed)
+    try core(st, n, df.columns, threshold)
+    finally cleanup()
+  }
+
+  /** Materialize `df` to a temp parquet directory and hand back a fresh
+    * scan of it plus a cleanup thunk.
+    *
+    * Why staging and not `persist()`: `core()` reads its input from
+    * three separate actions. Caching it in the BlockManager made
+    * q_lttb_downsample the ONLY bench query doing large block put/
+    * evict/remove cycles, and three rounds of in-suite bench variance
+    * (rounds 4-7, BENCH_TRACE_ANALYSIS.md) traced to exactly those
+    * block-lock stalls — async drain was fixed, yet the driver's r7 run
+    * still showed 5× modes. A one-pass parquet stage removes the
+    * mechanism class entirely: downstream jobs are plain columnar scans
+    * (column-pruned for the agg passes, OS-page-cache-fast locally),
+    * and the `monotonically_increasing_id` snapshot is durably
+    * consistent across actions by construction. At 100 TB this IS the
+    * scale pattern — a multi-read operator stages to distributed
+    * storage rather than pinning executor memory; set
+    * `graft.lttb.stagingDir` to a cluster-visible path (defaults to
+    * the JVM temp dir, which is correct for local mode only).
+    */
+  private def stage(df: DataFrame): (DataFrame, String, () => Unit) = {
+    val sp = df.sparkSession
+    val base = sp.conf.getOption("graft.lttb.stagingDir")
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dir = s"$base/graft-lttb-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(dir)
+    val cleanup = () => {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    (sp.read.parquet(dir), dir, cleanup)
   }
 
   /** Scale path: global index without a single-partition window.
@@ -143,13 +175,13 @@ object Lttb {
     * `monotonically_increasing_id()` encodes (partitionId << 33) +
     * local ordinal, assigned in the order rows stream out of each
     * partition's sort (the expression is nondeterministic to Catalyst,
-    * so the projection cannot be reordered below the Sort); one
-    * per-pid count job (≤ numPartitions rows to the driver) gives both
-    * n and the cumulative offsets; a broadcast join stamps
-    * `__i = offset(pid) + ordinal`. Everything stays columnar/codegen —
-    * the previous rdd.zipWithIndex form deserialized every row (maps
-    * included) to external Rows, ran an extra count job, and cached an
-    * RDD-backed frame, which was the round-5 bench-variance suspect.
+    * so the projection cannot be reordered below the Sort); the staged
+    * parquet footers give per-pid counts with NO job (≤ numPartitions
+    * footer reads on the driver), hence both n and the cumulative
+    * offsets; a broadcast join stamps `__i = offset(pid) + ordinal`.
+    * Everything stays columnar/codegen — the previous rdd.zipWithIndex
+    * form deserialized every row (maps included) to external Rows, ran
+    * an extra count job, and cached an RDD-backed frame.
     */
   def downsampleRangePartitioned(df: DataFrame, xCol: String, yCol: String,
                                  threshold: Int, tieBreak: Seq[String] = Nil,
@@ -164,13 +196,27 @@ object Lttb {
     val sorted = prepared.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .persist() // core() reads it from 3 branches; avoids re-sorting
+    // one pass writes the sorted+stamped rows; core()'s selection then
+    // scans the staged parquet (see the staging note on stage())
+    val (st, stagedDir, cleanup) = stage(sorted)
     try {
-      // one job: per-partition counts — materializes the columnar
-      // cache and yields n as their sum (no separate count() pass)
-      val pidCounts = sorted
-        .groupBy(shiftright(col("__mid"), 33).as("__pid")).count()
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // per-pid counts straight from the staged parquet FOOTERS — zero
+      // Spark jobs: the stamping projection and the file write run in
+      // the SAME task (no exchange between them), so task partition k
+      // writes part-0000k and __mid's pid bits in that file are all k —
+      // the footer record count of part-0000k IS pid k's row count.
+      // (Empty partitions write no file and contribute no offset.)
+      val sc = df.sparkSession.sparkContext.hadoopConfiguration
+      val dirPath = new org.apache.hadoop.fs.Path(stagedDir)
+      val pidCounts = dirPath.getFileSystem(sc).listStatus(dirPath).toSeq
+        .flatMap { f =>
+          "part-(\\d+)".r.findFirstMatchIn(f.getPath.getName).map { m =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, sc))
+            try (m.group(1).toLong, reader.getRecordCount)
+            finally reader.close()
+          }
+        }.sortBy(_._1)
       // the (pid << 33) + ordinal decomposition needs every partition's
       // ordinal to fit in 33 bits — a >8.6B-row range partition (skewed
       // x / too few partitions) would silently corrupt __i; fail loudly
@@ -186,30 +232,29 @@ object Lttb {
       val sp = df.sparkSession
       import sp.implicits._
       val offDf = offsets.toSeq.toDF("__pid", "__off")
-      val indexed = sorted
+      val indexed = st
         .withColumn("__pid", shiftright(col("__mid"), 33))
         .join(broadcast(offDf), "__pid")
         .withColumn("__i", col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
         .drop("__pid", "__off", "__mid")
       core(indexed, n, df.columns, threshold)
-    } finally sorted.unpersist(blocking = true) // see downsample(): async
-      // unpersist leaves cache blocks draining into the next bench run
+    } finally cleanup()
   }
 
-  // Scale note: persist() assumes the input is the viz slice (the
-  // reference range-filters before downsampling). For a full-table
-  // 100 TB input, filter to the plotted range first — the output is
-  // `threshold` rows either way.
+  // Scale note: the staging write assumes the input is the viz slice
+  // (the reference range-filters before downsampling). For a
+  // full-table 100 TB input, filter to the plotted range first — the
+  // output is `threshold` rows either way.
 
   /** Shared bucket-anchor-argmax stage over a globally-indexed input
     * (`__x`, `__y`, `__i` ∈ [0, n)).
     *
     * EAGER: the result is at most `threshold` rows — it is computed
-    * here and returned as a local relation, so callers can release the
-    * persisted input immediately instead of holding executor cache
-    * until some later action (the round-3/4 bench variance traced to
-    * exactly that leak — one cached copy of the input per call, never
-    * freed, compounding across a 63-query run).
+    * here and returned as a local relation, so callers can delete the
+    * staged input immediately instead of holding it until some later
+    * action (the round-3/4 bench variance traced to exactly that kind
+    * of leak — one cached copy of the input per call, never freed,
+    * compounding across a 63-query run).
     *
     * Driver-memory bound: eagerness moves `threshold × rowWidth` bytes
     * through the driver (ALL input columns ride in the argmax struct).
@@ -225,51 +270,42 @@ object Lttb {
   private def core(indexed: DataFrame, n: Long, cols: Array[String],
                    threshold: Int): DataFrame = {
     val sp = indexed.sparkSession
-    import sp.implicits._
     val bs = (n - 2).toDouble / (threshold - 2)
     val lastBucket = threshold - 3
 
-    val interior = indexed.filter(col("__i") > 0 && col("__i") < n - 1)
-      .withColumn("__b",
-        least(floor((col("__i") - 1) / bs).cast("int"), lit(lastBucket)))
+    // the two endpoints become singleton buckets -1 and lastBucket+1:
+    // their centroid IS the endpoint, so lag/lead over the centroid
+    // table yields every bucket's prev/next anchor — no collected
+    // endpoint literals, no separate anchor-table jobs. The whole
+    // selection is ONE action (this matters: the operator used to run
+    // 4 driver round-trips here, and at 100k-row viz slices scheduler
+    // latency — not data — was the dominant cost)
+    val bucketed = indexed.withColumn("__b",
+      when(col("__i") === 0, lit(-1))
+        .when(col("__i") === n - 1, lit(lastBucket + 1))
+        .otherwise(least(floor((col("__i") - 1) / bs).cast("int"), lit(lastBucket))))
 
-    // bucket averages and the two endpoints are tiny (threshold-sized):
-    // collect once and rebuild the anchor tables as LOCAL relations, so
-    // the two broadcast joins don't each re-execute an agg subplan
-    val avgRows: Map[Int, (Double, Double)] = interior
+    // centroids: threshold rows — a single-partition window over them
+    // is trivially fine at any input scale (threshold is a viz knob)
+    val w = Window.orderBy(col("__b"))
+    val anchors = bucketed
       .groupBy(col("__b"))
       .agg(avg(col("__x")).as("__ax"), avg(col("__y")).as("__ay"))
-      .as[(Int, Double, Double)].collect()
-      .map { case (b, ax, ay) => b -> ((ax, ay)) }.toMap
-    val endpointRows = indexed.filter(col("__i") === 0 || col("__i") === n - 1)
-      .select(struct(cols.map(col): _*).as("r"),
-        col("__i").cast("long").as("__i"), col("__x"), col("__y"))
-      .collect().sortBy(_.getLong(1))
-    val (fx, fy) = (endpointRows.head.getDouble(2), endpointRows.head.getDouble(3))
-    val (lx, ly) = (endpointRows.last.getDouble(2), endpointRows.last.getDouble(3))
-
-    val prevAnchors = (0 to lastBucket).map { b =>
-      if (b == 0) (b, fx, fy)
-      else { val (ax, ay) = avgRows(b - 1); (b, ax, ay) }
-    }.toDF("__b", "__px", "__py")
-    val nextAnchors = (0 to lastBucket).map { b =>
-      if (b == lastBucket) (b, lx, ly)
-      else { val (ax, ay) = avgRows(b + 1); (b, ax, ay) }
-    }.toDF("__b", "__nx", "__ny")
-
-    val withArea = interior
-      .join(broadcast(prevAnchors), "__b")
-      .join(broadcast(nextAnchors), "__b")
-      .withColumn("__area", abs(
-        (col("__px") - col("__nx")) * (col("__y") - col("__py")) -
-        (col("__px") - col("__x")) * (col("__ny") - col("__py"))))
+      .select(col("__b"),
+        lag("__ax", 1).over(w).as("__px"), lag("__ay", 1).over(w).as("__py"),
+        lead("__ax", 1).over(w).as("__nx"), lead("__ay", 1).over(w).as("__ny"))
 
     // argmax per bucket; ties keep the FIRST maximum: the ordering
     // struct compares (area, -index) lexicographically, so the max is
     // the largest area and, within equal areas, the smallest index —
     // same contract as the previous `row_number` form, minus its
-    // full per-bucket sort
-    val selectedRows = withArea
+    // full per-bucket sort. The endpoint buckets are singletons with a
+    // null-anchor side — coalesce(area, 0) keeps their single row
+    val selectedRows = bucketed
+      .join(broadcast(anchors), "__b")
+      .withColumn("__area", coalesce(abs(
+        (col("__px") - col("__nx")) * (col("__y") - col("__py")) -
+        (col("__px") - col("__x")) * (col("__ny") - col("__py"))), lit(0.0)))
       .groupBy(col("__b"))
       .agg(max_by(
         struct(struct(cols.map(col): _*).as("r"), col("__i").cast("long").as("__i")),
@@ -279,9 +315,7 @@ object Lttb {
 
     val outSchema = org.apache.spark.sql.types.StructType(
       cols.map(c => indexed.schema(c)))
-    val ordered = (endpointRows.take(1).map(r => (r.getStruct(0), r.getLong(1))) ++
-        selectedRows.map(r => (r.getStruct(0), r.getLong(1))) ++
-        endpointRows.takeRight(1).map(r => (r.getStruct(0), r.getLong(1))))
+    val ordered = selectedRows.map(r => (r.getStruct(0), r.getLong(1)))
       .sortBy(_._2)
       .map { case (r, _) => Row.fromSeq(r.toSeq) }
     sp.createDataFrame(sp.sparkContext.parallelize(ordered.toIndexedSeq, 1), outSchema)

@@ -142,9 +142,16 @@ class SyncLease(spark: SparkSession, storePath: String, val owner: String,
     else {
       // IOException → false: failing to prove renewal means stop
       // writing — the safe direction for a mutex
-      try fs.setTimes(leasePath, nowMillis(), -1)
+      val target = nowMillis()
+      try fs.setTimes(leasePath, target, -1)
       catch { case _: java.io.IOException => return false }
-      holder.exists(_._1 == owner)
+      // Verify the heartbeat actually moved: on FileSystems where
+      // setTimes is a silent no-op (several object-store connectors)
+      // the holder would otherwise believe it renewed while the stale
+      // clock keeps ticking toward a deposal. 2s slack absorbs
+      // second-granularity mtimes; any real no-op is >2s behind by the
+      // first renew after the cadence interval.
+      holder.exists { case (o, _, hb) => o == owner && hb >= target - 2000L }
     }
   }
 

@@ -162,8 +162,9 @@ object ScaleSoak {
       val buckets = Dedup.lshBuckets(withSig, 32, 8)
       val occ = buckets.groupBy("band_id", "band_hash").count()
         .filter(col("count") > 1)
-        .agg(count(lit(1)).as("hot"), max("count").as("mx"),
-          sum(expr("count * (count - 1) / 2")).as("raw"))
+        .agg(count(lit(1)).as("hot"),
+          coalesce(max("count"), lit(0L)).as("mx"),
+          coalesce(sum(expr("count * (count - 1) / 2")), lit(0.0)).as("raw"))
         .head()
       val (hot, mx, raw) = (occ.getLong(0), occ.getLong(1), occ.getDouble(2).toLong)
       val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
