@@ -376,6 +376,108 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Parallel LTTB (avg-anchor variant): buckets and anchors are
+    // selection-independent, so the whole downsample is windows + one
+    // per-bucket argmax — mirrors Lttb.core exactly (endpoints are the
+    // singleton buckets -1 / lastBucket+1; ties keep the smallest index)
+    "q_lttb_downsample" ->
+      """WITH pts AS (
+        |  SELECT event_id, ts, value,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS x, CAST(value AS DOUBLE) AS y,
+        |    CAST(row_number() OVER (ORDER BY CAST(epoch_us(ts) AS DOUBLE), event_id) - 1 AS BIGINT) AS i,
+        |    count(*) OVER () AS n
+        |  FROM events),
+        |bucketed AS (
+        |  SELECT *, CASE WHEN i = 0 THEN -1
+        |                 WHEN i = n - 1 THEN 498
+        |                 ELSE LEAST(CAST(floor((i - 1) / ((n - 2) / 498.0)) AS BIGINT), 497) END AS b
+        |  FROM pts),
+        |cent AS (
+        |  SELECT b, avg(x) AS ax, avg(y) AS ay FROM bucketed GROUP BY b),
+        |anch AS (
+        |  SELECT b,
+        |    lag(ax) OVER (ORDER BY b) AS px, lag(ay) OVER (ORDER BY b) AS py,
+        |    lead(ax) OVER (ORDER BY b) AS nx, lead(ay) OVER (ORDER BY b) AS ny
+        |  FROM cent),
+        |ranked AS (
+        |  SELECT t.event_id, t.ts, t.value, t.i,
+        |    row_number() OVER (PARTITION BY t.b ORDER BY
+        |      coalesce(abs((a.px - a.nx) * (t.y - a.py) - (a.px - t.x) * (a.ny - a.py)), 0) DESC,
+        |      t.i ASC) AS rn
+        |  FROM bucketed t JOIN anch a USING (b))
+        |SELECT event_id, ts, value FROM ranked WHERE rn = 1 ORDER BY i""".stripMargin,
+    // Reference-exact sequential LTTB: the left anchor is the previously
+    // SELECTED point, so selection is a fold — one recursive-CTE step per
+    // interior bucket, carrying (prev index, prev x, prev y); next-bucket
+    // average anchors are selection-independent and precomputed. Mirrors
+    // Lttb.lttbIndices (data/lttb.py:89-150) including the first-max tie
+    // and the empty-next-bucket fallback
+    "q_lttb_exact" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type, ts, value,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS x,
+        |    CAST(value AS DOUBLE) AS y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) - 1 AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |buckets AS (
+        |  SELECT p.event_type, p.n, g.i AS b,
+        |    CAST(floor((g.i - 1) * (p.n - 2) / 198.0) AS BIGINT) + 1 AS bstart,
+        |    LEAST(CAST(floor(g.i * (p.n - 2) / 198.0) AS BIGINT) + 1, p.n) AS bend,
+        |    CAST(floor(g.i * (p.n - 2) / 198.0) AS BIGINT) + 1 AS nstart,
+        |    LEAST(CAST(floor((g.i + 1) * (p.n - 2) / 198.0) AS BIGINT) + 1, p.n) AS nend
+        |  FROM (SELECT DISTINCT event_type, n FROM pts WHERE n > 200) p,
+        |       (SELECT unnest(generate_series(1, 198)) AS i) g),
+        |anchors AS (
+        |  SELECT b.event_type, b.b, b.bstart, b.bend,
+        |    CASE WHEN b.nend > b.nstart
+        |      THEN (SELECT avg(p.x) FROM pts p WHERE p.event_type = b.event_type AND p.i >= b.nstart AND p.i < b.nend)
+        |      ELSE (SELECT p.x FROM pts p WHERE p.event_type = b.event_type AND p.i = LEAST(b.nstart, b.n - 1))
+        |    END AS ax,
+        |    CASE WHEN b.nend > b.nstart
+        |      THEN (SELECT avg(p.y) FROM pts p WHERE p.event_type = b.event_type AND p.i >= b.nstart AND p.i < b.nend)
+        |      ELSE (SELECT p.y FROM pts p WHERE p.event_type = b.event_type AND p.i = LEAST(b.nstart, b.n - 1))
+        |    END AS ay
+        |  FROM buckets b),
+        |sel AS (
+        |  SELECT p.event_type, p.i AS sel_i, p.x AS px, p.y AS py, CAST(0 AS BIGINT) AS step
+        |  FROM pts p WHERE p.n > 200 AND p.i = 0
+        |  UNION ALL
+        |  SELECT s.event_type, nxt.i, nxt.x, nxt.y, s.step + 1
+        |  FROM sel s
+        |  JOIN anchors a ON a.event_type = s.event_type AND a.b = s.step + 1,
+        |  LATERAL (
+        |    SELECT p.i, p.x, p.y,
+        |      abs((s.px - a.ax) * (p.y - s.py) - (s.px - p.x) * (a.ay - s.py)) AS area
+        |    FROM pts p
+        |    WHERE p.event_type = s.event_type AND p.i >= a.bstart AND p.i < a.bend
+        |    ORDER BY area DESC, p.i ASC LIMIT 1) nxt
+        |  WHERE s.step < 198)
+        |SELECT p.event_type, p.ts, p.value
+        |FROM pts p
+        |WHERE p.n <= 200
+        |   OR p.i = 0 OR p.i = p.n - 1
+        |   OR EXISTS (SELECT 1 FROM sel s WHERE s.event_type = p.event_type AND s.sel_i = p.i AND s.step > 0)
+        |ORDER BY p.event_type, p.ts""".stripMargin,
+    // Greedy first-fit packing is a fold over id order within each block —
+    // one recursive step per rank, carrying (bin, used); mirrors
+    // Curation.packSequences' aggregate() lambda exactly
+    "d_pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id // 100 AS block,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |pack AS (
+        |  SELECT block, rk, doc_id, tok, CAST(0 AS BIGINT) AS bin, tok AS used
+        |  FROM toks WHERE rk = 1
+        |  UNION ALL
+        |  SELECT t.block, t.rk, t.doc_id, t.tok,
+        |    CASE WHEN p.used + t.tok > 512 AND p.used > 0 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.used + t.tok > 512 AND p.used > 0 THEN t.tok ELSE p.used + t.tok END
+        |  FROM pack p JOIN toks t ON t.block = p.block AND t.rk = p.rk + 1)
+        |SELECT doc_id, tok AS n_tokens, block * 4294967296 + bin AS bin_id
+        |FROM pack ORDER BY doc_id""".stripMargin,
     "q_full_sync" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q_incremental_sync" ->
