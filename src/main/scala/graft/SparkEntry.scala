@@ -273,10 +273,12 @@ object SparkEntry {
         .select("doc_id", "n_words", "dup_word_frac", "n_grams", "dup_3gram_frac")
         .orderBy("doc_id")),
     "d_fingerprint_rolling" -> ((s, d) =>
+      // fp_simhash intentionally lives in d_dedup_simhash (its kernel is
+      // XxHash64-based — no DuckDB equivalent); keeping this row to the
+      // polynomial rolling hash lets it be fully oracle-checked
       Tables.documents(s, d)
         .withColumn("fp_rolling", Hashes.rolling_hash(col("text")))
-        .withColumn("fp_simhash", Hashes.simhash64(split(col("text"), " ")))
-        .select("doc_id", "fp_rolling", "fp_simhash").orderBy("doc_id")),
+        .select("doc_id", "fp_rolling").orderBy("doc_id")),
     "d_pii_redact" -> ((s, d) => {
       // the corpus is synthetic word-salad with no PII, so inject a
       // deterministic email/phone/SSN/IP per doc (derived from doc_id)
@@ -478,6 +480,21 @@ object SparkEntry {
         |  FROM pack p JOIN toks t ON t.block = p.block AND t.rk = p.rk + 1)
         |SELECT doc_id, tok AS n_tokens, block * 4294967296 + bin AS bin_id
         |FROM pack ORDER BY doc_id""".stripMargin,
+    // Polynomial rolling hash (base 1000003, wrapping mod 2^64, FNV
+    // offset seed) over ASCII text — HUGEINT modular arithmetic folds
+    // byte-for-byte identically to the codegen'd kernel, then reinterprets
+    // the unsigned result as a signed 64-bit value
+    "d_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp_rolling
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS HUGEINT))),
+        |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_full_sync" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q_incremental_sync" ->
