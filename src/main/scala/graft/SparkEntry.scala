@@ -307,6 +307,18 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_heavy_hitters" -> ((s, d) =>
+      // bigram heavy hitters: Misra-Gries candidates + exact recount;
+      // result is EXACT (spec pins equality with the full groupBy), so
+      // the plain GROUP BY + HAVING oracle applies
+      graft.ops.HeavyHitters.topNgrams(Tables.documents(s, d), 0.0015, 2)),
+    "d_sample_portable" -> ((s, d) =>
+      // md5-bucket deterministic sample — the portable variant exists
+      // precisely so an external engine can recompute membership; the
+      // oracle does exactly that
+      graft.ops.Sampling.deterministicSamplePortable(
+        Tables.documents(s, d), "doc_id", 0.25)
+        .select("doc_id", "source", "lang").orderBy("doc_id")),
     "d_embed_quantize" -> ((s, d) =>
       // the harness sorts result columns with pandas, which cannot sort
       // array cells — emit the int8 vector as an md5 digest (still
@@ -494,6 +506,19 @@ object SparkEntry {
         |        list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS HUGEINT))),
         |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "d_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS token
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT token, count(*) AS cnt
+        |FROM toks, tot GROUP BY token, n
+        |HAVING count(*) > 0.0015 * n
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "d_sample_portable" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 250000
         |ORDER BY doc_id""".stripMargin,
     "q_full_sync" ->
       "SELECT * FROM orders ORDER BY o_orderkey",

@@ -88,4 +88,24 @@ object Sampling {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     stratifiedSample(df, domainCol, idCol, mixFractions(counts, weights), salt)
   }
+
+  /** PORTABLE id-hash bucket: md5 of "salt|id", first 15 hex digits as
+    * an integer, mod 10^6. Slower than the xxhash64 bucket (md5 is not
+    * codegen-fused as tightly) but reproducible in ANY engine — md5 is
+    * universal, so sample membership can be audited or recomputed
+    * outside the JVM (SQL engines included), which matters when a
+    * training-data recipe must be re-derivable years later from the
+    * published spec alone. Still a pushdown-friendly scalar filter:
+    * no shuffle, no RNG, partitioning-independent.
+    */
+  private def portableBucket(idCol: String, salt: String) =
+    conv(substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+
+  /** [[deterministicSample]] with the portable (md5) bucket. */
+  def deterministicSamplePortable(df: DataFrame, idCol: String, fraction: Double,
+                                  salt: String = "s0"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    df.filter(portableBucket(idCol, salt) < (fraction * 1000000L).toLong)
+  }
 }

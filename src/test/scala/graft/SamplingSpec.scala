@@ -69,6 +69,25 @@ class SamplingSpec extends SparkSpec {
     assert(again == got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("deterministicSamplePortable: md5 bucket matches a JVM reference, stable") {
+    val got = Sampling.deterministicSamplePortable(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // reference implementation of the documented formula, independent of Spark
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s0|$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    val expect = docs.select("doc_id").as[Long].collect()
+      .filter(id => bucket(id) < 250000L).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < docs.count())
+    val again = Sampling.deterministicSamplePortable(docs.repartition(7), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("split3: disjoint, exhaustive, stable") {
     val (tr, va, te) = Sampling.split3(docs, "doc_id", 0.7, 0.2)
     val n = docs.count()
