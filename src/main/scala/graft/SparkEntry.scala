@@ -312,6 +312,32 @@ object SparkEntry {
       // result is EXACT (spec pins equality with the full groupBy), so
       // the plain GROUP BY + HAVING oracle applies
       graft.ops.HeavyHitters.topNgrams(Tables.documents(s, d), 0.0015, 2)),
+    "d_tfidf_keywords" -> ((s, d) =>
+      // top-3 bigram keywords per doc (31-word vocab makes unigram idf
+      // degenerate; bigrams spread df). Ties break on term asc — fully
+      // deterministic, so the window-rank oracle reproduces exactly
+      graft.text.TfIdf.keywords(Tables.documents(s, d), 3, 2)),
+    "q_range_join" -> ((s, d) => {
+      // non-equi temporal join, bucketed: market-wide shipping activity
+      // during each of the top-100 orders' 7-day windows. A bare
+      // inequality join plans as a nested loop; the bucket equi-join
+      // bounds comparisons per bucket. The range set is top-k-bounded
+      // because point-in-range output scales as |points| x overlap
+      // density — an all-orders window query is unbounded BY SEMANTICS
+      // at any engine, not an operator limitation
+      val li = Tables.lineitem(s, d)
+        .select(expr("unix_date(CAST(l_shipdate AS DATE))").as("ship_d"),
+          col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
+        .select(col("o_orderkey"),
+          expr("unix_date(CAST(o_orderdate AS DATE))").as("start_d"),
+          expr("unix_date(CAST(o_orderdate AS DATE)) + 7").as("end_d"))
+      graft.ops.RangeJoin.rangeAgg(li, ord, "ship_d", "start_d", "end_d", 7L,
+        "o_orderkey",
+        Seq(count(lit(1)).as("n_ship"), sum("l_quantity").as("qty")))
+        .orderBy("o_orderkey")
+    }),
     "d_sample_portable" -> ((s, d) =>
       // md5-bucket deterministic sample — the portable variant exists
       // precisely so an external engine can recompute membership; the
@@ -516,6 +542,31 @@ object SparkEntry {
         |FROM toks, tot GROUP BY token, n
         |HAVING count(*) > 0.0015 * n
         |ORDER BY cnt DESC, token""".stripMargin,
+    "d_tfidf_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM terms),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * round(ln((nd.n + 1.0) / (dfx.df + 1.0)) + 1.0, 9), 6) AS score
+        |  FROM tf JOIN dfx USING (term), nd),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_range_join" ->
+      """WITH top_orders AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        |SELECT o_orderkey, count(*) AS n_ship, sum(l_quantity) AS qty
+        |FROM top_orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "d_sample_portable" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 250000

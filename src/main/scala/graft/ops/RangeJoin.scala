@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-range join (non-equi temporal/interval join).
+  *
+  * Spark's planner turns a bare `p >= start AND p < end` join into a
+  * broadcast-nested-loop or cartesian product — O(|points| x |ranges|)
+  * comparisons, the classic scale killer. This operator BUCKETS the
+  * domain: each point lands in exactly one width-`w` bucket, each range
+  * explodes to the buckets it overlaps (len/w + 1 copies), and the join
+  * becomes a plain equi shuffle join on the bucket id with the exact
+  * predicate re-applied as a post-filter. No distinct is needed — a
+  * point's single bucket meets each overlapping range exactly once.
+  *
+  * Cost model at 100 TB: comparisons drop from |P| x |R| to
+  * sum-per-bucket |P_b| x |R_b|; pick `bucketWidth` near the median
+  * range length (wider → fewer range copies but more false candidates,
+  * narrower → the reverse). AQE's skew-join split handles hot buckets.
+  */
+object RangeJoin {
+
+  /** Join `points` to every row of `ranges` whose
+    * `[startCol, endCol)` interval contains `pointCol`. The three
+    * columns must share an integral domain (epoch days/seconds/micros).
+    */
+  def pointInRange(points: DataFrame, ranges: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val p = points.withColumn("__b", floor(col(pointCol) / bucketWidth).cast("long"))
+    val r = ranges.withColumn("__b", explode(sequence(
+      floor(col(startCol) / bucketWidth).cast("long"),
+      floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    p.join(r, Seq("__b"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__b")
+  }
+
+  /** Per-range aggregation of contained points without materializing
+    * the joined rows downstream: point-in-range join, then group by the
+    * range key with map-side partial aggregation.
+    */
+  def rangeAgg(points: DataFrame, ranges: DataFrame,
+               pointCol: String, startCol: String, endCol: String,
+               bucketWidth: Long, rangeKey: String,
+               aggs: Seq[Column]): DataFrame =
+    pointInRange(points, ranges, pointCol, startCol, endCol, bucketWidth)
+      .groupBy(col(rangeKey))
+      .agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF scoring and per-document keyword extraction.
+  *
+  * Scale shape: ONE wide exchange — the (doc, term) partial-count
+  * aggregation (map-side combine reduces each partition to its local
+  * distinct doc-term pairs first). The document-frequency table is
+  * derived from that same tf output (a second, much smaller agg over
+  * doc-term rows, vocab-bounded) and joined back BROADCAST, so the
+  * token stream itself never shuffles twice. Keyword top-k uses the
+  * k-bounded heap aggregate (graft.functions.TopK): the rank exchange
+  * carries k rows per doc, not every scored term.
+  *
+  * Determinism contract (same pattern as TextAnalysis.unigramLogProb):
+  * idf = ln((N+1)/(df+1)) + 1 rounds to 9 decimals before use, and the
+  * emitted score rounds to 6 — absorbing cross-engine `ln` ulp drift so
+  * a SQL oracle reproduces the result bit-for-bit.
+  */
+object TfIdf {
+
+  /** (doc, term, tf, df, score) for every term occurrence set. `terms`
+    * must be (idCol, term) one row per OCCURRENCE.
+    */
+  def score(terms: DataFrame, idCol: String = "doc_id",
+            termCol: String = "term"): DataFrame = {
+    val tf = terms.groupBy(col(idCol), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = terms.select(col(idCol)).distinct().count()
+    val df = tf.groupBy(col(termCol)).agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0, 9)
+    tf.join(broadcast(df), termCol)
+      .withColumn("score", round(col("tf").cast("double") * idf, 6))
+  }
+
+  /** Word n-gram stream of a corpus: (idCol, term), one row per
+    * occurrence — single-space tokenizer, same as graft.text/ops.
+    */
+  def ngramTerms(docs: DataFrame, n: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(__w) >= $n THEN " +
+          s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' ')) " +
+          "ELSE array() END")).as("term"))
+  }
+
+  /** Top-k keywords per document by TF-IDF (ties: term ascending).
+    *
+    * The rank is a per-doc window over the SCORED doc-term table —
+    * whose row count equals the tf aggregate's output (distinct
+    * doc-term pairs, doc-length-bounded per partition key), not the
+    * raw occurrence stream; the broadcast idf join adds no exchange,
+    * so ranking costs one doc-keyed shuffle of the scored pairs.
+    * A heap top-k is NOT used here because the tie contract orders by
+    * the term STRING, which the (score, long-id) heap cannot carry.
+    */
+  def keywords(docs: DataFrame, k: Int, n: Int = 2, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = score(ngramTerms(docs, n, textCol, idCol), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+      .orderBy(col(idCol), col("rank"))
+  }
+}

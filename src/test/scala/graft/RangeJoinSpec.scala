@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // points across a signed domain; ranges of varied lengths including
+  // sub-bucket, multi-bucket, and empty-intersection ones
+  private def points = (-25L to 60L by 3L).toDF("p")
+  private def ranges = Seq(
+    (1L, -30L, -20L),  // negative domain
+    (2L, -5L, 9L),     // spans bucket boundary
+    (3L, 10L, 11L),    // single point wide
+    (4L, 11L, 10L),    // empty (end <= start): matches nothing
+    (5L, 0L, 100L),    // many buckets
+    (6L, 58L, 61L)     // tail edge
+  ).toDF("rk", "s", "e")
+
+  private def naive = points.crossJoin(ranges)
+    .filter(col("p") >= col("s") && col("p") < col("e"))
+    .select("p", "rk").as[(Long, Long)].collect().toSet
+
+  test("pointInRange equals the naive cross-join filter for several widths") {
+    for (w <- Seq(1L, 4L, 7L, 1000L)) {
+      val got = RangeJoin.pointInRange(points, ranges, "p", "s", "e", w)
+        .select("p", "rk").as[(Long, Long)].collect()
+      assert(got.toSet == naive, s"width $w")
+      assert(got.length == got.toSet.size, s"width $w produced duplicates")
+    }
+  }
+
+  test("inclusive start, exclusive end") {
+    val got = RangeJoin.pointInRange(
+      Seq(10L, 11L).toDF("p"), Seq((3L, 10L, 11L)).toDF("rk", "s", "e"),
+      "p", "s", "e", 7L).select("p").as[Long].collect().toSet
+    assert(got == Set(10L))
+  }
+
+  test("rangeAgg groups contained points per range key") {
+    val got = RangeJoin.rangeAgg(points, ranges, "p", "s", "e", 7L, "rk",
+      Seq(count(lit(1)).as("n"))).as[(Long, Long)].collect().toMap
+    val expect = naive.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    assert(!got.contains(4L)) // empty range absent, not zero
+  }
+}
