@@ -37,4 +37,40 @@ object VizPrep {
   def filterByRange(df: DataFrame, column: String,
                     minValue: Double, maxValue: Double): DataFrame =
     df.filter(col(column).between(minValue, maxValue))
+
+  /** Chart-feeding renames (visualization.py:22
+    * `_prepare_aggregated_data_for_viz`): `<base>_avg` → `<base>`
+    * (primary series) and `time_bucket` → `time`. Pure metadata — no
+    * job. Mirrors the reference's overwrite-on-collision behavior,
+    * except a rename that would DUPLICATE an existing column name is
+    * skipped (a DataFrame with duplicate names breaks every downstream
+    * select; pandas tolerates it, Catalyst does not).
+    */
+  def prepareAggregatedForViz(df: DataFrame): DataFrame = {
+    val existing = df.columns.toSet
+    val renames = df.columns.flatMap {
+      case c if c.endsWith("_avg") && !existing.contains(c.stripSuffix("_avg")) =>
+        Some(c -> c.stripSuffix("_avg"))
+      case "time_bucket" if !existing.contains("time") =>
+        Some("time_bucket" -> "time")
+      case _ => None
+    }
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** Schema-level numeric column detection (visualization.py:103) —
+    * Catalyst types replace pandas dtype sniffing; no data pass.
+    */
+  def detectNumericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+
+  /** Schema-level datetime column detection (visualization.py:90). */
+  def detectDatetimeColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+        f.dataType == org.apache.spark.sql.types.DateType => f.name
+    }.toSeq
 }

@@ -23,7 +23,8 @@ object ExplainReport {
   private val headline = Seq(
     "q1_agg", "q_multi_join", "q_topk", "q_asof_join_merge",
     "d_dedup_minhash_pairs", "d_dedup_embed_lsh", "d_cosine_topk",
-    "q_incremental_sync", "q_time_bucket_agg", "d_pipeline_curate")
+    "q_incremental_sync", "q_time_bucket_agg", "d_pipeline_curate",
+    "q_range_join", "d_heavy_hitters", "d_tfidf_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -36,7 +36,9 @@ object ScaleSoak {
     "q_asof_join_merge", "d_dedup_exact", "d_dedup_minhash_pairs",
     "d_cosine_topk", "d_dedup_embed_lsh", "q_events_sessionize",
     "d_decontaminate", "d_unigram_logprob", "d_pack_sequences",
-    "d_dedup_lines", "d_c4_clean")
+    "d_dedup_lines", "d_c4_clean",
+    "q_lttb_downsample", "d_heavy_hitters", "d_tfidf_keywords",
+    "q_range_join")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

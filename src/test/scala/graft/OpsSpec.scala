@@ -111,6 +111,24 @@ class OpsSpec extends SparkSpec {
     assert(VizPrep.filterByRange(df, "v", 0, 15).count() == 1)
   }
 
+  test("prepareAggregatedForViz renames _avg and time_bucket, skips collisions") {
+    import graft.ops.VizPrep
+    val df = Seq((1L, 2.0, 3.0, 4.0)).toDF("time_bucket", "s1_avg", "s1_max", "s1_min")
+    val out = VizPrep.prepareAggregatedForViz(df)
+    assert(out.columns.toSeq == Seq("time", "s1", "s1_max", "s1_min"))
+    // collision: s2 already exists — s2_avg must NOT rename onto it
+    val clash = Seq((1.0, 2.0)).toDF("s2", "s2_avg")
+    assert(VizPrep.prepareAggregatedForViz(clash).columns.toSeq == Seq("s2", "s2_avg"))
+  }
+
+  test("detectNumericColumns / detectDatetimeColumns are schema-level") {
+    import graft.ops.VizPrep
+    val df = Seq((1L, 1.5, "x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Date.valueOf("2024-01-01"))).toDF("i", "d", "s", "ts", "dt")
+    assert(VizPrep.detectNumericColumns(df) == Seq("i", "d"))
+    assert(VizPrep.detectDatetimeColumns(df) == Seq("ts", "dt"))
+  }
+
   test("yAxisRange ignores NaN; filterByRange is inclusive and drops NaN") {
     import graft.ops.VizPrep
     val withNan = Seq(10.0, 20.0, Double.NaN).toDF("v")
