@@ -55,4 +55,81 @@ object IncrementalAgg {
       col("value_min"),
       col("value_max"))
       .orderBy("bucket_ts")
+
+  // ── Mergeable quantile state ──────────────────────────────────────
+  //
+  // count/sum/min/max decompose exactly, but percentile_approx state
+  // is NOT mergeable across refreshes in this layer. A fixed-bin
+  // histogram over a configured [lo, hi) domain is: bin counts are
+  // exact integers, merging is element-wise addition, so
+  // merge(state(A), state(B)) == state(A ∪ B) BIT-IDENTICAL under any
+  // slicing, and any quantile reads off the cumulative counts with
+  // error bounded by one bin width. State size: buckets × nBins longs.
+
+  /** Histogram bucket state: per time bucket, `nBins` counts over the
+    * fixed domain [lo, hi) (out-of-range values clamp to the edge
+    * bins, so the state also absorbs outliers deterministically).
+    */
+  def histState(slice: DataFrame, timeCol: String, interval: String,
+                valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000, s"nBins out of range: $nBins")
+    require(hi > lo, s"empty histogram domain [$lo, $hi)")
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lo) / (hi - lo) * nBins).cast("int")))
+    slice
+      .groupBy(window(col(timeCol), interval).as("w"), bin.as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("w"))
+      .agg(expr(s"""aggregate(
+        |  collect_list(struct(__bin, __c)),
+        |  cast(array_repeat(0L, $nBins) as array<bigint>),
+        |  (acc, e) -> transform(acc, (v, i) -> if(i = e.__bin, v + e.__c, v)))"""
+        .stripMargin).as("hist"))
+      .select(col("w.start").as("bucket_ts"), col("hist"))
+  }
+
+  /** Merge histogram states: element-wise sum per time bucket. */
+  def mergeHistStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket_ts"))
+      .agg(expr(
+        """aggregate(
+          |  collect_list(hist),
+          |  cast(array_repeat(0L, size(first(hist))) as array<bigint>),
+          |  (acc, h) -> zip_with(acc, h, (x, y) -> x + y))""".stripMargin)
+        .as("hist"))
+
+  /** Quantiles from histogram state: for each requested q, the upper
+    * edge of the first bin whose cumulative count reaches ceil(q * n)
+    * — a deterministic estimate within one bin width of the exact
+    * rank-q value (for in-domain data; q = 0 degenerates to the first
+    * bin's upper edge). Empty buckets yield null. Output columns are
+    * named `q_<percent>` (q_50, q_99, ...).
+    */
+  def quantilesFromState(state: DataFrame, lo: Double, hi: Double,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    val withN = state
+      .withColumn("__n", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+    val qCols = qs.map { q =>
+      // single fold over the bins: carry (cumulative, position, found
+      // index); the found index freezes once the target rank is reached
+      val idx = expr(
+        s"""aggregate(
+           |  hist,
+           |  named_struct('cum', 0L, 'pos', 0, 'idx', -1),
+           |  (acc, c) -> named_struct(
+           |    'cum', acc.cum + c,
+           |    'pos', acc.pos + 1,
+           |    'idx', if(acc.idx >= 0, acc.idx,
+           |      if(acc.cum + c >= ceil($q * __n), acc.pos, -1))),
+           |  acc -> acc.idx)""".stripMargin)
+      when(col("__n") === 0, lit(null).cast("double"))
+        .otherwise(lit(lo) + (idx + 1).cast("double") *
+          lit(hi - lo) / expr("CAST(size(hist) AS DOUBLE)"))
+        .as(s"q_${math.round(q * 100)}")
+    }
+    withN.select(col("bucket_ts") +: qCols: _*).orderBy("bucket_ts")
+  }
 }

@@ -111,6 +111,49 @@ class OpsSpec extends SparkSpec {
     assert(VizPrep.filterByRange(df, "v", 0, 15).count() == 1)
   }
 
+  test("histogram quantile state: merge == full recompute bit-identical; error <= bin width") {
+    import graft.ops.IncrementalAgg
+    val events = graft.core.Tables.events(spark, sfDir)
+    val (lo, hi, bins) = (0.0, 1000.0, 200)
+    val cut = "2024-01-15 00:00:00"
+    val old = events.filter(col("ts") < lit(cut).cast("timestamp"))
+    val fresh = events.filter(col("ts") >= lit(cut).cast("timestamp"))
+    val merged = IncrementalAgg.mergeHistStates(
+      IncrementalAgg.histState(old, "ts", "1 day", "value", lo, hi, bins),
+      IncrementalAgg.histState(fresh, "ts", "1 day", "value", lo, hi, bins))
+    val full = IncrementalAgg.histState(events, "ts", "1 day", "value", lo, hi, bins)
+    val m = merged.as[(java.sql.Timestamp, Seq[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    val f = full.as[(java.sql.Timestamp, Seq[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(m == f) // exact integer counts: merge IS the recompute
+    assert(m.nonEmpty)
+
+    // quantile estimates land within one bin width of the exact
+    // NEAREST-RANK value (the estimator's contract: it emits the upper
+    // edge of the bin containing the rank-ceil(q*n) element)
+    val binWidth = (hi - lo) / bins
+    val approx = IncrementalAgg.quantilesFromState(full, lo, hi, Seq(0.5, 0.99))
+      .as[(java.sql.Timestamp, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sort_array(collect_list(col("value").cast("double"))).as("vs"))
+      .select(col("w.start"), col("vs"))
+      .as[(java.sql.Timestamp, Seq[Double])].collect()
+      .map { case (ts, vs) =>
+        def nearestRank(q: Double): Double =
+          vs(math.max(math.ceil(q * vs.size).toInt, 1) - 1)
+        ts -> ((nearestRank(0.5), nearestRank(0.99)))
+      }.toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (ts, (p50, p99)) =>
+      val (a50, a99) = approx(ts)
+      assert(math.abs(a50 - p50) <= binWidth + 1e-9, s"$ts p50 $a50 vs $p50")
+      assert(math.abs(a99 - p99) <= binWidth + 1e-9, s"$ts p99 $a99 vs $p99")
+    }
+  }
+
   test("prepareAggregatedForViz renames _avg and time_bucket, skips collisions") {
     import graft.ops.VizPrep
     val df = Seq((1L, 2.0, 3.0, 4.0)).toDF("time_bucket", "s1_avg", "s1_max", "s1_min")
