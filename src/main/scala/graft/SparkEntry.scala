@@ -312,6 +312,14 @@ object SparkEntry {
       // result is EXACT (spec pins equality with the full groupBy), so
       // the plain GROUP BY + HAVING oracle applies
       graft.ops.HeavyHitters.topNgrams(Tables.documents(s, d), 0.0015, 2)),
+    "q_hist_quantiles" -> ((s, d) => {
+      // mergeable histogram-quantile state read back as daily p50/p99;
+      // the oracle recomputes the identical fixed-bin estimator in SQL
+      val ev = Tables.events(s, d)
+      graft.ops.IncrementalAgg.quantilesFromState(
+        graft.ops.IncrementalAgg.histState(ev, "ts", "1 day", "value", 0.0, 1000.0, 200),
+        0.0, 1000.0, Seq(0.5, 0.99))
+    }),
     "d_tfidf_keywords" -> ((s, d) =>
       // top-3 bigram keywords per doc (31-word vocab makes unigram idf
       // degenerate; bigrams spread df). Ties break on term asc — fully
@@ -542,6 +550,25 @@ object SparkEntry {
         |FROM toks, tot GROUP BY token, n
         |HAVING count(*) > 0.0015 * n
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_hist_quantiles" ->
+      """WITH binned AS (
+        |  SELECT date_trunc('day', ts) AS bucket_ts,
+        |    least(199, greatest(0, CAST(floor(CAST(value AS DOUBLE) / 1000.0 * 200) AS INT))) AS bin
+        |  FROM events),
+        |counts AS (SELECT bucket_ts, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT bucket_ts, sum(c) AS n FROM counts GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket_ts, bin, sum(c) OVER (PARTITION BY bucket_ts ORDER BY bin) AS cumc
+        |  FROM counts),
+        |sel AS (
+        |  SELECT c.bucket_ts,
+        |    min(CASE WHEN cumc >= ceil(0.5 * n) THEN bin END) AS b50,
+        |    min(CASE WHEN cumc >= ceil(0.99 * n) THEN bin END) AS b99
+        |  FROM cum c JOIN tot USING (bucket_ts) GROUP BY 1)
+        |SELECT bucket_ts,
+        |  (b50 + 1) * 1000.0 / 200 AS q_50,
+        |  (b99 + 1) * 1000.0 / 200 AS q_99
+        |FROM sel ORDER BY bucket_ts""".stripMargin,
     "d_tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
