@@ -81,4 +81,50 @@ class CachedAggService(spark: SparkSession, dir: String,
   def clearCache(table: String, timeCol: String, interval: String,
                  valueCol: String): Unit =
     cache.clearCache(Some(table), aggKey(timeCol, interval, valueCol))
+
+  private def histKey(timeCol: String, interval: String, valueCol: String,
+                      lo: Double, hi: Double, nBins: Int) =
+    Some(s"hist_${timeCol}_${interval.replace(' ', '_')}_${valueCol}_${lo}_${hi}_$nBins")
+
+  /** Per-bucket quantiles served from cached HISTOGRAM state — same
+    * merge-only refresh contract as [[aggregateWithCaching]], with the
+    * same bit-identical guarantee (bin counts are exact integers, so
+    * element-wise merge IS the recompute). The domain/bin parameters
+    * are part of the cache key: changing them starts a fresh state.
+    */
+  def quantilesWithCaching(table: String, timeCol: String, interval: String,
+                           valueCol: String, lo: Double, hi: Double,
+                           nBins: Int, qs: Seq[Double]): CachedQueryResult = {
+    val key = histKey(timeCol, interval, valueCol, lo, hi, nBins)
+    val meta = if (cache.hasCache(table, key)) cache.getMetadata(table, key) else None
+    val base = Tables.loadNormalized(spark, dir, table)
+    def read(state: DataFrame) = IncrementalAgg.quantilesFromState(state, lo, hi, qs)
+    meta.flatMap(_.lastTimestamp) match {
+      case Some(wm) =>
+        val fresh = base.filter(
+          col(timeCol) > lit(wm).cast(base.schema(timeCol).dataType))
+        val freshCount = fresh.count()
+        val state = cache.getCachedData(table, key)
+          .getOrElse(sys.error(s"hist cache metadata present but state missing for '$table'"))
+        if (freshCount == 0)
+          CachedQueryResult(read(state), isIncremental = true, meta.get.rowCount, 0)
+        else {
+          val merged = IncrementalAgg.mergeHistStates(state,
+            IncrementalAgg.histState(fresh, timeCol, interval, valueCol, lo, hi, nBins))
+          val newWm = maxTsString(fresh, timeCol).orElse(meta.flatMap(_.lastTimestamp))
+          val n = meta.get.rowCount + freshCount
+          cache.setCachedData(table, merged,
+            CachedQueryMetadata(newWm, n, nowMillis()), key)
+          val back = cache.getCachedData(table, key).getOrElse(merged)
+          CachedQueryResult(read(back), isIncremental = true, n, freshCount)
+        }
+      case None =>
+        val state = IncrementalAgg.histState(base, timeCol, interval, valueCol, lo, hi, nBins)
+        val n = base.count()
+        val wm = maxTsString(base, timeCol)
+        cache.setCachedData(table, state, CachedQueryMetadata(wm, n, nowMillis()), key)
+        val back = cache.getCachedData(table, key).getOrElse(state)
+        CachedQueryResult(read(back), isIncremental = false, n, n)
+    }
+  }
 }

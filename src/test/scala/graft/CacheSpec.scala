@@ -263,6 +263,40 @@ class CacheSpec extends SparkSpec {
     assert(r3.df.collect().map(_.toSeq).toSeq == want)
   }
 
+  test("cached histogram-quantile refresh is bit-identical to a full recompute") {
+    val srcDir = Files.createTempDirectory("graft-cache-hist").toString
+    val cacheDir = Files.createTempDirectory("graft-cache-histstore").toString
+    val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
+    val svc = new CachedAggService(spark, srcDir, mgr)
+    def rows(n: Int) = (1 to n).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        i * 1.7 - 3))
+      .toDF("id", "ts", "v")
+
+    rows(200).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r1 = svc.quantilesWithCaching("t", "ts", "1 hour", "v",
+      0.0, 600.0, 60, Seq(0.5, 0.9))
+    assert(!r1.isIncremental && r1.rowCount == 200)
+
+    rows(300).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val r2 = svc.quantilesWithCaching("t", "ts", "1 hour", "v",
+      0.0, 600.0, 60, Seq(0.5, 0.9))
+    assert(r2.isIncremental && r2.rowCount == 300 && r2.newRows == 100)
+
+    val full = graft.ops.IncrementalAgg.quantilesFromState(
+      graft.ops.IncrementalAgg.histState(
+        spark.read.parquet(s"$srcDir/t.parquet"), "ts", "1 hour", "v",
+        0.0, 600.0, 60),
+      0.0, 600.0, Seq(0.5, 0.9))
+    assert(r2.df.collect().map(_.toSeq).toSeq ==
+      full.collect().map(_.toSeq).toSeq)
+
+    // no new data: state untouched
+    val r3 = svc.quantilesWithCaching("t", "ts", "1 hour", "v",
+      0.0, 600.0, 60, Seq(0.5, 0.9))
+    assert(r3.isIncremental && r3.newRows == 0)
+  }
+
   test("automatic inference resolves once and is recorded for refreshes") {
     val srcDir = Files.createTempDirectory("graft-cache-auto").toString
     val cacheDir = Files.createTempDirectory("graft-cache-autostore").toString
