@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * explode/split is deliberate — CPU-cheap scans beat staging or
   * caching a token stream that is ~10x the corpus row count.
   *
-  * Reference anchor: the reference's term-frequency surface is a full
-  * GROUP BY over terms (application/analytics_service.py top-terms);
-  * this is the scale formulation of the same result.
+  * No reference anchor: the reference's aggregation surface is plain
+  * GROUP BY (data/query_core.py); heavy hitters is part of the
+  * training-data-pipeline extension (SURVEY §2c), where corpus term
+  * statistics at 100 TB need the sketch formulation.
   */
 object HeavyHitters {
 
