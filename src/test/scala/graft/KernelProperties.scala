@@ -71,6 +71,15 @@ object KernelProperties extends Properties("graft.kernels") {
         Prop(idx.zip(idx.tail).forall { case (a, b) => a < b }) :| "monotone"
     }
 
+  property("misraGries: survivors cover every item with count > n/capacity") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 30).map(i => s"t$i")),
+      Gen.chooseNum(1, 12)) { (tokens, cap) =>
+      val survivors = graft.ops.HeavyHitters.misraGries(tokens.iterator, cap).toSet
+      val counts = tokens.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = counts.filter { case (_, c) => c * cap > tokens.size }.keySet
+      survivors.size <= cap && mustKeep.subsetOf(survivors)
+    }
+
   property("lttbIndices: the global max and min of a spiky series survive") =
     forAll(Gen.chooseNum(30, 200), Gen.chooseNum(5, 25)) { (n, thr) =>
       val xs = Array.tabulate(n)(_.toDouble)
