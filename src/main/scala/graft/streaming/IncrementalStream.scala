@@ -259,6 +259,41 @@ object IncrementalStream {
   def readAggState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     new SnapshotStore(spark, stateDir).read()
 
+  /** Histogram-state form of [[mergeAggBatch]]: micro-batches maintain
+    * the mergeable QUANTILE state (IncrementalAgg.histState) under the
+    * same atomic-commit + replay-skip contract. Exact integer bin
+    * counts make the maintained state bit-identical to histogramming
+    * all batches at once, under any micro-batching.
+    */
+  def mergeHistBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                     timeCol: String, interval: String, valueCol: String,
+                     lo: Double, hi: Double, nBins: Int): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, stateDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay: already merged
+    val fresh = graft.ops.IncrementalAgg
+      .histState(batch, timeCol, interval, valueCol, lo, hi, nBins)
+    val merged = store.read() match {
+      case Some(prev) => graft.ops.IncrementalAgg.mergeHistStates(prev, fresh)
+      case None => fresh
+    }
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming quantile-state sink — [[sinkAggState]] for the
+    * histogram state; read quantiles back with
+    * `IncrementalAgg.quantilesFromState(readAggState(...), ...)`.
+    */
+  def sinkHistState(df: DataFrame, stateDir: String, checkpointDir: String,
+                    timeCol: String, interval: String, valueCol: String,
+                    lo: Double, hi: Double, nBins: Int): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeHistBatch(batch, batchId, stateDir, timeCol, interval, valueCol,
+          lo, hi, nBins)
+      }
+
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.
     */

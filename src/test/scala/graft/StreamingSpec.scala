@@ -185,6 +185,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch hist-state sink == batch histState, bit-identical across micro-batching") {
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val in = Files.createTempDirectory("graft_histsink_in").toString
+    val stateDir = Files.createTempDirectory("graft_histsink_out").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft_histsink_ck").toString
+    batch.write.mode("overwrite").parquet(in)
+    val stream = IncrementalStream.readEvents(spark, in, batch.schema,
+      maxFilesPerTrigger = 1)
+    val q = IncrementalStream.sinkHistState(stream, stateDir, ckpt,
+      "ts", "1 day", "value", 0.0, 1000.0, 100).start()
+    try {
+      q.processAllAvailable()
+      val got = IncrementalStream.readAggState(spark, stateDir).get
+        .orderBy("bucket_ts").collect().map(_.toSeq).toSeq
+      val want = graft.ops.IncrementalAgg.histState(
+        batch, "ts", "1 day", "value", 0.0, 1000.0, 100)
+        .orderBy("bucket_ts").collect().map(_.toSeq).toSeq
+      assert(got == want) // integer bin counts: merge order irrelevant
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("agg-state sink skips replayed batch ids (at-least-once foreachBatch)") {
     val events = graft.core.Tables.events(spark, sfDir).limit(2000)
       .localCheckpoint()
