@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, RollingHash, SimHash64}
 
 /** SQL registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(split(text, ' ')) ...")` works exactly
@@ -22,7 +22,11 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("simhash64", { case Seq(c) => SimHash64(c) }),
     ("rolling_hash", { case Seq(c) => RollingHash(c) }),
-    ("dot_product", { case Seq(a, b) => DotProduct(a, b) }))
+    ("dot_product", { case Seq(a, b) => DotProduct(a, b) }),
+    // minhash_sig(base_hashes, num_perm) — num_perm must fold to an
+    // integer literal (signature count is a plan-time constant)
+    ("minhash_sig", { case Seq(c, n) =>
+      MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
@@ -44,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo("graft", "dot_product"),
       { case Seq(a, b) => DotProduct(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft", "minhash_sig"),
+      { case Seq(c, n) =>
+        MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }: Seq[Expression] => Expression))
   }
 }

@@ -58,6 +58,15 @@ class OpsSpec extends SparkSpec {
         Array("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString))))
     assert(row.getLong(1) != 0L)
     assert(row.getDouble(2) == 11.0)
+    // minhash_sig: SQL call equals the Column API on the same input
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(transform(split('a b c', ' '), w -> xxhash64(w)), 8) AS sig")
+      .head().getSeq[Long](0)
+    val apiSig = Seq("a b c").toDF("t")
+      .select(graft.functions.Hashes.minhash_sig(
+        expr("transform(split(t, ' '), w -> xxhash64(w))"), 8).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sqlSig == apiSig && sqlSig.length == 8)
   }
 
   test("varchar numeric stats parse with try_cast, count parseable") {
