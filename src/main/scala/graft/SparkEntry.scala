@@ -312,6 +312,22 @@ object SparkEntry {
       // result is EXACT (spec pins equality with the full groupBy), so
       // the plain GROUP BY + HAVING oracle applies
       graft.ops.HeavyHitters.topNgrams(Tables.documents(s, d), 0.0015, 2)),
+    "q_interval_overlap" -> ((s, d) => {
+      // concurrent-session analysis: distinct cross-user session pairs
+      // whose [start, end) windows intersect — the bucketed interval
+      // OVERLAP join (canonical-bucket dedup, no distinct exchange)
+      val sess = Analytics.sessionize(s, d).select(col("user_id"),
+        col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+      val l = sess.toDF("ua", "sa", "ls", "le")
+      val r = sess.toDF("ub", "sb", "rs", "re")
+      graft.ops.RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        3600L * 1000000L)
+        .filter(col("ua") < col("ub"))
+        .select("ua", "sa", "ub", "sb")
+        .orderBy("ua", "sa", "ub", "sb")
+    }),
     "q_hist_quantiles" -> ((s, d) => {
       // mergeable histogram-quantile state read back as daily p50/p99;
       // the oracle recomputes the identical fixed-bin estimator in SQL
@@ -550,6 +566,24 @@ object SparkEntry {
         |FROM toks, tot GROUP BY token, n
         |HAVING count(*) > 0.0015 * n
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH sess AS (
+        |  SELECT user_id, session_id,
+        |    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM events) s) g
+        |  GROUP BY user_id, session_id)
+        |SELECT a.user_id AS ua, a.session_id AS sa, b.user_id AS ub, b.session_id AS sb
+        |FROM sess a JOIN sess b
+        |  ON a.s_us < b.e_us AND b.s_us < a.e_us AND a.user_id < b.user_id
+        |ORDER BY ua, sa, ub, sb""".stripMargin,
     "q_hist_quantiles" ->
       """WITH binned AS (
         |  SELECT date_trunc('day', ts) AS bucket_ts,

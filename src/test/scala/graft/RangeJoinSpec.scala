@@ -39,6 +39,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(10L))
   }
 
+  test("intervalOverlap equals the naive overlap filter, no duplicate pairs") {
+    val l = Seq((1L, -10L, 5L), (2L, 0L, 30L), (3L, 29L, 31L), (4L, 50L, 50L))
+      .toDF("lk", "ls", "le")
+    val r = Seq((10L, -20L, -9L), (11L, 4L, 6L), (12L, 28L, 60L), (13L, 31L, 40L))
+      .toDF("rk", "rs", "re")
+    val naive = l.crossJoin(r)
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lk", "rk").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w)
+        .select("lk", "rk").as[(Long, Long)].collect()
+      assert(got.toSet == naive, s"width $w")
+      assert(got.length == naive.size, s"width $w produced duplicates")
+    }
+    // half-open semantics: [29,31) meets [28,60) but not [31,40)
+    assert(naive.contains((3L, 12L)) && !naive.contains((3L, 13L)))
+  }
+
   test("rangeAgg groups contained points per range key") {
     val got = RangeJoin.rangeAgg(points, ranges, "p", "s", "e", 7L, "rk",
       Seq(count(lit(1)).as("n"))).as[(Long, Long)].collect().toMap
