@@ -65,6 +65,21 @@ class LttbSpec extends SparkSpec {
   // expected indices computed by running the reference `_lttb_core`
   // (data/lttb.py:89-150) on the same inputs — index-exact pinning.
 
+  test("staging dirs are cleaned up, including on the threshold>=n early return") {
+    val stagingBase = java.nio.file.Files.createTempDirectory("graft_lttb_stage").toString
+    spark.conf.set("graft.lttb.stagingDir", stagingBase)
+    try {
+      val df = (0 until 500).map(i => (i.toDouble, math.sin(i / 7.0))).toDF("x", "y")
+      Lttb.downsample(df, "x", "y", 50).collect()
+      Lttb.downsampleRangePartitioned(df, "x", "y", 50).collect()
+      // early return inside the staged try block: threshold >= n
+      Lttb.downsampleRangePartitioned(df, "x", "y", 10000).collect()
+      val leftover = new java.io.File(stagingBase).listFiles()
+      assert(leftover == null || leftover.isEmpty,
+        s"staging dirs leaked: ${Option(leftover).toSeq.flatten.map(_.getName).mkString(", ")}")
+    } finally spark.conf.unset("graft.lttb.stagingDir")
+  }
+
   test("lttbIndices: index-exact vs reference on a sine wave") {
     val x = Array.tabulate(100)(_.toDouble)
     val y = x.map(v => math.sin(v * 0.25))
