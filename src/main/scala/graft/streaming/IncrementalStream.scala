@@ -259,6 +259,31 @@ object IncrementalStream {
   def readAggState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     new SnapshotStore(spark, stateDir).read()
 
+  /** Sessionization via the NATIVE `session_window` operator — the
+    * high-throughput alternative to [[sessionizeStream]] when only
+    * per-session aggregates are needed: state lives inside the
+    * streaming aggregation (merging session windows), not custom
+    * mapGroups state, so it scales with Spark's aggregation state
+    * store. Works identically as a batch query.
+    *
+    * Boundary contract differs from the batch `sessionize` at EXACT
+    * gap multiples: `session_window` closes a session when the next
+    * event lands at or past lastEvent + gap (half-open extension),
+    * while the reference-shaped sessionize keeps an event at exactly
+    * the gap in the SAME session (strict `>` split). Identical for
+    * any data without exact-gap arrivals.
+    */
+  def sessionWindowAgg(events: DataFrame, keyCol: String, timeCol: String,
+                       gap: String, watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(events.withWatermark(timeCol, _))
+    in.groupBy(col(keyCol), session_window(col(timeCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   /** Histogram-state form of [[mergeAggBatch]]: micro-batches maintain
     * the mergeable QUANTILE state (IncrementalAgg.histState) under the
     * same atomic-commit + replay-skip contract. Exact integer bin

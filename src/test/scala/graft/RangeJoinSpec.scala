@@ -32,6 +32,26 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("pointInRange == naive on seeded random instances") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 5) {
+      val ps = Seq.fill(200)(rnd.nextLong() % 1000L).toDF("p")
+      val rs = Seq.tabulate(80) { i =>
+        val s = rnd.nextLong() % 1000L
+        (i.toLong, s, s + 1 + rnd.nextInt(200))
+      }.toDF("rk", "s", "e")
+      val naiveSet = ps.crossJoin(rs)
+        .filter(col("p") >= col("s") && col("p") < col("e"))
+        .select("p", "rk").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val w = 1L + rnd.nextInt(300)
+      val got = RangeJoin.pointInRange(ps, rs, "p", "s", "e", w)
+        .select("p", "rk").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == naiveSet, s"trial $trial width $w") // multiplicity-exact
+    }
+  }
+
   test("inclusive start, exclusive end") {
     val got = RangeJoin.pointInRange(
       Seq(10L, 11L).toDF("p"), Seq((3L, 10L, 11L)).toDF("rk", "s", "e"),
