@@ -312,6 +312,13 @@ object SparkEntry {
       // result is EXACT (spec pins equality with the full groupBy), so
       // the plain GROUP BY + HAVING oracle applies
       graft.ops.HeavyHitters.topNgrams(Tables.documents(s, d), 0.0015, 2)),
+    "q_session_window" -> ((s, d) =>
+      // NATIVE session_window operator (vs q_events_sessionize's
+      // window-id formulation) — same sessions on any data without
+      // exact-gap arrivals, which the oracle hash-check confirms
+      graft.streaming.IncrementalStream.sessionWindowAgg(
+        Tables.events(s, d), "user_id", "ts", "30 minutes")
+        .orderBy("user_id", "session_start")),
     "q_interval_overlap" -> ((s, d) => {
       // concurrent-session analysis: distinct cross-user session pairs
       // whose [start, end) windows intersect — the bucketed interval
@@ -369,6 +376,13 @@ object SparkEntry {
       graft.ops.Sampling.deterministicSamplePortable(
         Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id", "source", "lang").orderBy("doc_id")),
+    "d_ann_quantized" -> ((s, d) =>
+      // int8-packed brute-force top-k: quantization, integer dots, and
+      // the cosine normalization are all deterministic, so the DuckDB
+      // oracle recomputes the identical ranking
+      Similarity.cosineTopKQuantized(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), 10)),
     "d_embed_quantize" -> ((s, d) =>
       // the harness sorts result columns with pandas, which cannot sort
       // array cells — emit the int8 vector as an md5 digest (still
@@ -566,6 +580,18 @@ object SparkEntry {
         |FROM toks, tot GROUP BY token, n
         |HAVING count(*) > 0.0015 * n
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_session_window" ->
+      """SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events) s) g
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "q_interval_overlap" ->
       """WITH sess AS (
         |  SELECT user_id, session_id,
@@ -1020,6 +1046,27 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_ann_quantized" ->
+      """WITH prep AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(greatest(-127, least(127,
+        |      floor(CAST(x AS DOUBLE) * (CASE WHEN mx = 0 THEN 0 ELSE 127 / mx END) + 0.5))) AS INT)) AS q
+        |  FROM prep),
+        |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qv),
+        |scored AS (
+        |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+        |  FROM n a JOIN n b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "d_embed_quantize" ->
       """WITH prep AS (
         |  SELECT vec_id, embedding,

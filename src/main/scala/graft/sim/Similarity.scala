@@ -97,6 +97,36 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Cosine top-k over INT8-QUANTIZED, BYTE-PACKED vectors — the
+    * memory/IO-bound form of [[cosineTopK]]. Vectors quantize
+    * symmetrically ([[quantizeInt8]]) and pack to one byte per
+    * component (graft.functions.Int8Pack): a 64-dim corpus column
+    * shrinks ~4x vs float32, which at 100 TB is the scan + broadcast
+    * budget of brute-force search. Scoring is the exact integer dot
+    * kernel (Int8Dot, codegen'd); the per-vector quantization scale
+    * cancels in the cosine normalization, so the quantized cosine is
+    * the true cosine of the ROUNDED vectors — ranking error is bounded
+    * by quantization noise (spec pins recall@k vs the exact path).
+    * Same output shape and tie contract as [[cosineTopK]].
+    */
+  def cosineTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.{int8dot, int8pack}
+    def packed(df: DataFrame, outId: String) =
+      quantizeInt8(df, vecCol, idCol)
+        .select(col(idCol).as(outId), int8pack(col("qvec")).as("p"))
+        .withColumn("n2", int8dot(col("p"), col("p")))
+    val c = packed(corpus, "neighbor_id")
+    val q = packed(queries, "query_id")
+      .withColumnRenamed("p", "pq").withColumnRenamed("n2", "nq2")
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        int8dot(col("p"), col("pq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("nq2").cast("double"))))
+    topKSelect(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine ≥ threshold — the exact, oracle-checkable BASELINE for
     * small inputs / low thresholds, O(n²) by construction (broadcast

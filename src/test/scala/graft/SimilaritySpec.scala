@@ -92,4 +92,36 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].head()
     assert(minCos > 0.995, s"min cosine after int8 round-trip: $minCos")
   }
+
+  test("int8 pack/dot kernels: byte-exact pack, integer dot matches reference") {
+    import graft.functions.VectorOps.{int8dot, int8pack}
+    val rows = Seq(
+      (1L, Array(1, -1, 127, -127, 0)),
+      (2L, Array(100, 50, -3, 7, 9))).toDF("id", "v")
+    val packed = rows.select(col("id"), int8pack(col("v")).as("p"))
+    val bytes = packed.as[(Long, Array[Byte])].collect().toMap
+    assert(bytes(1L).toSeq == Seq[Byte](1, -1, 127, -127, 0))
+    assert(bytes(1L).length == 5) // ONE byte per component
+    val d = packed.as("a").join(packed.as("b"),
+        col("a.id") === 1 && col("b.id") === 2)
+      .select(int8dot(col("a.p"), col("b.p"))).as[Long].head()
+    assert(d == (1 * 100 + -1 * 50 + 127 * -3 + -127 * 7 + 0 * 9).toLong)
+  }
+
+  test("quantized cosine top-k: high recall vs the exact path") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ranks(Similarity.cosineTopK(emb, queries, k))
+    val quant = ranks(Similarity.cosineTopKQuantized(emb, queries, k))
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      quant(q).intersect(ex).size.toDouble / ex.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"mean recall@$k: $meanRecall")
+  }
 }
