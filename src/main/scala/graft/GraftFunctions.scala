@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{DotProduct, Int8Dot, Int8Pack, MinHashSig, RollingHash, SimHash64}
 
 /** SQL registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(split(text, ' ')) ...")` works exactly
@@ -26,7 +26,9 @@ object GraftFunctions {
     // minhash_sig(base_hashes, num_perm) — num_perm must fold to an
     // integer literal (signature count is a plan-time constant)
     ("minhash_sig", { case Seq(c, n) =>
-      MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }))
+      MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }),
+    ("int8_pack", { case Seq(c) => Int8Pack(c) }),
+    ("int8_dot", { case Seq(a, b) => Int8Dot(a, b) }))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
@@ -52,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", "minhash_sig"),
       { case Seq(c, n) =>
         MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("int8_pack"),
+      new ExpressionInfo("graft", "int8_pack"),
+      { case Seq(c) => Int8Pack(c) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("int8_dot"),
+      new ExpressionInfo("graft", "int8_dot"),
+      { case Seq(a, b) => Int8Dot(a, b) }: Seq[Expression] => Expression))
   }
 }

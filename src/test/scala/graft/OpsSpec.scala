@@ -67,6 +67,11 @@ class OpsSpec extends SparkSpec {
         expr("transform(split(t, ' '), w -> xxhash64(w))"), 8).as("sig"))
       .head().getSeq[Long](0)
     assert(sqlSig == apiSig && sqlSig.length == 8)
+    // int8 pack/dot: SQL surface matches the integer reference
+    val i8 = spark.sql(
+      "SELECT int8_dot(int8_pack(array(1, -2, 3)), int8_pack(array(4, 5, -6))) AS d")
+      .head().getLong(0)
+    assert(i8 == (4 - 10 - 18).toLong)
   }
 
   test("varchar numeric stats parse with try_cast, count parseable") {
