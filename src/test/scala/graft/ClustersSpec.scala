@@ -38,6 +38,21 @@ class ClustersSpec extends SparkSpec {
     assert(looped == want)
   }
 
+  test("deep chain (diameter 63 > maxIter 20) converges via pointer-doubling escalation") {
+    // plain pull-only propagation needs 63 rounds — over the default
+    // maxIter budget. The escalating shortcut rounds compress the
+    // chain geometrically, so this must converge to the exact
+    // union-find answer well inside 20 rounds.
+    val edges = (0L until 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L)) // plus a trivial pair to mix shallow + deep
+    val want = ufComponents(edges)
+    val looped = Clusters.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(looped == want)
+    assert(looped.filter(_._1 <= 63L).values.toSet == Set(0L))
+  }
+
   test("dedupByComponents keeps one representative per near-dup cluster") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),
