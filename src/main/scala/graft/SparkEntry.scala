@@ -415,6 +415,11 @@ object SparkEntry {
           .as("text"))
       Dedup.dedupLines(lined, 10)
     }),
+    "d_dedup_spans" -> ((s, d) =>
+      // exact substring dedup (Lee et al. ExactSubstr): 3-token spans
+      // occurring in >= 2 docs are removed everywhere but the min-id
+      // keeper; the small-vocabulary corpus has heavy natural overlap
+      Dedup.dedupSpans(Tables.documents(s, d).select("doc_id", "text"), 3)),
     "d_domain_mix" -> ((s, d) =>
       // rebalance three source domains to a 2:1:1 target mixture; the
       // id-hash keep decision is Spark-side xxhash64 (no DuckDB
@@ -1109,6 +1114,28 @@ object SparkEntry {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM lines ANTI JOIN hot USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), wins AS (
+        |  SELECT doc_id, p, array_to_string(w[p+1:p+3], ' ') AS win
+        |  FROM toks, UNNEST(range(0, greatest(len(w) - 2, 0))) AS t(p)
+        |), dup AS (
+        |  SELECT win, min(doc_id) AS keeper
+        |  FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT w2.doc_id, w2.p + o AS pos
+        |  FROM wins w2 JOIN dup d ON w2.win = d.win AND w2.doc_id <> d.keeper,
+        |       UNNEST(range(0, 3)) AS tt(o)
+        |), tok AS (
+        |  SELECT doc_id, p AS pos, w[p+1] AS word
+        |  FROM toks, UNNEST(range(0, len(w))) AS t3(p)
+        |)
+        |SELECT tok.doc_id AS doc_id,
+        |       coalesce(string_agg(tok.word, ' ' ORDER BY tok.pos)
+        |                FILTER (WHERE cov.pos IS NULL), '') AS text
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
     "d_unigram_logprob" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),

@@ -61,6 +61,61 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Exact SUBSTRING dedup — the suffix-array pass of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr), re-expressed for Spark at corpus scale: a token
+    * span duplicated across documents is removed from every document
+    * except a canonical keeper, token-exactly, while unique text
+    * survives untouched.
+    *
+    * Contract (deterministic, engine-independent): token position `t`
+    * of doc `d` is removed iff some k-token window covering `t` occurs
+    * in ≥ 2 distinct documents AND `d` is not the min doc id holding
+    * that window. Remaining tokens re-join in original order (a fully
+    * duplicated non-keeper doc collapses to the empty string).
+    *
+    * Scale shape — the suffix array is replaced by shuffles that never
+    * carry text: window identity travels as an 8-byte xxhash64 (project
+    * hash-vs-text convention, ~2^-64 collisions); the duplicate-window
+    * table and per-doc covered-position arrays are (long, int) tuples,
+    * with ranges flattened per doc via `flatten(collect_list(sequence))`
+    * — no second explode job. The corpus text itself rides only the
+    * final doc-id equi-join, which AQE broadcasts when the covered set
+    * is small (the common case: duplication is a thin tail) and
+    * degrades to a shuffled join when a template-heavy crawl makes it
+    * large. Token filtering is a codegen'd higher-order `filter` over
+    * the indexed token array — no UDF, no row explosion of kept text.
+    */
+  def dedupSpans(docs: DataFrame, k: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens: $k")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    // (doc, start, windowHash) for every k-token window; docs shorter
+    // than k contribute none
+    val wins = toks.select(col(idCol), explode(expr(
+      s"""CASE WHEN size(__w) >= $k
+         |THEN transform(sequence(0, size(__w) - $k),
+         |  p -> struct(p, xxhash64(array_join(slice(__w, p + 1, $k), ' ')) AS wh))
+         |ELSE array() END""".stripMargin)).as("win"))
+      .select(col(idCol), col("win.p").as("p"), col("win.wh").as("wh"))
+    val dup = wins.groupBy("wh")
+      .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("keeper"))
+      .filter(col("df") >= 2)
+      .select("wh", "keeper")
+    val covered = wins.join(dup, "wh")
+      .filter(col(idCol) =!= col("keeper"))
+      .groupBy(idCol)
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("p"), col("p") + k - 1)))).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol), array_join(expr(
+        """transform(
+          |  filter(transform(__w, (w, i) -> struct(w, i)),
+          |         s -> __cov IS NULL OR NOT array_contains(__cov, s.i)),
+          |  s -> s.w)""".stripMargin), " ").as(textCol))
+      .orderBy(idCol)
+  }
+
   /** Word k-shingles of `textCol` as a distinct array column. */
   def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     docs.withColumn("__words", split(col(textCol), " "))

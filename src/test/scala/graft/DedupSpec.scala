@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) < 20)
   }
 
+  test("dedupSpans removes duplicated k-windows except from the min-id keeper") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // keeper of every window it shares
+      (2L, "x y a b c d q"),    // 'a b c d' duplicated vs doc 1 -> removed
+      (3L, "u v w x y z"),      // unique text, survives untouched
+      (4L, "a b c d e"),        // full duplicate of doc 1 -> empty
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dedupSpans(docs, 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e")     // min id holds every dup window
+    // doc 2: windows 'a b c','b c d' (+ 'c d q'? unique) dup vs doc 1;
+    // covered positions 2..5 -> 'x y ... q' remain
+    assert(out(2L) == "x y q")
+    assert(out(3L) == "u v w x y z")
+    assert(out(4L) == "")              // fully duplicated non-keeper
+    // short doc (< k tokens) passes through
+    val short = graft.dedup.Dedup.dedupSpans(
+      Seq((9L, "a b")).toDF("doc_id", "text"), 3)
+      .as[(Long, String)].collect().toMap
+    assert(short(9L) == "a b")
+  }
+
   test("rolling hash: deterministic, shift-sensitive") {
     val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdeg"))
       .toDF("doc_id", "text")
