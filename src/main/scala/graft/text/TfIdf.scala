@@ -28,12 +28,34 @@ object TfIdf {
             termCol: String = "term"): DataFrame = {
     val tf = terms.groupBy(col(idCol), col(termCol))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = terms.select(col(idCol)).distinct().count()
-    val df = tf.groupBy(col(termCol)).agg(count(lit(1)).as("df"))
+    // df must GENUINELY read the tf column: with tf pruned away the two
+    // consumers of the doc-term aggregate get different column sets,
+    // the exchanges stop being canonically equal, and Spark runs the
+    // whole token-explode map side TWICE instead of emitting one
+    // ReusedExchange (measured: 2× ~450 ms map stages at sf0.1; at
+    // 100 TB it is the difference between one and two full passes over
+    // the token stream). A plain count(tf) does NOT survive: Catalyst
+    // rewrites count(non-null col) → count(1), prunes tf, and
+    // collapses the inner agg to a distinct. count(when(tf >= 1, 1))
+    // is nullable-in-the-optimizer's-eyes, so tf stays; every tf is
+    // ≥ 1 by construction, so the value is still the row count.
+    val df = tf.groupBy(col(termCol))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    // corpus size as a broadcast scalar subquery, NOT a driver-side
+    // .count() action: the whole score is one job, and the N branch
+    // (a cheap ids-only explode — column pruning strips the terms)
+    // runs concurrently with the tf exchange instead of as a separate
+    // blocking query. Deriving N from tf instead does NOT pay: the
+    // count-distinct rewrite changes that branch's exchange shape and
+    // un-shares the token-stream exchange (measured).
+    val nd = terms.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
     val idf = round(
-      log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0, 9)
+      log((col("__n") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0, 9)
     tf.join(broadcast(df), termCol)
+      .crossJoin(broadcast(nd))
       .withColumn("score", round(col("tf").cast("double") * idf, 6))
+      .drop("__n")
   }
 
   /** Word n-gram stream of a corpus: (idCol, term), one row per
