@@ -43,9 +43,18 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           smallGraphEdges: Long = 1L << 20): DataFrame = {
+    // materialize the pair pipeline ONCE before the symmetric union:
+    // the two union branches are different projections of the same
+    // subtree, and without a barrier the whole upstream candidate
+    // generation + verification (the expensive part — exact Jaccard
+    // over shingle arrays) executes once per branch. The pair table is
+    // orders of magnitude smaller than the corpus, so the
+    // materialization is cheap relative to the recompute it removes.
+    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     // symmetric edge list, materialized once — every round re-reads it
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // the verified-candidate graph is orders of magnitude smaller than
