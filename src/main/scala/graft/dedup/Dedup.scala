@@ -171,18 +171,39 @@ object Dedup {
     val withSig = sh.withColumn("sig",
       graft.functions.Hashes.minhash_sig(col("hs"), numPerm))
     val buckets = lshBuckets(withSig, numPerm, bands, idCol)
-    val a = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_a"))
-    val b = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("doc_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // verification rehydrates hashed shingle SETS by id (recomputing
-    // the narrow map for the join sides). For a corpus where
-    // candidates ≪ documents, join `pairs` to the raw text and
-    // shingle only candidates instead.
-    val shA = sh.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
-    pairs.join(shA, "doc_a").join(shB, "doc_b")
+    // candidate pairs by PER-BUCKET COMBINATION GENERATION, not a
+    // bucket self-join: group ids per (band, hash), expand (x < y)
+    // combinations inside codegen. A self-join evaluates the whole
+    // shingle→signature→band pipeline once per side (probe + build);
+    // this shape has ONE consumer, so the signature pipeline runs
+    // once, and candidate generation costs a single exchange of
+    // (band, hash, id) longs. Hot-bucket behavior is identical to the
+    // self-join (a bucket of c ids yields c·(c−1)/2 pairs in one task
+    // either way — degenerate bands are a parameter problem, not a
+    // plan problem; the soak profile tracks max occupancy).
+    val pairs = buckets.groupBy("band_id", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
+    // verification rehydrates hashed shingle SETS by id with ONE pass
+    // over `sh`: the candidate pairs melt to (pair, id) rows and the
+    // corpus-sized sh table joins them a single time (AQE broadcasts
+    // the melted candidates when they are small — the common case);
+    // the per-pair sets then reassemble in a candidate-sized agg.
+    // The old shape joined sh twice (doc_a side + doc_b side) —
+    // two more full evaluations of the shingle map at corpus scale.
+    val melted = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    sh.join(melted, idCol)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col(idCol) === col("doc_a"), col("hs"))).as("sh_a"),
+           max(when(col(idCol) === col("doc_b"), col("hs"))).as("sh_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -204,22 +225,27 @@ object Dedup {
     val sigs = docs
       .withColumn("sig", graft.functions.Hashes.simhash64(split(col(textCol), " ")))
       .select(col(idCol), col("sig"))
-    // the 8-byte sig rides THROUGH the band join (unlike MinHash, where
-    // shingle sets are too big to shuffle and candidates rehydrate by
-    // id) — no second/third evaluation of the signature subtree, and
-    // the verify step needs no extra joins. One posexplode pass per side.
+    // the 8-byte sig rides THROUGH the band grouping (unlike MinHash,
+    // where shingle sets are too big to shuffle), so the verify step
+    // needs no extra joins — and per-bucket combination generation
+    // (see minhashNearDups) means the signature subtree has ONE
+    // consumer instead of a self-join's two. One posexplode pass.
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col(idCol).as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.Hashes.hamming64(col("sig_a"), col("sig_b"))
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col(idCol), col("sig"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .withColumn("xs", array_sort(col("xs"))) // ids unique → sorts by id
+      .select(explode(expr(
+        s"""flatten(transform(xs, (x, i) ->
+           |  transform(slice(xs, i + 2, size(xs)),
+           |            y -> struct(x.$idCol AS doc_a, y.$idCol AS doc_b,
+           |                        x.sig AS sig_a, y.sig AS sig_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        graft.functions.Hashes.hamming64(col("p.sig_a"), col("p.sig_b"))
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
