@@ -238,6 +238,18 @@ object SparkEntry {
       val dup = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       Similarity.nearDupPairsLsh(emb.unionByName(dup), 0.95)
     }),
+    "d_semdedup" -> ((s, d) => {
+      // SemDeDup: k-means clusters then intra-cluster cosine pruning;
+      // injected exact duplicates (vec_id + 10000) are always
+      // recovered (identical vector -> identical nearest centroid).
+      // rows-only: float k-means isn't cross-engine reproducible;
+      // exact semantics are pinned by SemDedupSpec.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dup = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      // nlist sized so expected cluster membership stays ~100-200:
+      // per-cluster work is quadratic in members (the paper's knob)
+      graft.sim.SemDedup.semanticNearDups(emb.unionByName(dup), 0.95, nlist = 64)
+    }),
     "d_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = graft.sim.Ivf.train(emb, 8, 2)

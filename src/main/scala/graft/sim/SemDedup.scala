@@ -1,0 +1,80 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Similarity.toDouble
+
+/** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication") — the embedding-space
+  * dedup used between exact/MinHash passes and training: cluster the
+  * corpus with k-means, then prune pairs above a cosine threshold
+  * WITHIN each cluster only, so the quadratic comparison is paid per
+  * cluster instead of per corpus. (Reference repo has no counterpart;
+  * this is part of the mandated LLM-pipeline surface.)
+  *
+  * Scale design (100 TB embedding corpus):
+  *  - clustering is [[Ivf.train]]: deterministic hash-sample k-means,
+  *    centroids baked into a codegen'd map-side argmax — assignment
+  *    SHUFFLES NOTHING on the corpus.
+  *  - the only corpus exchange is the per-cluster grouping; members
+  *    carry (id, normalized vector), and pairwise cosine runs inside
+  *    codegen via the same combination-generation shape as the LSH
+  *    candidate paths (normalized ⇒ dot = cosine, one fold per pair).
+  *  - per-cluster work is quadratic BY DESIGN (that is the paper's
+  *    trade: nlist controls the cluster-size budget — size `nlist`
+  *    with corpus growth to keep expected members², and therefore
+  *    per-task cost, bounded). The collect_list row for one cluster
+  *    is members × (dims × 8 B); keep expected members in the 10³-10⁴
+  *    range at any corpus size.
+  *
+  * Determinism: k-means is deterministic ([[Ivf.train]]), nearest-
+  * centroid ties go to the lowest centroid id, and pair output is
+  * (a < b) with a deterministic sort — same clusters, same pairs, on
+  * any partitioning.
+  */
+object SemDedup {
+
+  /** Pairs (a < b, cosine ≥ `tau`) that share a k-means cluster.
+    * `cos_sim` rounds to 6 decimals for a stable output contract.
+    */
+  def semanticNearDups(corpus: DataFrame, tau: Double,
+                       nlist: Int = 16, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"cosine threshold out of range: $tau")
+    val cents = Ivf.train(corpus, nlist, iters, idCol = idCol, vecCol = vecCol)
+    val assigned = corpus.select(
+      col(idCol).as("id"),
+      Ivf.normalize(toDouble(col(vecCol))).as("v"))
+      .withColumn("cluster", Ivf.nearestCentroid(col("v"), cents))
+    assigned.groupBy("cluster")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .withColumn("xs", array_sort(col("xs"))) // ids unique -> sorts by id
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)),
+          |            y -> struct(x.id AS vec_a, y.id AS vec_b,
+          |                        aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
+          |                                  CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)
+          |                          AS cs))))""".stripMargin)).as("p"))
+      .filter(col("p.cs") >= tau)
+      .select(col("p.vec_a"), col("p.vec_b"),
+        round(col("p.cs"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Prune the corpus: of every semantic-duplicate component (pairs
+    * above `tau` within a cluster, closed transitively), only the
+    * min-id member survives; unique rows pass through untouched.
+    */
+  def dedupBySemantic(corpus: DataFrame, tau: Double,
+                      nlist: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticNearDups(corpus, tau, nlist, iters, idCol, vecCol)
+    graft.dedup.Clusters.dedupByComponents(
+      corpus, pairs, idCol, "vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ivf, SemDedup, Similarity}
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticNearDups == brute-force pairs restricted to shared clusters") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val got = SemDedup.semanticNearDups(corpus, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // reference: exact all-pairs cosine, filtered to pairs sharing the
+    // same nearest centroid under the SAME deterministic training
+    val cents = Ivf.train(corpus, 16, 2)
+    val assigned = corpus.select(col("vec_id"),
+      Ivf.nearestCentroid(
+        graft.functions.VectorOps.l2normalize(
+          transform(col("embedding"), _.cast("double"))), cents).as("c"))
+    val cluster = assigned.as[(Long, Int)].collect().toMap
+    val allPairs: Set[(Long, Long)] = Similarity.nearDupPairs(corpus, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val brute = allPairs.filter { case (a, b) => cluster(a) == cluster(b) }
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("identical vectors always share a cluster: injected dup recall is total") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val pairs = SemDedup.semanticNearDups(corpus, 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // every (id, id+100000) injected pair must be recovered — an
+    // identical vector maps to the identical nearest centroid
+    val n = emb.count()
+    val injected = (0L until n).map(i => (i, i + 100000)).toSet
+    assert(injected.subsetOf(pairs))
+  }
+
+  test("dedupBySemantic keeps the min-id representative per component") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val kept = SemDedup.dedupBySemantic(corpus, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // all originals survive; every injected copy is pruned (it pairs
+    // with its original at cosine 1)
+    val n = emb.count()
+    assert((0L until n).forall(kept.contains))
+    assert((0L until n).forall(i => !kept.contains(i + 100000)))
+  }
+
+  test("deterministic under repartitioning") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val a = SemDedup.semanticNearDups(emb, 0.9).collect().toSeq
+    val b = SemDedup.semanticNearDups(emb.repartition(13), 0.9).collect().toSeq
+    assert(a == b)
+  }
+}
