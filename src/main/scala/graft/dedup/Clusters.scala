@@ -52,10 +52,16 @@ object Clusters {
     // materialization is cheap relative to the recompute it removes.
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
-    // symmetric edge list, materialized once — every round re-reads it
+    // symmetric edge list, materialized once — every round re-reads it.
+    // Checkpointed HASH-PARTITIONED ON dst (the per-round join key):
+    // localCheckpoint preserves physical partitioning, so the label
+    // pull's shuffled join reshuffles only the (smaller) label table
+    // each round — the edge table's exchange happens once here, not
+    // once per round.
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     // the verified-candidate graph is orders of magnitude smaller than
     // the corpus (pairs, not documents) — when it fits comfortably on
