@@ -427,6 +427,11 @@ object SparkEntry {
           .as("text"))
       Dedup.dedupLines(lined, 10)
     }),
+    "d_chunk_docs" -> ((s, d) =>
+      // sliding-window context chunks: 20-token windows, 5-token overlap
+      graft.text.TextAnalysis.chunkDocs(
+        Tables.documents(s, d).select("doc_id", "text"), 20, 5)
+        .orderBy("doc_id", "chunk_id")),
     "d_dedup_spans" -> ((s, d) =>
       // exact substring dedup (Lee et al. ExactSubstr): 3-token spans
       // occurring in >= 2 docs are removed everywhere but the min-id
@@ -1126,6 +1131,18 @@ object SparkEntry {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM lines ANTI JOIN hot USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, c,
+        |    array_to_string(w[c*15+1 : c*15+20], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0,
+        |    CAST(greatest(ceil((len(w) - 20) / CAST(15 AS DOUBLE)), 0) AS BIGINT) + 1)) AS t(c)
+        |)
+        |SELECT doc_id, CAST(c AS INT) AS chunk_id, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
     "d_dedup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -65,6 +65,35 @@ object TextAnalysis {
       .withColumn("bpe_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
   }
 
+  /** Sliding-window document chunking — split each document into
+    * token windows of `maxTokens` with `overlap` tokens of context
+    * carried between consecutive chunks (the context-window prep step
+    * before embedding or training long corpora; RAG-style splitters
+    * use exactly this stride contract).
+    *
+    * Chunk c starts at token c·(maxTokens−overlap); the last chunk may
+    * be shorter but never empty; a document of ≤ maxTokens tokens
+    * yields itself as chunk 0. Pure codegen'd array expressions — one
+    * narrow map, zero shuffle (the deterministic-output sort is the
+    * query layer's concern), scale-independent of document count.
+    */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val stride = maxTokens - overlap
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(greatest(ceil((size(__w) - $maxTokens) / CAST($stride AS DOUBLE)), 0) AS INT)),
+             |  c -> array_join(slice(__w, c * $stride + 1, $maxTokens), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")))
+  }
+
   /** Canonical-form md5 fingerprint: lowercase, collapsed whitespace.
     * (The rolling-hash variant lives in graft.functions.RollingHash.)
     */

@@ -52,6 +52,26 @@ class TextMmSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("chunkDocs: stride windows, overlap carry, short-doc identity, tail never empty") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"),                          // <= maxTokens -> itself
+      (3L, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"), // 11 -> ragged tail
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, 4, 2)
+      .select("doc_id", "chunk_id", "chunk").as[(Long, Int, String)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // stride 2: starts 0,2,4,6 cover 10 tokens exactly
+    assert(got(1L) == Seq("t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"))
+    assert(got(2L) == Seq("a b c"))
+    // 11 tokens: last chunk is the 3-token tail, never empty
+    assert(got(3L).last == "x8 x9 x10" && got(3L).size == 5)
+    // overlap 0: chunks partition the doc exactly
+    val noOv = TextAnalysis.chunkDocs(docs.filter($"doc_id" === 1L), 4, 0)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(noOv.mkString(" ") == "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
   test("multimodal: payload round-trips, stub features deterministic, batch shape per partition") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val media = Multimodal.mediaTable(docs)
