@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Int8Dot, Int8Pack, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{DotProduct, Int8Dot, Int8Pack, L2Normalize, MinHashSig, RollingHash, SimHash64}
 
 /** SQL registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(split(text, ' ')) ...")` works exactly
@@ -28,7 +28,8 @@ object GraftFunctions {
     ("minhash_sig", { case Seq(c, n) =>
       MinHashSig(c, n.eval().asInstanceOf[Number].intValue()) }),
     ("int8_pack", { case Seq(c) => Int8Pack(c) }),
-    ("int8_dot", { case Seq(a, b) => Int8Dot(a, b) }))
+    ("int8_dot", { case Seq(a, b) => Int8Dot(a, b) }),
+    ("l2_normalize", { case Seq(c) => L2Normalize(c) }))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
@@ -60,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("int8_dot"),
       new ExpressionInfo("graft", "int8_dot"),
       { case Seq(a, b) => Int8Dot(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo("graft", "l2_normalize"),
+      { case Seq(c) => L2Normalize(c) }: Seq[Expression] => Expression))
   }
 }

@@ -72,6 +72,10 @@ class OpsSpec extends SparkSpec {
       "SELECT int8_dot(int8_pack(array(1, -2, 3)), int8_pack(array(4, 5, -6))) AS d")
       .head().getLong(0)
     assert(i8 == (4 - 10 - 18).toLong)
+    // l2_normalize: unit norm from SQL, matches the Column API kernel
+    val l2 = spark.sql("SELECT l2_normalize(array(3.0d, 4.0d)) AS v")
+      .head().getSeq[Double](0)
+    assert(l2 == Seq(0.6, 0.8))
   }
 
   test("varchar numeric stats parse with try_cast, count parseable") {
