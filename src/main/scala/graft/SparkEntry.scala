@@ -124,6 +124,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotStatus(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.setOps(s, d)),
     "q_having" -> ((s, d) => Analytics.havingAgg(s, d)),
     "q_null_handling" -> ((s, d) => Analytics.nullHandling(s, d)),
@@ -847,6 +848,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, sum_qty""".stripMargin,
     "q_set_ops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
         |     b AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')

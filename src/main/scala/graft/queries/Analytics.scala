@@ -219,6 +219,23 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Arbitrary GROUPING SETS — the general form behind rollup/cube:
+    * per-(flag,status) detail plus independent per-flag and per-status
+    * subtotals and the grand total, one aggregation pass (Catalyst
+    * expands each input row once per set before the partial agg, so
+    * the exchange carries |sets| × detail rows, not |sets| scans).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity").cast("decimal(30,12)")).cast("double"), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        col("sum_qty"))
+
   /** Calendar breakdown: revenue by (year, quarter, month). */
   def datePartsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
