@@ -64,6 +64,19 @@ object SparkEntry {
         Seq("o_orderkey"), "o_orderdate", "o_orderkey", bucket)
       PartitionedSync.read(s, path).orderBy("o_orderkey")
     }),
+    "q_sync_reconcile" -> ((s, d) => {
+      // source/target divergence report: target drops keys %31==0,
+      // rewrites priority for %37==0, and gains alien keys (+5000000)
+      val orders = Tables.orders(s, d)
+      val cmp = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val target = orders.filter(col("o_orderkey") % 31 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 37 === 0, lit("DRIFTED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(orders.filter(col("o_orderkey") % 41 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 5000000))
+      SyncOps.reconcile(orders, target, Seq("o_orderkey"), cmp)
+    }),
     "q_merge_incremental" -> ((s, d) => {
       val ev = Tables.events(s, d)
       SyncOps.mergeSlices(
@@ -848,6 +861,36 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_sync_reconcile" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    md5(concat_ws(chr(1),
+        |      coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_orderpriority AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_custkey AS VARCHAR), chr(2)))) AS h
+        |  FROM orders),
+        |tgt_rows AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'DRIFTED' ELSE o_orderpriority END AS o_orderpriority,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 31 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_orderpriority, o_custkey
+        |  FROM orders WHERE o_orderkey % 41 = 0),
+        |tgt AS (
+        |  SELECT o_orderkey,
+        |    md5(concat_ws(chr(1),
+        |      coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_orderpriority AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_custkey AS VARCHAR), chr(2)))) AS h
+        |  FROM tgt_rows)
+        |SELECT coalesce(src.o_orderkey, tgt.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.h IS NULL THEN 'missing_in_source'
+        |       WHEN tgt.h IS NULL THEN 'missing_in_target'
+        |       WHEN src.h <> tgt.h THEN 'changed' END AS status
+        |FROM src FULL OUTER JOIN tgt ON src.o_orderkey = tgt.o_orderkey
+        |WHERE (src.h IS NULL OR tgt.h IS NULL OR src.h <> tgt.h)
+        |ORDER BY o_orderkey, status""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem

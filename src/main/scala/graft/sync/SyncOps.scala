@@ -78,6 +78,38 @@ object SyncOps {
                        timeCol: String, tieBreak: String): DataFrame =
     upsertKeepLatest(target.unionByName(fresh), keys, timeCol, tieBreak)
 
+  /** Source↔target RECONCILIATION — the scale form of the reference's
+    * post-sync sanity checks (row counts, sync_engine.py:343): per-key
+    * row-hash comparison reporting every divergent key as
+    * `missing_in_target` / `missing_in_source` / `changed`; matching
+    * keys are not emitted.
+    *
+    * Scale shape: each side projects to (keys, md5-of-compared-columns)
+    * BEFORE the join, so the full-outer join shuffles keys + a 16-byte
+    * digest — never the rows; at 100 TB the reconciliation costs two
+    * narrow scans and one key exchange. The digest uses the portable
+    * md5(concat_ws) form (string/integer columns render identically
+    * across engines; a 0x01 separator and 0x02 null sentinel keep
+    * ("a",null) ≠ ("a","") ≠ ("a")).
+    */
+  def reconcile(source: DataFrame, target: DataFrame,
+                keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "reconcile needs at least one key and one compared column")
+    def proj(df: DataFrame, tag: String) = df.select(
+      keyCols.map(col) :+ md5(concat_ws("\u0001",
+        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+        .as(s"__h_$tag"): _*)
+    proj(source, "s").join(proj(target, "t"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__h_s").isNull, lit("missing_in_source"))
+          .when(col("__h_t").isNull, lit("missing_in_target"))
+          .when(col("__h_s") =!= col("__h_t"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(keyCols.map(col) :+ col("status"): _*)
+      .orderBy(keyCols.head, keyCols.tail :+ "status": _*)
+  }
+
   /** Concatenate an existing slice with a newly-fetched slice and
     * restore total time order (duplicates preserved — the reference's
     * merge does not dedupe; that is a separate explicit step).

@@ -54,6 +54,26 @@ class SyncOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 2L -> 3L, 3L -> 6L))
   }
 
+  test("reconcile reports missing/changed keys, stays silent on matches") {
+    val source = Seq(
+      (1L, "A", "hi"), (2L, "B", "hi"), (3L, "C", null.asInstanceOf[String]),
+      (4L, "D", ""),
+    ).toDF("k", "status", "note")
+    val target = Seq(
+      (1L, "A", "hi"),                          // match -> absent
+      (2L, "B", "CHANGED"),                     // changed
+      (3L, "C", ""),                            // null vs "" IS a change
+      (9L, "Z", "alien"),                       // missing_in_source
+    ).toDF("k", "status", "note")               // 4 missing_in_target
+    val got = SyncOps.reconcile(source, target, Seq("k"), Seq("status", "note"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      2L -> "changed",
+      3L -> "changed",
+      4L -> "missing_in_target",
+      9L -> "missing_in_source"))
+  }
+
   test("TypeMapper follows the reference precedence") {
     assert(TypeMapper.mapSourceType("NUMBER(10,2)") == "DOUBLE")
     assert(TypeMapper.mapSourceType("VARCHAR2(100)") == "STRING")
