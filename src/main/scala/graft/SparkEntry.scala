@@ -458,6 +458,13 @@ object SparkEntry {
       graft.ops.Sampling.mixDomains(Tables.documents(s, d), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")),
+    "d_domain_mix_portable" -> ((s, d) =>
+      // same 2:1:1 rebalance with the md5 bucket: counts, max-retention
+      // fractions, and membership are all recomputed by the oracle SQL
+      graft.ops.Sampling.mixDomainsPortable(
+        Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id", "source").orderBy("doc_id")),
     "m_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))
@@ -694,6 +701,26 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 250000
         |ORDER BY doc_id""".stripMargin,
+    "d_domain_mix_portable" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), w(source, wt) AS (
+        |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |         ('src1', CAST(0.25 AS DOUBLE)),
+        |         ('src2', CAST(0.25 AS DOUBLE))
+        |), tot AS (
+        |  SELECT min(n / wt) AS total FROM counts JOIN w USING (source)
+        |), fr AS (
+        |  SELECT w.source,
+        |         CASE WHEN wt * total / n >= 1.0 - 1e-9 THEN CAST(1.0 AS DOUBLE)
+        |              ELSE wt * total / n END AS f
+        |  FROM counts JOIN w ON counts.source = w.source CROSS JOIN tot
+        |)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN fr ON d.source = fr.source
+        |WHERE CAST(('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000
+        |      < CAST(floor(f * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_full_sync" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q_incremental_sync" ->

@@ -26,17 +26,30 @@ object Sampling {
     df.filter(bucket(idCol, salt) < (fraction * 1000000L).toLong)
   }
 
+  /** Per-stratum keep thresholds on the common 10^6 bucket space;
+    * strata absent from `fractions` get threshold 0 (dropped).
+    */
+  private def strataThreshold(strataCol: String,
+                              fractions: Map[String, Double]) =
+    fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit((f * 1000000L).toLong)).otherwise(acc)
+    }
+
   /** Per-stratum fractions (e.g. per language), same hash mechanism.
     * Strata absent from `fractions` are dropped.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        fractions: Map[String, Double],
-                       salt: String = "s0"): DataFrame = {
-    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
-      when(col(strataCol) === k, lit((f * 1000000L).toLong)).otherwise(acc)
-    }
-    df.filter(bucket(idCol, salt) < threshold)
-  }
+                       salt: String = "s0"): DataFrame =
+    df.filter(bucket(idCol, salt) < strataThreshold(strataCol, fractions))
+
+  /** [[stratifiedSample]] with the portable (md5) bucket — membership
+    * recomputable in any engine from the published spec alone.
+    */
+  def stratifiedSamplePortable(df: DataFrame, strataCol: String, idCol: String,
+                               fractions: Map[String, Double],
+                               salt: String = "s0"): DataFrame =
+    df.filter(portableBucket(idCol, salt) < strataThreshold(strataCol, fractions))
 
   /** Deterministic train/validation/test split: disjoint, exhaustive,
     * stable under any partitioning.
@@ -84,9 +97,48 @@ object Sampling {
   def mixDomains(df: DataFrame, domainCol: String, idCol: String,
                  weights: Map[String, Double],
                  salt: String = "mix"): DataFrame = {
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = domainCounts(df, domainCol)
     stratifiedSample(df, domainCol, idCol, mixFractions(counts, weights), salt)
+  }
+
+  /** [[mixDomains]] with the portable (md5) bucket: the whole mixing
+    * decision — per-domain counts, max-retention fractions, id-hash
+    * membership — is recomputable in any SQL engine, so a published
+    * mixture recipe can be audited outside the JVM (the DuckDB oracle
+    * does exactly that).
+    */
+  def mixDomainsPortable(df: DataFrame, domainCol: String, idCol: String,
+                         weights: Map[String, Double],
+                         salt: String = "mix"): DataFrame = {
+    val counts = domainCounts(df, domainCol)
+    stratifiedSamplePortable(df, domainCol, idCol,
+      mixFractions(counts, weights), salt)
+  }
+
+  private def domainCounts(df: DataFrame, domainCol: String): Map[String, Long] =
+    // driver-bounded by the number of DOMAINS (a recipe-sized set),
+    // never rows — the only collect in the mixing path
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Temperature-scaled mixture weights (the multilingual-corpus
+    * sampling recipe, cf. XLM-R/mT5): w_d ∝ p_d^alpha with p_d the
+    * domain's share of rows. alpha = 1 reproduces the natural
+    * distribution, alpha → 0 approaches uniform; 0 < alpha < 1
+    * up-weights scarce domains. Pure arithmetic — feed the result to
+    * [[mixDomains]]/[[mixDomainsPortable]].
+    */
+  def temperatureWeights(counts: Map[String, Long],
+                         alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty, "counts must be non-empty")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    counts.foreach { case (d, n) =>
+      require(n > 0, s"count for '$d' must be positive, got $n") }
+    val total = counts.values.map(_.toDouble).sum
+    val raw = counts.toSeq.sortBy(_._1) // fixed fold order → reproducible sums
+      .map { case (d, n) => d -> math.pow(n / total, alpha) }
+    val z = raw.map(_._2).sum
+    raw.map { case (d, r) => d -> r / z }.toMap
   }
 
   /** PORTABLE id-hash bucket: md5 of "salt|id", first 15 hex digits as

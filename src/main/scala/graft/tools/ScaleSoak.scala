@@ -38,7 +38,8 @@ object ScaleSoak {
     "d_decontaminate", "d_unigram_logprob", "d_pack_sequences",
     "d_dedup_lines", "d_c4_clean",
     "q_lttb_downsample", "d_heavy_hitters", "d_tfidf_keywords",
-    "q_range_join", "d_dedup_spans", "d_semdedup")
+    "q_range_join", "d_dedup_spans", "d_semdedup",
+    "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

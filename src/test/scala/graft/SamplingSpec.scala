@@ -88,6 +88,58 @@ class SamplingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("mixDomainsPortable: matches a JVM md5 reference end-to-end") {
+    val w = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val got = Sampling.mixDomainsPortable(docs, "source", "doc_id", w)
+      .select("doc_id").as[Long].collect().toSet
+    // independent reference: recompute counts, fractions, and md5
+    // membership from the documented spec with plain JVM code
+    val counts = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val fr = Sampling.mixFractions(counts, w)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix|$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    val expect = docs.select("doc_id", "source").as[(Long, String)].collect()
+      .filter { case (id, src) =>
+        fr.get(src).exists(f => bucket(id) < (f * 1000000L).toLong) }
+      .map(_._1).toSet
+    assert(got == expect)
+    // limiting domain kept fully; others genuinely downsampled
+    val bySrc = Sampling.mixDomainsPortable(docs, "source", "doc_id", w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == counts("src0"))
+    assert(bySrc("src1") < bySrc("src0") && bySrc("src1") > 0)
+  }
+
+  test("temperatureWeights: natural at alpha=1, flattens toward uniform, guards") {
+    val counts = Map("a" -> 800L, "b" -> 150L, "c" -> 50L)
+    val natural = Sampling.temperatureWeights(counts, 1.0)
+    assert(math.abs(natural("a") - 0.8) < 1e-12)
+    assert(math.abs(natural("b") - 0.15) < 1e-12)
+    assert(math.abs(natural("c") - 0.05) < 1e-12)
+    val t = Sampling.temperatureWeights(counts, 0.3)
+    assert(math.abs(t.values.sum - 1.0) < 1e-12)
+    // scarce domains gain share, dominant domains lose it; order kept
+    assert(t("c") > natural("c") && t("a") < natural("a"))
+    assert(t("a") > t("b") && t("b") > t("c"))
+    // alpha→0 approaches uniform
+    val flat = Sampling.temperatureWeights(counts, 1e-9)
+    flat.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(counts, 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(Map("x" -> 0L), 1.0))
+    // feeds mixDomains: temperature weights are valid mixture weights
+    val mixed = Sampling.mixDomains(docs, "source", "doc_id",
+      Sampling.temperatureWeights(
+        Map("src0" -> 25L, "src1" -> 25L, "src2" -> 25L), 0.5))
+    assert(mixed.count() > 0)
+  }
+
   test("split3: disjoint, exhaustive, stable") {
     val (tr, va, te) = Sampling.split3(docs, "doc_id", 0.7, 0.2)
     val n = docs.count()
