@@ -328,11 +328,40 @@ object SparkEntry {
         .select("doc_id", "text").unionByName(leaked)
       TextAnalysis.decontaminate(corpus, evalSet, 8)
     }),
+    "d_blocklist_filter" -> ((s, d) => {
+      // content-keyed blocklist anti-join: every doc whose md5(text)
+      // matches a blocked fingerprint drops — including exact dups of
+      // blocked content under OTHER ids/sources. Bloom-pruned exact
+      // anti join: definite-negatives never enter the shuffle
+      val docs = Tables.documents(s, d)
+      val block = docs.filter(col("source") === "src1" && col("doc_id") % 7 === 0)
+        .select(md5(col("text")).as("bad_fp"))
+      graft.ops.BloomPrune.antiJoin(docs, block, md5(col("text")), "bad_fp")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "d_blocklist_hits" -> ((s, d) => {
+      // the audit twin: which docs WOULD the blocklist remove
+      val docs = Tables.documents(s, d)
+      val block = docs.filter(col("source") === "src1" && col("doc_id") % 7 === 0)
+        .select(md5(col("text")).as("bad_fp"))
+      graft.ops.BloomPrune.semiJoin(docs, block, md5(col("text")), "bad_fp")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "d_pack_sequences" -> ((s, d) =>
       graft.pipeline.Curation.packSequences(Tables.documents(s, d),
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_bm25_search" -> ((s, d) => {
+      // lexical retrieval-for-curation: the first 5 docs' 8-word
+      // prefixes as queries over the whole corpus, top-10 per query
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(col("text")), " "), 1, 8), " ")
+            .as("query_text"))
+      graft.text.Bm25.search(docs, queries, k = 10)
+    }),
     "d_heavy_hitters" -> ((s, d) =>
       // bigram heavy hitters: Misra-Gries candidates + exact recount;
       // result is EXACT (spec pins equality with the full groupBy), so
@@ -1144,6 +1173,56 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_contaminated_grams
         |FROM cg JOIN eg USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_bm25_search" ->
+      """WITH q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ') AS query_text
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t.term
+        |  FROM q, LATERAL unnest(string_split(lower(query_text), ' ')) AS t(term)),
+        |base AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(len(ws)) AS DOUBLE) AS total_len FROM base),
+        |tok AS (
+        |  SELECT doc_id, len(ws) AS doclen, t.term
+        |  FROM base, LATERAL unnest(ws) AS t(term)),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(
+        |      round(ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) *
+        |      (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(doclen AS DOUBLE) / (total_len / n)))),
+        |      9) AS DECIMAL(30,12)) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "d_blocklist_filter" ->
+      """WITH block AS (
+        |  SELECT DISTINCT md5(text) AS bad_fp FROM documents
+        |  WHERE source = 'src1' AND doc_id % 7 = 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM block b WHERE md5(d.text) = b.bad_fp)
+        |ORDER BY d.doc_id""".stripMargin,
+    "d_blocklist_hits" ->
+      """WITH block AS (
+        |  SELECT DISTINCT md5(text) AS bad_fp FROM documents
+        |  WHERE source = 'src1' AND doc_id % 7 = 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM block b WHERE md5(d.text) = b.bad_fp)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_ann_quantized" ->
       """WITH prep AS (
         |  SELECT vec_id, embedding,
