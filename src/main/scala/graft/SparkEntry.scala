@@ -169,6 +169,18 @@ object SparkEntry {
       Dedup.minhashNearDups(
         docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
     }),
+    "d_dedup_minhash_delta" -> ((s, d) => {
+      // incremental ingest: the corpus is the standing index; the new
+      // batch is every doc's near-dup copy (first 3 words dropped,
+      // id + 10000). Only the batch is shingled/hashed; the index is
+      // scanned, never shuffled — pairs match the batch path exactly
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val batch = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+      val index = Dedup.minhashIndex(docs, 3, 32)
+      Dedup.minhashNearDupsDelta(index, batch, 3, 32, 8, 0.5)._1
+    }),
     "d_dedup_clusters" -> ((s, d) => {
       // pairs from the same injected near-dups as d_dedup_minhash_pairs,
       // resolved into connected components (cluster id = min doc id)

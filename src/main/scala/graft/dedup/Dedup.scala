@@ -154,6 +154,54 @@ object Dedup {
     withSig.select(col(idCol), posexplode(bandHashes).as(Seq("band_id", "band_hash")))
   }
 
+  /** Candidate pairs (a < b) by PER-BUCKET COMBINATION GENERATION,
+    * not a bucket self-join: group ids per (band, hash), expand
+    * (x < y) combinations inside codegen. A self-join evaluates the
+    * whole shingle→signature→band pipeline once per side (probe +
+    * build); this shape has ONE consumer, so the signature pipeline
+    * runs once, and candidate generation costs a single exchange of
+    * (band, hash, id) longs. Hot-bucket behavior is identical to the
+    * self-join (a bucket of c ids yields c·(c−1)/2 pairs in one task
+    * either way — degenerate bands are a parameter problem, not a
+    * plan problem; the soak profile tracks max occupancy).
+    */
+  private def bucketPairs(buckets: DataFrame, idCol: String): DataFrame =
+    buckets.groupBy("band_id", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b")
+
+  /** Exact hashed-shingle Jaccard over candidate (doc_a, doc_b) pairs:
+    * rehydrates shingle SETS by id with ONE pass over `sh` ((id, hs)
+    * rows) — the pairs melt to (pair, id) rows and the corpus-sized sh
+    * table joins them a single time (AQE broadcasts the melted
+    * candidates when they are small — the common case); per-pair sets
+    * reassemble in a candidate-sized agg. A two-sided join (doc_a side
+    * + doc_b side) would cost two more full evaluations of the shingle
+    * map at corpus scale.
+    */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame,
+                            threshold: Double, idCol: String): DataFrame = {
+    val melted = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    sh.select(col(idCol), col("hs")).join(melted, idCol)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col(idCol) === col("doc_a"), col("hs"))).as("sh_a"),
+           max(when(col(idCol) === col("doc_b"), col("hs"))).as("sh_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate pairs (a < b) sharing an LSH bucket, with exact
     * shingle-Jaccard verification ≥ `threshold`.
     */
@@ -166,50 +214,67 @@ object Dedup {
     // ~2^-64 collisions) while the rehydrate joins shuffle 8-byte
     // longs instead of shingle strings (~hundreds of bytes per doc
     // saved through two joins at corpus scale).
-    val sh = shingles(docs, k, textCol)
+    val sh = minhashIndex(docs, k, numPerm, textCol, idCol)
+    val buckets = lshBuckets(sh, numPerm, bands, idCol)
+    val pairs = bucketPairs(buckets, idCol).distinct()
+    verifyJaccard(sh, pairs, threshold, idCol)
+  }
+
+  /** The persistent near-dup INDEX rows for a corpus batch:
+    * (id, hs, sig) — hashed shingle set + MinHash signature. Store as
+    * a parquet table and APPEND each ingest batch's rows; with the
+    * index on disk, [[minhashNearDupsDelta]] detects a new batch's
+    * near-dups without ever re-reading, re-shingling, or re-hashing
+    * old text. (This is the sync engine's incremental philosophy
+    * applied to dedup state — cf. reference sync_engine.py's
+    * fetch-only-the-delta loop.)
+    */
+  def minhashIndex(docs: DataFrame, k: Int, numPerm: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    shingles(docs, k, textCol)
       .select(col(idCol), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
-    val withSig = sh.withColumn("sig",
-      graft.functions.Hashes.minhash_sig(col("hs"), numPerm))
-    val buckets = lshBuckets(withSig, numPerm, bands, idCol)
-    // candidate pairs by PER-BUCKET COMBINATION GENERATION, not a
-    // bucket self-join: group ids per (band, hash), expand (x < y)
-    // combinations inside codegen. A self-join evaluates the whole
-    // shingle→signature→band pipeline once per side (probe + build);
-    // this shape has ONE consumer, so the signature pipeline runs
-    // once, and candidate generation costs a single exchange of
-    // (band, hash, id) longs. Hot-bucket behavior is identical to the
-    // self-join (a bucket of c ids yields c·(c−1)/2 pairs in one task
-    // either way — degenerate bands are a parameter problem, not a
-    // plan problem; the soak profile tracks max occupancy).
-    val pairs = buckets.groupBy("band_id", "band_hash")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .withColumn("ids", array_sort(col("ids")))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
-      .select("p.doc_a", "p.doc_b").distinct()
-    // verification rehydrates hashed shingle SETS by id with ONE pass
-    // over `sh`: the candidate pairs melt to (pair, id) rows and the
-    // corpus-sized sh table joins them a single time (AQE broadcasts
-    // the melted candidates when they are small — the common case);
-    // the per-pair sets then reassemble in a candidate-sized agg.
-    // The old shape joined sh twice (doc_a side + doc_b side) —
-    // two more full evaluations of the shingle map at corpus scale.
-    val melted = pairs.select(col("doc_a"), col("doc_b"),
-      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-    sh.join(melted, idCol)
-      .groupBy("doc_a", "doc_b")
-      .agg(max(when(col(idCol) === col("doc_a"), col("hs"))).as("sh_a"),
-           max(when(col(idCol) === col("doc_b"), col("hs"))).as("sh_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .withColumn("sig", graft.functions.Hashes.minhash_sig(col("hs"), numPerm))
+
+  /** Incremental near-dup detection: hash ONLY `newDocs`, then find
+    * every verified near-dup pair with at least one new side —
+    * (new × indexed) ∪ (new × new). Returns (pairs, newIndexRows);
+    * append the new rows to the stored index afterwards.
+    *
+    * 100 TB accounting per batch: the index is SCANNED (bucket keys
+    * re-derive from the stored `sig` by a narrow map — nothing is
+    * re-shingled) but never shuffled: the new batch's bucket keys
+    * join BROADCAST against the index buckets, so batch cost is
+    * O(index scan) + O(batch² within shared buckets) + a
+    * candidate-bounded verify — not O(corpus²) and not a corpus
+    * reshuffle. Old×old pairs were reported when their batches
+    * arrived; re-deriving them is the full [[minhashNearDups]]'s job.
+    *
+    * Pair identity matches the batch path exactly: same hash family,
+    * same banding, same Jaccard — the spec pins batch1-pairs ∪
+    * delta-pairs == one-shot pairs on the concatenated corpus.
+    */
+  def minhashNearDupsDelta(index: DataFrame, newDocs: DataFrame, k: Int,
+                           numPerm: Int, bands: Int, threshold: Double,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val newIdx = minhashIndex(newDocs, k, numPerm, textCol, idCol)
+    val newBuckets = lshBuckets(newIdx, numPerm, bands, idCol)
+    val oldBuckets = lshBuckets(index, numPerm, bands, idCol)
+    // new × indexed: the batch side is the small one — broadcast it;
+    // the index never moves
+    val crossPairs = oldBuckets
+      .join(broadcast(newBuckets.withColumnRenamed(idCol, "__new_id")),
+        Seq("band_id", "band_hash"))
+      .filter(col(idCol) =!= col("__new_id"))
+      .select(least(col(idCol), col("__new_id")).as("doc_a"),
+        greatest(col(idCol), col("__new_id")).as("doc_b"))
+    val pairs = crossPairs
+      .unionByName(bucketPairs(newBuckets, idCol))
+      .distinct()
+    val verified = verifyJaccard(index.unionByName(newIdx), pairs,
+      threshold, idCol)
+    (verified, newIdx)
   }
 
   /** SimHash near-duplicate pairs: the 64-bit signature split into 4

@@ -29,6 +29,50 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("incremental index: batch1 pairs + delta pairs == one-shot pairs") {
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(300)
+    // near-dups across the batch boundary: copies of batch-1 docs with
+    // the first 3 words dropped, landing in batch 2 under new ids
+    val mutated = corpus.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+    val all = corpus.unionByName(mutated)
+    val batch1 = all.filter($"doc_id" < 150)
+    val batch2 = all.filter($"doc_id" >= 150)
+
+    val oneShot = Dedup.minhashNearDups(all, 3, 32, 8, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val index1 = Dedup.minhashIndex(batch1, 3, 32)
+    val batch1Pairs = Dedup.minhashNearDups(batch1, 3, 32, 8, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val (delta, newRows) = Dedup.minhashNearDupsDelta(index1, batch2, 3, 32, 8, 0.5)
+    val deltaPairs = delta.as[(Long, Long, Double)].collect().toSet
+
+    assert(batch1Pairs ++ deltaPairs == oneShot)
+    // every delta pair has at least one new side
+    val newIds = batch2.select("doc_id").as[Long].collect().toSet
+    assert(deltaPairs.forall { case (a, b, _) => newIds(a) || newIds(b) })
+    // the cross-boundary injected near-dups were found by the delta
+    assert(deltaPairs.exists { case (a, b, _) => a < 150 && b >= 100000 })
+    // returned index rows cover exactly the new batch
+    assert(newRows.select("doc_id").as[Long].collect().toSet == newIds)
+    // appending keeps the index equivalent to a fresh build
+    val rebuilt = Dedup.minhashIndex(all, 3, 32)
+    val appended = index1.unionByName(newRows)
+    assert(appended.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toSet ==
+      rebuilt.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toSet)
+  }
+
+  test("delta against an empty index == one-shot on the batch") {
+    val empty = Dedup.minhashIndex(docs.filter($"doc_id" < 0), 2, 32)
+    val (delta, _) = Dedup.minhashNearDupsDelta(empty, docs, 2, 32, 8, 0.5)
+    val oneShot = Dedup.minhashNearDups(docs, 2, 32, 8, 0.5)
+    assert(delta.as[(Long, Long, Double)].collect().toSet ==
+      oneShot.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("ngram jaccard: identical=1, disjoint=0") {
     val j = Dedup.ngramJaccardAdjacent(
       Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text"), 2)
