@@ -259,6 +259,87 @@ object IncrementalStream {
   def readAggState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     new SnapshotStore(spark, stateDir).read()
 
+  /** One exact-dedup micro-batch against an APPEND-ONLY seen-hash
+    * store — streaming ingest dedup with an UNBOUNDED horizon: every
+    * arriving doc whose content hash was seen in ANY earlier batch
+    * drops; within a batch the min-id occurrence wins. (Contrast
+    * `dropDuplicatesWithinWatermark`, whose dedup horizon is bounded
+    * by the watermark — corpus ingest needs "never ingest this text
+    * again", which is store-backed state, not stream state.)
+    *
+    * Store layout is per-batch partition dirs (`batch=<id>`), so a
+    * batch commit APPENDS O(batch) hash rows — never a rewrite of the
+    * O(history) store (the SnapshotStore pattern would rewrite the
+    * whole seen set every batch). Idempotent under foreachBatch's
+    * at-least-once replay: both writes target the replayed batch's own
+    * partition dir with overwrite, and the seen-set read EXCLUDES the
+    * current batch id — a replay after a complete-but-uncommitted
+    * batch recomputes the same survivors instead of seeing its own
+    * hashes and emitting an empty (data-losing) overwrite.
+    *
+    * 100 TB accounting: per batch, the store is scanned column-pruned
+    * (16-byte hashes only) and the anti-join is bloom-pruned
+    * ([[graft.ops.BloomPrune]] — the batch side builds the bloom, the
+    * history side never shuffles; definite-new hashes skip the join).
+    * The per-batch cost is O(history scan of one hash column) +
+    * O(batch); at very deep history, prefix-bucket the store dirs and
+    * prune scans by the batch's hash prefixes.
+    */
+  def dedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                 outDir: String, textCol: String = "text",
+                 idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val firsts = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) firsts
+      else {
+        val seen = spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId) // replay: own hashes are not "seen"
+          .select("__h")
+        graft.ops.BloomPrune.antiJoin(firsts, seen, col("__h"), "__h")
+      }
+    // an empty batch (or an empty firsts under replay) must not write:
+    // a part-file-less partition dir would poison later schema
+    // inference on the store/output roots
+    survivors.persist()
+    try {
+      if (survivors.count() > 0) {
+        survivors.drop("__h").write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        survivors.select("__h").write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+      }
+    } finally survivors.unpersist(blocking = true)
+  }
+
+  /** Streaming exact-dedup sink (foreachBatch over [[dedupBatch]]).
+    * Read the deduped corpus back with [[readDeduped]].
+    */
+  def sinkDedup(df: DataFrame, storeDir: String, outDir: String,
+                checkpointDir: String, textCol: String = "text",
+                idCol: String = "doc_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, storeDir, outDir, textCol, idCol)
+      }
+
+  /** The deduped corpus across all committed batches (None before the
+    * first commit). The `batch` partition column records arrival.
+    */
+  def readDeduped(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(outDir)) else None
+  }
+
   /** Sessionization via the NATIVE `session_window` operator — the
     * high-throughput alternative to [[sessionizeStream]] when only
     * per-session aggregates are needed: state lives inside the

@@ -185,6 +185,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBatch: unbounded first-seen dedup, replay-idempotent") {
+    val store = Files.createTempDirectory("graft_dedup_store").toString + "/s"
+    val out = Files.createTempDirectory("graft_dedup_out").toString + "/o"
+    // batch 1: in-batch dup (ids 1,2 same text); batch 2: cross-batch
+    // dup of "aaa" under a SMALLER id + a fresh text; batch 3: all dups
+    val b1 = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("doc_id", "text")
+    val b2 = Seq((5L, "aaa"), (6L, "ccc")).toDF("doc_id", "text")
+    val b3 = Seq((7L, "bbb"), (8L, "ccc")).toDF("doc_id", "text")
+    IncrementalStream.dedupBatch(b1, 0L, store, out)
+    IncrementalStream.dedupBatch(b2, 1L, store, out)
+    IncrementalStream.dedupBatch(b3, 2L, store, out)
+    def surviving = IncrementalStream.readDeduped(spark, out).get
+      .select("doc_id").as[Long].collect().toSet
+    // first-SEEN wins (arrival order), not global min id: "aaa" kept
+    // as id 10 from batch 1 even though id 5 arrived later
+    assert(surviving == Set(10L, 12L, 6L))
+    // replay of a committed batch changes nothing (the seen-set read
+    // excludes the batch's own hashes)
+    IncrementalStream.dedupBatch(b2, 1L, store, out)
+    assert(surviving == Set(10L, 12L, 6L))
+    // an all-dup batch leaves no partition behind
+    IncrementalStream.dedupBatch(b3, 3L, store, out)
+    assert(surviving == Set(10L, 12L, 6L))
+    // one doc per distinct text across all arrivals
+    assert(IncrementalStream.readDeduped(spark, out).get.count() == 3)
+  }
+
+  test("sinkDedup stream == batch first-seen dedup on the same corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(200)
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    docs.repartition(6).write.mode("overwrite").parquet(in)
+    val store = Files.createTempDirectory("graft_dedup_s2").toString + "/s"
+    val out = Files.createTempDirectory("graft_dedup_o2").toString + "/o"
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+    val q = IncrementalStream.sinkDedup(stream, store, out, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = IncrementalStream.readDeduped(spark, out).get
+    // one survivor per distinct text, and every survivor's text distinct
+    assert(got.count() == docs.select("text").distinct().count())
+    assert(got.select("text").distinct().count() == got.count())
+    // survivors are a subset of the corpus rows (doc_id, text) pairs
+    val pairs = got.select("doc_id", "text").as[(Long, String)].collect().toSet
+    val all = docs.as[(Long, String)].collect().toSet
+    assert(pairs.subsetOf(all))
+  }
+
   test("session_window aggregate matches batch sessionize (no exact-gap arrivals)") {
     val events = graft.core.Tables.events(spark, sfDir)
     val native = IncrementalStream.sessionWindowAgg(events, "user_id", "ts", "30 minutes")
