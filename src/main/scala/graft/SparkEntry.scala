@@ -91,6 +91,20 @@ object SparkEntry {
         Tables.events(s, d)
           .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss")),
         "ts_str", "1 hour", Seq("value"))),
+    "q_time_fill" -> ((s, d) => {
+      // sparse per-type hourly series (rare high-value events) made
+      // chart-dense: missing hours appear with 0 count and the last
+      // seen gauge value
+      val b = Tables.events(s, d).filter(col("value") > 150)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(30,12)")).cast("double") /
+            count(lit(1))).as("value_avg"))
+        .withColumn("bucket_ts", col("w.start")).drop("w")
+      TimeBucketAgg.fillTimeGaps(b, "bucket_ts", "1 hour",
+        groupCols = Seq("event_type"), zeroFill = Seq("n_events"),
+        forwardFill = Seq("value_avg"))
+    }),
     "q_table_stats" -> ((s, d) =>
       TableStats.numericStats(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
@@ -811,6 +825,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS value_avg,
         |  MIN(value) AS value_min, MAX(value) AS value_max
         |FROM events GROUP BY bucket_ts ORDER BY bucket_ts""".stripMargin,
+    "q_time_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS value_avg
+        |  FROM events WHERE value > 150 GROUP BY 1, 2),
+        |axis AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL '1 hour')) AS bucket_ts
+        |  FROM b GROUP BY event_type),
+        |j AS (
+        |  SELECT a.event_type, a.bucket_ts,
+        |    coalesce(b.n_events, 0) AS n_events, b.value_avg
+        |  FROM axis a LEFT JOIN b USING (event_type, bucket_ts))
+        |SELECT event_type, bucket_ts, n_events,
+        |  last_value(value_avg IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_avg
+        |FROM j ORDER BY event_type, bucket_ts""".stripMargin,
     "q_table_stats" ->
       """SELECT COUNT(*) AS row_count,
         |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max, CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity) AS l_quantity_avg,

@@ -60,4 +60,50 @@ object TimeBucketAgg {
       table.withColumn("__ts",
         to_timestamp(col(varcharTimeCol), "yyyyMMddHHmmss")),
       "__ts", interval, valueCols)
+
+  /** Densify a bucketed series for charting: one row per `interval`
+    * step between each group's min and max bucket — a chart over a
+    * sparse series otherwise silently interpolates across gaps the
+    * data never saw (the reference's line charts feed straight from
+    * the bucket aggregate, visualization.py:22, and inherit the
+    * problem). Missing buckets take 0 in `zeroFill` columns (counts),
+    * the last seen value in `forwardFill` columns (gauges), NULL
+    * otherwise.
+    *
+    * Scale shape: runs on the AGGREGATE (bucket-grain) table, never
+    * the raw rows. The dense axis is `sequence(min, max, interval)`
+    * per group — span-bounded, generated where each group's agg row
+    * lives; the fill join and the forward-fill window both key on the
+    * same (group, bucket) partitioning, so the whole densify adds ONE
+    * group-keyed exchange of bucket-grain rows.
+    */
+  def fillTimeGaps(bucketed: DataFrame, bucketCol: String, interval: String,
+                   groupCols: Seq[String] = Nil,
+                   zeroFill: Seq[String] = Nil,
+                   forwardFill: Seq[String] = Nil): DataFrame = {
+    val dataCols = bucketed.columns.toSeq
+      .filterNot(c => c == bucketCol || groupCols.contains(c))
+    require((zeroFill ++ forwardFill).forall(dataCols.contains),
+      s"fill columns must be non-key columns of the input: $dataCols")
+    val gCols = groupCols.map(col)
+    val axis = bucketed
+      .groupBy(gCols: _*)
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+      .select(gCols :+ explode(expr(
+        s"sequence(__mn, __mx, interval $interval)")).as(bucketCol): _*)
+    val joined = axis.join(bucketed, groupCols :+ bucketCol, "left")
+    val zeroed = zeroFill.foldLeft(joined)((df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(0L))))
+    val filled =
+      if (forwardFill.isEmpty) zeroed
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(gCols: _*).orderBy(col(bucketCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        forwardFill.foldLeft(zeroed)((df, c) =>
+          df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      }
+    filled.select(((groupCols :+ bucketCol) ++ dataCols).map(col): _*)
+      .orderBy((groupCols :+ bucketCol).map(col): _*)
+  }
 }

@@ -18,6 +18,33 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 3.0), (1L, 10.0)))
   }
 
+  test("fillTimeGaps: dense axis per group, zero and forward fill, guards") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val sparse = Seq(
+      ("a", ts(0), 5L, 1.5), ("a", ts(3), 2L, 9.0), // gap at 1,2
+      ("b", ts(1), 7L, 4.0)                          // singleton span
+    ).toDF("g", "bucket_ts", "n", "gauge")
+    val got = TimeBucketAgg.fillTimeGaps(sparse, "bucket_ts", "1 hour",
+      groupCols = Seq("g"), zeroFill = Seq("n"), forwardFill = Seq("gauge"))
+      .as[(String, Timestamp, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", ts(0), 5L, 1.5), ("a", ts(1), 0L, 1.5),
+      ("a", ts(2), 0L, 1.5), ("a", ts(3), 2L, 9.0),
+      ("b", ts(1), 7L, 4.0)))
+    // ungrouped: one global axis; unfilled column stays null in gaps
+    val got2 = TimeBucketAgg.fillTimeGaps(
+      sparse.filter($"g" === "a").drop("g"), "bucket_ts", "1 hour",
+      zeroFill = Seq("n"))
+      .as[(Timestamp, Long, Option[Double])].collect().toSeq
+    assert(got2 == Seq(
+      (ts(0), 5L, Some(1.5)), (ts(1), 0L, None),
+      (ts(2), 0L, None), (ts(3), 2L, Some(9.0))))
+    intercept[IllegalArgumentException](
+      TimeBucketAgg.fillTimeGaps(sparse, "bucket_ts", "1 hour",
+        groupCols = Seq("g"), zeroFill = Seq("nope")))
+  }
+
   test("numericStats computes one row of min/max/avg") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val row = TableStats.numericStats(df, Seq("x")).head()
