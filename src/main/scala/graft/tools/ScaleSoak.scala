@@ -39,7 +39,9 @@ object ScaleSoak {
     "d_dedup_lines", "d_c4_clean",
     "q_lttb_downsample", "d_heavy_hitters", "d_tfidf_keywords",
     "q_range_join", "d_dedup_spans", "d_semdedup",
-    "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs")
+    "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs",
+    "d_bm25_search", "d_blocklist_filter", "d_dedup_minhash_delta",
+    "q_time_fill")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
