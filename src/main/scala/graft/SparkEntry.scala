@@ -160,6 +160,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_asof_join_merge" -> ((s, d) => graft.queries.AsOf.asofJoinMerged(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "q_retention" -> ((s, d) => Analytics.retentionCohorts(s, d)),
 
     // ---- §2c LLM-training-data pipeline ------------------------------
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -331,6 +333,13 @@ object SparkEntry {
       Tables.documents(s, d)
         .withColumn("fp_rolling", Hashes.rolling_hash(col("text")))
         .select("doc_id", "fp_rolling").orderBy("doc_id")),
+    "d_winnowing" -> ((s, d) =>
+      // MOSS winnowing fingerprints (word 3-grams, window 4) — the
+      // substring-robust dedup signal; oracle mirrors the per-gram
+      // polynomial hash + window-min selection in HUGEINT arithmetic
+      graft.text.TextAnalysis.winnowing(
+        Tables.documents(s, d).select("doc_id", "text"), 3, 4)
+        .orderBy("doc_id")),
     "d_pii_redact" -> ((s, d) => {
       // the corpus is synthetic word-salad with no PII, so inject a
       // deterministic email/phone/SSN/IP per doc (derived from doc_id)
@@ -669,6 +678,40 @@ object SparkEntry {
         |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Winnowing: per-GRAM polynomial hashes (same HUGEINT fold,
+    // reinterpreted signed BEFORE the window min so both engines use
+    // the same total order), window-min selection with rightmost tie,
+    // "lpad(pos):hash" strings so plain string sort/distinct give the
+    // canonical position order, md5 digest of the joined selection
+    "d_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+        |           i -> array_to_string(w[i : i + 2], ' ')) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |hu AS (
+        |  SELECT doc_id, len(grams) AS n_grams, list_transform(grams, gg ->
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(range(1, len(gg) + 1), ii -> CAST(ascii(gg[ii]) AS HUGEINT))),
+        |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT)) AS hsu
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, n_grams, list_transform(hsu, x ->
+        |    CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+        |              THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT)) AS hs
+        |  FROM hu),
+        |s AS (
+        |  SELECT doc_id, n_grams,
+        |    list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1), j ->
+        |      lpad(CAST(list_max(list_transform(range(j, least(j + 4, len(hs))), i ->
+        |             CASE WHEN hs[i + 1] = list_aggregate(hs[j + 1 : j + 4], 'min')
+        |                  THEN i ELSE -1 END)) AS VARCHAR), 8, '0')
+        |      || ':' ||
+        |      CAST(list_aggregate(hs[j + 1 : j + 4], 'min') AS VARCHAR))) AS sel
+        |  FROM h)
+        |SELECT doc_id, n_grams, len(sel) AS n_fp,
+        |  md5(array_to_string(list_sort(sel), ',')) AS fp_digest
+        |FROM s ORDER BY doc_id""".stripMargin,
     "d_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS token
@@ -1058,6 +1101,34 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM events) s) g
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // Greedy earliest-completion per step == "exists an ordered
+    // subsequence": the earliest completion of a prefix is achieved by
+    // taking the earliest qualifying event at every step
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step""".stripMargin,
+    // week_offset counts days from the user's own cohort date
+    // (floor(days/7)) — no calendar-week truncation, so both engines
+    // compute identical integer arithmetic
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_date FROM ud GROUP BY 1),
+        |wk AS (SELECT DISTINCT ud.user_id, c.cohort_date,
+        |         CAST(floor((ud.d - c.cohort_date) / 7.0) AS INT) AS week_offset
+        |       FROM ud JOIN c ON ud.user_id = c.user_id)
+        |SELECT cohort_date, week_offset, count(*) AS users
+        |FROM wk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -307,4 +307,84 @@ object Analytics {
            max(col("ts")).as("session_end"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Ordered-step funnel: for each prefix of `steps`, how many users
+    * completed the whole prefix IN ORDER, each step strictly after the
+    * previous one — the standard product-analytics funnel (reference
+    * surfaces event rollups via query_builder.py's filtered aggregates;
+    * the ordered-sequence form is the composition a dashboard builds on
+    * top). Completion is computed greedily on the earliest possible
+    * per-step timestamp, which is optimal for reachability: the
+    * earliest completion of steps(0..i) uses the earliest step-i event
+    * after the earliest completion of steps(0..i-1).
+    *
+    * Scale shape: ONE wide shuffle (groupBy user) — per-user events
+    * collapse to a sorted (ts, type) array and a codegen'd `aggregate`
+    * fold carries the earliest-completion timestamp per step, so the
+    * shuffled payload is the filtered funnel events only (the
+    * `isInCollection` filter is pushed to the scan) and the final
+    * per-step count is a single tiny global aggregation. No window
+    * function, no per-step join cascade — at 100 TB a join-per-step
+    * funnel shuffles the event table once per step; this shuffles it
+    * once total.
+    */
+  def funnel(spark: SparkSession, dir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct: $steps")
+    val n = steps.length
+    val stepsSql = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val reach = Tables.events(spark, dir)
+      .filter(col("event_type").isInCollection(steps))
+      .select(col("user_id"), col("ts"), col("event_type").as("et"))
+      .groupBy("user_id")
+      // struct sort = (ts, et) lexicographic: deterministic on ts ties,
+      // and the fold's strict `<` makes tie order irrelevant anyway
+      .agg(sort_array(collect_list(struct(col("ts"), col("et")))).as("evs"))
+      // acc(i) = earliest ts at which steps(0..i) were completed in
+      // order, NULL while unreached; an event advances step i iff the
+      // step is unreached, the type matches, and the previous step was
+      // reached strictly earlier.
+      .withColumn("reach", expr(
+        s"""aggregate(evs,
+           |  array_repeat(CAST(NULL AS TIMESTAMP), $n),
+           |  (acc, e) -> transform(acc, (t, i) ->
+           |    CASE WHEN t IS NULL AND e.et = element_at($stepsSql, i + 1)
+           |              AND (i = 0 OR (acc[i - 1] IS NOT NULL AND acc[i - 1] < e.ts))
+           |         THEN e.ts ELSE t END))""".stripMargin))
+    val counts = reach.select(
+      (0 until n).map(i =>
+        sum(when(col("reach")(i).isNotNull, 1L).otherwise(0L)).as(s"u$i")): _*)
+    counts.select(expr(
+      s"stack($n, ${(0 until n).map(i => s"${i + 1}, '${steps(i)}', u$i").mkString(", ")})" +
+        " AS (step, step_name, users)"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users grouped by their first-activity
+    * date (the cohort), counted once per week-offset they were active
+    * in — the standard retention triangle behind every growth
+    * dashboard. Week offsets are computed from the user's own cohort
+    * date (`floor(days/7)`), not calendar-week truncation, so the
+    * result is engine-portable (no ISO-week boundary semantics).
+    *
+    * Scale shape: ONE wide shuffle — groupBy(user) with map-side
+    * partial `collect_set` over ACTIVE DAYS (bounded by days in the
+    * observation window, not event volume), then explode + a tiny
+    * (cohort, offset) aggregation. The (user, cohort, offset) distinct
+    * rides the same exploded stream.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("cohort_date"), collect_set(col("d")).as("days"))
+      .select(col("user_id"), col("cohort_date"), explode(col("days")).as("d"))
+      .withColumn("week_offset",
+        floor(datediff(col("d"), col("cohort_date")) / 7).cast("int"))
+      .select("user_id", "cohort_date", "week_offset")
+      .distinct()
+      .groupBy("cohort_date", "week_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_date", "week_offset")
 }

@@ -101,6 +101,60 @@ object TextAnalysis {
     docs.withColumn("fp_md5",
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every word `k`-gram with the polynomial
+    * rolling-hash kernel, slide a window of `w` consecutive gram
+    * hashes, and select the minimum hash of each window (rightmost
+    * occurrence on ties, per the paper). The distinct selected
+    * (position, hash) pairs are the document's fingerprint — winnowing
+    * guarantees any shared substring of length ≥ w+k−1 words yields at
+    * least one shared fingerprint, which makes it the robust
+    * substring-level dedup signal (vs whole-doc hashing's
+    * all-or-nothing match).
+    *
+    * Emits `n_grams`, `n_fp` (fingerprint count) and `fp_digest` — an
+    * md5 over the position-ordered selections (array outputs break
+    * downstream tooling; a digest compares exactly). Pure codegen'd
+    * array expressions over each row: zero shuffle, one narrow pass at
+    * any corpus size. Per-window min recomputes over w elements
+    * (O(n·w) per doc) — the classic O(n) monotonic-queue trick is a
+    * per-row loop, invisible at w=4 and irrelevant next to the scan.
+    */
+  def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    docs
+      .withColumn("__words", split(col(textCol), " "))
+      // grams i (1-based) cover words [i, i+k): short docs produce one
+      // clamped gram, so every doc has >= 1 gram and >= 1 fingerprint
+      .withColumn("__grams", expr(
+        s"transform(sequence(1, greatest(size(__words) - ${k - 1}, 1)), " +
+          s"i -> array_join(slice(__words, i, $k), ' '))"))
+      // signed-reinterpreted per-gram hashes: both engines compare/min
+      // as SIGNED 64-bit (the oracle folds HUGEINT then reinterprets
+      // BEFORE its list_min — same total order)
+      .withColumn("__hs", transform(col("__grams"),
+        g => graft.functions.Hashes.rolling_hash(g)))
+      // window j (0-based) covers gram indices [j, j+w); the selection
+      // is "lpad(pos):hash" so plain STRING sort/distinct give the
+      // canonical position order in both engines (no struct ordering
+      // semantics in play)
+      .withColumn("__sel", expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(__hs) - $w, 0)),
+           |  j -> concat(
+           |    lpad(CAST(array_max(transform(
+           |      sequence(j, least(j + $w, size(__hs)) - 1),
+           |      i -> CASE WHEN __hs[i] = array_min(slice(__hs, j + 1, $w))
+           |                THEN i ELSE -1 END)) AS STRING), 8, '0'),
+           |    ':',
+           |    CAST(array_min(slice(__hs, j + 1, $w)) AS STRING))))""".stripMargin))
+      .select(col(idCol),
+        size(col("__grams")).cast("long").as("n_grams"),
+        size(col("__sel")).cast("long").as("n_fp"),
+        md5(array_join(array_sort(col("__sel")), ",")).as("fp_digest"))
+  }
+
   /** Repetition signals — the Gopher/C4-style "repetitious document"
     * filters: fraction of duplicate words and of duplicate word
     * 3-grams (1 − distinct/total). Machine-generated and boilerplate

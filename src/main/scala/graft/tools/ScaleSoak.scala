@@ -31,6 +31,13 @@ object ScaleSoak {
   private def factors = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTORS", "1,2,4,8")
     .split(',').map(_.trim.toInt).toSeq
   private def runs = sys.env.getOrElse("SPARK_GRAFT_SOAK_RUNS", "3").toInt
+  /** Comma-separated query-name filter for bisecting a single outlier
+    * (same contract as SPARK_GRAFT_BENCH_ONLY). Non-full runs skip the
+    * cache/minhash sections and write nothing unless outMd is given
+    * explicitly — a bisection must never clobber the committed table.
+    */
+  private def only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(',').map(_.trim).toSet)
   private val queries = Seq(
     "q1_agg", "q_multi_join", "q_topk", "q_time_bucket_agg",
     "q_asof_join_merge", "d_dedup_exact", "d_dedup_minhash_pairs",
@@ -214,9 +221,10 @@ object ScaleSoak {
     try SparkEntry.queries("q1_agg")(spark, s"$work/x1").count()
     catch { case _: Throwable => () }
 
+    val selected = only.fold(queries)(s => queries.filter(s))
     val times: Map[(String, Int), Double] = (for {
       f <- factors
-      q <- queries
+      q <- selected
     } yield {
       val t = median((1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -241,7 +249,7 @@ object ScaleSoak {
     sb.append("still dominates at this size.\n\n")
     sb.append("| query |" + fs.map(f => s" ${f}x (s) |").mkString + " ratio |\n")
     sb.append("|---|" + fs.map(_ => "---|").mkString + "---|\n")
-    queries.foreach { q =>
+    selected.foreach { q =>
       val r = fs.map(f => times((q, f)))
       sb.append("| " + q + " |" + r.map(t => f" $t%.2f |").mkString +
         f" ${r.last / r.head}%.1f |\n")
@@ -251,10 +259,14 @@ object ScaleSoak {
     sb.append("the production contract (SemDedup scaladoc) is to grow nlist with\n")
     sb.append("the corpus so expected membership, and therefore the ratio, stays\n")
     sb.append("bounded; the soak deliberately shows the un-scaled-knob behavior.\n")
-    sb.append(cacheSoakSection(spark, work))
-    sb.append(minhashProfileSection(spark, work))
-    Files.write(Paths.get(outMd), sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote $outMd")
+    if (only.isEmpty) {
+      sb.append(cacheSoakSection(spark, work))
+      sb.append(minhashProfileSection(spark, work))
+    }
+    if (only.isEmpty || args.length > 2) {
+      Files.write(Paths.get(outMd), sb.toString.getBytes(StandardCharsets.UTF_8))
+      println(s"wrote $outMd")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Analytics
+import graft.text.TextAnalysis
+
+/** Funnel, cohort retention, and winnowing fingerprints — exact
+  * small-case semantics the oracle can't pin (ordering edge cases,
+  * tie rules), plus the winnowing guarantee property.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.toDF("event_id", "tss", "user_id", "event_type")
+      // the real events table stores ts as raw INT64 nanos
+      .withColumn("ts", expr("unix_micros(tss) * 1000L")).drop("tss")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: steps must be strictly ordered in time, greedy earliest") {
+    val dir = writeEvents(Seq(
+      // u1 completes view -> click -> purchase in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase"),
+      // u2: purchase BEFORE click -> only reaches step 2
+      (4L, ts("2024-01-01 09:00:00"), 2L, "purchase"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view"),
+      (6L, ts("2024-01-01 09:45:00"), 2L, "click"),
+      // u3: click only, never viewed -> reaches no step
+      (7L, ts("2024-01-01 08:00:00"), 3L, "click"),
+      // u4: greedy trap — earliest view is late, but an EARLIER view
+      // exists whose later click+purchase complete; greedy takes the
+      // earliest view first and still completes (earliest completion)
+      (8L, ts("2024-01-02 10:00:00"), 4L, "view"),
+      (9L, ts("2024-01-02 11:00:00"), 4L, "click"),
+      (10L, ts("2024-01-02 12:00:00"), 4L, "purchase"),
+      (11L, ts("2024-01-02 09:00:00"), 4L, "view"),
+    ))
+    val got = Analytics.funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "view", 3L), (2, "click", 3L), (3, "purchase", 2L)))
+  }
+
+  test("funnel: same-timestamp step does NOT count (strictly after)") {
+    val t = ts("2024-01-01 10:00:00")
+    val dir = writeEvents(Seq(
+      (1L, t, 1L, "view"),
+      (2L, t, 1L, "click"), // same instant as the view -> not after it
+      (3L, ts("2024-01-01 10:01:00"), 1L, "purchase"),
+    ))
+    val got = Analytics.funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got === Seq((1, 1L), (2, 0L), (3, 0L)))
+  }
+
+  test("retention: week offsets anchor on each user's own first day") {
+    val dir = writeEvents(Seq(
+      // u1 cohort 2024-01-01, active day 0, day 6 (week 0) and day 7 (week 1)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-07 10:00:00"), 1L, "view"),
+      (3L, ts("2024-01-08 10:00:00"), 1L, "view"),
+      // u2 cohort 2024-01-03, active day 0 and day 14 (week 2); two
+      // events the same day collapse to one active day
+      (4L, ts("2024-01-03 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-03 20:00:00"), 2L, "click"),
+      (6L, ts("2024-01-17 09:00:00"), 2L, "click"),
+    ))
+    val got = Analytics.retentionCohorts(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L),
+      ("2024-01-03", 0, 1L), ("2024-01-03", 2, 1L)))
+  }
+
+  test("winnowing: identical docs share fingerprints; disjoint docs don't") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"),
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowing(df, 3, 4).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("winnowing: every window selects its min hash (guarantee) and short docs fingerprint") {
+    // reference winnowing in plain Scala over the same kernel
+    def refSelect(hs: Seq[Long], w: Int): Seq[(Int, Long)] =
+      (0 to math.max(hs.length - w, 0)).map { j =>
+        val win = hs.slice(j, j + w)
+        val m = win.min
+        val pos = (j until math.min(j + w, hs.length)).filter(hs(_) == m).max
+        (pos, m)
+      }.distinct
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b"), // fewer words than k -> single clamped gram
+      (3L, "one two three four"),
+    )
+    val df = texts.toDF("doc_id", "text")
+    // per-gram hashes via the same expression the operator uses
+    val hs = df.withColumn("__words", split(col("text"), " "))
+      .withColumn("__grams", expr(
+        "transform(sequence(1, greatest(size(__words) - 2, 1)), " +
+          "i -> array_join(slice(__words, i, 3), ' '))"))
+      .withColumn("hs", transform(col("__grams"),
+        g => graft.functions.Hashes.rolling_hash(g)))
+      .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    val got = TextAnalysis.winnowing(df, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    got.foreach { case (id, nFp, digest) =>
+      val sel = refSelect(hs(id), 4)
+      assert(nFp === sel.length.toLong, s"doc $id fingerprint count")
+      val expected = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        sel.sortBy(_._1).map { case (p, h) => f"$p%08d:$h" }.mkString(","))
+      assert(digest === expected, s"doc $id digest")
+    }
+  }
+}
