@@ -340,6 +340,16 @@ object SparkEntry {
       graft.text.TextAnalysis.winnowing(
         Tables.documents(s, d).select("doc_id", "text"), 3, 4)
         .orderBy("doc_id")),
+    "d_winnowing_pairs" -> ((s, d) => {
+      // shared-fingerprint candidate pairs; a 2-word-shifted copy of
+      // every doc is injected so true substring near-dups exist by
+      // construction (same convention as the CC oracle corpus)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 3, 1000000), ' ')").as("text"))
+      graft.text.TextAnalysis.winnowingPairs(docs.unionByName(mutated), 3, 4, 2, 100)
+        .orderBy("doc_a", "doc_b")
+    }),
     "d_pii_redact" -> ((s, d) => {
       // the corpus is synthetic word-salad with no PII, so inject a
       // deterministic email/phone/SSN/IP per doc (derived from doc_id)
@@ -712,6 +722,42 @@ object SparkEntry {
         |SELECT doc_id, n_grams, len(sel) AS n_fp,
         |  md5(array_to_string(list_sort(sel), ',')) AS fp_digest
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Same per-gram hash + window-min selection over the shifted-copy
+    // corpus; the oracle pairs via a plain fingerprint self-join (the
+    // library expands per-hash combinations instead — same result)
+    "d_winnowing_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |         array_to_string((string_split(text, ' '))[3:], ' ')
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+        |           i -> array_to_string(w[i : i + 2], ' ')) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+        |hu AS (
+        |  SELECT doc_id, list_transform(grams, gg ->
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(range(1, len(gg) + 1), ii -> CAST(ascii(gg[ii]) AS HUGEINT))),
+        |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT)) AS hsu
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, list_transform(hsu, x ->
+        |    CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+        |              THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT)) AS hs
+        |  FROM hu),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+        |      j -> list_aggregate(hs[j + 1 : j + 4], 'min')))) AS h
+        |  FROM h),
+        |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |JOIN ok ON ok.h = a.h
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
     "d_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS token

@@ -155,6 +155,73 @@ object TextAnalysis {
         md5(array_join(array_sort(col("__sel")), ",")).as("fp_digest"))
   }
 
+  /** Candidate near-dup pairs from shared winnowing fingerprints: two
+    * docs are candidates when they select at least `minShared` common
+    * window-min hashes — the substring-level analogue of MinHash LSH
+    * banding, with winnowing's guarantee that any shared run of
+    * ≥ w+k−1 words yields a shared fingerprint.
+    *
+    * Scale shape: NO self-join. Fingerprints group by hash and each
+    * group expands to its doc-id combinations with a codegen'd nested
+    * `transform` (a self-join on the fingerprint key would evaluate
+    * the whole hashing pipeline once per side and shuffle the corpus
+    * twice). Hashes selected by more than `maxDocsPerHash` docs are
+    * dropped before expansion — boilerplate fingerprints otherwise
+    * expand quadratically, exactly like a hot LSH bucket; the count
+    * cut is deterministic so the oracle can mirror it.
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     minShared: Int = 2, maxDocsPerHash: Int = 100,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1 && maxDocsPerHash >= 2,
+      s"minShared >= 1 and maxDocsPerHash >= 2 required: $minShared/$maxDocsPerHash")
+    // Per-gram hashing is CPU-bound at bytes-per-task rates far below
+    // a scan split, so parallelism must come from partition COUNT, not
+    // input size: a single-file local corpus arrives as 1-2 splits and
+    // serializes the whole fingerprint pass. Spread it when (and only
+    // when) the input has fewer partitions than cores — on a real
+    // cluster a 100 TB scan already exceeds defaultParallelism and
+    // this is a no-op, so the corpus never pays a gratuitous shuffle.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    spread
+      .withColumn("__words", split(col(textCol), " "))
+      .withColumn("__grams", expr(
+        s"transform(sequence(1, greatest(size(__words) - ${k - 1}, 1)), " +
+          s"i -> array_join(slice(__words, i, $k), ' '))"))
+      .withColumn("__hs", transform(col("__grams"),
+        g => graft.functions.Hashes.rolling_hash(g)))
+      // the doc's distinct window-min hashes (selection positions are
+      // irrelevant for pairing)
+      .select(col(idCol).as("__id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(__hs) - $w, 0)),
+           |  j -> array_min(slice(__hs, j + 1, $w))))""".stripMargin)).as("__h"))
+      // explicit-N repartition on the group key: it satisfies the
+      // groupBy's distribution (no second exchange) and, unlike the
+      // planner's own exchange, is exempt from AQE partition
+      // coalescing — fingerprint rows are only a few bytes each, so
+      // AQE's byte heuristic would collapse this CPU-heavy
+      // (collect_list + combination-expansion) stage to one task
+      .repartition(cores, col("__h"))
+      .groupBy("__h")
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDocsPerHash))
+      // per-hash doc-id combinations (ids sorted, so a < b by
+      // construction and every pair appears once per hash), expanded
+      // by two stacked generators instead of nested `transform`
+      // lambdas: GenerateExec + slice stay inside whole-stage codegen,
+      // while higher-order-function lambdas are interpreted per group —
+      // at one tiny group per shared fingerprint the lambda dispatch
+      // overhead dominated this stage's CPU by an order of magnitude
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "doc_a")))
+      .select(col("doc_a"),
+        explode(expr("slice(__ids, __i + 2, size(__ids))")).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Repetition signals — the Gopher/C4-style "repetitious document"
     * filters: fraction of duplicate words and of duplicate word
     * 3-grams (1 − distinct/total). Machine-generated and boilerplate

@@ -95,6 +95,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("winnowingPairs: shifted copy pairs with its original; unrelated docs don't") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq(
+      (1L, base),
+      (2L, base.split(" ").drop(2).mkString(" ")), // shares a long suffix
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(df, 3, 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // a hot fingerprint shared by every doc must not expand: with the
+    // cap at 2 docs-per-hash, three identical docs yield no pair at all
+    val hot = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowingPairs(hot, 3, 4, 1, maxDocsPerHash = 2).count() === 0)
+    // and with a roomier cap all three pairs appear
+    assert(TextAnalysis.winnowingPairs(hot, 3, 4, 1, maxDocsPerHash = 3).count() === 3)
+  }
+
   test("winnowing: every window selects its min hash (guarantee) and short docs fingerprint") {
     // reference winnowing in plain Scala over the same kernel
     def refSelect(hs: Seq[Long], w: Int): Seq[(Int, Long)] =
