@@ -354,7 +354,10 @@ object Analytics {
            |         THEN e.ts ELSE t END))""".stripMargin))
     val counts = reach.select(
       (0 until n).map(i =>
-        sum(when(col("reach")(i).isNotNull, 1L).otherwise(0L)).as(s"u$i")): _*)
+        // coalesce: a global sum over ZERO users is NULL, but an empty
+        // funnel must report 0 per step (matching the oracle's count)
+        coalesce(sum(when(col("reach")(i).isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"u$i")): _*)
     counts.select(expr(
       s"stack($n, ${(0 until n).map(i => s"${i + 1}, '${steps(i)}', u$i").mkString(", ")})" +
         " AS (step, step_name, users)"))

@@ -64,6 +64,13 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Seq((1, 1L), (2, 0L), (3, 0L)))
   }
 
+  test("funnel: corpus with no funnel events reports 0 per step, not null") {
+    val dir = writeEvents(Seq((1L, ts("2024-01-01 10:00:00"), 1L, "error")))
+    val got = Analytics.funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got === Seq((1, 0L), (2, 0L), (3, 0L)))
+  }
+
   test("retention: week offsets anchor on each user's own first day") {
     val dir = writeEvents(Seq(
       // u1 cohort 2024-01-01, active day 0, day 6 (week 0) and day 7 (week 1)
