@@ -221,19 +221,29 @@ object SparkEntry {
         (col("doc_id") + 10000 * k).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
         .reduce(_ unionByName _)
-      // shingle strings hash to longs before the join (distinct-set
-      // jaccard unchanged modulo ~2^-64 collisions; the join shuffles
-      // 8-byte longs instead of shingle strings — same trick as
-      // Dedup.minhashNearDups)
-      val sh = Dedup.shingles(copies, 3).select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("shingles"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-      val b = sh.select((col("doc_id") - 10000).as("doc_a"),
-        col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-      val pairs = a.join(b, "doc_a")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
-        .select("doc_a", "doc_b")
+      // shingle strings hash to longs before pairing (distinct-set
+      // jaccard unchanged modulo ~2^-64 collisions — same trick as
+      // Dedup.minhashNearDups). Level-k links level-k+1 OF THE SAME
+      // BASE DOC, so candidate pairing is a lag() window over
+      // (base, level) — the shingle pipeline evaluates ONCE and the
+      // only exchange is the window shuffle; the previous a⋈b
+      // self-join evaluated the whole shingle+hash subtree once per
+      // side. The explicit repartition spreads the CPU-bound hashing
+      // beyond the corpus file's 4 union-branch splits (no-op on a
+      // many-split cluster scan).
+      val sh = Dedup.shingles(
+        copies.repartition(s.sparkContext.defaultParallelism), 3)
+        .select(col("doc_id"),
+          expr("transform(shingles, s -> xxhash64(s))").as("shingles"))
+      val byBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id") % 10000).orderBy(col("doc_id"))
+      val pairs = sh
+        .withColumn("doc_a", lag(col("doc_id"), 1).over(byBase))
+        .withColumn("sh_a", lag(col("shingles"), 1).over(byBase))
+        .filter(col("doc_a").isNotNull &&
+          size(array_intersect(col("sh_a"), col("shingles"))).cast("double") /
+            size(array_union(col("sh_a"), col("shingles"))) >= 0.5)
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
       // smallGraphEdges = 0 forces the DISTRIBUTED label-propagation
       // loop (not the small-graph union-find fast path) — this query
       // exists to hash-check the iterative path against DuckDB

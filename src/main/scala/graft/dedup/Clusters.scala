@@ -75,9 +75,17 @@ object Clusters {
     // paths equal, and the driver's CC oracle query forces the loop
     // (smallGraphEdges = 0) so the iterative path stays hash-checked.
     if (edges.count() <= smallGraphEdges) return unionFindLocal(edges)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
+    // round 0 fused into the init: with identity labels, the first
+    // pull's result is exactly min(own id, neighbor ids) — one
+    // aggregation over the (already materialized) edge table replaces
+    // the identity-label table AND the first join round, saving a full
+    // checkpoint+probe cycle per CC invocation. Every vertex appears
+    // as src (the edge list is symmetric), so the vertex set is
+    // complete; the loop below still detects convergence normally
+    // (its first round compares against these fused labels).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
     var converged = false
     var iter = 0
