@@ -70,8 +70,14 @@ object RangeJoin {
       df.withColumn("__b", explode(sequence(
         floor(col(s) / bucketWidth).cast("long"),
         floor((col(e) - 1) / bucketWidth).cast("long"))))
-    exploded(left, lStart, lEnd)
-      .join(exploded(right, rStart, rEnd), Seq("__b"))
+    // explicit-N bucket exchanges: they satisfy the join's
+    // distribution (no extra shuffle) and are exempt from AQE
+    // coalescing — interval rows are bytes-small but each bucket's
+    // pair expansion is CPU-heavy, so AQE's byte heuristic would
+    // collapse the join to a single task
+    val n = left.sparkSession.sparkContext.defaultParallelism
+    exploded(left, lStart, lEnd).repartition(n, col("__b"))
+      .join(exploded(right, rStart, rEnd).repartition(n, col("__b")), Seq("__b"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("__b") ===
         floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long"))

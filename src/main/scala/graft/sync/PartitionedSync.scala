@@ -69,10 +69,23 @@ object PartitionedSync {
         "filter or default null time values before syncing"))).otherwise(b)
   }
 
-  /** Full (re)write of the target, partitioned by `bucket`. */
-  def writeFull(df: DataFrame, bucket: Column, path: String): Unit =
+  /** Full (re)write of the target, partitioned by `bucket`.
+    *
+    * The explicit repartition ON THE PARTITION COLUMN before
+    * `partitionBy` does two jobs: it distributes the write (the input's
+    * own partitioning writes every bucket from every task — locally
+    * that serializes the write into one task; on a cluster each of M
+    * input tasks drops a file into each of P partition dirs, the
+    * classic M×P small-files explosion), and it bounds output files at
+    * one per bucket per job. Explicit N keeps AQE's byte heuristic from
+    * collapsing the exchange when the table is byte-light.
+    */
+  def writeFull(df: DataFrame, bucket: Column, path: String): Unit = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
     df.withColumn(PartCol, bucketOrFail(bucket))
+      .repartition(n, col(PartCol))
       .write.partitionBy(PartCol).mode("overwrite").parquet(path)
+  }
 
   /** The synced table as a caller sees it (partition column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -127,7 +140,10 @@ object PartitionedSync {
       val tmp = new Path(path + ".merge-tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
       val back = spark.read.parquet(tmp.toString)
-      back.write.mode("overwrite")
+      // same repartition-on-PartCol rationale as writeFull: distribute
+      // the partitioned write, one file per affected bucket
+      back.repartition(spark.sparkContext.defaultParallelism, col(PartCol))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartCol).parquet(path)
 
