@@ -172,7 +172,7 @@ object SparkEntry {
     "d_dedup_minhash" -> ((s, d) =>
       Dedup.lshBuckets(
         Dedup.minhashSignature(
-          Dedup.shingles(Tables.documents(s, d), 3)
+          Dedup.shingles(Tables.spread(Tables.documents(s, d)), 3)
             .select(col("doc_id"), col("shingles")), 32),
         32, 8).orderBy("doc_id", "band_id")),
     "d_dedup_minhash_pairs" -> ((s, d) => {
@@ -279,7 +279,7 @@ object SparkEntry {
       // exact all-pairs baseline: oracle-checks the verification math
       // at a low threshold where bucketing cannot bound candidates;
       // the scale path is d_dedup_embed_lsh below
-      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+      Similarity.nearDupPairs(Tables.spread(Tables.embeddings(s, d)), 0.4)),
     "d_dedup_embed_lsh" -> ((s, d) => {
       // inject an exact duplicate of every vector (vec_id + 10000) and
       // recover the pairs through the bucketed LSH path — candidates
@@ -410,7 +410,7 @@ object SparkEntry {
     "d_bm25_search" -> ((s, d) => {
       // lexical retrieval-for-curation: the first 5 docs' 8-word
       // prefixes as queries over the whole corpus, top-10 per query
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
       val queries = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(lower(col("text")), " "), 1, 8), " ")
@@ -506,7 +506,7 @@ object SparkEntry {
       // multi-line docs with deterministic punctuation (even lines end
       // '.'), plus injected lorem-ipsum / curly-brace boilerplate in
       // some docs — the C4 rules must keep exactly the even clean lines
-      val lined = Tables.documents(s, d).select(col("doc_id"), concat(
+      val lined = Tables.spread(Tables.documents(s, d)).select(col("doc_id"), concat(
         when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet.\n")).otherwise(lit("")),
         when(col("doc_id") % 11 === 0, lit("function() { var x = 1; }.\n")).otherwise(lit("")),
         expr("array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 5.0) AS INT)), " +

@@ -20,6 +20,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a low-partition input across the session's cores before a
+    * CPU-BOUND narrow map (shingling, hashing, tokenizing): a
+    * single-file single-row-group table arrives as ONE scan split no
+    * matter what `maxPartitionBytes` says (splits cannot cross a row
+    * group), serializing work whose cost is per-row, not per-byte.
+    * No-op when the scan already has >= defaultParallelism partitions
+    * — i.e. on any real cluster scan — so production corpora never pay
+    * a gratuitous raw-byte shuffle. Apply to compute-heavy pipelines
+    * only: a repartition before a LIMIT or a simple projection defeats
+    * short-circuits for no gain.
+    *
+    * Single-consumer pipelines ONLY: when the result feeds multiple
+    * plan branches (union with a mutated copy, source/target diff,
+    * sketch + recount), each branch re-executes the exchange while a
+    * repeated SCAN is nearly free (page cache + column pruning) —
+    * measured +0.2..0.8s per query on the multi-consumer corpus
+    * queries, so those keep the plain scan.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Catalog-aware loader: applies per-table normalization (the
     * events nanos→micros conversion) so callers can address any table
     * uniformly by name.

@@ -271,7 +271,10 @@ object Analytics {
     * per key) via `QueryService.asofJoin`.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    // spread: the broadcast-join probe side otherwise inherits the
+    // single-split scan and runs the join + per-event window serially
+    val e = Tables.spread(
+      Tables.events(spark, dir).select("event_id", "ts", "user_id"))
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
     val joined = e.join(o,

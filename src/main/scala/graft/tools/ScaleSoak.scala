@@ -48,7 +48,7 @@ object ScaleSoak {
     "q_range_join", "d_dedup_spans", "d_semdedup",
     "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs",
     "d_bm25_search", "d_blocklist_filter", "d_dedup_minhash_delta",
-    "q_time_fill")
+    "q_time_fill", "q_funnel", "q_retention", "d_winnowing_pairs")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
