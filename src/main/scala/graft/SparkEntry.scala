@@ -171,9 +171,9 @@ object SparkEntry {
         sampleFraction = 0.9)),
     "d_dedup_minhash" -> ((s, d) =>
       Dedup.lshBuckets(
-        Dedup.minhashSignature(
-          Dedup.shingles(Tables.spread(Tables.documents(s, d)), 3)
-            .select(col("doc_id"), col("shingles")), 32),
+        Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+          graft.functions.Hashes.minhash_sig(
+            graft.functions.Hashes.gram_hashes(col("text"), 3), 32).as("sig")),
         32, 8).orderBy("doc_id", "band_id")),
     "d_dedup_minhash_pairs" -> ((s, d) => {
       // inject a deterministic near-dup per doc (first 3 words dropped,
@@ -231,10 +231,9 @@ object SparkEntry {
       // side. The explicit repartition spreads the CPU-bound hashing
       // beyond the corpus file's 4 union-branch splits (no-op on a
       // many-split cluster scan).
-      val sh = Dedup.shingles(
-        copies.repartition(s.sparkContext.defaultParallelism), 3)
+      val sh = copies.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          expr("transform(shingles, s -> xxhash64(s))").as("shingles"))
+          graft.functions.Hashes.gram_hashes(col("text"), 3).as("shingles"))
       val byBase = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id") % 10000).orderBy(col("doc_id"))
       val pairs = sh

@@ -43,23 +43,24 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           smallGraphEdges: Long = 1L << 20): DataFrame = {
-    // materialize the pair pipeline ONCE before the symmetric union:
-    // the two union branches are different projections of the same
-    // subtree, and without a barrier the whole upstream candidate
-    // generation + verification (the expensive part — exact Jaccard
-    // over shingle arrays) executes once per branch. The pair table is
-    // orders of magnitude smaller than the corpus, so the
-    // materialization is cheap relative to the recompute it removes.
-    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint()
     // symmetric edge list, materialized once — every round re-reads it.
-    // Checkpointed HASH-PARTITIONED ON dst (the per-round join key):
-    // localCheckpoint preserves physical partitioning, so the label
-    // pull's shuffled join reshuffles only the (smaller) label table
-    // each round — the edge table's exchange happens once here, not
-    // once per round.
-    val edges = p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrization is ONE generator (explode of the edge + its swap)
+    // rather than a union of two projections of the pair subtree — the
+    // union shape evaluates the whole upstream candidate generation +
+    // verification (the expensive part — exact Jaccard over shingle
+    // arrays) once per branch, or forces a barrier checkpoint of the
+    // pair table first; the explode evaluates it exactly once in the
+    // same job. Checkpointed HASH-PARTITIONED ON dst (the per-round
+    // join key): localCheckpoint preserves physical partitioning, so
+    // the label pull's shuffled join reshuffles only the (smaller)
+    // label table each round — the edge table's exchange happens once
+    // here, not once per round.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .repartition(col("dst"))
       .localCheckpoint()
@@ -73,8 +74,10 @@ object Clusters {
     // would suggest. The distributed loop below is
     // the general path for graphs that DON'T fit; the spec pins both
     // paths equal, and the driver's CC oracle query forces the loop
-    // (smallGraphEdges = 0) so the iterative path stays hash-checked.
-    if (edges.count() <= smallGraphEdges) return unionFindLocal(edges)
+    // (smallGraphEdges = 0, which also skips the size-probe job) so
+    // the iterative path stays hash-checked.
+    if (smallGraphEdges > 0 && edges.count() <= smallGraphEdges)
+      return unionFindLocal(edges)
     // round 0 fused into the init: with identity labels, the first
     // pull's result is exactly min(own id, neighbor ids) — one
     // aggregation over the (already materialized) edge table replaces

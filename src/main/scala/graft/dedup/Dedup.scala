@@ -232,8 +232,8 @@ object Dedup {
   def minhashIndex(docs: DataFrame, k: Int, numPerm: Int,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
-    shingles(docs, k, textCol)
-      .select(col(idCol), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+    docs.select(col(idCol),
+      graft.functions.Hashes.gram_hashes(col(textCol), k).as("hs"))
       .withColumn("sig", graft.functions.Hashes.minhash_sig(col("hs"), numPerm))
 
   /** Incremental near-dup detection: hash ONLY `newDocs`, then find
@@ -317,12 +317,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram (word) Jaccard similarity for given id pairs. */
+  /** Exact n-gram (word) Jaccard similarity for given id pairs.
+    * Grams live as 64-bit hashes end-to-end ([[graft.functions.Hashes.gram_hashes]]):
+    * set sizes — and so the Jaccard value — are unchanged modulo
+    * ~2^-64 collisions, while the adjacency join shuffles 8-byte longs
+    * instead of gram strings.
+    */
   def ngramJaccardAdjacent(docs: DataFrame, n: Int,
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, n, textCol)
-      .select(col(idCol), col("shingles"))
+    val sh = docs.select(col(idCol),
+      graft.functions.Hashes.gram_hashes(col(textCol), n).as("shingles"))
     val a = sh.select(col(idCol).as("doc_id_a"), col("shingles").as("sh_a"))
     val b = sh.select((col(idCol) - 1).as("doc_id_a"),
       col(idCol).as("doc_id_b"), col("shingles").as("sh_b"))

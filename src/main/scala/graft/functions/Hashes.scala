@@ -71,6 +71,53 @@ object HashKernels {
   def minhashSeeds(numPerm: Int): Array[Long] =
     Array.tabulate(numPerm)(i => XXH64.hashInt(i, 42L))
 
+  /** Distinct xxhash64 values of a text's word k-grams, straight off
+    * the text's BYTE RANGES. A k-gram joined by ' ' is, by
+    * construction of `split(text, ' ')`, exactly the byte substring
+    * from its first word's start to its last word's end — so hashing
+    * the range is value-identical to
+    * `array_distinct(transform(sequence(0, greatest(n - k, 0)),
+    *    i -> xxhash64(array_join(slice(words, i + 1, k), ' '))))`
+    * while materializing NO per-gram strings and no word array.
+    * (0x20 never occurs inside a multi-byte UTF-8 sequence, so byte
+    * scanning for spaces is character-correct; consecutive spaces
+    * yield the same empty words `split` produces.) Distinctness keeps
+    * first occurrence, matching `array_distinct` on the gram strings
+    * modulo 64-bit hash collisions — the same tolerance every
+    * downstream consumer (MinHash, Jaccard-on-hashes) already accepts.
+    */
+  def gramHashes(s: UTF8String, k: Int): GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // space positions = word boundaries; m spaces → m + 1 words
+    var spaces = new Array[Int](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20.toByte) {
+        if (m == spaces.length) spaces = java.util.Arrays.copyOf(spaces, m * 2)
+        spaces(m) = i
+        m += 1
+      }
+      i += 1
+    }
+    val nWords = m + 1
+    val nGrams = math.max(nWords - k, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+    val out = new java.util.ArrayList[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = if (g == 0) 0 else spaces(g - 1) + 1
+      val last = g + k - 1 // last word index in the gram
+      val end = if (last < m) spaces(last) else len
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      if (seen.add(h)) out.add(h)
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound)
     * over a string's UTF-8 bytes.
     */
@@ -140,6 +187,28 @@ case class MinHashSig(child: Expression, numPerm: Int)
     copy(child = c)
 }
 
+/** Word-k-gram hash set of a text column — see
+  * [[HashKernels.gramHashes]]. The workhorse front of every
+  * shingle-based pipeline (MinHash, LSH, Jaccard verify): the
+  * interpreted `transform(..., i -> xxhash64(array_join(slice(...))))`
+  * formulation allocated a string per gram per row OUTSIDE
+  * whole-stage codegen and dominated those queries' CPU.
+  */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
 object Hashes {
   // Spark 4 Columns are Connect-agnostic; the classic bridge converts
   // Column <-> catalyst Expression.
@@ -147,6 +216,8 @@ object Hashes {
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
+  def gram_hashes(text: Column, k: Int): Column =
+    column(GramHashes(expression(text), k))
   def minhash_sig(baseHashes: Column, numPerm: Int): Column =
     column(MinHashSig(expression(baseHashes), numPerm))
 

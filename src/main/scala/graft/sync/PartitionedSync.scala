@@ -138,12 +138,15 @@ object PartitionedSync {
       val merged = SyncOps.upsertKeepLatest(
         slice.unionByName(freshP), keys, timeCol, tieBreak)
       val tmp = new Path(path + ".merge-tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      val back = spark.read.parquet(tmp.toString)
-      // same repartition-on-PartCol rationale as writeFull: distribute
-      // the partitioned write, one file per affected bucket
-      back.repartition(spark.sparkContext.defaultParallelism, col(PartCol))
-        .write.mode("overwrite")
+      // the repartition-on-PartCol (same rationale as writeFull) rides
+      // the TMP write: the read-back is then partition-ALIGNED — every
+      // tmp file holds one bucket — so the final dynamic overwrite
+      // needs no second shuffle of the merged slice and still writes
+      // one file per affected bucket per input file
+      merged.repartition(spark.sparkContext.defaultParallelism, col(PartCol))
+        .write.mode("overwrite").partitionBy(PartCol).parquet(tmp.toString)
+      val back = spark.read.schema(freshP.schema).parquet(tmp.toString)
+      back.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartCol).parquet(path)
 

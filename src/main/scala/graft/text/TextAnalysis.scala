@@ -278,8 +278,8 @@ object TextAnalysis {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     def grams(df: DataFrame, cols: Column*) =
-      graft.dedup.Dedup.shingles(df, n, textCol)
-        .select(cols :+ explode(expr("transform(shingles, g -> xxhash64(g))")).as("gh"): _*)
+      df.select(cols :+ explode(
+        graft.functions.Hashes.gram_hashes(col(textCol), n)).as("gh"): _*)
     val evalGrams = grams(evalDocs).distinct()
     grams(docs, col(idCol))
       .join(broadcast(evalGrams), "gh")

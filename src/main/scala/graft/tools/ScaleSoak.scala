@@ -167,8 +167,8 @@ object ScaleSoak {
         expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
       val corpus = docs.select("doc_id", "text").unionByName(mutated)
       val nDocs = corpus.count()
-      val sh = Dedup.shingles(corpus, 3)
-        .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      val sh = corpus.select(col("doc_id"),
+        graft.functions.Hashes.gram_hashes(col("text"), 3).as("hs"))
       val withSig = sh.withColumn("sig",
         graft.functions.Hashes.minhash_sig(col("hs"), 32))
       val buckets = Dedup.lshBuckets(withSig, 32, 8)

@@ -93,6 +93,33 @@ class DedupSpec extends SparkSpec {
     assert(viaKernel == viaExprs)
   }
 
+  test("gram_hashes kernel == distinct xxhash64(joined slice) formulation") {
+    // edge shapes on purpose: fewer words than k, empty text, repeated
+    // grams (distinctness), consecutive/leading/trailing spaces (empty
+    // words), multi-byte UTF-8
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), // fewer words than k=3 -> single whole-text gram
+      (3L, ""),
+      (4L, "a b a b a b a b"), // repeated grams
+      (5L, "x  y   z"), // empty words from consecutive spaces
+      (6L, " leading and trailing "),
+      (7L, "héllo wörld caffè latte ünïcode"),
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val viaKernel = texts
+        .withColumn("hs", Hashes.gram_hashes(col("text"), k))
+        .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+      val viaExprs = texts
+        .withColumn("__words", split(col("text"), " "))
+        .withColumn("hs", array_distinct(expr(
+          s"transform(sequence(0, greatest(size(__words) - $k, 0)), " +
+            s"i -> xxhash64(array_join(slice(__words, i + 1, $k), ' ')))")))
+        .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+      assert(viaKernel == viaExprs, s"k=$k")
+    }
+  }
+
   test("simhash near-dup pairs: banding recovers hamming<=3 pairs exactly") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
