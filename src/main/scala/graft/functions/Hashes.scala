@@ -131,6 +131,109 @@ object HashKernels {
     }
     h
   }
+
+  /** POSITIONAL per-gram [[rollingHash]] values over a text's word
+    * k-gram byte ranges — the winnowing front end. Same byte-range
+    * identity as [[gramHashes]], but keeps every gram in order (window
+    * selection needs positions) and uses the SIGNED polynomial kernel
+    * the winnowing oracle mirrors in HUGEINT. Gram i (0-based) covers
+    * words [i, i+k) CLAMPED to the last word — short docs produce one
+    * whole-text gram — matching
+    * `transform(sequence(1, greatest(n - k + 1, 1)),
+    *    i -> rolling_hash(array_join(slice(words, i, k), ' ')))`.
+    */
+  def gramRollingHashes(s: UTF8String, k: Int): GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = new Array[Int](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20.toByte) {
+        if (m == spaces.length) spaces = java.util.Arrays.copyOf(spaces, m * 2)
+        spaces(m) = i
+        m += 1
+      }
+      i += 1
+    }
+    val nGrams = math.max(m + 1 - k, 0) + 1
+    val out = new Array[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = if (g == 0) 0 else spaces(g - 1) + 1
+      val last = g + k - 1
+      val end = if (last < m) spaces(last) else len
+      var h = 1469598103934665603L
+      var j = start
+      while (j < end) {
+        h = h * 1000003L + (org.apache.spark.unsafe.Platform.getByte(base, off + j) & 0xff)
+        j += 1
+      }
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct window-of-w minima of a long array, first-occurrence
+    * order — the winnowing fingerprint SET (positions dropped), equal
+    * to `array_distinct(transform(sequence(0, greatest(n - w, 0)),
+    * j -> array_min(slice(hs, j + 1, w))))`. O(n·w) like the
+    * expression form; w is small (4) and the scan dominates.
+    */
+  def windowMinDistinct(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val nWin = math.max(n - w, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](nWin * 2)
+    val out = new java.util.ArrayList[Any](nWin)
+    var j = 0
+    while (j < nWin) {
+      var mn = Long.MaxValue
+      var i = j
+      val end = math.min(j + w, n)
+      while (i < end) {
+        val v = arr.getLong(i)
+        if (v < mn) mn = v
+        i += 1
+      }
+      if (seen.add(mn)) out.add(mn)
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Winnowing SELECTIONS — distinct "lpad(pos, 8, '0'):hash" strings
+    * (rightmost minimum per window, per the MOSS paper), equal to the
+    * expression formulation in TextAnalysis.winnowing. The string form
+    * sorts canonically by position in any engine, which is what the
+    * digest compares.
+    */
+  def winnowSelect(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val nWin = math.max(n - w, 0) + 1
+    val seen = new java.util.HashSet[String](nWin * 2)
+    val out = new java.util.ArrayList[Any](nWin)
+    var j = 0
+    while (j < nWin) {
+      var mn = Long.MaxValue
+      var pos = -1
+      var i = j
+      val end = math.min(j + w, n)
+      while (i < end) {
+        val v = arr.getLong(i)
+        if (v <= mn) { mn = v; pos = i } // <= keeps the RIGHTMOST tie
+        i += 1
+      }
+      val s = {
+        val p = pos.toString
+        "0" * math.max(8 - p.length, 0) + p + ":" + mn.toString
+      }
+      if (seen.add(s)) out.add(UTF8String.fromString(s))
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Custom Catalyst expressions for fingerprinting — single-pass, no UDF
@@ -209,6 +312,56 @@ case class GramHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Positional per-gram rolling hashes — see
+  * [[HashKernels.gramRollingHashes]].
+  */
+case class GramRollingHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramRollingHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.gramRollingHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): GramRollingHashes =
+    copy(child = c)
+}
+
+/** Distinct window-min selection — see [[HashKernels.windowMinDistinct]]. */
+case class WindowMinDistinct(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowMinDistinct(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.windowMinDistinct($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WindowMinDistinct =
+    copy(child = c)
+}
+
+/** Position-tagged winnowing selections — see [[HashKernels.winnowSelect]]. */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnowSelect(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.winnowSelect($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowSelect =
+    copy(child = c)
+}
+
 object Hashes {
   // Spark 4 Columns are Connect-agnostic; the classic bridge converts
   // Column <-> catalyst Expression.
@@ -218,6 +371,12 @@ object Hashes {
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
   def gram_hashes(text: Column, k: Int): Column =
     column(GramHashes(expression(text), k))
+  def gram_rolling_hashes(text: Column, k: Int): Column =
+    column(GramRollingHashes(expression(text), k))
+  def window_min_distinct(hashes: Column, w: Int): Column =
+    column(WindowMinDistinct(expression(hashes), w))
+  def winnow_select(hashes: Column, w: Int): Column =
+    column(WinnowSelect(expression(hashes), w))
   def minhash_sig(baseHashes: Column, numPerm: Int): Column =
     column(MinHashSig(expression(baseHashes), numPerm))
 

@@ -123,34 +123,24 @@ object TextAnalysis {
   def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    // per-gram hashing + window selection run as codegen'd kernels
+    // ([[graft.functions.Hashes.gram_rolling_hashes]] /
+    // [[graft.functions.Hashes.winnow_select]]) — the expression
+    // formulation built a gram string per position inside interpreted
+    // transform() lambdas. Values are identical: grams i (1-based)
+    // cover words [i, i+k) clamped (short docs produce one whole-text
+    // gram, so every doc has >= 1 fingerprint); hashes compare as
+    // SIGNED 64-bit (the oracle folds HUGEINT then reinterprets BEFORE
+    // its list_min — same total order); window j (0-based) covers gram
+    // indices [j, j+w) and selects the RIGHTMOST minimum as
+    // "lpad(pos):hash", so plain STRING sort/distinct give the
+    // canonical position order in both engines.
     docs
-      .withColumn("__words", split(col(textCol), " "))
-      // grams i (1-based) cover words [i, i+k): short docs produce one
-      // clamped gram, so every doc has >= 1 gram and >= 1 fingerprint
-      .withColumn("__grams", expr(
-        s"transform(sequence(1, greatest(size(__words) - ${k - 1}, 1)), " +
-          s"i -> array_join(slice(__words, i, $k), ' '))"))
-      // signed-reinterpreted per-gram hashes: both engines compare/min
-      // as SIGNED 64-bit (the oracle folds HUGEINT then reinterprets
-      // BEFORE its list_min — same total order)
-      .withColumn("__hs", transform(col("__grams"),
-        g => graft.functions.Hashes.rolling_hash(g)))
-      // window j (0-based) covers gram indices [j, j+w); the selection
-      // is "lpad(pos):hash" so plain STRING sort/distinct give the
-      // canonical position order in both engines (no struct ordering
-      // semantics in play)
-      .withColumn("__sel", expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(__hs) - $w, 0)),
-           |  j -> concat(
-           |    lpad(CAST(array_max(transform(
-           |      sequence(j, least(j + $w, size(__hs)) - 1),
-           |      i -> CASE WHEN __hs[i] = array_min(slice(__hs, j + 1, $w))
-           |                THEN i ELSE -1 END)) AS STRING), 8, '0'),
-           |    ':',
-           |    CAST(array_min(slice(__hs, j + 1, $w)) AS STRING))))""".stripMargin))
+      .withColumn("__hs",
+        graft.functions.Hashes.gram_rolling_hashes(col(textCol), k))
+      .withColumn("__sel", graft.functions.Hashes.winnow_select(col("__hs"), w))
       .select(col(idCol),
-        size(col("__grams")).cast("long").as("n_grams"),
+        size(col("__hs")).cast("long").as("n_grams"),
         size(col("__sel")).cast("long").as("n_fp"),
         md5(array_join(array_sort(col("__sel")), ",")).as("fp_digest"))
   }
@@ -185,18 +175,13 @@ object TextAnalysis {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
     spread
-      .withColumn("__words", split(col(textCol), " "))
-      .withColumn("__grams", expr(
-        s"transform(sequence(1, greatest(size(__words) - ${k - 1}, 1)), " +
-          s"i -> array_join(slice(__words, i, $k), ' '))"))
-      .withColumn("__hs", transform(col("__grams"),
-        g => graft.functions.Hashes.rolling_hash(g)))
       // the doc's distinct window-min hashes (selection positions are
-      // irrelevant for pairing)
-      .select(col(idCol).as("__id"), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(__hs) - $w, 0)),
-           |  j -> array_min(slice(__hs, j + 1, $w))))""".stripMargin)).as("__h"))
+      // irrelevant for pairing) — gram hashing + window minima as
+      // codegen'd kernels, same value contract as [[winnowing]]
+      .select(col(idCol).as("__id"), explode(
+        graft.functions.Hashes.window_min_distinct(
+          graft.functions.Hashes.gram_rolling_hashes(col(textCol), k), w))
+        .as("__h"))
       // explicit-N repartition on the group key: it satisfies the
       // groupBy's distribution (no second exchange) and, unlike the
       // planner's own exchange, is exempt from AQE partition

@@ -120,6 +120,52 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(TextAnalysis.winnowingPairs(hot, 3, 4, 1, maxDocsPerHash = 3).count() === 3)
   }
 
+  test("winnowing kernels == expression formulations (gram hashes, window mins, selections)") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), // fewer words than k -> single clamped gram
+      (3L, ""),
+      (4L, "x x x x x x x"), // all-equal hashes -> rightmost ties, heavy dedup
+      (5L, "p  q   r"), // empty words
+      (6L, "héllo wörld caffè latte ünïcode mixé"),
+    ).toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 3), (1, 1))) {
+      val base = texts
+        .withColumn("__words", split(col("text"), " "))
+        .withColumn("__hs0", expr(
+          s"transform(transform(sequence(1, greatest(size(__words) - ${k - 1}, 1)), " +
+            s"i -> array_join(slice(__words, i, $k), ' ')), g -> g)"))
+        .withColumn("__hsExpr", transform(col("__hs0"),
+          g => graft.functions.Hashes.rolling_hash(g)))
+      val viaExpr = base
+        .withColumn("mins", expr(
+          s"""array_distinct(transform(
+             |  sequence(0, greatest(size(__hsExpr) - $w, 0)),
+             |  j -> array_min(slice(__hsExpr, j + 1, $w))))""".stripMargin))
+        .withColumn("sel", expr(
+          s"""array_distinct(transform(
+             |  sequence(0, greatest(size(__hsExpr) - $w, 0)),
+             |  j -> concat(
+             |    lpad(CAST(array_max(transform(
+             |      sequence(j, least(j + $w, size(__hsExpr)) - 1),
+             |      i -> CASE WHEN __hsExpr[i] = array_min(slice(__hsExpr, j + 1, $w))
+             |                THEN i ELSE -1 END)) AS STRING), 8, '0'),
+             |    ':',
+             |    CAST(array_min(slice(__hsExpr, j + 1, $w)) AS STRING))))""".stripMargin))
+        .select("doc_id", "__hsExpr", "mins", "sel")
+        .as[(Long, Seq[Long], Seq[Long], Seq[String])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val viaKernel = texts
+        .withColumn("hs", graft.functions.Hashes.gram_rolling_hashes(col("text"), k))
+        .withColumn("mins", graft.functions.Hashes.window_min_distinct(col("hs"), w))
+        .withColumn("sel", graft.functions.Hashes.winnow_select(col("hs"), w))
+        .select("doc_id", "hs", "mins", "sel")
+        .as[(Long, Seq[Long], Seq[Long], Seq[String])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(viaKernel == viaExpr, s"k=$k w=$w")
+    }
+  }
+
   test("winnowing: every window selects its min hash (guarantee) and short docs fingerprint") {
     // reference winnowing in plain Scala over the same kernel
     def refSelect(hs: Seq[Long], w: Int): Seq[(Int, Long)] =
