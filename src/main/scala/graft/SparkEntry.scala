@@ -517,11 +517,12 @@ object SparkEntry {
       // the corpus is single-line word salad, so build multi-line docs
       // deterministically (a shared banner + 5-word lines) and strip
       // lines appearing in > 10 docs; the oracle mirrors the build
+      // regroup_words is byte-identical to the transform/array_join
+      // formulation the DuckDB oracle mirrors (spec-pinned) — the
+      // interpreted lambda ran once per dedupLines consumer
       val lined = Tables.documents(s, d).select(col("doc_id"),
-        concat(lit("ACCEPT COOKIES\n"), expr(
-          "array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 5.0) AS INT)), " +
-            "g -> array_join(slice(split(text, ' '), (g - 1) * 5 + 1, 5), ' ')), '\n')"))
-          .as("text"))
+        concat(lit("ACCEPT COOKIES\n"),
+          graft.functions.Hashes.regroup_words(col("text"), 5)).as("text"))
       Dedup.dedupLines(lined, 10)
     }),
     "d_chunk_docs" -> ((s, d) =>

@@ -176,6 +176,69 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram STRINGS of a text, by byte range — the token-stream
+    * front end (TF-IDF, heavy hitters). Equal to
+    * `CASE WHEN size(words) >= n THEN transform(sequence(0,
+    * size(words) - n), i -> array_join(slice(words, i + 1, n), ' '))
+    * ELSE array() END` — note NO short-doc clamp (docs with fewer than
+    * n words emit nothing), unlike [[gramHashes]]' shingle contract.
+    * Each gram is one byte-range copy; the word array, the per-gram
+    * slice arrays, and the interpreted lambda dispatch all disappear.
+    */
+  def gramStrings(s: UTF8String, n: Int): GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = new Array[Int](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20.toByte) {
+        if (m == spaces.length) spaces = java.util.Arrays.copyOf(spaces, m * 2)
+        spaces(m) = i
+        m += 1
+      }
+      i += 1
+    }
+    val nWords = m + 1
+    if (nWords < n) return new GenericArrayData(new Array[Any](0))
+    val nGrams = nWords - n + 1
+    val out = new Array[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = if (g == 0) 0 else spaces(g - 1) + 1
+      val last = g + n - 1
+      val end = if (last < m) spaces(last) else len
+      val bytes = new Array[Byte](end - start)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off + start, bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        end - start)
+      out(g) = UTF8String.fromBytes(bytes)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Regroup a single-space-tokenized text into lines of `every`
+    * words: every `every`-th space becomes '\n'. Byte-identical to
+    * `array_join(transform(sequence(1, ceil(size(words)/every)),
+    *   g -> array_join(slice(words, (g-1)*every+1, every), ' ')), '\n')`
+    * — one pass, one allocation, no word/line arrays.
+    */
+  def regroupWords(s: UTF8String, every: Int): UTF8String = {
+    val bytes = s.getBytes.clone()
+    var nSpaces = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20.toByte) {
+        nSpaces += 1
+        if (nSpaces % every == 0) bytes(i) = 0x0a.toByte
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
   /** Distinct window-of-w minima of a long array, first-occurrence
     * order — the winnowing fingerprint SET (positions dropped), equal
     * to `array_distinct(transform(sequence(0, greatest(n - w, 0)),
@@ -330,6 +393,40 @@ case class GramRollingHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Word-regrouping into fixed-width lines — see
+  * [[HashKernels.regroupWords]].
+  */
+case class RegroupWords(child: Expression, every: Int)
+    extends UnaryExpression {
+  require(every >= 1, s"line width must be >= 1, got $every")
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.regroupWords(input.asInstanceOf[UTF8String], every)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.regroupWords($c, $every)")
+
+  override protected def withNewChildInternal(c: Expression): RegroupWords =
+    copy(child = c)
+}
+
+/** Word n-gram strings — see [[HashKernels.gramStrings]]. */
+case class GramStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramStrings(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.gramStrings($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): GramStrings =
+    copy(child = c)
+}
+
 /** Distinct window-min selection — see [[HashKernels.windowMinDistinct]]. */
 case class WindowMinDistinct(child: Expression, w: Int)
     extends UnaryExpression {
@@ -371,6 +468,10 @@ object Hashes {
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
   def gram_hashes(text: Column, k: Int): Column =
     column(GramHashes(expression(text), k))
+  def gram_strings(text: Column, n: Int): Column =
+    column(GramStrings(expression(text), n))
+  def regroup_words(text: Column, every: Int): Column =
+    column(RegroupWords(expression(text), every))
   def gram_rolling_hashes(text: Column, k: Int): Column =
     column(GramRollingHashes(expression(text), k))
   def window_min_distinct(hashes: Column, w: Int): Column =

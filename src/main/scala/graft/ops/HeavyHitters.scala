@@ -61,7 +61,8 @@ object HeavyHitters {
     * `tokenCol` column of `tokens` (null tokens are ignored), with
     * their EXACT counts. Output: (token, cnt), cnt descending.
     */
-  def heavyHitters(tokens: DataFrame, tokenCol: String, phi: Double): DataFrame = {
+  def heavyHitters(tokens: DataFrame, tokenCol: String, phi: Double,
+                   totalCount: Option[Long] = None): DataFrame = {
     require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
     require(phi >= 1e-6, s"phi < 1e-6 would size the per-partition sketch above 10^6, got $phi")
     val sp = tokens.sparkSession
@@ -69,7 +70,10 @@ object HeavyHitters {
     val cap = math.ceil(1.0 / phi).toInt
     val toks: Dataset[String] =
       tokens.select(col(tokenCol).cast("string")).filter(col(tokenCol).isNotNull).as[String]
-    val total = toks.count()
+    // callers that can derive N without materializing the token stream
+    // (e.g. [[topNgrams]] from word counts) pass it in — dropping one
+    // of the three token passes
+    val total = totalCount.getOrElse(toks.count())
     val candidates = toks.mapPartitions(it => misraGries(it, cap))
       .distinct().toDF(tokenCol)
     toks.toDF(tokenCol)
@@ -87,12 +91,18 @@ object HeavyHitters {
   def topNgrams(docs: DataFrame, phi: Double, n: Int = 2,
                 textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = docs
-      .select(split(col(textCol), " ").as("__w"))
-      .select(explode(expr(
-        s"CASE WHEN size(__w) >= $n THEN " +
-          s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' ')) " +
-          "ELSE array() END")).as("token"))
-    heavyHitters(toks, "token", phi)
+    // total n-gram count from WORD COUNTS (a doc with w >= n words has
+    // exactly w - n + 1 grams): a lengths-only scan instead of a full
+    // pass over the exploded token stream — two token passes (sketch +
+    // recount) instead of three
+    val total = docs
+      .select(size(split(col(textCol), " ")).as("__nw"))
+      .agg(coalesce(
+        sum(when(col("__nw") >= n, col("__nw") - n + 1).otherwise(0)),
+        lit(0L)))
+      .head().getLong(0)
+    val toks = docs.select(
+      explode(graft.functions.Hashes.gram_strings(col(textCol), n)).as("token"))
+    heavyHitters(toks, "token", phi, totalCount = Some(total))
   }
 }

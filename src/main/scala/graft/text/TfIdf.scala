@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
 object TfIdf {
 
   /** (doc, term, tf, df, score) for every term occurrence set. `terms`
-    * must be (idCol, term) one row per OCCURRENCE.
+    * must be (idCol, term) one row per OCCURRENCE. `nDocs`, when
+    * given, is a one-row (__n: double) frame holding the count of
+    * docs with ≥ 1 term — [[keywords]] derives it from word counts
+    * WITHOUT a second pass over the token stream; the default derives
+    * it from `terms` (correct for any caller, one extra token pass).
     */
   def score(terms: DataFrame, idCol: String = "doc_id",
-            termCol: String = "term"): DataFrame = {
+            termCol: String = "term",
+            nDocs: Option[DataFrame] = None): DataFrame = {
     val tf = terms.groupBy(col(idCol), col(termCol))
       .agg(count(lit(1)).as("tf"))
     // df must GENUINELY read the tf column: with tf pruned away the two
@@ -43,13 +48,12 @@ object TfIdf {
       .agg(count(when(col("tf") >= 1, 1)).as("df"))
     // corpus size as a broadcast scalar subquery, NOT a driver-side
     // .count() action: the whole score is one job, and the N branch
-    // (a cheap ids-only explode — column pruning strips the terms)
     // runs concurrently with the tf exchange instead of as a separate
     // blocking query. Deriving N from tf instead does NOT pay: the
     // count-distinct rewrite changes that branch's exchange shape and
     // un-shares the token-stream exchange (measured).
-    val nd = terms.select(col(idCol)).distinct()
-      .agg(count(lit(1)).cast("double").as("__n"))
+    val nd = nDocs.getOrElse(terms.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n")))
     val idf = round(
       log((col("__n") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0, 9)
     tf.join(broadcast(df), termCol)
@@ -64,11 +68,8 @@ object TfIdf {
   def ngramTerms(docs: DataFrame, n: Int, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
-      .select(col(idCol), explode(expr(
-        s"CASE WHEN size(__w) >= $n THEN " +
-          s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' ')) " +
-          "ELSE array() END")).as("term"))
+    docs.select(col(idCol),
+      explode(graft.functions.Hashes.gram_strings(col(textCol), n)).as("term"))
   }
 
   /** Top-k keywords per document by TF-IDF (ties: term ascending).
@@ -84,7 +85,15 @@ object TfIdf {
   def keywords(docs: DataFrame, k: Int, n: Int = 2, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val scored = score(ngramTerms(docs, n, textCol, idCol), idCol)
+    // N (docs with >= 1 term) from WORD COUNTS — a doc emits a term
+    // iff it has >= n words — so the N branch is a lengths-only scan,
+    // not a second pass over the exploded token stream. That also
+    // leaves the term stream with a single consumer (the tf exchange).
+    val nd = docs.select(
+      when(size(split(col(textCol), " ")) >= n, 1).as("__has"))
+      .agg(count(col("__has")).cast("double").as("__n"))
+    val scored = score(ngramTerms(docs, n, textCol, idCol), idCol,
+      nDocs = Some(nd))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
     scored

@@ -120,6 +120,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("regroup_words kernel == slice/array_join line formulation") {
+    val texts = Seq(
+      (1L, "a b c d e f g h i j k l m"), // 13 words -> 5/5/3 lines
+      (2L, "a b c d e"), // exactly one full line
+      (3L, "a"),
+      (4L, ""),
+      (5L, "héllo wörld caffè latte ünïcode mixé sept"),
+    ).toDF("doc_id", "text")
+    for (g <- Seq(1, 2, 5)) {
+      val viaKernel = texts
+        .withColumn("t", Hashes.regroup_words(col("text"), g))
+        .select("doc_id", "t").as[(Long, String)].collect().toMap
+      val viaExpr = texts
+        .withColumn("t", expr(
+          s"array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / $g.0) AS INT)), " +
+            s"x -> array_join(slice(split(text, ' '), (x - 1) * $g + 1, $g), ' ')), '\n')"))
+        .select("doc_id", "t").as[(Long, String)].collect().toMap
+      assert(viaKernel == viaExpr, s"g=$g")
+    }
+  }
+
+  test("gram_strings kernel == CASE/transform/array_join formulation") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), // fewer words than n -> EMPTY (no clamp)
+      (3L, ""),
+      (4L, "x  y   z"), // empty words from consecutive spaces
+      (5L, "héllo wörld caffè"),
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val viaKernel = texts
+        .withColumn("g", Hashes.gram_strings(col("text"), n))
+        .select("doc_id", "g").as[(Long, Seq[String])].collect().toMap
+      val viaExpr = texts
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("g", expr(
+          s"CASE WHEN size(__w) >= $n THEN " +
+            s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' ')) " +
+            "ELSE array() END"))
+        .select("doc_id", "g").as[(Long, Seq[String])].collect().toMap
+      assert(viaKernel == viaExpr, s"n=$n")
+    }
+  }
+
   test("simhash near-dup pairs: banding recovers hamming<=3 pairs exactly") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
