@@ -106,12 +106,14 @@ object PartitionedSync {
     val freshP = fresh.withColumn(PartCol, bucketOrFail(bucket))
     freshP.persist()
     try {
-      val freshRows = freshP.count()
+      // one action materializes the persisted tail AND yields both the
+      // row count and the watermark candidate (see MergeStats doc)
+      val head = freshP
+        .agg(count(lit(1)), max(col(timeCol)).cast("string")).head()
+      val freshRows = head.getLong(0)
       if (freshRows == 0)
         return MergeStats(0L, Nil, partitionValues(fs, path).size.toLong, Nil, None)
-      // watermark candidate from the PERSISTED tail (see MergeStats doc)
-      val maxTime = Option(
-        freshP.agg(max(col(timeCol)).cast("string")).head().getString(0))
+      val maxTime = Option(head.getString(1))
 
       // explicit schema: partition discovery would otherwise INFER the
       // partition column's type from its values (a 'yyyy' bucket reads
@@ -154,9 +156,10 @@ object PartitionedSync {
       // output rows, so dynamic overwrite leaves its stale files in
       // place — detect via the MERGED output's partition values and
       // delete the leftovers (a crash in between is absorbed by the
-      // idempotent replay, same as the partial-overwrite case)
-      val outParts = back.select(PartCol).distinct()
-        .collect().map(_.getString(0)).toSet
+      // idempotent replay, same as the partial-overwrite case). The
+      // tmp table is partitioned on PartCol, so its output partition
+      // values are its directory names — a file listing, not a job
+      val outParts = partitionValues(fs, tmp.toString)
       val emptied = affected.filterNot(outParts.contains)
         .filter(before.contains)
       emptied.foreach(p => fs.delete(new Path(path, s"$PartCol=$p"), true))
