@@ -409,8 +409,11 @@ object SparkEntry {
     "d_bm25_search" -> ((s, d) => {
       // lexical retrieval-for-curation: the first 5 docs' 8-word
       // prefixes as queries over the whole corpus, top-10 per query
+      // queries come from the PLAIN scan (a 5-row filter needs no
+      // fan-out); only the corpus side spreads, keeping the spread
+      // exchange at two consumers (token stream + length stats)
       val docs = Tables.spread(Tables.documents(s, d))
-      val queries = docs.filter(col("doc_id") < 5)
+      val queries = Tables.documents(s, d).filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(lower(col("text")), " "), 1, 8), " ")
             .as("query_text"))

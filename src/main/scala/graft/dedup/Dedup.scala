@@ -91,13 +91,15 @@ object Dedup {
     require(k >= 2, s"window must span at least 2 tokens: $k")
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
     // (doc, start, windowHash) for every k-token window; docs shorter
-    // than k contribute none
-    val wins = toks.select(col(idCol), explode(expr(
-      s"""CASE WHEN size(__w) >= $k
-         |THEN transform(sequence(0, size(__w) - $k),
-         |  p -> struct(p, xxhash64(array_join(slice(__w, p + 1, $k), ' ')) AS wh))
-         |ELSE array() END""".stripMargin)).as("win"))
-      .select(col(idCol), col("win.p").as("p"), col("win.wh").as("wh"))
+    // than k contribute none (the guard disables the kernel's
+    // short-doc clamp). Hashes come from the codegen'd byte-range
+    // kernel — the window hash is a pure grouping key, so the hash
+    // family is free to be the cheapest one
+    val wins = docs.select(col(idCol),
+      posexplode(when(size(split(col(textCol), " ")) >= k,
+        graft.functions.Hashes.gram_rolling_hashes(col(textCol), k))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .as(Seq("p", "wh")))
     val dup = wins.groupBy("wh")
       .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("keeper"))
       .filter(col("df") >= 2)

@@ -91,14 +91,49 @@ object TableStats {
       .orderBy("bin")
   }
 
-  /** COUNT(*) per table of a catalog — list_tables + row counts. */
+  /** COUNT(*) per table of a catalog — list_tables + row counts.
+    *
+    * Counts come from parquet FOOTER metadata (exact by the format's
+    * contract — the same numbers ANALYZE/metastore stats record), so
+    * no table is scanned at all: a catalog-wide count over 100 TB is
+    * a few footer reads per table instead of a full-corpus pass.
+    * Driver-side footer reads are bounded by file count; a table with
+    * more files than `maxDriverFiles` falls back to the distributed
+    * count plan (vectorized, still scan-light), so a million-file
+    * table cannot serialize the driver.
+    */
   def rowCounts(spark: SparkSession, dir: String,
-                names: Seq[String]): DataFrame = {
+                names: Seq[String], maxDriverFiles: Int = 1024): DataFrame = {
     import graft.core.Tables
-    names.map { n =>
-      Tables.load(spark, dir, n)
-        .agg(count(lit(1)).as("n_rows"))
-        .select(lit(n).as("table_name"), col("n_rows"))
-    }.reduce(_ unionByName _).orderBy("table_name")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerCount(table: String): Option[Long] = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isFile) Seq(p)
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      if (files.isEmpty || files.length > maxDriverFiles) None
+      else Some(files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case _: Exception => None }
+    val (meta, scanned) = names.map(n => n -> footerCount(n))
+      .partition(_._2.isDefined)
+    val metaDf =
+      if (meta.isEmpty) None
+      else Some(meta.map { case (n, c) => (n, c.get) }.toDF("table_name", "n_rows"))
+    val scanDf =
+      if (scanned.isEmpty) None
+      else Some(scanned.map { case (n, _) =>
+        Tables.load(spark, dir, n)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows"))
+      }.reduce(_ unionByName _))
+    (metaDf ++ scanDf).reduce(_ unionByName _).orderBy("table_name")
   }
 }
