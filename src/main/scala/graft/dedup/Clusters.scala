@@ -126,8 +126,15 @@ object Clusters {
           col("comp") === col("l_id"), "left")
           .select(col("id"), coalesce(col("l_comp"), col("comp")).as("comp"),
             col("prev"))
-      }).localCheckpoint() // the round's single job
-      val changed = next.filter(col("comp") =!= col("prev")).limit(1).count()
+      }).localCheckpoint(false)
+      // the round's SINGLE job: the full-scan convergence aggregation
+      // is the action that materializes the lazy checkpoint — probe
+      // and materialization fused, halving per-round driver
+      // round-trips (a limit(1) probe would short-circuit and leave
+      // partitions unmaterialized for the next round's join)
+      val changed = next
+        .agg(count(when(col("comp") =!= col("prev"), 1)))
+        .first().getLong(0)
       labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
