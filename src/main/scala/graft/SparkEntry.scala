@@ -166,7 +166,7 @@ object SparkEntry {
     // ---- §2c LLM-training-data pipeline ------------------------------
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_pipeline_curate" -> ((s, d) =>
-      graft.pipeline.Curation.curate(Tables.documents(s, d),
+      graft.pipeline.Curation.curate(Tables.spread(Tables.documents(s, d)),
         minQuality = 0.2, keepLangs = Seq("en", "de", "es", "fr", "zh"),
         sampleFraction = 0.9)),
     "d_dedup_minhash" -> ((s, d) =>
