@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
@@ -84,7 +83,7 @@ class CacheSpec extends SparkSpec {
   }
 
   test("parquet provider: data+meta commit atomically and survive pointer loss") {
-    val cacheDir = Files.createTempDirectory("graft-cache-atomic").toString
+    val cacheDir = tempDir("graft-cache-atomic")
     val prov = new ParquetCacheProvider(spark, cacheDir)
     val mgr = new QueryCacheManager(prov)
     mgr.setCachedData("t", eventsDf(5), CachedQueryMetadata(Some("wm1"), 5L, 0L))
@@ -105,7 +104,7 @@ class CacheSpec extends SparkSpec {
   }
 
   test("parquet provider: appendEntry writes only the tail slice; putEntry compacts") {
-    val cacheDir = Files.createTempDirectory("graft-cache-append").toString
+    val cacheDir = tempDir("graft-cache-append")
     val prov = new ParquetCacheProvider(spark, cacheDir)
     prov.putEntry("t", eventsDf(10), """{"m":1}""")
     val keyDir = new java.io.File(cacheDir).listFiles().filter(_.isDirectory).head
@@ -148,7 +147,7 @@ class CacheSpec extends SparkSpec {
   }
 
   test("parquet provider: appendEntry self-compacts at the slice threshold") {
-    val cacheDir = Files.createTempDirectory("graft-cache-compact").toString
+    val cacheDir = tempDir("graft-cache-compact")
     val prov = new ParquetCacheProvider(spark, cacheDir, compactThreshold = 3)
     prov.putEntry("t", eventsDf(2), """{"m":1}""")
     prov.appendEntry("t", eventsDf(4).filter(col("id") > 2), """{"m":2}""")
@@ -164,7 +163,7 @@ class CacheSpec extends SparkSpec {
   }
 
   test("parquet provider: vacuum removes a stranded append slice, keeps referenced ones") {
-    val cacheDir = Files.createTempDirectory("graft-cache-strand").toString
+    val cacheDir = tempDir("graft-cache-strand")
     val prov = new ParquetCacheProvider(spark, cacheDir)
     prov.putEntry("t", eventsDf(3), """{"m":1}""")
     prov.appendEntry("t", eventsDf(5).filter(col("id") > 3), """{"m":2}""")
@@ -177,8 +176,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("parquet-backed queryWithCaching: initial, incremental, no-new-data") {
-    val srcDir = Files.createTempDirectory("graft-cache-src").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-store").toString
+    val srcDir = tempDir("graft-cache-src")
+    val cacheDir = tempDir("graft-cache-store")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedQueryService(spark, srcDir, mgr)
 
@@ -209,8 +208,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("selected conversions persist in metadata and reapply on refresh") {
-    val srcDir = Files.createTempDirectory("graft-cache-src2").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-store2").toString
+    val srcDir = tempDir("graft-cache-src2")
+    val cacheDir = tempDir("graft-cache-store2")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedQueryService(spark, srcDir, mgr)
 
@@ -230,8 +229,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("cached aggregate refresh is bit-identical to a full recompute") {
-    val srcDir = Files.createTempDirectory("graft-cache-agg").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-aggstore").toString
+    val srcDir = tempDir("graft-cache-agg")
+    val cacheDir = tempDir("graft-cache-aggstore")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedAggService(spark, srcDir, mgr)
     // ts monotone in id so appended rows are past the watermark
@@ -264,8 +263,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("cached histogram-quantile refresh is bit-identical to a full recompute") {
-    val srcDir = Files.createTempDirectory("graft-cache-hist").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-histstore").toString
+    val srcDir = tempDir("graft-cache-hist")
+    val cacheDir = tempDir("graft-cache-histstore")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedAggService(spark, srcDir, mgr)
     def rows(n: Int) = (1 to n).map(i =>
@@ -298,8 +297,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("automatic inference resolves once and is recorded for refreshes") {
-    val srcDir = Files.createTempDirectory("graft-cache-auto").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-autostore").toString
+    val srcDir = tempDir("graft-cache-auto")
+    val cacheDir = tempDir("graft-cache-autostore")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedQueryService(spark, srcDir, mgr)
 
@@ -324,8 +323,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("initial-load watermark includes the whole boundary-timestamp tie group") {
-    val srcDir = Files.createTempDirectory("graft-cache-tie").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-tiestore").toString
+    val srcDir = tempDir("graft-cache-tie")
+    val cacheDir = tempDir("graft-cache-tiestore")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedQueryService(spark, srcDir, mgr)
     // 6 rows share the boundary timestamp; limit = 4 cuts inside the group
@@ -342,8 +341,8 @@ class CacheSpec extends SparkSpec {
   }
 
   test("queryWithConversionOptions returns suggestions without converting") {
-    val srcDir = Files.createTempDirectory("graft-cache-src3").toString
-    val cacheDir = Files.createTempDirectory("graft-cache-store3").toString
+    val srcDir = tempDir("graft-cache-src3")
+    val cacheDir = tempDir("graft-cache-store3")
     val mgr = new QueryCacheManager(new ParquetCacheProvider(spark, cacheDir))
     val svc = new CachedQueryService(spark, srcDir, mgr)
     eventsDf(6).write.mode("overwrite").parquet(s"$srcDir/t.parquet")

@@ -17,7 +17,7 @@ class EventAnalyticsSpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private def writeEvents(rows: Seq[(Long, Timestamp, Long, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    val dir = tempDir("graft_ev")
     rows.toDF("event_id", "tss", "user_id", "event_type")
       // the real events table stores ts as raw INT64 nanos
       .withColumn("ts", expr("unix_micros(tss) * 1000L")).drop("tss")

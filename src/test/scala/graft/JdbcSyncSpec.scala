@@ -125,9 +125,9 @@ class JdbcSyncSpec extends SparkSpec {
   test("live Derby: SyncRunner full→incremental cycle + testSync row limit through JDBC") {
     import graft.sync._
     freshEvents(60)
-    val tgtDir = java.nio.file.Files.createTempDirectory("graft-jdbc-tgt").toString
-    val state = new StateStore(spark, java.nio.file.Files.createTempDirectory("js").toString)
-    val log = new SyncLogRepo(spark, java.nio.file.Files.createTempDirectory("jl").toString)
+    val tgtDir = tempDir("graft-jdbc-tgt")
+    val state = new StateStore(spark, tempDir("js"))
+    val log = new SyncLogRepo(spark, tempDir("jl"))
     val runner = new SyncRunner(spark,
       cfg => JdbcSync.read(spark, Map(
         "url" -> derbyUrl, "driver" -> derbyDriver, "dbtable" -> cfg.sourceTable)),
@@ -161,7 +161,7 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("writeSnapshot round-trips a partitioned parquet snapshot") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val dir = tempDir("graft-snap")
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))
       .toDF("id", "v", "month")
     JdbcSync.writeSnapshot(df, dir, Seq("month"))

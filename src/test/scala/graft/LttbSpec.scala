@@ -66,7 +66,7 @@ class LttbSpec extends SparkSpec {
   // (data/lttb.py:89-150) on the same inputs — index-exact pinning.
 
   test("staging dirs are cleaned up, including on the threshold>=n early return") {
-    val stagingBase = java.nio.file.Files.createTempDirectory("graft_lttb_stage").toString
+    val stagingBase = tempDir("graft_lttb_stage")
     spark.conf.set("graft.lttb.stagingDir", stagingBase)
     try {
       val df = (0 until 500).map(i => (i.toDouble, math.sin(i / 7.0))).toDF("x", "y")

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.cache._
@@ -18,7 +17,7 @@ class MaintenanceSpec extends SparkSpec {
   // ---- cross-process sync lease ------------------------------------
 
   test("lease: exclusive acquire, idempotent re-acquire, release, stale takeover") {
-    val dir = Files.createTempDirectory("graft-lease").toString
+    val dir = tempDir("graft-lease")
     var clock = 1000L
     val now = () => clock
     val a = new SyncLease(spark, dir, "runner-a", staleMillis = 500, nowMillis = now)
@@ -49,15 +48,15 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("lease: second runner on one state dir skips with an audit record, first syncs") {
-    val srcDir = Files.createTempDirectory("graft-xl-src").toString
-    val tgtDir = Files.createTempDirectory("graft-xl-tgt").toString
-    val stateDir = Files.createTempDirectory("graft-xl-state").toString
-    val logDir = Files.createTempDirectory("graft-xl-log").toString
+    val srcDir = tempDir("graft-xl-src")
+    val tgtDir = tempDir("graft-xl-tgt")
+    val stateDir = tempDir("graft-xl-state")
+    val logDir = tempDir("graft-xl-log")
 
     (1 to 8).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), s"v$i"))
       .toDF("id", "updated_at", "payload")
       .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
-    val repo = new TableConfigRepo(spark, Files.createTempDirectory("xc").toString)
+    val repo = new TableConfigRepo(spark, tempDir("xc"))
     repo.upsert(TableConfig("S", "t", "t_sync", "id", timeColumn = Some("updated_at")))
 
     def mkRunner() = new SyncRunner(spark,
@@ -86,7 +85,7 @@ class MaintenanceSpec extends SparkSpec {
   // ---- vacuum: crash-stranded versions -----------------------------
 
   test("SnapshotStore.vacuum removes stranded snapshots and tmp, keeps the committed one") {
-    val dir = Files.createTempDirectory("graft-vac-snap").toString
+    val dir = tempDir("graft-vac-snap")
     val store = new SnapshotStore(spark, dir)
     store.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), batchId = 7L)
 
@@ -106,7 +105,7 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("ParquetCacheProvider.vacuum removes stranded versions and empty keys, keeps committed entries") {
-    val dir = Files.createTempDirectory("graft-vac-cache").toString
+    val dir = tempDir("graft-vac-cache")
     val prov = new ParquetCacheProvider(spark, dir)
     prov.putEntry("k1", Seq((1, "a")).toDF("id", "v"), """{"m":1}""")
 
@@ -130,7 +129,7 @@ class MaintenanceSpec extends SparkSpec {
 
   test("lease + batched sync compose: per-slice renewal keeps a long run alive, " +
     "a deposed runner stops at the slice boundary") {
-    val stateDir = Files.createTempDirectory("graft-lb-state").toString
+    val stateDir = tempDir("graft-lb-state")
     var clock = 0L
     val now = () => clock
     val a = new SyncLease(spark, stateDir, "runner-a", staleMillis = 500, nowMillis = now)
@@ -172,8 +171,8 @@ class MaintenanceSpec extends SparkSpec {
   // ---- time-boxed batch sync ---------------------------------------
 
   test("fullSyncInBatches pauses at the time budget and a later call completes") {
-    val stateDir = Files.createTempDirectory("graft-tb-state").toString
-    val logDir = Files.createTempDirectory("graft-tb-log").toString
+    val stateDir = tempDir("graft-tb-state")
+    val logDir = tempDir("graft-tb-log")
     val state = new StateStore(spark, stateDir)
     val log = new SyncLogRepo(spark, logDir)
     val table = (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v")

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
@@ -25,7 +24,7 @@ class PartitionedSyncSpec extends SparkSpec {
   }
 
   test("writeFull + read round-trips and lays out partition dirs") {
-    val path = Files.createTempDirectory("graft-psync").toString + "/t"
+    val path = tempDir("graft-psync") + "/t"
     PartitionedSync.writeFull(
       rows((1, "2024-01-10", "a"), (2, "2024-02-10", "b")), bucket, path)
     val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("__part=")).sorted
@@ -36,7 +35,7 @@ class PartitionedSyncSpec extends SparkSpec {
   }
 
   test("mergeIncremental rewrites only affected partitions; stale versions vanish") {
-    val path = Files.createTempDirectory("graft-psync").toString + "/t"
+    val path = tempDir("graft-psync") + "/t"
     PartitionedSync.writeFull(rows(
       (1, "2024-01-10", "a"), (2, "2024-01-20", "b"),
       (3, "2024-02-10", "c"),
@@ -65,7 +64,7 @@ class PartitionedSyncSpec extends SparkSpec {
   }
 
   test("a fully-superseded partition is deleted, not left serving stale rows") {
-    val path = Files.createTempDirectory("graft-psync").toString + "/t"
+    val path = tempDir("graft-psync") + "/t"
     PartitionedSync.writeFull(rows(
       (1, "2024-01-10", "a"), (2, "2024-01-20", "b"),
       (3, "2024-02-10", "c")), bucket, path)
@@ -82,7 +81,7 @@ class PartitionedSyncSpec extends SparkSpec {
   }
 
   test("merge replay is idempotent (crash-recovery contract)") {
-    val path = Files.createTempDirectory("graft-psync").toString + "/t"
+    val path = tempDir("graft-psync") + "/t"
     PartitionedSync.writeFull(rows(
       (1, "2024-01-10", "a"), (2, "2024-02-10", "b")), bucket, path)
     val fresh = rows((1, "2024-03-01", "a2"), (3, "2024-03-02", "c"))
@@ -95,7 +94,7 @@ class PartitionedSyncSpec extends SparkSpec {
   }
 
   test("empty fresh slice is a no-op") {
-    val path = Files.createTempDirectory("graft-psync").toString + "/t"
+    val path = tempDir("graft-psync") + "/t"
     PartitionedSync.writeFull(rows((1, "2024-01-10", "a")), bucket, path)
     val stats = PartitionedSync.mergeIncremental(spark, path,
       rows().filter(lit(false)), Seq("id"), "ts", "id", bucket)

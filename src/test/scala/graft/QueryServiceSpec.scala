@@ -23,7 +23,7 @@ class QueryServiceSpec extends SparkSpec {
   }
 
   test("queryTable convertTypes applies the >=90% inference rule") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qs").toString
+    val tmp = tempDir("graft-qs")
     (1 to 50).map(i => (i.toLong, i.toString)).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$tmp/t.parquet")
     val svc2 = new QueryService(spark, tmp)
@@ -47,7 +47,7 @@ class QueryServiceSpec extends SparkSpec {
   }
 
   test("queryAggregatedLegacy parses varchar YYYYMMDDHHMMSS then buckets") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qs-legacy").toString
+    val tmp = tempDir("graft-qs-legacy")
     graft.core.Tables.events(spark, sfDir)
       .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss"))
       .drop("ts")

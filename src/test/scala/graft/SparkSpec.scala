@@ -17,9 +17,37 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  private val cleanupDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    sys.addShutdownHook {
+      cleanupDirs.forEach { p =>
+        try deleteRecursively(p.toFile) catch { case _: Exception => () }
+      }
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Create a temp dir swept on JVM exit — suites share one session
+    * (no common afterAll), so per-run dirs otherwise accumulate in
+    * java.io.tmpdir across `sbt test` invocations.
+    */
+  def tempDir(prefix: String): String = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupDirs.add(p)
+    p.toString
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** JVM-exit-swept temp dir (see [[SparkTestSession.tempDir]]). */
+  def tempDir(prefix: String): String = SparkTestSession.tempDir(prefix)
 }

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
@@ -13,7 +12,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming incremental: file source -> windowed agg -> memory sink") {
     // drive the streaming query with the real events table as a batch
     val batch = graft.core.Tables.events(spark, sfDir)
-    val tmp = Files.createTempDirectory("graft_stream_in").toString
+    val tmp = tempDir("graft_stream_in")
     batch.write.mode("overwrite").parquet(tmp)
 
     val stream = IncrementalStream.readEvents(spark, tmp,
@@ -40,7 +39,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming keep-latest per key within watermark") {
     val batch = graft.core.Tables.events(spark, sfDir).limit(100)
-    val tmp = Files.createTempDirectory("graft_stream_dd").toString
+    val tmp = tempDir("graft_stream_dd")
     batch.write.mode("overwrite").parquet(tmp)
     val stream = IncrementalStream.readEvents(spark, tmp, batch.schema)
     val dd = IncrementalStream.latestPerKey(stream, "ts", "user_id", "1 hour")
@@ -56,7 +55,7 @@ class StreamingSpec extends SparkSpec {
 
   test("mapGroupsWithState watermark-per-key matches batch max(ts) per user") {
     val batch = graft.core.Tables.events(spark, sfDir).limit(500)
-    val tmp = Files.createTempDirectory("graft_stream_wm").toString
+    val tmp = tempDir("graft_stream_wm")
     batch.write.mode("overwrite").parquet(tmp)
     val stream = IncrementalStream.readEvents(spark, tmp, batch.schema)
     val wm = IncrementalStream.watermarkPerKey(stream, "user_id", "ts")
@@ -79,7 +78,7 @@ class StreamingSpec extends SparkSpec {
 
   test("flatMapGroupsWithState sessionization: closed sessions match batch sessionize") {
     val batch = graft.core.Tables.events(spark, sfDir)
-    val tmp = Files.createTempDirectory("graft_stream_sess").toString
+    val tmp = tempDir("graft_stream_sess")
     batch.write.mode("overwrite").parquet(tmp)
     val stream = IncrementalStream.readEvents(spark, tmp, batch.schema,
       maxFilesPerTrigger = 1)
@@ -103,7 +102,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("state store: save/load/checkpoint/rollback round-trip") {
-    val tmp = Files.createTempDirectory("graft_state").toString
+    val tmp = tempDir("graft_state")
     val st = new StateStore(spark, tmp)
     assert(st.loadWatermark("events").isEmpty)
     st.saveWatermark("events", "2024-01-20 00:00:00")
@@ -119,7 +118,7 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join matches the batch interval join") {
     val batch = graft.core.Tables.events(spark, sfDir).limit(300)
-    val tmp = Files.createTempDirectory("graft_ss_join").toString
+    val tmp = tempDir("graft_ss_join")
     batch.write.mode("overwrite").parquet(tmp)
     val a = IncrementalStream.readEvents(spark, tmp, batch.schema)
       .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
@@ -143,9 +142,9 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch upsert sink converges to batch upsertKeepLatest") {
     val batch = graft.core.Tables.events(spark, sfDir)
-    val in = Files.createTempDirectory("graft_upsert_in").toString
-    val target = Files.createTempDirectory("graft_upsert_out").toString + "/t"
-    val ckpt = Files.createTempDirectory("graft_upsert_ck").toString
+    val in = tempDir("graft_upsert_in")
+    val target = tempDir("graft_upsert_out") + "/t"
+    val ckpt = tempDir("graft_upsert_ck")
     batch.write.mode("overwrite").parquet(in)
     val stream = IncrementalStream.readEvents(spark, in, batch.schema,
       maxFilesPerTrigger = 2)
@@ -164,9 +163,9 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch agg-state sink == batch bucketState, bit-identical across micro-batching") {
     val batch = graft.core.Tables.events(spark, sfDir)
-    val in = Files.createTempDirectory("graft_aggsink_in").toString
-    val stateDir = Files.createTempDirectory("graft_aggsink_out").toString + "/s"
-    val ckpt = Files.createTempDirectory("graft_aggsink_ck").toString
+    val in = tempDir("graft_aggsink_in")
+    val stateDir = tempDir("graft_aggsink_out") + "/s"
+    val ckpt = tempDir("graft_aggsink_ck")
     batch.write.mode("overwrite").parquet(in)
     // small trigger size so the state is built through MANY merges
     val stream = IncrementalStream.readEvents(spark, in, batch.schema,
@@ -186,8 +185,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("dedupBatch: unbounded first-seen dedup, replay-idempotent") {
-    val store = Files.createTempDirectory("graft_dedup_store").toString + "/s"
-    val out = Files.createTempDirectory("graft_dedup_out").toString + "/o"
+    val store = tempDir("graft_dedup_store") + "/s"
+    val out = tempDir("graft_dedup_out") + "/o"
     // batch 1: in-batch dup (ids 1,2 same text); batch 2: cross-batch
     // dup of "aaa" under a SMALLER id + a fresh text; batch 3: all dups
     val b1 = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("doc_id", "text")
@@ -215,11 +214,11 @@ class StreamingSpec extends SparkSpec {
   test("sinkDedup stream == batch first-seen dedup on the same corpus") {
     val docs = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").limit(200)
-    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val in = tempDir("graft_dedup_in")
     docs.repartition(6).write.mode("overwrite").parquet(in)
-    val store = Files.createTempDirectory("graft_dedup_s2").toString + "/s"
-    val out = Files.createTempDirectory("graft_dedup_o2").toString + "/o"
-    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val store = tempDir("graft_dedup_s2") + "/s"
+    val out = tempDir("graft_dedup_o2") + "/o"
+    val ckpt = tempDir("graft_dedup_ck")
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 2).parquet(in)
     val q = IncrementalStream.sinkDedup(stream, store, out, ckpt).start()
@@ -247,8 +246,8 @@ class StreamingSpec extends SparkSpec {
     assert(native.nonEmpty)
 
     // streaming smoke: the same aggregate runs as a stream
-    val in = Files.createTempDirectory("graft_swin").toString
-    val ckpt = Files.createTempDirectory("graft_swck").toString
+    val in = tempDir("graft_swin")
+    val ckpt = tempDir("graft_swck")
     events.limit(500).write.mode("overwrite").parquet(in)
     val stream = IncrementalStream.readEvents(spark, in, events.schema)
     val q = IncrementalStream.sessionWindowAgg(stream, "user_id", "ts",
@@ -263,9 +262,9 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch hist-state sink == batch histState, bit-identical across micro-batching") {
     val batch = graft.core.Tables.events(spark, sfDir)
-    val in = Files.createTempDirectory("graft_histsink_in").toString
-    val stateDir = Files.createTempDirectory("graft_histsink_out").toString + "/s"
-    val ckpt = Files.createTempDirectory("graft_histsink_ck").toString
+    val in = tempDir("graft_histsink_in")
+    val stateDir = tempDir("graft_histsink_out") + "/s"
+    val ckpt = tempDir("graft_histsink_ck")
     batch.write.mode("overwrite").parquet(in)
     val stream = IncrementalStream.readEvents(spark, in, batch.schema,
       maxFilesPerTrigger = 1)
@@ -286,7 +285,7 @@ class StreamingSpec extends SparkSpec {
   test("agg-state sink skips replayed batch ids (at-least-once foreachBatch)") {
     val events = graft.core.Tables.events(spark, sfDir).limit(2000)
       .localCheckpoint()
-    val stateDir = Files.createTempDirectory("graft_aggreplay").toString + "/s"
+    val stateDir = tempDir("graft_aggreplay") + "/s"
     val half = events.filter(col("event_id") % 2 === 0)
     val rest = events.filter(col("event_id") % 2 =!= 0)
     IncrementalStream.mergeAggBatch(half, 0L, stateDir, "ts", "15 minutes", "value")
@@ -308,7 +307,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("snapshot store: atomic commit, pointer recovery, batch-id tracking") {
-    val dir = Files.createTempDirectory("graft_snapstore").toString + "/t"
+    val dir = tempDir("graft_snapstore") + "/t"
     val store = new SnapshotStore(spark, dir)
     assert(store.read().isEmpty && store.lastCommittedBatch.isEmpty)
     store.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
@@ -329,7 +328,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("schema versioning: save/load/latest pointer/drift detection") {
-    val tmp = Files.createTempDirectory("graft_schema").toString
+    val tmp = tempDir("graft_schema")
     val st = new StateStore(spark, tmp)
     val v1 = graft.core.Tables.orders(spark, sfDir).schema.json
     val v2 = graft.core.Tables.orders(spark, sfDir)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -15,7 +14,7 @@ class SyncLogSpec extends SparkSpec {
   import spark.implicits._
 
   test("two syncs produce two ordered records, queryable as a DataFrame") {
-    val dir = Files.createTempDirectory("graft-synclog").toString
+    val dir = tempDir("graft-synclog")
     var now = 1000L
     val repo = new SyncLogRepo(spark, dir, () => { now += 10; now })
     val run1 = repo.logStart("orders", "full", syncId = "run-1")
@@ -36,7 +35,7 @@ class SyncLogSpec extends SparkSpec {
   }
 
   test("failures, per-table filters, statistics, retention") {
-    val dir = Files.createTempDirectory("graft-synclog2").toString
+    val dir = tempDir("graft-synclog2")
     var now = 1000L
     val repo = new SyncLogRepo(spark, dir, () => { now += 10; now })
     repo.logComplete(repo.logStart("a", "full", "s1"), 100)
@@ -59,7 +58,7 @@ class SyncLogSpec extends SparkSpec {
   }
 
   test("resumable full sync: interruption resumes without re-reading finished slices") {
-    val stateDir = Files.createTempDirectory("graft-resume").toString
+    val stateDir = tempDir("graft-resume")
     val state = new StateStore(spark, stateDir)
     val table = (1 to 95).map(i => (i.toLong, s"row$i")).toDF("id", "v")
 
@@ -87,7 +86,7 @@ class SyncLogSpec extends SparkSpec {
   }
 
   test("resumable full sync: duplicate ids straddling a slice boundary are never dropped") {
-    val stateDir = Files.createTempDirectory("graft-resume3").toString
+    val stateDir = tempDir("graft-resume3")
     val state = new StateStore(spark, stateDir)
     // ids [1,2,2,3,3,3,4]: a pure LIMIT cut at sliceSize=2 would split
     // the id=2 (and id=3) tie groups and lose rows to the `> lastId`
@@ -108,7 +107,7 @@ class SyncLogSpec extends SparkSpec {
   }
 
   test("resumable full sync: clean single run covers the table in order") {
-    val stateDir = Files.createTempDirectory("graft-resume2").toString
+    val stateDir = tempDir("graft-resume2")
     val state = new StateStore(spark, stateDir)
     val table = (1 to 10).map(i => (i.toLong, i * 2)).toDF("id", "v")
     var rows = Seq.empty[Long]

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
@@ -22,7 +21,7 @@ class SyncRunnerSpec extends SparkSpec {
     }.toDF("id", "updated_at", "payload")
 
   test("TableConfig validation + repo CRUD + toggle") {
-    val dir = Files.createTempDirectory("graft-tc").toString
+    val dir = tempDir("graft-tc")
     val repo = new TableConfigRepo(spark, dir)
     val good = TableConfig("SALES", "HISTORY", "history", "id",
       timeColumn = Some("updated_at"), description = Some("sales history"))
@@ -44,10 +43,10 @@ class SyncRunnerSpec extends SparkSpec {
   }
 
   test("full sync then incremental: watermark advances, upsert keeps latest per pk") {
-    val srcDir = Files.createTempDirectory("graft-runner-src").toString
-    val tgtDir = Files.createTempDirectory("graft-runner-tgt").toString
-    val stateDir = Files.createTempDirectory("graft-runner-state").toString
-    val logDir = Files.createTempDirectory("graft-runner-log").toString
+    val srcDir = tempDir("graft-runner-src")
+    val tgtDir = tempDir("graft-runner-tgt")
+    val stateDir = tempDir("graft-runner-state")
+    val logDir = tempDir("graft-runner-log")
     val state = new StateStore(spark, stateDir)
     val log = new SyncLogRepo(spark, logDir)
     val runner = new SyncRunner(spark,
@@ -83,10 +82,10 @@ class SyncRunnerSpec extends SparkSpec {
   }
 
   test("partitioned sync: full then incremental rewrites only affected partitions") {
-    val srcDir = Files.createTempDirectory("graft-psr-src").toString
-    val tgtDir = Files.createTempDirectory("graft-psr-tgt").toString
-    val state = new StateStore(spark, Files.createTempDirectory("psr-st").toString)
-    val log = new SyncLogRepo(spark, Files.createTempDirectory("psr-lg").toString)
+    val srcDir = tempDir("graft-psr-src")
+    val tgtDir = tempDir("graft-psr-tgt")
+    val state = new StateStore(spark, tempDir("psr-st"))
+    val log = new SyncLogRepo(spark, tempDir("psr-lg"))
     val runner = new SyncRunner(spark,
       cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
       tgtDir, state, log)
@@ -126,10 +125,10 @@ class SyncRunnerSpec extends SparkSpec {
   }
 
   test("testSync: row-limited, watermark untouched, next full sync unaffected") {
-    val srcDir = Files.createTempDirectory("graft-test-src").toString
-    val tgtDir = Files.createTempDirectory("graft-test-tgt").toString
-    val state = new StateStore(spark, Files.createTempDirectory("ts").toString)
-    val log = new SyncLogRepo(spark, Files.createTempDirectory("tl").toString)
+    val srcDir = tempDir("graft-test-src")
+    val tgtDir = tempDir("graft-test-tgt")
+    val state = new StateStore(spark, tempDir("ts"))
+    val log = new SyncLogRepo(spark, tempDir("tl"))
     val runner = new SyncRunner(spark,
       cfg => spark.read.parquet(s"$srcDir/${cfg.sourceTable}.parquet"),
       tgtDir, state, log)
@@ -164,11 +163,11 @@ class SyncRunnerSpec extends SparkSpec {
   }
 
   test("syncAll runs enabled targets, skips disabled, survives one failure") {
-    val srcDir = Files.createTempDirectory("graft-runner2-src").toString
-    val tgtDir = Files.createTempDirectory("graft-runner2-tgt").toString
-    val state = new StateStore(spark, Files.createTempDirectory("s").toString)
-    val log = new SyncLogRepo(spark, Files.createTempDirectory("l").toString)
-    val repo = new TableConfigRepo(spark, Files.createTempDirectory("c").toString)
+    val srcDir = tempDir("graft-runner2-src")
+    val tgtDir = tempDir("graft-runner2-tgt")
+    val state = new StateStore(spark, tempDir("s"))
+    val log = new SyncLogRepo(spark, tempDir("l"))
+    val repo = new TableConfigRepo(spark, tempDir("c"))
     repo.upsert(TableConfig("S", "a", "a_sync", "id"))
     repo.upsert(TableConfig("S", "missing", "b_sync", "id")) // source won't exist
     repo.upsert(TableConfig("S", "c", "c_sync", "id", syncEnabled = false))

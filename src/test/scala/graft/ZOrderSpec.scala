@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
@@ -35,8 +34,8 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("z-ordered files prune on BOTH dimensions; single-sort prunes on one") {
-    val zDir = Files.createTempDirectory("graft_zorder").toString
-    val xDir = Files.createTempDirectory("graft_xsort").toString
+    val zDir = tempDir("graft_zorder")
+    val xDir = tempDir("graft_xsort")
     ZOrder.clusterWrite(points, Seq("x", "y"), zDir, 16)
     points.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
       .write.mode("overwrite").parquet(xDir)
