@@ -406,6 +406,8 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
     "d_bm25_search" -> ((s, d) => {
       // lexical retrieval-for-curation: the first 5 docs' 8-word
       // prefixes as queries over the whole corpus, top-10 per query
@@ -1502,6 +1504,24 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_words,
         |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM words JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_bigram_logprob" ->
+      // parallel unnest of the two word-array slices zips them into
+      // aligned (a, b) bigram rows — DuckDB's unnest-in-SELECT zip
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT doc_id,
+        |  unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM toks),
+        |big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(c_ab) AS c_a FROM big GROUP BY 1),
+        |nxt AS (SELECT b, sum(c_ab) AS c_b FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS t FROM big),
+        |model AS (SELECT a, b,
+        |  CAST(round(ln(0.75 * (CAST(c_ab AS DOUBLE) / c_a) +
+        |    0.25 * (CAST(c_b AS DOUBLE) / t)), 9) AS DECIMAL(30,12)) AS logp
+        |  FROM big JOIN ctx USING (a) JOIN nxt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM pairs JOIN model USING (a, b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,

@@ -342,6 +342,57 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Per-doc mean log-probability under an INTERPOLATED BIGRAM model
+    * trained on the corpus itself — one model order up from
+    * [[unigramLogProb]], the Spark-expressible analog of the KenLM-
+    * style perplexity gate most large corpus builds run (docs far
+    * below the corpus-typical score are boilerplate/gibberish; far
+    * above are degenerate repetition).
+    *
+    * Model: p(b|a) = λ·C(ab)/C(a·) + (1−λ)·C(·b)/T over the corpus
+    * bigram stream (counts all derived from one groupBy of the pair
+    * stream). Scale shape: the token-pair stream is formed WITHOUT a
+    * shuffle (posexplode over the word array + element_at — no
+    * self-join, no window); the model is assembled from the distinct-
+    * bigram table (orders of magnitude smaller than the stream) and
+    * joined back on (a,b) — a key-shuffle join AQE turns into a
+    * broadcast when the model fits. Two passes over the token stream
+    * (model build + scoring), same contract as [[unigramLogProb]];
+    * persist the pair stream before calling if the upstream scan is
+    * expensive enough to matter.
+    *
+    * Determinism: identical IEEE op order to the SQL oracle; per-
+    * bigram log-probs round to 9 dp and sum as exact decimals, the
+    * per-doc mean rounds to 6. Docs with fewer than two words have no
+    * bigrams and are absent from the output.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.75,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    val pairs = toks
+      .select(col(idCol), col("__w"),
+        posexplode(slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))))
+          .as(Seq("i", "a")))
+      .select(col(idCol), col("a"),
+        element_at(col("__w"), col("i") + lit(2)).as("b"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ctx = big.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val nxt = big.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val tot = big.agg(sum("c_ab").cast("double").as("t"))
+    val model = big.join(ctx, "a").join(nxt, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), round(log(
+        lit(lambda) * (col("c_ab").cast("double") / col("c_a")) +
+          lit(1.0 - lambda) * (col("c_b").cast("double") / col("t"))), 9)
+        .cast("decimal(30,12)").as("logp"))
+    pairs.join(model, Seq("a", "b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

@@ -128,6 +128,26 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bigramLogProb: hand-computed interpolated model, short docs absent, partition-invariant") {
+    // corpus bigrams: doc1 "a b a" → (a,b),(b,a); doc2 "a b" → (a,b);
+    // doc3 "x" → none (absent from output)
+    // big: (a,b)=2, (b,a)=1; ctx: a·=2, b·=1; nxt: ·b=2, ·a=1; T=3
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    def lp(p: Double) = BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pAB = 0.75 * (2.0 / 2) + 0.25 * (2.0 / 3) // p(b|a)
+    val pBA = 0.75 * (1.0 / 1) + 0.25 * (1.0 / 3) // p(a|b)
+    val exp1 = ((lp(pAB) + lp(pBA)) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = lp(pAB).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.bigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - exp1.toDouble) < 2e-6)
+    assert(math.abs(got(1)._3 - exp2.toDouble) < 2e-6)
+    val again = TextAnalysis.bigramLogProb(docs.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("dedupLines strips corpus-frequent lines, keeps order, drops all-boilerplate docs") {
     val docs = Seq(
       (1L, "BANNER\nalpha beta\nBANNER\ngamma"),
