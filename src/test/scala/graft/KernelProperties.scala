@@ -61,6 +61,92 @@ object KernelProperties extends Properties("graft.kernels") {
     ys <- Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
   } yield ys.toArray
 
+  // word lists may contain EMPTY words (consecutive spaces in the
+  // joined text) — the byte-range kernels must agree with Spark's
+  // split(' ') semantics on those boundaries too
+  private val wordsGen =
+    Gen.listOf(Gen.listOf(Gen.alphaNumChar).map(_.mkString))
+
+  private def splitWords(text: String): Seq[String] =
+    text.split(" ", -1).toSeq // "" → Seq("") — matches Spark split
+
+  property("gramRollingHashes == rollingHash over clamped word k-grams") =
+    forAll(wordsGen, Gen.chooseNum(2, 5)) { (ws, k) =>
+      val text = ws.mkString(" ")
+      val words = splitWords(text)
+      val nGrams = math.max(words.length - k, 0) + 1
+      val want = (0 until nGrams).map { i =>
+        val gram = words.slice(i, math.min(i + k, words.length)).mkString(" ")
+        HashKernels.rollingHash(UTF8String.fromString(gram))
+      }
+      HashKernels.gramRollingHashes(UTF8String.fromString(text), k)
+        .toLongArray().toSeq == want
+    }
+
+  property("gramHashes == first-occurrence-distinct xxhash64 of clamped gram bytes") =
+    forAll(wordsGen, Gen.chooseNum(2, 4)) { (ws, k) =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val text = ws.mkString(" ")
+      val words = splitWords(text)
+      val nGrams = math.max(words.length - k, 0) + 1
+      val want = (0 until nGrams).map { i =>
+        val b = words.slice(i, math.min(i + k, words.length)).mkString(" ")
+          .getBytes("UTF-8")
+        XXH64.hashUnsafeBytes(b,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }.distinct
+      HashKernels.gramHashes(UTF8String.fromString(text), k)
+        .toLongArray().toSeq == want
+    }
+
+  property("gramStrings == sliding word n-gram join; none for short docs") =
+    forAll(wordsGen, Gen.chooseNum(2, 4)) { (ws, n) =>
+      val text = ws.mkString(" ")
+      val words = splitWords(text)
+      val want =
+        if (words.length >= n)
+          (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" "))
+        else Seq.empty[String]
+      HashKernels.gramStrings(UTF8String.fromString(text), n)
+        .array.map(_.toString).toSeq == want
+    }
+
+  property("regroupWords: every Nth space becomes a newline, bytes otherwise untouched") =
+    forAll(wordsGen, Gen.chooseNum(1, 4)) { (ws, every) =>
+      val text = ws.mkString(" ")
+      var cnt = 0
+      val want = text.map {
+        case ' ' => cnt += 1; if (cnt % every == 0) '\n' else ' '
+        case c   => c
+      }.mkString
+      HashKernels.regroupWords(UTF8String.fromString(text), every)
+        .toString == want
+    }
+
+  property("windowMinDistinct == first-occurrence-distinct window minima") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+           Gen.chooseNum(1, 6)) { (xs, w) =>
+      val nWin = math.max(xs.length - w, 0) + 1
+      val want = (0 until nWin)
+        .map(j => xs.slice(j, math.min(j + w, xs.length)).min).distinct
+      HashKernels.windowMinDistinct(
+        ArrayData.toArrayData(xs.toArray), w).toLongArray().toSeq == want
+    }
+
+  property("winnowSelect == rightmost-tie min 'pos:hash' selections") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 8L)), // tiny range forces ties
+           Gen.chooseNum(1, 5)) { (xs, w) =>
+      val nWin = math.max(xs.length - w, 0) + 1
+      val want = (0 until nWin).map { j =>
+        val end = math.min(j + w, xs.length)
+        var mn = Long.MaxValue; var pos = -1
+        (j until end).foreach { i => if (xs(i) <= mn) { mn = xs(i); pos = i } }
+        f"$pos%08d:$mn"
+      }.distinct
+      HashKernels.winnowSelect(ArrayData.toArrayData(xs.toArray), w)
+        .array.map(_.toString).toSeq == want
+    }
+
   property("lttbIndices: size == min(threshold, n); endpoints kept; strictly increasing") =
     forAll(seriesGen, Gen.chooseNum(3, 50)) { (ys, thr) =>
       val xs = Array.tabulate(ys.length)(_.toDouble)
