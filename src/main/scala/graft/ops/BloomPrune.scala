@@ -48,6 +48,9 @@ object BloomPrune {
   /** Membership predicate: true = `probe`'s value MAY be in
     * `keys.keyCol` (false = definitely not). Builds the bloom on the
     * spot; reuse the returned Column across branches of one plan.
+    * `probe` must be the SAME data type as `keyCol` (xxhash64 hashes
+    * raw typed bytes — a mismatch makes true members hash differently
+    * and report definitely-not); [[semiJoin]]/[[antiJoin]] assert it.
     */
   def bloomMight(keys: DataFrame, keyCol: String, probe: Column,
                  fpp: Double = 0.01,
@@ -67,13 +70,33 @@ object BloomPrune {
       expression(xxhash64(probe))))
   }
 
+  /** Both sides of the bloom probe MUST hash identical bytes: if
+    * `bigKey`'s type differs from `keys.keyCol`'s (e.g. int vs
+    * string), true matches hash differently, the bloom reports
+    * definitely-not, and rows a plain join (with implicit cast) would
+    * keep are silently dropped. Fail loudly instead — the caller
+    * casts one side explicitly.
+    */
+  private def requireSameKeyType(big: DataFrame, bigKey: Column,
+                                 keys: DataFrame, keyCol: String): Unit = {
+    val bt = big.select(bigKey).schema.head.dataType
+    val kt = keys.schema(keyCol).dataType
+    require(bt == kt,
+      s"bloom key types must match exactly (got $bt vs $kt for '$keyCol'): " +
+        "a type-coerced equi-join would still match, but the bloom hashes " +
+        "raw typed bytes and would silently drop true matches — cast one " +
+        "side explicitly")
+  }
+
   /** Rows of `big` whose `bigKey` value appears in `keys.keyCol` —
     * exact left-semi join, bloom-pruned before the shuffle. `bigKey`
-    * may be any expression over `big`'s columns (e.g. `md5($"text")`).
+    * may be any expression over `big`'s columns (e.g. `md5($"text")`)
+    * but must resolve to exactly `keyCol`'s type (asserted).
     */
   def semiJoin(big: DataFrame, keys: DataFrame, bigKey: Column,
                keyCol: String, fpp: Double = 0.01,
                expectedKeys: Option[Long] = None): DataFrame = {
+    requireSameKeyType(big, bigKey, keys, keyCol)
     val k = keys.select(col(keyCol).as("__bloom_key"))
     big.filter(bloomMight(keys, keyCol, bigKey, fpp, expectedKeys))
       .join(k, bigKey === col("__bloom_key"), "left_semi")
@@ -87,6 +110,7 @@ object BloomPrune {
   def antiJoin(big: DataFrame, keys: DataFrame, bigKey: Column,
                keyCol: String, fpp: Double = 0.01,
                expectedKeys: Option[Long] = None): DataFrame = {
+    requireSameKeyType(big, bigKey, keys, keyCol)
     val might = bloomMight(keys, keyCol, bigKey, fpp, expectedKeys)
     val k = keys.select(col(keyCol).as("__bloom_key"))
     val maybes = big.filter(might)

@@ -277,13 +277,14 @@ object IncrementalStream {
     * batch recomputes the same survivors instead of seeing its own
     * hashes and emitting an empty (data-losing) overwrite.
     *
-    * 100 TB accounting: per batch, the store is scanned column-pruned
-    * (16-byte hashes only) and the anti-join is bloom-pruned
-    * ([[graft.ops.BloomPrune]] — the batch side builds the bloom, the
-    * history side never shuffles; definite-new hashes skip the join).
-    * The per-batch cost is O(history scan of one hash column) +
-    * O(batch); at very deep history, prefix-bucket the store dirs and
-    * prune scans by the batch's hash prefixes.
+    * 100 TB accounting: per batch, the BATCH side builds the bloom
+    * (two O(batch) jobs over the persisted batch dedup) and the
+    * history store gets exactly ONE column-pruned scan (16-byte
+    * hashes only), filtered by that bloom before the join — so the
+    * join's build side is `true-dups + fpp·history` rows, never the
+    * store. No sizing count runs against the store. At very deep
+    * history, prefix-bucket the store dirs and prune scans by the
+    * batch's hash prefixes.
     */
   def dedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
                  outDir: String, textCol: String = "text",
@@ -296,26 +297,36 @@ object IncrementalStream {
       .filter(col("__rn") === 1).drop("__rn")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) firsts
-      else {
-        val seen = spark.read.parquet(storeDir)
-          .filter(col("batch") =!= batchId) // replay: own hashes are not "seen"
-          .select("__h")
-        graft.ops.BloomPrune.antiJoin(firsts, seen, col("__h"), "__h")
-      }
-    // an empty batch (or an empty firsts under replay) must not write:
-    // a part-file-less partition dir would poison later schema
-    // inference on the store/output roots
-    survivors.persist()
+    firsts.persist()
     try {
-      if (survivors.count() > 0) {
-        survivors.drop("__h").write.mode("overwrite")
-          .parquet(s"$outDir/batch=$batchId")
-        survivors.select("__h").write.mode("overwrite")
-          .parquet(s"$storeDir/batch=$batchId")
-      }
-    } finally survivors.unpersist(blocking = true)
+      val nBatch = firsts.count()
+      // an empty batch must not write: a part-file-less partition dir
+      // would poison later schema inference on the store/output roots
+      if (nBatch == 0) return
+      val survivors =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) firsts
+        else {
+          val seen = spark.read.parquet(storeDir)
+            .filter(col("batch") =!= batchId) // replay: own hashes are not "seen"
+            .select("__h")
+          // batch-side bloom prunes the history scan: store hashes that
+          // can't be in this batch (the vast majority) never reach the
+          // join; within-batch hashes are distinct, so nBatch sizes the
+          // bloom exactly
+          val might = graft.ops.BloomPrune.bloomMight(
+            firsts, "__h", col("__h"), expectedKeys = Some(nBatch))
+          firsts.join(seen.filter(might), Seq("__h"), "left_anti")
+        }
+      survivors.persist()
+      try {
+        if (survivors.count() > 0) {
+          survivors.drop("__h").write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+          survivors.select("__h").write.mode("overwrite")
+            .parquet(s"$storeDir/batch=$batchId")
+        }
+      } finally survivors.unpersist(blocking = true)
+    } finally firsts.unpersist(blocking = true)
   }
 
   /** Streaming exact-dedup sink (foreachBatch over [[dedupBatch]]).
