@@ -58,22 +58,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as raw INT64 (legacy conf)
-    * and convert with integer division — `ts div 1000` keeps exact µs
-    * (a double division would lose precision above 2^53 ns).
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects) in some generations and plain
+    * TIMESTAMP(MICROS) in others — adapt to whichever is on disk.
     *
-    * The nanosAsLong conf is session-scoped, so set it at session
-    * build (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")`)
-    * as Bench/Verify do; the guarded set below only covers sessions
+    * Nanos path: read nanos as raw INT64 (legacy conf) and convert
+    * with integer division — `ts div 1000` keeps exact µs (a double
+    * division would lose precision above 2^53 ns). The nanosAsLong
+    * conf is session-scoped, so set it at session build
+    * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")`) as
+    * Bench/Verify do; the guarded set below only covers sessions
     * built elsewhere, and never rewrites an already-correct conf (no
-    * per-read global side effect).
+    * per-read global side effect). With the conf on, a NANOS file
+    * surfaces `ts` as LongType while a MICROS file stays TimestampType
+    * (possibly NTZ) — that read type picks the branch.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

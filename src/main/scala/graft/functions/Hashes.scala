@@ -247,6 +247,10 @@ object HashKernels {
     */
   def windowMinDistinct(arr: ArrayData, w: Int): GenericArrayData = {
     val n = arr.numElements()
+    // n = 0: no grams → no fingerprints. (The SQL mirror would emit
+    // [NULL] — array_min of an empty slice — so the equivalence above
+    // holds only for n >= 1; callers always pass >= 1 gram.)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val nWin = math.max(n - w, 0) + 1
     val seen = new java.util.HashSet[java.lang.Long](nWin * 2)
     val out = new java.util.ArrayList[Any](nWin)
@@ -274,6 +278,8 @@ object HashKernels {
     */
   def winnowSelect(arr: ArrayData, w: Int): GenericArrayData = {
     val n = arr.numElements()
+    // n = 0: no grams → no selections (see windowMinDistinct note)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val nWin = math.max(n - w, 0) + 1
     val seen = new java.util.HashSet[String](nWin * 2)
     val out = new java.util.ArrayList[Any](nWin)

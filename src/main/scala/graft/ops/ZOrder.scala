@@ -51,10 +51,15 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     cols.zipWithIndex.map { case (c, i) =>
+      // an entirely-null column yields null min/max — rank it 0
+      // everywhere, same as a constant column (no pruning dimension)
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
       if (!(mx > mn)) lit(0L)
       else least(lit(top), greatest(lit(0L),
         floor((col(c).cast("double") - mn) / (mx - mn) * top).cast("long")))
+      }
     }
   }
 

@@ -147,6 +147,14 @@ object KernelProperties extends Properties("graft.kernels") {
         .array.map(_.toString).toSeq == want
     }
 
+  property("windowMinDistinct/winnowSelect on an empty array yield empty (no sentinel)") =
+    forAll(Gen.chooseNum(1, 6)) { w =>
+      HashKernels.windowMinDistinct(
+        ArrayData.toArrayData(Array.empty[Long]), w).numElements() == 0 &&
+      HashKernels.winnowSelect(
+        ArrayData.toArrayData(Array.empty[Long]), w).numElements() == 0
+    }
+
   property("lttbIndices: size == min(threshold, n); endpoints kept; strictly increasing") =
     forAll(seriesGen, Gen.chooseNum(3, 50)) { (ys, thr) =>
       val xs = Array.tabulate(ys.length)(_.toDouble)

@@ -33,6 +33,14 @@ class ZOrderSpec extends SparkSpec {
     assert(ranked == Seq((0L, 0L), (127L, 0L), (255L, 0L)))
   }
 
+  test("rankColumns: an entirely-null column ranks 0 (no NPE)") {
+    val df = Seq((0.0, none), (50.0, none), (100.0, none)).toDF("a", "b")
+    val ranked = df.select(ZOrder.rankColumns(df, Seq("a", "b"), 8): _*)
+      .as[(Long, Long)].collect().toSeq
+    assert(ranked == Seq((0L, 0L), (127L, 0L), (255L, 0L)))
+  }
+  private def none: Option[Double] = None
+
   test("z-ordered files prune on BOTH dimensions; single-sort prunes on one") {
     val zDir = tempDir("graft_zorder")
     val xDir = tempDir("graft_xsort")
