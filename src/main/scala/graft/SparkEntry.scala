@@ -406,6 +406,8 @@ object SparkEntry {
         maxTokens = 512, blockSize = 100)),
     "d_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "d_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d))),
     "d_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
     "d_bm25_search" -> ((s, d) => {
@@ -1505,6 +1507,24 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM words JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_char_entropy" ->
+      // per-doc char histogram via unnest+groupBy (fine at oracle
+      // scale; the Spark side builds it per row without a shuffle)
+      """WITH hist AS (
+        |  SELECT doc_id, ch, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |  GROUP BY doc_id, ch),
+        |docn AS (SELECT doc_id, length(text) AS n FROM documents),
+        |terms AS (
+        |  SELECT h.doc_id,
+        |    CAST(round((h.cnt / CAST(d.n AS DOUBLE))
+        |      * log2(h.cnt / CAST(d.n AS DOUBLE)), 9) AS DECIMAL(30,12)) AS t
+        |  FROM hist h JOIN docn d USING (doc_id)),
+        |uniq AS (SELECT doc_id, count(*) AS n_unique_chars FROM hist GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars, u.n_unique_chars,
+        |  round(CAST(-sum(t.t) AS DOUBLE), 6) AS entropy
+        |FROM docn d JOIN uniq u USING (doc_id) JOIN terms t USING (doc_id)
+        |GROUP BY d.doc_id, d.n, u.n_unique_chars ORDER BY doc_id""".stripMargin,
     "d_bigram_logprob" ->
       // parallel unnest of the two word-array slices zips them into
       // aligned (a, b) bigram rows — DuckDB's unnest-in-SELECT zip

@@ -398,6 +398,55 @@ object TextAnalysis {
     * quality. One narrow map (all of the above) + one partial-agg
     * shuffle of per-language states.
     */
+  /** Character-entropy quality signal — per-document Shannon entropy
+    * (bits/char) of the character distribution. Low entropy flags
+    * repeated-character spam, padding, and template boilerplate; very
+    * high entropy flags binary-in-text and encoding garbage — both
+    * tails get gated in C4/RefinedWeb-style cleaning, alongside
+    * [[repetitionSignals]] (which sees word-level repetition this
+    * signal misses, and vice versa).
+    *
+    * Scale shape: a pure per-row computation — zero shuffle, one
+    * narrow pass, no per-doc groupBy (a char-explode + groupBy would
+    * shuffle ~1 row per CHARACTER of a 100 TB corpus for a histogram
+    * every row can build locally). The distinct-char alphabet of real
+    * text is tiny (≤ a few hundred), so the O(alphabet · len)
+    * filter-count is ~one extra scan of each string.
+    *
+    * Determinism contract (TfIdf convention): each character's
+    * p·log2(p) term rounds to 9 decimals and sums as exact decimals
+    * (associative ⇒ any partitioning), entropy emits rounded to 6 —
+    * bit-reproducible by a SQL oracle across engines' log ulp drift.
+    * Characters are code points on both sides for BMP text; non-BMP
+    * (surrogate-pair) input diverges between engines' split("")
+    * semantics and is out of the oracle contract.
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    // fixed internal alias so caller column names never land raw in a
+    // SQL fragment (c4Clean convention)
+    val withT = docs.select(col(idCol), col(textCol).as("__t"))
+    val entropy = expr(
+      """CASE WHEN length(__t) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+        |round(CAST(-aggregate(
+        |  transform(array_distinct(split(__t, '')),
+        |    c -> CAST(round(
+        |      (size(filter(split(__t, ''), x -> x = c)) / CAST(length(__t) AS DOUBLE))
+        |        * log2(size(filter(split(__t, ''), x -> x = c)) / CAST(length(__t) AS DOUBLE)),
+        |      9) AS DECIMAL(30,12))),
+        |  CAST(0 AS DECIMAL(38,12)),
+        |  (acc, t) -> CAST(acc + t AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |END""".stripMargin)
+    withT.select(col(idCol),
+      length(col("__t")).cast("long").as("n_chars"),
+      // split('', '') yields [""], not [] — guard the empty doc
+      when(length(col("__t")) === 0, lit(0L))
+        .otherwise(size(array_distinct(split(col("__t"), ""))).cast("long"))
+        .as("n_unique_chars"),
+      entropy.as("entropy"))
+      .orderBy(idCol)
+  }
+
   def corpusStats(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
     val enriched = fingerprint(

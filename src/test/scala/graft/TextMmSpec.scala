@@ -52,6 +52,33 @@ class TextMmSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("charEntropy: hand-computed bits/char, degenerate and empty docs") {
+    val docs = Seq(
+      (1L, "aabb"),   // p=.5/.5 -> 1 bit
+      (2L, "aaaa"),   // single symbol -> 0 bits
+      (3L, "abcd"),   // uniform over 4 -> 2 bits
+      (4L, ""),       // empty -> 0 by convention
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 1.0),
+      (2L, 4L, 1L, 0.0),
+      (3L, 4L, 4L, 2.0),
+      (4L, 0L, 0L, 0.0)))
+    // non-dyadic distribution: "aab" -> -(2/3·log2(2/3) + 1/3·log2(1/3)),
+    // with each term rounded to 9dp before the exact sum
+    val t1 = BigDecimal((2.0 / 3) * (math.log(2.0 / 3) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val t2 = BigDecimal((1.0 / 3) * (math.log(1.0 / 3) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = (-(t1 + t2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aab = graft.text.TextAnalysis.charEntropy(
+        Seq((9L, "aab")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(aab == ((9L, 3L, 2L, want)))
+  }
+
   test("chunkDocs: stride windows, overlap carry, short-doc identity, tail never empty") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
