@@ -408,6 +408,22 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "d_char_entropy" -> ((s, d) =>
       TextAnalysis.charEntropy(Tables.documents(s, d))),
+    "d_jsonl_roundtrip" -> ((s, d) => {
+      // corpus interchange: export the documents table as JSONL, land
+      // it back as typed parquet through the quarantine-splitting
+      // reader — lossless by construction, so the oracle is a plain
+      // projection of the source table
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${d.hashCode.toHexString}"
+      graft.sources.JsonlCorpus.writeJsonl(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        s"$base/jsonl", numFiles = 8, orderCol = "doc_id")
+      graft.sources.JsonlCorpus.toParquet(s, s"$base/jsonl", s"$base/pq", schema)
+      s.read.parquet(s"$base/pq").orderBy("doc_id")
+    }),
     "d_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
     "d_bm25_search" -> ((s, d) => {
@@ -1507,6 +1523,8 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM words JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
     "d_char_entropy" ->
       // per-doc char histogram via unnest+groupBy (fine at oracle
       // scale; the Spark side builds it per row without a shuffle)
