@@ -351,6 +351,66 @@ object IncrementalStream {
     if (fs.exists(p)) Some(spark.read.parquet(outDir)) else None
   }
 
+  /** Streaming NEAR-dup ingest: per micro-batch, detect every
+    * verified MinHash near-dup pair with at least one side in the
+    * batch, against an append-only signature index — the streaming
+    * form of [[graft.dedup.Dedup.minhashNearDupsDelta]], completing
+    * the ingest-dedup story next to [[dedupBatch]] (exact).
+    *
+    * 100 TB accounting per batch (delegated to the delta path): only
+    * the BATCH is shingled/hashed; the stored index is scanned, its
+    * bucket keys re-derived by a narrow map, and the batch's buckets
+    * broadcast against it — the index is never shuffled and old text
+    * is never re-read. Commit = one O(batch) index append + the
+    * batch's pair rows; never an O(history) rewrite.
+    *
+    * Replay-idempotent like [[dedupBatch]]: the index read excludes
+    * the replayed batch's own partition, so a complete-but-uncommitted
+    * batch recomputes the same pairs instead of pairing against its
+    * own leftover signatures.
+    */
+  def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                   pairsDir: String, k: Int = 3, numPerm: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.8,
+                   textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // a part-file-less dir poisons later reads
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (!fs.exists(idxPath))
+        // empty index with the exact stored shape (id, hs, sig)
+        graft.dedup.Dedup.minhashIndex(batch.limit(0), k, numPerm, textCol, idCol)
+      else spark.read.parquet(indexDir)
+        .filter(col("batch") =!= batchId) // replay: own signatures are not history
+        .select(col(idCol), col("hs"), col("sig"))
+    val (pairs, newIdx) = graft.dedup.Dedup.minhashNearDupsDelta(
+      index, batch, k, numPerm, bands, threshold, textCol, idCol)
+    pairs.persist()
+    try {
+      if (pairs.count() > 0)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      newIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally pairs.unpersist(blocking = true)
+  }
+
+  /** Streaming near-dup sink (foreachBatch over [[nearDupBatch]]).
+    * Read accumulated pairs with [[readDeduped]] over `pairsDir`
+    * (None/absent before the first pair-producing batch).
+    */
+  def sinkNearDup(df: DataFrame, indexDir: String, pairsDir: String,
+                  checkpointDir: String, k: Int = 3, numPerm: Int = 32,
+                  bands: Int = 8, threshold: Double = 0.8,
+                  textCol: String = "text", idCol: String = "doc_id")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(batch, batchId, indexDir, pairsDir,
+          k, numPerm, bands, threshold, textCol, idCol)
+      }
+
   /** Sessionization via the NATIVE `session_window` operator — the
     * high-throughput alternative to [[sessionizeStream]] when only
     * per-session aggregates are needed: state lives inside the

@@ -233,6 +233,51 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.subsetOf(all))
   }
 
+  test("sinkNearDup stream == one-shot minhash pairs; replay-idempotent") {
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(200)
+    // injected near-dups landing in later micro-batches: copies with
+    // the first 3 words dropped, under high ids
+    val mutated = corpus.filter($"doc_id" % 40 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+    val all = corpus.unionByName(mutated)
+    val in = tempDir("graft_ndup_in")
+    all.repartition(5).write.mode("overwrite").parquet(in)
+    val idx = tempDir("graft_ndup_i") + "/i"
+    val out = tempDir("graft_ndup_p") + "/p"
+    val ckpt = tempDir("graft_ndup_ck")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+    val q = IncrementalStream.sinkNearDup(stream, idx, out, ckpt,
+      k = 3, numPerm = 32, bands = 8, threshold = 0.5).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = IncrementalStream.readDeduped(spark, out).get
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = graft.dedup.Dedup.minhashNearDups(all, 3, 32, 8, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed.exists { case (a, b, _) => a < 100000 && b >= 100000 })
+    // index covers the whole corpus exactly once per doc
+    assert(spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted.toSeq ==
+      all.select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // replay of the LAST batch (uncommitted-crash shape): same pairs out
+    val lastBatch = spark.read.parquet(idx)
+      .groupBy().agg(org.apache.spark.sql.functions.max("batch")).as[Long].head()
+    val replay = all.filter($"doc_id".isin(
+      spark.read.parquet(idx).filter(col("batch") === lastBatch)
+        .select("doc_id").as[Long].collect().toSeq: _*))
+    IncrementalStream.nearDupBatch(replay, lastBatch, idx, out,
+      k = 3, numPerm = 32, bands = 8, threshold = 0.5)
+    val afterReplay = IncrementalStream.readDeduped(spark, out).get
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterReplay == oneShot)
+  }
+
   test("session_window aggregate matches batch sessionize (no exact-gap arrivals)") {
     val events = graft.core.Tables.events(spark, sfDir)
     val native = IncrementalStream.sessionWindowAgg(events, "user_id", "ts", "30 minutes")
