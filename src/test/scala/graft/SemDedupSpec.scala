@@ -41,6 +41,22 @@ class SemDedupSpec extends SparkSpec {
     assert(injected.subsetOf(pairs))
   }
 
+  test("auto nlist == explicit nlist at ceil(n/targetMembers); bounded members") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val n = corpus.count()
+    val target = 50
+    val expectK = ((n + target - 1) / target).toInt
+    val auto = SemDedup.semanticNearDups(corpus, 0.95, nlist = 0,
+        targetMembers = target)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = SemDedup.semanticNearDups(corpus, 0.95, nlist = expectK)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
   test("dedupBySemantic keeps the min-id representative per component") {
     val emb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val dup = emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))

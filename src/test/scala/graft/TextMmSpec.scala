@@ -79,6 +79,37 @@ class TextMmSpec extends SparkSpec {
     assert(aab == ((9L, 3L, 2L, want)))
   }
 
+  test("gopherRules: each gate trips on its own signal, hand-computed") {
+    val docs = Seq(
+      // 6 words, all gates clean except word count (minWords = 5 passes)
+      (1L, "the cat sat with the dog."),
+      // symbol spam: hashes blow the symbol ratio
+      (2L, "the cat ### sat with ## dogs."),
+      // ellipsis-ended lines beyond 30%
+      (3L, "the cat sat...\nwith the dog...\nplain line here"),
+      // bullet-started lines beyond 90%
+      (4L, "- the cat\n- the dog\n- with them"),
+      // numeric spam: alpha-word fraction under 80%
+      (5L, "the 1 2 3 4 5 6 7 with 9"),
+      // no required stopwords
+      (6L, "cats sit near dogs quite often today"),
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.gopherRules(docs, minWords = 5)
+      .select("doc_id", "n_words", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "n_stopwords_present", "pass")
+      .as[(Long, Long, Double, Double, Double, Double, Long, Boolean)]
+      .collect().toSeq
+    assert(got.map(r => r._1 -> r._8).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+        5L -> false, 6L -> false))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 == round6(5.0 / 7))         // 5 hashes / 7 words
+    assert(byId(3L)._5 == round6(2.0 / 3))         // 2 of 3 lines ellipsis-ended
+    assert(byId(4L)._4 == 1.0)                     // all lines bulleted
+    assert(byId(5L)._6 == 0.2)                     // 2 alpha words of 10
+    assert(byId(6L)._7 == 0L && byId(1L)._7 >= 2L) // stopword presence
+  }
+
   test("chunkDocs: stride windows, overlap carry, short-doc identity, tail never empty") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
