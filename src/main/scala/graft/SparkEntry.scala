@@ -414,6 +414,8 @@ object SparkEntry {
     // Gopher default of 50 would gate on word count alone
     "d_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 10)),
+    "d_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, d), 200)),
     "d_jsonl_roundtrip" -> ((s, d) => {
       // corpus interchange: export the documents table as JSONL, land
       // it back as typed parquet through the quarantine-splitting
@@ -1531,6 +1533,20 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+    "d_vocab_topk" ->
+      """WITH f AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM f),
+        |top AS (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+        |  FROM f ORDER BY cnt DESC, token ASC LIMIT 200)
+        |SELECT rank, token, cnt,
+        |  round(CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) / total, 6) AS cum_coverage
+        |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
     "d_gopher_rules" ->
       // all ratios are exact int/int IEEE divisions rounded to 6dp;
       // '/' on integers is double division in BOTH engines, and the

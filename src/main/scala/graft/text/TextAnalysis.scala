@@ -508,6 +508,39 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Exact top-V vocabulary with cumulative stream coverage — the
+    * tokenizer-prep question "how much of the corpus does a V-entry
+    * vocabulary cover?" (vocab truncation / UNK-rate analysis; the
+    * exact counterpart of [[graft.ops.HeavyHitters]]' sketch path).
+    *
+    * Scale shape: one token explode into a map-side-combined partial
+    * aggregate — the only wide exchange is vocab-bounded (Zipf: MBs
+    * at any corpus size), and the top-V cut is a TakeOrdered, not a
+    * global sort. The rank/cumulative window runs over V rows only
+    * (single tiny partition by construction). Ties break (count desc,
+    * token asc); coverage = exact integer cumsum / total, rounded 6dp.
+    */
+  def vocabTopK(docs: DataFrame, v: Int,
+                textCol: String = "text"): DataFrame = {
+    require(v >= 1, s"v must be >= 1, got $v")
+    val freq = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total"))
+    val order = Seq(col("cnt").desc, col("token").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    freq.orderBy(order: _*).limit(v)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .withColumn("cum_coverage",
+        round(sum(col("cnt")).over(w).cast("double") / col("total"), 6))
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("cnt"), col("cum_coverage"))
+      .orderBy("rank")
+  }
+
   def corpusStats(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
     val enriched = fingerprint(

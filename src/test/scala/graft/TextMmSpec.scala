@@ -110,6 +110,21 @@ class TextMmSpec extends SparkSpec {
     assert(byId(6L)._7 == 0L && byId(1L)._7 >= 2L) // stopword presence
   }
 
+  test("vocabTopK: exact counts, (cnt desc, token asc) ties, cumulative coverage") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "y y x x")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.vocabTopK(docs, 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // a=3, b=2, x=2, y=2, c=1 over 10 tokens; b<x<y breaks the 2-way tie
+    assert(got == Seq(
+      (1L, "a", 3L, 0.3),
+      (2L, "b", 2L, 0.5),
+      (3L, "x", 2L, 0.7)))
+    // v larger than the vocab returns the whole vocabulary, coverage 1
+    val all = graft.text.TextAnalysis.vocabTopK(docs, 100)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(all.size == 5 && all.last._4 == 1.0)
+  }
+
   test("chunkDocs: stride windows, overlap carry, short-doc identity, tail never empty") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
