@@ -118,9 +118,24 @@ object ScaleSoak {
   private def cacheSoakSection(spark: SparkSession, work: String): String = {
     import graft.cache._
     val rows = factors.map { f =>
-      val full = s"$work/x$f"
       val headDir = s"$work/cachehead_x$f"
-      val raw = spark.read.parquet(s"$full/events.parquet") // ts = raw INT64 nanos
+      // normalize ts to INT64 micros once (testdata generations have
+      // shipped both TIMESTAMP(NANOS) — LongType under nanosAsLong —
+      // and TIMESTAMP(MICROS)); head and full MUST agree on the
+      // watermark column's type, so both read the normalized copy
+      val full = s"$work/cachefull_x$f"
+      if (!Files.exists(Paths.get(full, "events.parquet"))) {
+        Files.createDirectories(Paths.get(full))
+        val rawIn = spark.read.parquet(s"$work/x$f/events.parquet")
+        val asLong = rawIn.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            rawIn.withColumn("ts", expr("ts div 1000"))
+          case _ =>
+            rawIn.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+        }
+        asLong.write.mode("overwrite").parquet(s"$full/events.parquet")
+      }
+      val raw = spark.read.parquet(s"$full/events.parquet")
       if (!Files.exists(Paths.get(headDir, "events.parquet"))) {
         Files.createDirectories(Paths.get(headDir))
         val Array(b) = raw.stat.approxQuantile("ts", Array(0.99), 1e-4)
