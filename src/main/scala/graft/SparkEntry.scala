@@ -416,6 +416,8 @@ object SparkEntry {
       TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 10)),
     "d_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(Tables.documents(s, d), 200)),
+    "d_bpe_pair_counts" -> ((s, d) =>
+      graft.text.Bpe.initialPairCounts(Tables.documents(s, d), 200)),
     "d_jsonl_roundtrip" -> ((s, d) => {
       // corpus interchange: export the documents table as JSONL, land
       // it back as typed parquet through the quarantine-splitting
@@ -1547,6 +1549,19 @@ object SparkEntry {
         |  round(CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
         |    AS DOUBLE) / total, 6) AS cum_coverage
         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "d_bpe_pair_counts" ->
+      // BPE trainer round 0: freq-weighted adjacent symbol pairs over
+      // the word-frequency table (chars + terminal </w>); parallel
+      // slice-unnest zips the pair columns (bigram-oracle shape)
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |s AS (SELECT freq, list_append(string_split(word, ''), '</w>') AS syms FROM w),
+        |p AS (SELECT freq, unnest(syms[1:len(syms)-1]) AS a,
+        |             unnest(syms[2:len(syms)]) AS b FROM s)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 200""".stripMargin,
     "d_gopher_rules" ->
       // all ratios are exact int/int IEEE divisions rounded to 6dp;
       // '/' on integers is double division in BOTH engines, and the

@@ -1,0 +1,69 @@
+package graft
+
+import graft.text.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vocab {aaab: 2, aab: 1}; hand-derived merge sequence:
+  //   r1: (a,a)=5 beats (a,b)=3, (b,</w>)=3            -> "aa"
+  //   r2: (b,</w>)=3 beats (aa,a)=2, (a,b)=2, (aa,b)=1 -> "b</w>"
+  //   r3: tie (aa,a)=2 vs (a,b</w>)=2 -> lexicographic  -> "ab</w>"
+  //   r4: (aa,ab</w>)=2 beats (aa,b</w>)=1              -> "aaab</w>"
+  //   r5: best remaining count 1 < 2 -> stop early
+  private val wantMerges = Seq(
+    ("a", "a"), ("b", "</w>"), ("a", "b</w>"), ("aa", "ab</w>"))
+
+  test("train: hand-derived merge order, deterministic ties, early stop") {
+    val docs = Seq((1L, "aaab aab aaab")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, numMerges = 10) == wantMerges)
+    // a smaller budget is a strict prefix
+    assert(Bpe.train(docs, numMerges = 2) == wantMerges.take(2))
+  }
+
+  test("encodeWord: trained words reach their training-time symbols; unseen compose") {
+    val ranks = wantMerges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("aaab", ranks).toSeq == Seq("aaab</w>"))
+    assert(Bpe.encodeWord("aab", ranks).toSeq == Seq("aa", "b</w>"))
+    // unseen word: (a,a) then no further merge applies
+    assert(Bpe.encodeWord("aaa", ranks).toSeq == Seq("aa", "a", "</w>"))
+    assert(Bpe.encodeWord("x", ranks).toSeq == Seq("x", "</w>"))
+  }
+
+  test("encode: distributed tokens concatenate per doc; lossless under </w>") {
+    val docs = Seq((1L, "aaab aab"), (2L, "aaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(
+      Seq((1L, "aaab aab aaab")).toDF("doc_id", "text"), 10)
+    val got = Bpe.encode(docs, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("aaab</w>", "aa", "b</w>"))
+    assert(got(2L) == Seq("aa", "a", "</w>"))
+    // lossless: stripping </w> and re-joining reconstructs the text
+    got.foreach { case (id, toks) =>
+      val text = toks.mkString("").replace("</w>", " ").trim
+      val want = docs.filter($"doc_id" === id).as[(Long, String)].head()._2
+      assert(text == want)
+    }
+  }
+
+  test("initialPairCounts: freq-weighted, (cnt desc, a, b) order") {
+    val docs = Seq((1L, "aaab aab aaab")).toDF("doc_id", "text")
+    val got = Bpe.initialPairCounts(docs, 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "a", 5L), ("a", "b", 3L), ("b", "</w>", 3L)))
+  }
+
+  test("train on a larger corpus slice runs off one vocab job and encodes it") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(100)
+    val merges = Bpe.train(docs, numMerges = 50)
+    assert(merges.nonEmpty && merges.size <= 50)
+    val enc = Bpe.encode(docs, merges)
+    assert(enc.count() == 100)
+    // every doc's token stream is non-empty and ends with a </w>-bearing symbol
+    val toks = enc.as[(Long, Seq[String])].collect()
+    assert(toks.forall(_._2.nonEmpty))
+    assert(toks.forall(_._2.last.endsWith("</w>")))
+  }
+}
