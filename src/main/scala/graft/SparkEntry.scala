@@ -518,6 +518,10 @@ object SparkEntry {
       graft.ops.Sampling.deterministicSamplePortable(
         Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id", "source", "lang").orderBy("doc_id")),
+    "d_sample_k_per_group" -> ((s, d) =>
+      graft.ops.Sampling.sampleKPerGroup(
+        Tables.documents(s, d), "lang", "doc_id", 40)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     "d_ann_quantized" -> ((s, d) =>
       // int8-packed brute-force top-k: quantization, integer dots, and
       // the cosine normalization are all deterministic, so the DuckDB
@@ -888,6 +892,14 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 250000
         |ORDER BY doc_id""".stripMargin,
+    "d_sample_k_per_group" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT),
+        |             doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
     "d_domain_mix_portable" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -160,4 +160,30 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
     df.filter(portableBucket(idCol, salt) < (fraction * 1000000L).toLong)
   }
+
+  /** EXACT k rows per group (balanced per-domain/per-language subsets
+    * — fractional sampling over-draws big strata; eval-set and probe
+    * subsets want exact counts). Selection = the k smallest
+    * (md5(salt|id), id) per group: deterministic on any layout, and
+    * the md5 order makes membership recomputable in any engine
+    * (the [[deterministicSamplePortable]] convention). Groups smaller
+    * than k pass through whole.
+    *
+    * One shuffle on the group key (rank-over-group shape). For giant
+    * skewed groups a k-bounded heap aggregate (TopKScoreId) + id
+    * semi-join moves k rows per group instead of sorting each group —
+    * the SELECTED ROWS are identical (the order is total), so the
+    * plan can be swapped without changing results.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int, salt: String = "s0"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hash = conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hash, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -140,6 +140,32 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.count() > 0)
   }
 
+  test("sampleKPerGroup: exact k per big group, whole small groups, layout-stable") {
+    val got = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 7)
+    val sizes = got.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(n, 7L), s"$lang: ${sizes.get(lang)}")
+    }
+    // same rows on any partitioning
+    val a = got.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleKPerGroup(docs.repartition(11), "lang", "doc_id", 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // JVM md5 reference picks the identical members for one group
+    val en = docs.filter($"lang" === "en").select("doc_id").as[Long].collect()
+    def ref(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s0|$id".getBytes("UTF-8"))
+      BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val want = en.sortBy(id => (ref(id), id)).take(7).toSet
+    val gotEn = got.filter($"lang" === "en").select("doc_id")
+      .as[Long].collect().toSet
+    assert(gotEn == want)
+  }
+
   test("split3: disjoint, exhaustive, stable") {
     val (tr, va, te) = Sampling.split3(docs, "doc_id", 0.7, 0.2)
     val n = docs.count()
