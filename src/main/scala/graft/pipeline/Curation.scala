@@ -62,6 +62,106 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Incremental curation: curate ONE arriving batch against the
+    * persistent ingest stores, without re-reading history — the
+    * streaming form of [[curate]], composed from the same pieces the
+    * sinks use ([[graft.streaming.IncrementalStream.dedupBatch]]'s
+    * seen-hash store shape, [[graft.dedup.Dedup.minhashNearDupsDelta]]).
+    *
+    * Per batch: (1) exact dedup — first-seen within the batch (min id
+    * per content hash) and against the seen-hash store; (2) near-dup —
+    * the exact survivors' MinHash signatures check against the
+    * append-only index, and a batch-scoped connected-components pass
+    * over the returned pairs drops every batch doc whose component
+    * holds a smaller id (an indexed history doc, or a batch-mate —
+    * shared history endpoints connect batch docs exactly like the
+    * one-shot CC would); (3) the per-row quality/language gates and
+    * the deterministic sample, which are history-free. Returns the
+    * batch's curated survivors; commits O(batch) rows to both stores.
+    *
+    * Streaming contract (the honest one): no emitted doc exactly
+    * duplicates, or near-dups, ANY earlier-emitted or batch-mate
+    * survivor — and with ids monotone across batches the output
+    * equals one-shot [[curate]] restricted to the batch, UNLESS a
+    * later doc first CONNECTS two already-emitted survivors into one
+    * component (one-shot would retract one of them; a stream cannot
+    * retract — the spec pins both the invariant and the equality on
+    * connector-free corpora).
+    */
+  def curateDelta(batch: DataFrame, batchId: Long,
+                  seenDir: String, indexDir: String,
+                  shingleK: Int = 3, numPerm: Int = 32, bands: Int = 8,
+                  jaccardThreshold: Double = 0.8,
+                  minQuality: Double = 0.3,
+                  keepLangs: Seq[String] = Seq("en"),
+                  sampleFraction: Double = 1.0,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(seenDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+
+    // 1. exact: min id per hash within the batch, then anti-join the
+    // seen store (replay-safe: own batch partition excluded)
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val firsts = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exactSurvivors = (
+      if (!exists(seenDir)) firsts
+      else {
+        val seen = spark.read.parquet(seenDir)
+          .filter(col("batch") =!= batchId).select("__h")
+        firsts.join(seen, Seq("__h"), "left_anti")
+      }).persist()
+
+    try {
+      if (exactSurvivors.isEmpty) return exactSurvivors
+        .select(col(idCol), col(textCol)).limit(0)
+        .withColumn("pred_lang", lit(null).cast("string"))
+        .withColumn("quality", lit(null).cast("double"))
+
+      // 2. near-dup vs index + batch-scoped components over the pairs
+      val index =
+        if (!exists(indexDir))
+          graft.dedup.Dedup.minhashIndex(
+            exactSurvivors.limit(0), shingleK, numPerm, textCol, idCol)
+        else spark.read.parquet(indexDir)
+          .filter(col("batch") =!= batchId)
+          .select(col(idCol), col("hs"), col("sig"))
+      val (pairs, newIdx) = graft.dedup.Dedup.minhashNearDupsDelta(
+        index, exactSurvivors, shingleK, numPerm, bands, jaccardThreshold,
+        textCol, idCol)
+      // every batch doc whose component contains a smaller id loses;
+      // history ids are smaller by the monotone-ingest convention, so
+      // they anchor their components automatically
+      val nearDeduped = graft.dedup.Clusters.dedupByComponents(
+        exactSurvivors, pairs, idCol)
+
+      // 3. history-free gates + deterministic sample
+      val scored = TextAnalysis.langId(
+        TextAnalysis.qualityScore(nearDeduped, textCol), textCol)
+      val gated = scored
+        .filter(col("quality") >= minQuality)
+        .filter(col("pred_lang").isin(keepLangs: _*))
+      val sampled =
+        if (sampleFraction >= 1.0) gated
+        else Sampling.deterministicSample(gated, idCol, sampleFraction)
+
+      // commit O(batch) store rows; the returned frame is lazy, and
+      // that is SAFE against a crash between commit and consumption:
+      // a replay with the same batchId excludes its own store
+      // partitions, so it recomputes the identical output
+      exactSurvivors.select("__h").write.mode("overwrite")
+        .parquet(s"$seenDir/batch=$batchId")
+      newIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      sampled
+        .select(col(idCol), col(textCol), col("pred_lang"), col("quality"))
+        .orderBy(idCol)
+    } finally exactSurvivors.unpersist(blocking = true)
+  }
+
   /** Sequence packing — assemble curated documents into training
     * sequences of at most `maxTokens` whitespace tokens (the
     * fill-the-context-window step between curation and tokenization).

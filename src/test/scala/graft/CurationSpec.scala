@@ -36,6 +36,47 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("curateDelta: batched union == one-shot curate (connector-free, monotone ids); replay-idempotent") {
+    val corpus = docs.select("doc_id", "text").limit(300)
+    // near-dups landing across the batch boundary: first-3-words-dropped
+    // copies of some batch-1 docs under high ids (DedupSpec construction)
+    val mutated = corpus.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+    // plus one exact duplicate of a batch-1 doc arriving in batch 2
+    val exactDup = corpus.filter($"doc_id" === 7)
+      .select(($"doc_id" + 200000).as("doc_id"), $"text")
+    val all = corpus.unionByName(mutated).unionByName(exactDup)
+    val batch1 = all.filter($"doc_id" < 150)
+    val batch2 = all.filter($"doc_id" >= 150)
+    val langs = Seq("en", "de", "es", "fr", "zh")
+
+    val oneShot = Curation.curate(all, shingleK = 3, numPerm = 32, bands = 8,
+        jaccardThreshold = 0.5, minQuality = 0.2, keepLangs = langs,
+        sampleFraction = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+
+    val seenDir = tempDir("graft_cdelta_s") + "/s"
+    val idxDir = tempDir("graft_cdelta_i") + "/i"
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Curation.curateDelta(b, id, seenDir, idxDir, shingleK = 3,
+        numPerm = 32, bands = 8, jaccardThreshold = 0.5, minQuality = 0.2,
+        keepLangs = langs, sampleFraction = 0.9)
+        .select("doc_id").as[Long].collect().toSet
+    val d1 = run(batch1, 0L)
+    val d2 = run(batch2, 1L)
+    assert((d1 ++ d2) == oneShot)
+    assert(d1.nonEmpty && d2.nonEmpty)
+    // the cross-batch exact dup and at least one cross-batch near-dup
+    // were dropped in batch 2
+    assert(!d2.contains(200007L))
+    assert(mutated.select("doc_id").as[Long].collect().exists(id => !d2.contains(id)))
+
+    // replay of batch 2 (same id): stores exclude their own partitions,
+    // output identical
+    assert(run(batch2, 1L) == d2)
+  }
+
   private def tokDocs(rs: (Long, Int)*) =
     rs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
       .toDF("doc_id", "text")
