@@ -411,6 +411,39 @@ object IncrementalStream {
           k, numPerm, bands, threshold, textCol, idCol)
       }
 
+  /** Streaming CURATION sink: foreachBatch over
+    * [[graft.pipeline.Curation.curateDelta]] — each micro-batch is
+    * exact-deduped against the seen-hash store, near-dup-pruned
+    * against the MinHash index, gated, sampled, and its survivors
+    * land under `outDir/batch=<id>`. Store commits are O(batch);
+    * replay recomputes identically (curateDelta excludes a batch's
+    * own store partitions). Read the curated corpus back with
+    * [[readDeduped]] over `outDir`.
+    */
+  def sinkCurate(df: DataFrame, seenDir: String, indexDir: String,
+                 outDir: String, checkpointDir: String,
+                 minQuality: Double = 0.3,
+                 keepLangs: Seq[String] = Seq("en"),
+                 sampleFraction: Double = 1.0,
+                 textCol: String = "text", idCol: String = "doc_id")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.pipeline.Curation.curateDelta(
+          batch, batchId, seenDir, indexDir,
+          minQuality = minQuality, keepLangs = keepLangs,
+          sampleFraction = sampleFraction, idCol = idCol, textCol = textCol)
+        // materialize once; empty batches write nothing (a
+        // part-file-less dir poisons later reads — dedupBatch rule)
+        out.persist()
+        try {
+          if (out.count() > 0)
+            out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        } finally out.unpersist(blocking = true)
+      }
+
   /** Sessionization via the NATIVE `session_window` operator — the
     * high-throughput alternative to [[sessionizeStream]] when only
     * per-session aggregates are needed: state lives inside the

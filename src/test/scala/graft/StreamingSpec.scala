@@ -278,6 +278,43 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == oneShot)
   }
 
+  test("sinkCurate stream == one-shot curate on the same corpus") {
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(200)
+    val mutated = corpus.filter($"doc_id" % 40 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+    val all = corpus.unionByName(mutated)
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val in = tempDir("graft_cur_in")
+    // id-range files: the file source processes (mtime, path)-ordered,
+    // so batches arrive id-MONOTONE — the convention under which
+    // curateDelta's union equals one-shot curate
+    all.repartitionByRange(5, $"doc_id").sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(in)
+    val seen = tempDir("graft_cur_s") + "/s"
+    val idx = tempDir("graft_cur_i") + "/i"
+    val out = tempDir("graft_cur_o") + "/o"
+    val ckpt = tempDir("graft_cur_ck")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+    val q = IncrementalStream.sinkCurate(stream, seen, idx, out, ckpt,
+      minQuality = 0.2, keepLangs = langs, sampleFraction = 0.9).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = IncrementalStream.readDeduped(spark, out).get
+    val ids = streamed.select("doc_id").as[Long].collect().toSet
+    val oneShot = graft.pipeline.Curation.curate(all,
+        jaccardThreshold = 0.8, minQuality = 0.2, keepLangs = langs,
+        sampleFraction = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == oneShot)
+    // invariant that holds under ANY arrival order: no two survivors
+    // share a text
+    val texts = streamed.select("text").as[String].collect()
+    assert(texts.distinct.length == texts.length)
+  }
+
   test("session_window aggregate matches batch sessionize (no exact-gap arrivals)") {
     val events = graft.core.Tables.events(spark, sfDir)
     val native = IncrementalStream.sessionWindowAgg(events, "user_id", "ts", "30 minutes")
