@@ -37,7 +37,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("curateDelta: batched union == one-shot curate (connector-free, monotone ids); replay-idempotent") {
-    val corpus = docs.select("doc_id", "text").limit(300)
+    val corpus = docs.select("doc_id", "text").filter("doc_id < 300")
     // near-dups landing across the batch boundary: first-3-words-dropped
     // copies of some batch-1 docs under high ids (DedupSpec construction)
     val mutated = corpus.filter($"doc_id" % 50 === 0)

@@ -213,7 +213,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sinkDedup stream == batch first-seen dedup on the same corpus") {
     val docs = graft.core.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").limit(200)
+      .select("doc_id", "text").filter("doc_id < 200")
     val in = tempDir("graft_dedup_in")
     docs.repartition(6).write.mode("overwrite").parquet(in)
     val store = tempDir("graft_dedup_s2") + "/s"
@@ -235,7 +235,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sinkNearDup stream == one-shot minhash pairs; replay-idempotent") {
     val corpus = graft.core.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").limit(200)
+      .select("doc_id", "text").filter("doc_id < 200")
     // injected near-dups landing in later micro-batches: copies with
     // the first 3 words dropped, under high ids
     val mutated = corpus.filter($"doc_id" % 40 === 0)
@@ -280,18 +280,32 @@ class StreamingSpec extends SparkSpec {
 
   test("sinkCurate stream == one-shot curate on the same corpus") {
     val corpus = graft.core.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").limit(200)
+      .select("doc_id", "text").filter("doc_id < 200")
     val mutated = corpus.filter($"doc_id" % 40 === 0)
       .select(($"doc_id" + 100000).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
     val all = corpus.unionByName(mutated)
     val langs = Seq("en", "de", "es", "fr", "zh")
     val in = tempDir("graft_cur_in")
-    // id-range files: the file source processes (mtime, path)-ordered,
-    // so batches arrive id-MONOTONE — the convention under which
-    // curateDelta's union equals one-shot curate
-    all.repartitionByRange(5, $"doc_id").sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(in)
+    // id-range slices copied into the source dir SEQUENTIALLY with
+    // distinct mtimes: the file source orders by modification time
+    // (path order is NOT honored for equal stamps — observed), and
+    // monotone id arrival is the convention under which curateDelta's
+    // union equals one-shot curate. The natural near-dup pairs of this
+    // corpus (e.g. (0, 82)) straddle these boundaries, so the
+    // cross-batch index path is genuinely exercised.
+    val bounds = Seq(41L, 82L, 123L, 164L, Long.MaxValue)
+    bounds.zipWithIndex.foldLeft(Long.MinValue) { case (lo, (hi, k)) =>
+      val tmp = tempDir(s"graft_cur_slice$k")
+      all.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(in, f"slice-$k%02d.parquet"))
+      Thread.sleep(20) // distinct modification times => stable order
+      hi
+    }
     val seen = tempDir("graft_cur_s") + "/s"
     val idx = tempDir("graft_cur_i") + "/i"
     val out = tempDir("graft_cur_o") + "/o"
