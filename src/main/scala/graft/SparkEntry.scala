@@ -562,6 +562,17 @@ object SparkEntry {
           graft.functions.Hashes.regroup_words(col("text"), 5)).as("text"))
       Dedup.dedupLines(lined, 10)
     }),
+    "d_dedup_lines_within" -> ((s, d) => {
+      // build multi-line docs (8-word lines) and append each doc's
+      // FIRST line again — the repeated-boilerplate shape the
+      // within-doc pass removes; the oracle mirrors the build
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.Hashes.regroup_words(col("text"), 8).as("t2"))
+        .select(col("doc_id"),
+          concat(col("t2"), lit("\n"),
+            expr("element_at(split(t2, '\n'), 1)")).as("text"))
+      graft.text.TextAnalysis.dedupLinesWithinDoc(lined)
+    }),
     "d_chunk_docs" -> ((s, d) =>
       // sliding-window context chunks: 20-token windows, 5-token overlap
       graft.text.TextAnalysis.chunkDocs(
@@ -1503,6 +1514,22 @@ object SparkEntry {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM lines ANTI JOIN hot USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_dedup_lines_within" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) + 1),
+        |      g -> array_to_string(list_slice(string_split(text, ' '), (g - 1) * 8 + 1, g * 8), ' ')), chr(10)) AS t2
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, string_split(t2 || chr(10) || string_split(t2, chr(10))[1], chr(10)) AS l
+        |  FROM base),
+        |kept AS (
+        |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+        |    list_filter(l, (x, i) -> list_position(l, x) = i) AS k
+        |  FROM lined)
+        |SELECT doc_id, n_lines, CAST(len(k) AS BIGINT) AS n_lines_kept,
+        |  array_to_string(k, chr(10)) AS text
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "d_chunk_docs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

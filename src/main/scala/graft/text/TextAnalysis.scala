@@ -311,6 +311,31 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** WITHIN-document repeated-line removal — the in-document half of
+    * the RefinedWeb/MassiveText boilerplate pass ([[c4Clean]] gates
+    * line QUALITY, [[graft.dedup.Dedup.dedupLines]] drops lines hot
+    * ACROSS the corpus; this drops lines repeated INSIDE one document:
+    * scraped nav menus, cookie banners, footer blocks that repeat per
+    * page). Keeps each line's FIRST occurrence, in order.
+    *
+    * Pure per-row codegen'd array expressions — zero shuffle
+    * (deterministic-output sort aside). The positional filter is
+    * O(lines²) per doc; line counts are tens, the text scan dominates.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    docs.select(col(idCol), split(col(textCol), "\n").as("__l"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_lines"),
+        // first occurrences in order: Spark's filter-HOF index is
+        // 0-based, array_position 1-based
+        expr("filter(__l, (x, i) -> array_position(__l, x) = i + 1)").as("__k"))
+      .select(col(idCol), col("n_lines"),
+        size(col("__k")).cast("long").as("n_lines_kept"),
+        array_join(col("__k"), "\n").as(textCol))
+      .orderBy(idCol)
+  }
+
   /** Unigram log-probability scoring — the CCNet-style LM-quality
     * proxy: score each document by the mean log P(word) under the
     * corpus's OWN unigram distribution. Gibberish, OCR noise, and

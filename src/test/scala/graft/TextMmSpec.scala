@@ -110,6 +110,37 @@ class TextMmSpec extends SparkSpec {
     assert(byId(6L)._7 == 0L && byId(1L)._7 >= 2L) // stopword presence
   }
 
+  test("charEntropy matches an independent JVM reference on 100 pseudo-random docs") {
+    // deterministic LCG strings over a small alphabet (forces repeats)
+    val alpha = "abcde xyz.,!"
+    var seed = 42L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val docs = (1L to 100L).map { i =>
+      val len = 1 + nextInt(60)
+      (i, (0 until len).map(_ => alpha(nextInt(alpha.length))).mkString)
+    }
+    def ref(s: String): Double = {
+      val n = s.length.toDouble
+      val terms = s.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        BigDecimal(p * math.log(p) / math.log(2.0))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (-terms.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.text.TextAnalysis.charEntropy(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    docs.foreach { case (id, s) =>
+      val (nChars, nUnique, e) = got(id)
+      assert(nChars == s.length.toLong && nUnique == s.distinct.length.toLong)
+      assert(e == ref(s), s"doc $id '$s': got $e want ${ref(s)}")
+    }
+  }
+
   test("vocabTopK: exact counts, (cnt desc, token asc) ties, cumulative coverage") {
     val docs = Seq((1L, "a a a b b c"), (2L, "y y x x")).toDF("doc_id", "text")
     val got = graft.text.TextAnalysis.vocabTopK(docs, 3)
@@ -123,6 +154,21 @@ class TextMmSpec extends SparkSpec {
     val all = graft.text.TextAnalysis.vocabTopK(docs, 100)
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(all.size == 5 && all.last._4 == 1.0)
+  }
+
+  test("dedupLinesWithinDoc: first occurrence kept in order, uniques untouched") {
+    val docs = Seq(
+      (1L, "nav menu\nreal content\nnav menu\nmore text\nnav menu"),
+      (2L, "a\nb\nc"),          // no repeats: identity
+      (3L, "x\nx\nx\nx"),       // all same: one survivor
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.dedupLinesWithinDoc(docs)
+      .select("doc_id", "n_lines", "n_lines_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, "nav menu\nreal content\nmore text"),
+      (2L, 3L, 3L, "a\nb\nc"),
+      (3L, 4L, 1L, "x")))
   }
 
   test("chunkDocs: stride windows, overlap carry, short-doc identity, tail never empty") {
