@@ -504,6 +504,41 @@ object IncrementalStream {
           lo, hi, nBins)
       }
 
+  /** HLL form of [[mergeAggBatch]]: micro-batches maintain the
+    * mergeable DISTINCT-count state (IncrementalAgg.distinctState)
+    * under the same atomic-commit + replay-skip contract. Union
+    * registers equal direct-build registers, so the maintained state
+    * estimates identically to sketching all batches at once, under
+    * any micro-batching.
+    */
+  def mergeDistinctBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                         timeCol: String, interval: String, keyCol: String,
+                         lgK: Int = 12): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, stateDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay: already merged
+    val fresh = graft.ops.IncrementalAgg
+      .distinctState(batch, timeCol, interval, keyCol, lgK)
+    val merged = store.read() match {
+      case Some(prev) => graft.ops.IncrementalAgg.mergeDistinctStates(prev, fresh)
+      case None => fresh
+    }
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming distinct-count sink — [[sinkAggState]] for the HLL
+    * state; read estimates back with
+    * `IncrementalAgg.distinctFromState(readAggState(...))`.
+    */
+  def sinkDistinctState(df: DataFrame, stateDir: String, checkpointDir: String,
+                        timeCol: String, interval: String, keyCol: String,
+                        lgK: Int = 12): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeDistinctBatch(batch, batchId, stateDir, timeCol, interval, keyCol, lgK)
+      }
+
   /** Write an incremental stream to a parquet sink with checkpointed
     * state — the full sync-pipeline shape.
     */

@@ -156,6 +156,33 @@ class OpsSpec extends SparkSpec {
     assert(VizPrep.filterByRange(df, "v", 0, 15).count() == 1)
   }
 
+  test("HLL distinct state: merge estimates == full recompute; <= 5% of exact") {
+    import graft.ops.IncrementalAgg
+    val events = graft.core.Tables.events(spark, sfDir)
+    val cut = "2024-01-15 00:00:00"
+    val old = events.filter(col("ts") < lit(cut).cast("timestamp"))
+    val fresh = events.filter(col("ts") >= lit(cut).cast("timestamp"))
+    val merged = IncrementalAgg.distinctFromState(
+      IncrementalAgg.mergeDistinctStates(
+        IncrementalAgg.distinctState(old, "ts", "1 day", "user_id"),
+        IncrementalAgg.distinctState(fresh, "ts", "1 day", "user_id")))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val full = IncrementalAgg.distinctFromState(
+      IncrementalAgg.distinctState(events, "ts", "1 day", "user_id"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // union registers == direct-build registers: estimates identical
+    assert(merged == full)
+    assert(merged.nonEmpty)
+    val exact = events.groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start"), col("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    exact.foreach { case (b, n) =>
+      val e = merged(b)
+      assert(math.abs(e - n).toDouble / n <= 0.05, s"bucket $b: est $e exact $n")
+    }
+  }
+
   test("histogram quantile state: merge == full recompute bit-identical; error <= bin width") {
     import graft.ops.IncrementalAgg
     val events = graft.core.Tables.events(spark, sfDir)

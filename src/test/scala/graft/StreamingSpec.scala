@@ -378,6 +378,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch distinct-state sink estimates == one-shot sketch across micro-batching") {
+    val batch = graft.core.Tables.events(spark, sfDir)
+    val in = tempDir("graft_hllsink_in")
+    val stateDir = tempDir("graft_hllsink_out") + "/s"
+    val ckpt = tempDir("graft_hllsink_ck")
+    batch.write.mode("overwrite").parquet(in)
+    val stream = IncrementalStream.readEvents(spark, in, batch.schema,
+      maxFilesPerTrigger = 1)
+    val q = IncrementalStream.sinkDistinctState(stream, stateDir, ckpt,
+      "ts", "1 day", "user_id").start()
+    try {
+      q.processAllAvailable()
+      val got = graft.ops.IncrementalAgg.distinctFromState(
+        IncrementalStream.readAggState(spark, stateDir).get)
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      val want = graft.ops.IncrementalAgg.distinctFromState(
+        graft.ops.IncrementalAgg.distinctState(batch, "ts", "1 day", "user_id"))
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(got == want) // union registers == direct-build registers
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("agg-state sink skips replayed batch ids (at-least-once foreachBatch)") {
     val events = graft.core.Tables.events(spark, sfDir).limit(2000)
       .localCheckpoint()
