@@ -141,6 +141,53 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules matches an independent JVM reference on 60 pseudo-random docs") {
+    val words = Vector("the", "cat", "runs", "with", "dogs", "##", "a1",
+      "...", "12", "lorem", "-", "*")
+    var seed = 7L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val docs = (1L to 60L).map { i =>
+      val nLines = 1 + nextInt(4)
+      val t = (0 until nLines).map { _ =>
+        (0 until (1 + nextInt(9))).map(_ => words(nextInt(words.length)))
+          .mkString(" ")
+      }.mkString("\n")
+      (i, t)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(t: String): (Long, Double, Double, Double, Double, Double, Long) = {
+      val w = t.split(" ", -1)
+      val l = t.split("\n", -1)
+      val nHash = t.count(_ == '#')
+      val nEll = (t.length - t.replace("...", "").length) / 3
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .count(w.contains)
+      (w.length.toLong,
+        r6(w.map(_.length).sum.toDouble / w.length),
+        r6((nHash + nEll).toDouble / w.length),
+        r6(l.count(x => x.startsWith("- ") || x.startsWith("* ") ||
+          x.startsWith("• ")).toDouble / l.length),
+        r6(l.count(_.endsWith("...")).toDouble / l.length),
+        r6(w.count(_.exists(_.isLetter)).toDouble / w.length),
+        stop.toLong)
+    }
+    val got = graft.text.TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        minWords = 3)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stopwords_present")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8))
+      .toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) == ref(t), s"doc $id: '$t'")
+    }
+  }
+
   test("vocabTopK: exact counts, (cnt desc, token asc) ties, cumulative coverage") {
     val docs = Seq((1L, "a a a b b c"), (2L, "y y x x")).toDF("doc_id", "text")
     val got = graft.text.TextAnalysis.vocabTopK(docs, 3)
