@@ -608,6 +608,9 @@ object SparkEntry {
       Multimodal.frameSampleOffsets(
         Multimodal.mediaTable(Tables.documents(s, d)))
         .select("doc_id", "duration_ms", "n_frames").orderBy("doc_id")),
+    "m_audio_energy" -> ((s, d) =>
+      Multimodal.audioFrameEnergy(
+        Multimodal.mediaTable(Tables.documents(s, d)))),
     "q_lttb_downsample" -> ((s, d) =>
       // the range-partitioned (no single-partition stage) variant;
       // spec pins it equal to the window-indexed form. Project down to
@@ -1696,5 +1699,22 @@ object SparkEntry {
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
+    "m_audio_energy" ->
+      // the stub decode surfaces payload bytes as the text's code
+      // points; the frame RMS math (exact long sum of squares, IEEE
+      // sqrt, 6dp round) mirrors bit-for-bit
+      """WITH audio AS (
+        |  SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+        |codes AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+        |  FROM audio),
+        |frames AS (
+        |  SELECT doc_id, CAST(g - 1 AS BIGINT) AS frame_id,
+        |    cs[(g - 1) * 64 + 1 : g * 64] AS f
+        |  FROM codes, UNNEST(range(1, CAST(ceil(len(cs) / 64.0) AS BIGINT) + 1)) t(g))
+        |SELECT doc_id, frame_id, CAST(len(f) AS BIGINT) AS n_samples,
+        |  round(sqrt(CAST(list_sum(list_transform(f, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)
+        |    / len(f)), 6) AS rms
+        |FROM frames ORDER BY doc_id, frame_id""".stripMargin,
   )
 }

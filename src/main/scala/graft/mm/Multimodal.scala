@@ -86,6 +86,37 @@ object Multimodal {
         col("out_w"), col("out_h"))
       .orderBy("doc_id")
 
+  /** Frame energy for audio rows: RMS per fixed-size sample frame —
+    * the silence-detection / loudness-normalization signal an audio
+    * curation pass gates on. The DECODE slot is the stub convention:
+    * payload bytes surface as the decoded text's code points (a
+    * deterministic stand-in for PCM samples — swapping in a real
+    * decoder changes the sample source, not the frame math). The
+    * frame fold is pure codegen'd array expressions: zero shuffle
+    * before the deterministic-output sort, sum-of-squares in exact
+    * longs, one IEEE sqrt + 6dp round so a SQL oracle reproduces the
+    * RMS bit-for-bit.
+    */
+  def audioFrameEnergy(media: Dataset[MediaRow],
+                       frameSamples: Int = 64): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    media.toDF()
+      .filter(col("media_type") === "audio")
+      .withColumn("__cs",
+        expr("transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"))
+      .withColumn("__g", explode(expr(
+        s"sequence(1, CAST(ceil(size(__cs) / ${frameSamples}.0) AS INT))")))
+      .withColumn("__f",
+        expr(s"slice(__cs, (__g - 1) * $frameSamples + 1, $frameSamples)"))
+      .select(col("doc_id"),
+        (col("__g") - 1).cast("long").as("frame_id"),
+        size(col("__f")).cast("long").as("n_samples"),
+        round(sqrt(
+          expr("aggregate(__f, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
+            .cast("double") / size(col("__f"))), 6).as("rms"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   /** Frame-sample offsets for video rows: one offset per second. */
   def frameSampleOffsets(media: Dataset[MediaRow]): DataFrame =
     media.toDF()

@@ -249,6 +249,25 @@ class TextMmSpec extends SparkSpec {
     assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
   }
 
+  test("audioFrameEnergy: hand-computed RMS per frame, ragged tail, non-audio filtered") {
+    import graft.mm.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "aaaa".getBytes("UTF-8"), 0, 0, 1000),
+      // 5 chars at frame size 4: frames "abab" + ragged "c"
+      Multimodal.MediaRow(2L, "audio", "ababc".getBytes("UTF-8"), 0, 0, 1000),
+      Multimodal.MediaRow(3L, "image", "zzzz".getBytes("UTF-8"), 8, 8, 0),
+    ).toDS()
+    val got = Multimodal.audioFrameEnergy(media, frameSamples = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def rms(cs: Int*): Double =
+      BigDecimal(math.sqrt(cs.map(c => c.toLong * c).sum.toDouble / cs.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 0L, 4L, rms(97, 97, 97, 97)),      // constant signal: rms = 97
+      (2L, 0L, 4L, rms(97, 98, 97, 98)),
+      (2L, 1L, 1L, rms(99))))                  // ragged tail frame
+  }
+
   test("redactPii replaces emails, phones, SSNs, IPs with typed placeholders") {
     val df = Seq(
       (1L, "mail a.b+c@sub.example.org then +1-555-0042 ssn 123-45-6789 host 10.0.3.1 end"),
