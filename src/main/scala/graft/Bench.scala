@@ -108,6 +108,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/ScaleSoak: a MICROS-generation events file read
+      // as TIMESTAMP_NTZ would otherwise bucket by host timezone here
+      // and by UTC in the oracle run (ADVICE r9)
+      .config("spark.sql.session.timeZone", "UTC")
       // footer-stat COUNT/MIN/MAX: metadata-only scans where eligible
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS) — session-scoped, set at build
@@ -155,6 +159,19 @@ object Bench {
     warmupFailure.foreach(msg => failures("_warmup_entry") = msg)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // one DISCARDED warm pass per query before the measured runs: the
+      // driver's full-suite runs showed 1.5-2x first-run modes on
+      // queries untouched between rounds (q1_agg, m_resize — r9) purely
+      // from suite-order JIT/codegen history; isolating each query's
+      // warmup on its own unmeasured pass makes medians comparable
+      // across rounds regardless of which queries sit before it. A
+      // warmup failure is not swallowed: the measured runs hit it too.
+      tracer.foreach { t =>
+        spark.sparkContext.setLocalProperty(
+          graft.tools.BenchTrace.LabelProp, s"_warm_$name")
+        t.setLabel(s"_warm_$name")
+      }
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
       val perRunGc = Seq.newBuilder[Long]
       val perRunCompiles = Seq.newBuilder[Long]
       val (ts, fail) = timeRuns(runs,

@@ -300,8 +300,11 @@ object SparkEntry {
       // auto nlist keeps expected cluster membership flat at any
       // volume: per-cluster work is quadratic in members (the
       // paper's knob), so a fixed nlist goes super-linear with the
-      // corpus — the scale soak measured exactly that before auto
-      graft.sim.SemDedup.semanticNearDups(emb.unionByName(dup), 0.95, nlist = 0)
+      // corpus — the scale soak measured exactly that before auto.
+      // knownCount: the corpus is source ∪ injected copy = exactly 2×
+      // the source files' footer row count — sizing costs no job
+      graft.sim.SemDedup.semanticNearDups(emb.unionByName(dup), 0.95, nlist = 0,
+        knownCount = 2 * graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet"))
     }),
     "d_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -427,7 +430,11 @@ object SparkEntry {
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)
         .add("lang", org.apache.spark.sql.types.StringType)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${d.hashCode.toHexString}"
+      // applicationId in the path: two concurrent harness processes on
+      // the same dataset must not overwrite each other's staging
+      // (ADVICE r9), and a fresh session never reads a stale run's dump
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
       graft.sources.JsonlCorpus.writeJsonl(
         Tables.documents(s, d).select("doc_id", "text", "lang"),
         s"$base/jsonl", numFiles = 8, orderCol = "doc_id")

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque binary payloads with
   * typed metadata, batch-decoded per partition.
   *
-  * The decode itself is STUBBED (no image/audio libs in this
-  * environment): `decodeStub` produces a deterministic fingerprint of
-  * the payload bytes instead of real pixels/samples. Everything
-  * Spark-side — schema, binary column handling, partition-batched
-  * decode signature, downstream joins — is real and tested; swapping
-  * `decodeStub` for a JNI/lib decoder changes no plumbing.
+  * Image rows get a REAL decode: `javax.imageio` (JDK-only — PNG,
+  * JPEG, GIF, BMP) turns the payload into pixels, and the feature is
+  * the Rec.601 mean luma with width/height taken from the DECODED
+  * image, not the metadata columns. Payloads no reader claims (and
+  * audio/video, which the JDK cannot decode) fall back to a
+  * deterministic md5 fingerprint with the metadata dimensions — so
+  * the pipeline is total over arbitrary bytes and oracle-checkable
+  * end to end. Swapping in a richer decoder (libjpeg-turbo, ffmpeg
+  * via JNI) replaces only `decodeImage`; no plumbing changes.
   */
 object Multimodal {
 
@@ -40,27 +43,74 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: a real implementation would decode pixels/samples
-    * here; this produces the md5 of the payload as the "feature".
-    * Deterministic so the pipeline is oracle-checkable end to end.
+  /** Fallback feature for undecodable payloads: md5 of the bytes —
+    * deterministic, so the pipeline stays oracle-checkable even over
+    * opaque media the JDK has no codec for.
     */
-  private def decodeStub(payload: Array[Byte]): String = {
+  private def fingerprint(payload: Array[Byte]): String = {
     val md = MessageDigest.getInstance("MD5")
     md.digest(payload).map("%02x".format(_)).mkString
   }
 
+  /** Decoded image facts: true pixel dimensions + the feature string
+    * `luma:<mean>` (Rec.601 luma averaged over all pixels, 6 dp —
+    * integer accumulation, so the value is identical on any JVM).
+    */
+  private[mm] case class DecodedImage(width: Int, height: Int, feature: String)
+
+  /** Real image decode via `javax.imageio`. None when no installed
+    * reader claims the bytes (text payloads, truncated files) — the
+    * caller falls back to [[fingerprint]]. ImageIO.read probes headers
+    * first, so a non-image payload fails in microseconds, not after a
+    * full parse attempt.
+    */
+  private[mm] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        var lumaMilli = 0L // Σ round-free (299R + 587G + 114B), exact in long
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            lumaMilli += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val px = img.getWidth.toLong * img.getHeight
+        val mean = lumaMilli.toDouble / (1000.0 * px)
+        Some(DecodedImage(img.getWidth, img.getHeight,
+          "luma:" + String.format(java.util.Locale.ROOT, "%.6f", Double.box(mean))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Partition-batched feature extraction: the decoder is invoked once
     * per partition iterator (the batch shape a native decoder wants),
-    * never per-row on the driver.
+    * never per-row on the driver. Image rows whose payload decodes get
+    * DECODER-derived width/height and the mean-luma feature; anything
+    * else keeps the metadata dimensions and the md5 fingerprint.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val sp = media.sparkSession
     import sp.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup cost (decoder init) amortized here
+      // per-partition setup cost (decoder init) amortized here; the
+      // ImageIO plugin registry scan happens once per JVM, not per row
       rows.map { r =>
-        MediaFeature(r.doc_id, r.media_type, r.payload.length,
-          r.width, r.height, decodeStub(r.payload))
+        val decoded =
+          if (r.media_type == "image") decodeImage(r.payload) else None
+        decoded match {
+          case Some(d) =>
+            MediaFeature(r.doc_id, r.media_type, r.payload.length,
+              d.width, d.height, d.feature)
+          case None =>
+            MediaFeature(r.doc_id, r.media_type, r.payload.length,
+              r.width, r.height, fingerprint(r.payload))
+        }
       }
     }
   }

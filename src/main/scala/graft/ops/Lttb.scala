@@ -151,14 +151,30 @@ object Lttb {
     * and the `monotonically_increasing_id` snapshot is durably
     * consistent across actions by construction. At 100 TB this IS the
     * scale pattern — a multi-read operator stages to distributed
-    * storage rather than pinning executor memory; set
-    * `graft.lttb.stagingDir` to a cluster-visible path (defaults to
-    * the JVM temp dir, which is correct for local mode only).
+    * storage rather than pinning executor memory.
+    *
+    * CONTRACT: `graft.lttb.stagingDir` must name a path every executor
+    * AND the driver can read/write (HDFS, object store, NFS). It is
+    * REQUIRED whenever the master is not local — the JVM-temp default
+    * would have each executor write its task's parquet part to its own
+    * local /tmp and the driver's read-back would see a partial
+    * directory: silent wrong results. [[stagingBase]] fails fast on
+    * that combination instead (spec: LttbSpec "staging contract").
     */
+  private[graft] def stagingBase(master: String, configured: Option[String]): String =
+    configured.getOrElse {
+      require(master.startsWith("local"),
+        s"graft.lttb.stagingDir is required when spark.master ('$master') is " +
+          "not local: the JVM-temp default stages each task's output on its " +
+          "executor's OWN local disk, so a distributed run would read back a " +
+          "partial directory — set it to a cluster-visible path (HDFS/S3/NFS)")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    }
+
   private def stage(df: DataFrame): (DataFrame, String, () => Unit) = {
     val sp = df.sparkSession
-    val base = sp.conf.getOption("graft.lttb.stagingDir")
-      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val base = stagingBase(sp.sparkContext.master,
+      sp.conf.getOption("graft.lttb.stagingDir"))
     val dir = s"$base/graft-lttb-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(dir)
     val cleanup = () => {

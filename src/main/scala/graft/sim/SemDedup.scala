@@ -38,19 +38,26 @@ object SemDedup {
   /** Pairs (a < b, cosine ≥ `tau`) that share a k-means cluster.
     * `cos_sim` rounds to 6 decimals for a stable output contract.
     *
-    * `nlist <= 0` self-tunes: nlist = ceil(n / targetMembers), from
-    * ONE corpus count (parquet answers it from footer metadata — no
-    * data scan). A FIXED nlist is the scale trap here: clusters grow
-    * linearly with the corpus and the per-cluster pairwise pass
-    * quadratically (the soak measured 6.7× wall at 8× volume); the
-    * auto mode keeps expected members — and so per-task cost — flat
-    * at any corpus size.
+    * `nlist <= 0` self-tunes: nlist = ceil(n / targetMembers). A FIXED
+    * nlist is the scale trap here: clusters grow linearly with the
+    * corpus and the per-cluster pairwise pass quadratically (the soak
+    * measured 6.7× wall at 8× volume); the auto mode keeps expected
+    * members — and so per-task cost — flat at any corpus size.
+    *
+    * Sizing cost: auto mode needs n. Pass `knownCount` when the caller
+    * already knows it (a catalog row count, [[graft.sources.ParquetMeta
+    * .rowCount]] over the source files — a driver-side footer read, no
+    * job) and the sizing is FREE; otherwise auto mode runs one
+    * O(corpus) `count()` job per call (footer-fast only when the input
+    * is a raw parquet scan — any upstream projection/union makes it a
+    * real pass, measured ~0.4 s of d_semdedup's bench time at sf0.1).
     */
   def semanticNearDups(corpus: DataFrame, tau: Double,
                        nlist: Int = 16, iters: Int = 2,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       targetMembers: Int = 128): DataFrame = {
+                       targetMembers: Int = 128,
+                       knownCount: Long = -1L): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"cosine threshold out of range: $tau")
     require(targetMembers >= 2, s"targetMembers must be >= 2, got $targetMembers")
     // cap at Ivf.train's sample bound: a 10k-point sample supports at
@@ -58,8 +65,11 @@ object SemDedup {
     // sampleMax or cluster hierarchically)
     val k =
       if (nlist > 0) nlist
-      else math.max(1L, (corpus.count() + targetMembers - 1) / targetMembers)
-        .min(10000L).toInt
+      else {
+        val n = if (knownCount >= 0) knownCount else corpus.count()
+        math.max(1L, (n + targetMembers - 1) / targetMembers)
+          .min(10000L).toInt
+      }
     val cents = Ivf.train(corpus, k, iters, idCol = idCol, vecCol = vecCol)
     val assigned = corpus.select(
       col(idCol).as("id"),
@@ -89,8 +99,10 @@ object SemDedup {
   def dedupBySemantic(corpus: DataFrame, tau: Double,
                       nlist: Int = 16, iters: Int = 2,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val pairs = semanticNearDups(corpus, tau, nlist, iters, idCol, vecCol)
+                      vecCol: String = "embedding",
+                      knownCount: Long = -1L): DataFrame = {
+    val pairs = semanticNearDups(corpus, tau, nlist, iters, idCol, vecCol,
+      knownCount = knownCount)
     graft.dedup.Clusters.dedupByComponents(
       corpus, pairs, idCol, "vec_a", "vec_b")
   }

@@ -43,11 +43,31 @@ object JsonlCorpus {
     * un-materialized JSON scan (SPARK-21610: the pruned re-parse
     * could not reconstruct it), so the split runs off one cached scan
     * — the input is read once, not once per branch.
+    *
+    * Cache lifecycle: both returned frames share that cached scan, and
+    * it stays cached until LRU eviction (there is no handle to drop it
+    * early — `spark.catalog.clearCache()` is the blunt escape hatch).
+    * Callers that finish with both branches inside one scope should
+    * use [[readWith]], which unpersists deterministically.
     */
   def read(spark: SparkSession, path: String, schema: StructType,
            multiLine: Boolean = false): (DataFrame, DataFrame) = {
     val (_, good, quarantine) = readCached(spark, path, schema, multiLine)
     (good, quarantine)
+  }
+
+  /** [[read]] with a deterministic cache lifecycle: `f` runs over the
+    * (typed, quarantine) pair and the backing cached scan is
+    * unpersisted when it returns — the non-leaking form for bounded
+    * scopes ([[toParquet]] is exactly this shape internally). `f` must
+    * consume the frames inside the call: actions after return would
+    * silently re-parse the JSON from scratch.
+    */
+  def readWith[T](spark: SparkSession, path: String, schema: StructType,
+                  multiLine: Boolean = false)
+                 (f: (DataFrame, DataFrame) => T): T = {
+    val (parsed, good, quarantine) = readCached(spark, path, schema, multiLine)
+    try f(good, quarantine) finally parsed.unpersist(blocking = false)
   }
 
   /** The cached scan behind [[read]] — callers that finish with both

@@ -378,13 +378,18 @@ object TextAnalysis {
     * bigram stream (counts all derived from one groupBy of the pair
     * stream). Scale shape: the token-pair stream is formed WITHOUT a
     * shuffle (posexplode over the word array + element_at — no
-    * self-join, no window); the model is assembled from the distinct-
-    * bigram table (orders of magnitude smaller than the stream) and
-    * joined back on (a,b) — a key-shuffle join AQE turns into a
-    * broadcast when the model fits. Two passes over the token stream
-    * (model build + scoring), same contract as [[unigramLogProb]];
-    * persist the pair stream before calling if the upstream scan is
-    * expensive enough to matter.
+    * self-join, no window), then exchanged ONCE on (a, b); both
+    * consumers — the model's count aggregation and the scoring join —
+    * require exactly that distribution, so ReuseExchange shares one
+    * evaluation + one shuffle write of the expensive subtree (the r8
+    * "one consumer per expensive subtree" rule; previously the stream
+    * was formed twice). The big exchange is the honest 100 TB cost:
+    * the distinct-bigram model of a web corpus does NOT broadcast, so
+    * the scoring join shuffles the stream regardless — sharing it with
+    * the model build makes that shuffle pay for both. Derived count
+    * tables (C(a·), C(·b), T) re-aggregate from the reused shuffle
+    * files — local reads of bounded bigram-count rows, not re-parses
+    * of the corpus.
     *
     * Determinism: identical IEEE op order to the SQL oracle; per-
     * bigram log-probs round to 9 dp and sum as exact decimals, the

@@ -80,6 +80,25 @@ class LttbSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lttb.stagingDir")
   }
 
+  test("staging contract: unset stagingDir FAILS FAST off-local, passes locally") {
+    // off-local with no configured dir: the JVM-temp default would
+    // stage each task's parquet part on its executor's own disk and
+    // the driver read-back would silently see a partial directory —
+    // the contract is to refuse, loudly, at plan time
+    val e = intercept[IllegalArgumentException] {
+      Lttb.stagingBase("spark://cluster-master:7077", None)
+    }
+    assert(e.getMessage.contains("graft.lttb.stagingDir"))
+    assert(e.getMessage.contains("spark://cluster-master:7077"))
+    intercept[IllegalArgumentException] {
+      Lttb.stagingBase("yarn", None)
+    }
+    // a configured cluster-visible dir is accepted on any master
+    assert(Lttb.stagingBase("yarn", Some("hdfs:///tmp/lttb")) == "hdfs:///tmp/lttb")
+    // local masters keep the JVM-temp default
+    assert(Lttb.stagingBase("local[32]", None).nonEmpty)
+  }
+
   test("lttbIndices: index-exact vs reference on a sine wave") {
     val x = Array.tabulate(100)(_.toDouble)
     val y = x.map(v => math.sin(v * 0.25))

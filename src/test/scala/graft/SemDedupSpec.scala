@@ -55,6 +55,15 @@ class SemDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(auto == explicit)
     assert(auto.nonEmpty)
+    // knownCount path: sizing from a caller-supplied count (e.g. a
+    // ParquetMeta footer read — no corpus job) is the SAME k, so the
+    // same pairs; and ParquetMeta agrees with count() on real files
+    val viaKnown = SemDedup.semanticNearDups(corpus, 0.95, nlist = 0,
+        targetMembers = target, knownCount = n)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaKnown == explicit)
+    assert(graft.sources.ParquetMeta.rowCount(spark,
+      s"$sfDir/embeddings.parquet") * 2 == n)
   }
 
   test("dedupBySemantic keeps the min-id representative per component") {

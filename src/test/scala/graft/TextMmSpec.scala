@@ -249,6 +249,41 @@ class TextMmSpec extends SparkSpec {
     assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
   }
 
+  test("real image decode: handmade PNG yields decoder dimensions + exact mean luma; undecodable falls back to md5") {
+    // handmade 3x2 PNG via the same JDK codec family (write side):
+    // two known colors — white (luma 255) on row 0, pure red
+    // (luma .299*255 = 76.245) on row 1
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3) {
+      img.setRGB(x, 0, 0xffffff)
+      img.setRGB(x, 1, 0xff0000)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    // metadata dims deliberately WRONG (9x9): decoded output must carry
+    // the decoder's 3x2, proving dimensions come from pixels
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 9, 9, 0),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"), 7, 5, 0),
+      Multimodal.MediaRow(3L, "audio", png, 4, 4, 1000), // non-image: never decoded
+    ).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+
+    // mean luma = (3*255000 + 3*(299*255)) / (1000 * 6) = 165.6225
+    assert(got(1L).width == 3 && got(1L).height == 2)
+    assert(got(1L).feature_hash == "luma:165.622500")
+    // undecodable payload: metadata dims + 32-hex md5 fallback
+    assert(got(2L).width == 7 && got(2L).height == 5)
+    assert(got(2L).feature_hash.matches("[0-9a-f]{32}"))
+    // audio rows never enter the image decoder even if bytes are a PNG
+    assert(got(3L).width == 4 && got(3L).height == 4)
+    assert(got(3L).feature_hash.matches("[0-9a-f]{32}"))
+  }
+
   test("audioFrameEnergy: hand-computed RMS per frame, ragged tail, non-audio filtered") {
     import graft.mm.Multimodal
     val media = Seq(
