@@ -1651,20 +1651,27 @@ object SparkEntry {
     "d_char_entropy" ->
       // per-doc char histogram via unnest+groupBy (fine at oracle
       // scale; the Spark side builds it per row without a shuffle)
+      // LEFT JOINs + COALESCE mirror the Spark side's empty-text guard
+      // (charEntropy emits (id, 0, 0, 0.0) for a zero-length doc; an
+      // INNER JOIN would drop the row and divide by zero) — the n > 0
+      // guard keeps the division edge out even though hist is already
+      // empty for an empty doc
       """WITH hist AS (
         |  SELECT doc_id, ch, count(*) AS cnt FROM (
-        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |    WHERE length(text) > 0)
         |  GROUP BY doc_id, ch),
         |docn AS (SELECT doc_id, length(text) AS n FROM documents),
         |terms AS (
         |  SELECT h.doc_id,
         |    CAST(round((h.cnt / CAST(d.n AS DOUBLE))
         |      * log2(h.cnt / CAST(d.n AS DOUBLE)), 9) AS DECIMAL(30,12)) AS t
-        |  FROM hist h JOIN docn d USING (doc_id)),
+        |  FROM hist h JOIN docn d USING (doc_id) WHERE d.n > 0),
         |uniq AS (SELECT doc_id, count(*) AS n_unique_chars FROM hist GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars, u.n_unique_chars,
-        |  round(CAST(-sum(t.t) AS DOUBLE), 6) AS entropy
-        |FROM docn d JOIN uniq u USING (doc_id) JOIN terms t USING (doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+        |  COALESCE(u.n_unique_chars, 0) AS n_unique_chars,
+        |  COALESCE(round(CAST(-sum(t.t) AS DOUBLE), 6), 0.0) AS entropy
+        |FROM docn d LEFT JOIN uniq u USING (doc_id) LEFT JOIN terms t USING (doc_id)
         |GROUP BY d.doc_id, d.n, u.n_unique_chars ORDER BY doc_id""".stripMargin,
     "d_bigram_logprob" ->
       // parallel unnest of the two word-array slices zips them into
@@ -1710,8 +1717,13 @@ object SparkEntry {
       // the stub decode surfaces payload bytes as the text's code
       // points; the frame RMS math (exact long sum of squares, IEEE
       // sqrt, 6dp round) mirrors bit-for-bit
+      // the octet_length guard mirrors audioFrameEnergy's explicit
+      // zero-byte-payload filter: an empty payload yields ZERO frame
+      // rows on both sides (without it the engines' split('','')
+      // semantics diverge: Spark [""] vs DuckDB [])
       """WITH audio AS (
-        |  SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(doc_id % 3 AS INT) = 1 AND octet_length(CAST(text AS BLOB)) > 0),
         |codes AS (
         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs
         |  FROM audio),

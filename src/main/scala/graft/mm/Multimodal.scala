@@ -146,12 +146,17 @@ object Multimodal {
     * before the deterministic-output sort, sum-of-squares in exact
     * longs, one IEEE sqrt + 6dp round so a SQL oracle reproduces the
     * RMS bit-for-bit.
+    *
+    * Contract: a ZERO-BYTE payload produces zero frame rows (filtered
+    * explicitly — split('','') semantics would otherwise diverge from
+    * the oracle engine's: Spark yields [""], DuckDB []).
     */
   def audioFrameEnergy(media: Dataset[MediaRow],
                        frameSamples: Int = 64): DataFrame = {
     require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
     media.toDF()
       .filter(col("media_type") === "audio")
+      .filter(length(col("payload")) > 0)
       .withColumn("__cs",
         expr("transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"))
       .withColumn("__g", explode(expr(

@@ -87,6 +87,12 @@ object Curation {
     * component (one-shot would retract one of them; a stream cannot
     * retract — the spec pins both the invariant and the equality on
     * connector-free corpora).
+    *
+    * Maintenance: `seenDir`/`indexDir` accumulate one `batch=<id>`
+    * dir per micro-batch — consolidate them periodically with
+    * [[graft.streaming.StoreMaintenance.compactStore]] (answers are
+    * row-identical before and after) and bound the dedup horizon with
+    * [[graft.streaming.StoreMaintenance.dropBatchesBelow]].
     */
   def curateDelta(batch: DataFrame, batchId: Long,
                   seenDir: String, indexDir: String,

@@ -285,6 +285,12 @@ object IncrementalStream {
     * store. No sizing count runs against the store. At very deep
     * history, prefix-bucket the store dirs and prune scans by the
     * batch's hash prefixes.
+    *
+    * Maintenance: the per-batch partition dirs accumulate — run
+    * [[StoreMaintenance.compactStore]] periodically to consolidate
+    * committed batches (store answers are row-identical before and
+    * after), and [[StoreMaintenance.dropBatchesBelow]] to bound the
+    * dedup horizon deliberately.
     */
   def dedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
                  outDir: String, textCol: String = "text",
@@ -368,6 +374,10 @@ object IncrementalStream {
     * the replayed batch's own partition, so a complete-but-uncommitted
     * batch recomputes the same pairs instead of pairing against its
     * own leftover signatures.
+    *
+    * Maintenance: [[StoreMaintenance.compactStore]] over `indexDir`
+    * (and `pairsDir`) consolidates the per-batch dirs;
+    * [[StoreMaintenance.dropBatchesBelow]] bounds the near-dup horizon.
     */
   def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
                    pairsDir: String, k: Int = 3, numPerm: Int = 32,

@@ -401,13 +401,30 @@ object TextAnalysis {
                     idCol: String = "doc_id"): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    // the ONE exchange of the expensive subtree: every consumer below
+    // (model count agg, scoring join) sits directly on this repartition,
+    // so physical planning emits a single shuffle of the pair stream and
+    // ReusedExchange serves every other reader from its shuffle files
     val pairs = toks
       .select(col(idCol), col("__w"),
         posexplode(slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))))
           .as(Seq("i", "a")))
       .select(col(idCol), col("a"),
         element_at(col("__w"), col("i") + lit(2)).as("b"))
-    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      // b is never null (i+2 <= size by the slice bound) — but the
+      // scoring join INFERS isnotnull(b) into its branch; stating it
+      // explicitly puts the same Filter in every branch, keeping all
+      // five consumers' subtrees canonically identical for stage reuse
+      .filter(col("b").isNotNull)
+      .repartition(col("a"), col("b"))
+    // the when-guard keeps idCol in this consumer's column set (true by
+    // construction: doc ids are non-null keys) — column pruning would
+    // otherwise push a narrower Project under the repartition and split
+    // the exchange into non-identical (un-reusable) copies; same trick
+    // as Bm25.search, and a plain coalesce won't do (NullPropagation
+    // folds count(non-nullable) back to count(1) and re-enables pruning)
+    val big = pairs.groupBy("a", "b")
+      .agg(count(when(col(idCol).isNotNull, 1)).as("c_ab"))
     val ctx = big.groupBy("a").agg(sum("c_ab").as("c_a"))
     val nxt = big.groupBy("b").agg(sum("c_ab").as("c_b"))
     val tot = big.agg(sum("c_ab").cast("double").as("t"))

@@ -4,17 +4,25 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.ExplainMode
 
 import graft.SparkEntry
 
 /** Dev tool: write EXPLAIN.md — a diffable plan-audit artifact.
   *
-  * Per query: pushed-filter presence, join strategies, codegen span
-  * count, and smell flags, as one summary table; full formatted plans
+  * Since round 10 the audit EXECUTES every query and reports the FINAL
+  * adaptive plan (`isFinalPlan=true`): with AQE, join strategies and
+  * exchange/stage reuse are runtime decisions the compile-time tree
+  * cannot show — the pre-AQE plan prints a shared subtree once per
+  * consumer, overstating shuffles and scans (the round-9 audit counted
+  * d_bigram_logprob at 14 shuffles / 5 scans where the executed plan
+  * runs 7 exchanges / 1 scan with 4 ReusedExchange reads).
+  *
+  * Per query: executed-plan scan / pushed-filter / join-strategy /
+  * exchange / reuse counts as one summary table; full formatted plans
   * for the headline queries. Re-run after plan-affecting changes and
   * diff the file to catch plan regressions (a lost broadcast, a scan
-  * that stopped pushing filters) before they cost bench time.
+  * that stopped pushing filters, a reuse that stopped firing) before
+  * they cost bench time.
   *
   * Usage: sbt "runMain graft.tools.ExplainReport [sfDir] [outPath]"
   */
@@ -24,7 +32,8 @@ object ExplainReport {
     "q1_agg", "q_multi_join", "q_topk", "q_asof_join_merge",
     "d_dedup_minhash_pairs", "d_dedup_embed_lsh", "d_cosine_topk",
     "q_incremental_sync", "q_time_bucket_agg", "d_pipeline_curate",
-    "q_range_join", "d_heavy_hitters", "d_tfidf_keywords")
+    "q_range_join", "d_heavy_hitters", "d_tfidf_keywords",
+    "d_bigram_logprob", "d_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -41,49 +50,57 @@ object ExplainReport {
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN audit\n\n")
-    sb.append(s"Physical-plan audit of every `SparkEntry.queries` entry at `$sfDir`.\n")
+    sb.append(s"EXECUTED-plan audit of every `SparkEntry.queries` entry at `$sfDir`:\n")
+    sb.append("each query runs to completion and the final adaptive plan is counted\n")
+    sb.append("(AQE join selection and exchange reuse are runtime decisions — the\n")
+    sb.append("compile-time tree duplicates shared subtrees and overstates cost).\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.ExplainReport\"` and diff.\n\n")
-    sb.append("| query | scans | pushed filters | broadcast joins | SMJ | BNLJ | shuffles | flags |\n")
-    sb.append("|---|---|---|---|---|---|---|---|\n")
+    sb.append("| query | scans | pushed filters | broadcast joins | SMJ | BNLJ | shuffles | reused | flags |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
 
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan =
-        try fn(spark, sfDir).queryExecution
-          .explainString(ExplainMode.fromString("formatted"))
-        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+        try {
+          val df = fn(spark, sfDir)
+          df.collect() // finalize THIS plan's stages (count() builds another plan)
+          df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       name -> plan
     }
 
-    // formatted mode prints each node in the tree AND the details
-    // section — count only the details form "(N) NodeName"
-    def count(plan: String, node: String): Int =
-      s"\\(\\d+\\) $node".r.findAllMatchIn(plan).length
+    def count(plan: String, pat: String): Int =
+      pat.r.findAllMatchIn(plan).length
 
     plans.foreach { case (name, plan) =>
-      val scans = count(plan, "Scan parquet")
-      val pushed = "PushedFilters: \\[[^\\]]".r.findAllMatchIn(plan).length // non-empty
+      val scans = count(plan, "FileScan parquet")
+      val pushed = count(plan, "PushedFilters: \\[[^\\]]") // non-empty
       val bhj = count(plan, "BroadcastHashJoin")
       val smj = count(plan, "SortMergeJoin")
       val bnlj = count(plan, "BroadcastNestedLoopJoin")
-      val wsc = count(plan, "Exchange") // shuffle + broadcast exchanges
+      val shuffles = count(plan, "\\+- Exchange ")
+      val reused = count(plan, "ReusedExchange")
       val flags = Seq(
         (plan.contains("CartesianProduct"), "cartesian"),
         (plan.startsWith("ERROR"), "error"),
       ).collect { case (true, f) => f }.mkString(" ")
-      sb.append(s"| $name | $scans | $pushed | $bhj | $smj | $bnlj | $wsc | $flags |\n")
+      sb.append(s"| $name | $scans | $pushed | $bhj | $smj | $bnlj | $shuffles | $reused | $flags |\n")
     }
 
     sb.append("\nNotes:\n")
-    sb.append("- `shuffles` counts Exchange nodes (hash/range/broadcast) in the pre-AQE ")
-    sb.append("plan — the number to watch when scaling: an extra Exchange on a fact table ")
-    sb.append("is the difference between one pass and two at 100 TB.\n")
+    sb.append("- All counts are from the EXECUTED adaptive plan (final stages as run). ")
+    sb.append("`shuffles` counts live Exchange nodes — each is one materialized shuffle ")
+    sb.append("of its subtree; `reused` counts ReusedExchange reads, i.e. consumers ")
+    sb.append("served from an already-materialized shuffle at zero recompute. An extra ")
+    sb.append("live Exchange on a fact table is the difference between one pass and two ")
+    sb.append("at 100 TB; a `reused` read is free.\n")
     sb.append("- `pushed filters` counts scans with a NON-empty PushedFilters list; ")
     sb.append("full-table aggregates legitimately show 0.\n")
     sb.append("- `SMJ` (sort-merge join) is expected only where both sides are large ")
     sb.append("(fact-fact joins, LSH band self-joins); a dim join appearing here is a regression.\n")
     sb.append("- `BNLJ` is acceptable only where documented: d_dedup_embed (oracle-baseline ")
-    sb.append("all-pairs form) and the cosine top-k family (a BROADCAST non-equi join of a ")
-    sb.append("small query set against one corpus pass, k-bounded — not all-pairs). ")
+    sb.append("all-pairs form), the cosine top-k family (a BROADCAST non-equi join of a ")
+    sb.append("small query set against one corpus pass, k-bounded — not all-pairs), and ")
+    sb.append("1-row broadcast stats frames (bigram/unigram totals). ")
     sb.append("Anywhere else it is a regression.\n")
 
     sb.append("\n## Headline plans\n")
