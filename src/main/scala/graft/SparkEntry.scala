@@ -311,6 +311,16 @@ object SparkEntry {
       val cents = graft.sim.Ivf.train(emb, 8, 2)
       graft.sim.Ivf.annIvf(emb, emb.filter(col("vec_id") < 10), 3, cents, 2)
     }),
+    "d_ann_ivf_hier" -> ((s, d) => {
+      // the nlist-past-the-sample-bound scale path: two-level train +
+      // two-level assign/probe (rows-only like d_ann_ivf — k-means
+      // argmax chains are not SQL-reproducible; IvfSpec pins exact
+      // kernel semantics and recall parity vs the flat path)
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.sim.Ivf.trainHierarchical(emb, 64, 2, nCoarse = 8)
+      graft.sim.Ivf.annIvfHier(emb, emb.filter(col("vec_id") < 10), 3, idx,
+        nprobe = 8, nprobeCoarse = 3)
+    }),
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

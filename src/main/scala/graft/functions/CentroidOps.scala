@@ -48,6 +48,109 @@ object CentroidKernels {
     bits
   }
 
+  /** Driver-side variant of [[nearest]] over a plain vector (the
+    * hierarchical trainer's in-memory assignment loop).
+    */
+  def nearestVec(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    def dot(c: Array[Double]): Double = {
+      val n = math.min(v.length, c.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += v(i) * c(i); i += 1 }
+      acc
+    }
+    var best = 0
+    var bestDot = dot(cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val d = dot(cents(i))
+      if (d > bestDot) { best = i; bestDot = d }
+      i += 1
+    }
+    best
+  }
+
+  /** Two-level assignment: nearest coarse cell, then nearest fine
+    * centroid WITHIN that cell — O((nCoarse + cellFine) · dims) per
+    * row instead of the flat argmax's O(nlist · dims). Returns the
+    * GLOBAL fine centroid id (flat index into `fine`); `offsets` maps
+    * coarse cell c to fine ids [offsets(c), offsets(c+1)). Every cell
+    * holds >= 1 fine centroid (the trainer compacts empty cells out).
+    */
+  def nearestTwoLevel(v: ArrayData, coarse: Array[Array[Double]],
+                      fine: Array[Array[Double]], offsets: Array[Int]): Int = {
+    val cell = nearest(v, coarse)
+    val end = offsets(cell + 1)
+    var best = offsets(cell)
+    var bestDot = dotRow(v, fine(best))
+    var i = best + 1
+    while (i < end) {
+      val d = dotRow(v, fine(i))
+      if (d > bestDot) { best = i; bestDot = d }
+      i += 1
+    }
+    best
+  }
+
+  /** Two-level probe: the `nprobeCoarse` nearest coarse cells, then
+    * the top `nprobe` fine centroids among those cells' lists, nearest
+    * first (global fine ids, ties to the lowest id — the same order
+    * [[probes]] yields when every cell is probed).
+    */
+  def probesTwoLevel(v: ArrayData, coarse: Array[Array[Double]],
+                     fine: Array[Array[Double]], offsets: Array[Int],
+                     nprobeCoarse: Int, nprobe: Int): ArrayData = {
+    val cellDots = Array.tabulate(coarse.length)(i => dotRow(v, coarse(i)))
+    val cellPicked = new Array[Boolean](coarse.length)
+    val nCells = math.min(nprobeCoarse, coarse.length)
+    var nCand = 0
+    val cells = new Array[Int](nCells)
+    var c = 0
+    while (c < nCells) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < coarse.length) {
+        if (!cellPicked(i) && cellDots(i) > bestDot) { best = i; bestDot = cellDots(i) }
+        i += 1
+      }
+      cellPicked(best) = true
+      cells(c) = best
+      nCand += offsets(best + 1) - offsets(best)
+      c += 1
+    }
+    // gather candidate fine ids, then select top nprobe by (dot, -id)
+    val cand = new Array[Int](nCand)
+    val dots = new Array[Double](nCand)
+    var j = 0
+    c = 0
+    while (c < nCells) {
+      var i = offsets(cells(c))
+      val end = offsets(cells(c) + 1)
+      while (i < end) { cand(j) = i; dots(j) = dotRow(v, fine(i)); i += 1; j += 1 }
+      c += 1
+    }
+    val picked = new Array[Boolean](nCand)
+    val out = new Array[Int](math.min(nprobe, nCand))
+    var k = 0
+    while (k < out.length) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var bestId = Int.MaxValue
+      var i = 0
+      while (i < nCand) {
+        if (!picked(i) && (dots(i) > bestDot ||
+            (dots(i) == bestDot && cand(i) < bestId))) {
+          best = i; bestDot = dots(i); bestId = cand(i)
+        }
+        i += 1
+      }
+      picked(best) = true
+      out(k) = cand(best)
+      k += 1
+    }
+    new GenericArrayData(out.map(Int.box))
+  }
+
   /** Top-`nprobe` centroid ids, nearest first (selection over nlist). */
   def probes(v: ArrayData, cents: Array[Array[Double]], nprobe: Int): ArrayData = {
     val dots = Array.tabulate(cents.length)(i => dotRow(v, cents(i)))
@@ -122,6 +225,48 @@ case class ProbeCentroids(child: Expression, cents: Array[Array[Double]],
     copy(child = c)
 }
 
+case class NearestCentroidHier(child: Expression, coarse: Array[Array[Double]],
+                               fine: Array[Array[Double]], offsets: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidKernels.nearestTwoLevel(input.asInstanceOf[ArrayData], coarse, fine, offsets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fi = ctx.addReferenceObj("fine", fine, "double[][]")
+    val of = ctx.addReferenceObj("offsets", offsets, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CentroidKernels.nearestTwoLevel($c, $co, $fi, $of)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidHier =
+    copy(child = c)
+}
+
+case class ProbeCentroidsHier(child: Expression, coarse: Array[Array[Double]],
+                              fine: Array[Array[Double]], offsets: Array[Int],
+                              nprobeCoarse: Int, nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidKernels.probesTwoLevel(input.asInstanceOf[ArrayData], coarse, fine,
+      offsets, nprobeCoarse, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fi = ctx.addReferenceObj("fine", fine, "double[][]")
+    val of = ctx.addReferenceObj("offsets", offsets, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CentroidKernels.probesTwoLevel($c, $co, $fi, $of, $nprobeCoarse, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProbeCentroidsHier =
+    copy(child = c)
+}
+
 object CentroidOps {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -130,6 +275,16 @@ object CentroidOps {
 
   def probeCentroids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     column(ProbeCentroids(expression(vec), cents, nprobe))
+
+  def nearestCentroidHier(vec: Column, coarse: Array[Array[Double]],
+                          fine: Array[Array[Double]], offsets: Array[Int]): Column =
+    column(NearestCentroidHier(expression(vec), coarse, fine, offsets))
+
+  def probeCentroidsHier(vec: Column, coarse: Array[Array[Double]],
+                         fine: Array[Array[Double]], offsets: Array[Int],
+                         nprobeCoarse: Int, nprobe: Int): Column =
+    column(ProbeCentroidsHier(expression(vec), coarse, fine, offsets,
+      nprobeCoarse, nprobe))
 
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     column(LshBucket(expression(vec), planes))

@@ -53,6 +53,105 @@ class IvfSpec extends SparkSpec {
     assert(sizes.sum == 30)
   }
 
+  // synthetic clustered corpus: `n` points in `dims` dims around
+  // `nCenters` seeded-random unit centers with small noise
+  private def synthetic(n: Int, dims: Int, nCenters: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nCenters) {
+      val c = Array.fill(dims)(rnd.nextGaussian())
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / norm).toFloat)
+    }
+    (0 until n).map { i =>
+      val c = centers(i % nCenters)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+  }
+
+  test("hierarchical IVF trains nlist=20000 (past the flat sample bound) with recall parity") {
+    val pts = synthetic(24000, 8, 300, seed = 42L)
+    val df = pts.toDF("vec_id", "embedding")
+
+    // the flat trainer REJECTS this nlist (its init needs nlist sample
+    // vectors) — the exact wall trainHierarchical exists to pass
+    val e = intercept[IllegalArgumentException](Ivf.train(df, 20000, 1))
+    assert(e.getMessage.contains("sample smaller than nlist"))
+
+    val idx = Ivf.trainHierarchical(df, nlist = 20000, iters = 1,
+      minPointsPerCentroid = 1)
+    assert(idx.nlist == 20000)
+    assert(idx.nCoarse <= math.ceil(math.sqrt(20000)).toInt)
+    idx.fine.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6) // unit centroids (or unit init points)
+    }
+    // deterministic
+    val idx2 = Ivf.trainHierarchical(df, nlist = 20000, iters = 1,
+      minPointsPerCentroid = 1)
+    assert(idx.fine.map(_.toSeq).toSeq == idx2.fine.map(_.toSeq).toSeq)
+
+    // ground truth, driver-side exact cosine over the generating points
+    def normalizeD(v: Array[Float]) = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n > 0) d.map(_ / n) else d
+    }
+    val normed = pts.map { case (id, v) => id -> normalizeD(v) }.toMap
+    val queries = pts.take(12).map(_._1)
+    val k = 10
+    val truth: Map[Long, Set[Long]] = queries.map { q =>
+      val qv = normed(q)
+      q -> normed.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, v.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(res: Array[(Long, Long)]): Double = {
+      val byQ = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      queries.map(q => (byQ.getOrElse(q, Set.empty) & truth(q)).size.toDouble / k)
+        .sum / queries.size
+    }
+
+    val qDf = df.filter(col("vec_id") < 12)
+    // equal probe budget: nprobe=48 fine lists on both paths; the flat
+    // path pays O(nlist·dims) per assignment/probe, the hier path
+    // O((nCoarse + cellFine)·dims)
+    val flat = Ivf.annIvf(df, qDf, k, idx.fine, nprobe = 48)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hier = Ivf.annIvfHier(df, qDf, k, idx, nprobe = 48, nprobeCoarse = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val (rFlat, rHier) = (recall(flat), recall(hier))
+    assert(rFlat > 0.5, s"flat recall $rFlat suspiciously low — fixture broken?")
+    assert(rHier >= rFlat - 0.1, s"hier recall $rHier vs flat $rFlat")
+  }
+
+  test("two-level kernels: full coarse probe == flat probe; assignment lands in the nearest cell") {
+    val pts = synthetic(2000, 6, 40, seed = 7L)
+    val df = pts.toDF("vec_id", "embedding")
+    val idx = Ivf.trainHierarchical(df, nlist = 200, iters = 2,
+      minPointsPerCentroid = 4)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val probe = pts.take(20).map { case (_, v) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      new GenericArrayData(d.map(_ / n))
+    }
+    probe.foreach { v =>
+      // probing EVERY coarse cell degenerates to the flat top-nprobe
+      val hier = graft.functions.CentroidKernels
+        .probesTwoLevel(v, idx.coarse, idx.fine, idx.offsets, idx.nCoarse, 16)
+        .toIntArray().toSeq
+      val flat = graft.functions.CentroidKernels
+        .probes(v, idx.fine, 16).toIntArray().toSeq
+      assert(hier == flat)
+      // assignment: global id within the nearest coarse cell's range
+      val cid = graft.functions.CentroidKernels
+        .nearestTwoLevel(v, idx.coarse, idx.fine, idx.offsets)
+      val cell = graft.functions.CentroidKernels.nearestVec(
+        (0 until v.numElements()).map(v.getDouble).toArray, idx.coarse)
+      assert(cid >= idx.offsets(cell) && cid < idx.offsets(cell + 1))
+    }
+  }
+
   test("nearDupPairs finds exactly the high-cosine pairs") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
