@@ -337,15 +337,24 @@ object IncrementalStream {
 
   /** Streaming exact-dedup sink (foreachBatch over [[dedupBatch]]).
     * Read the deduped corpus back with [[readDeduped]].
+    *
+    * `compactEvery = n` folds the store's committed batch dirs into a
+    * consolidated partition after every n-th batch
+    * ([[StoreMaintenance.compactStore]] — answer-preserving, and safe
+    * under replay: the just-written batch id is the store's max, which
+    * compaction always retains individually).
     */
   def sinkDedup(df: DataFrame, storeDir: String, outDir: String,
                 checkpointDir: String, textCol: String = "text",
-                idCol: String = "doc_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+                idCol: String = "doc_id",
+                compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, batchId, storeDir, outDir, textCol, idCol)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          StoreMaintenance.compactStore(batch.sparkSession, storeDir): Unit
       }
 
   /** The deduped corpus across all committed batches (None before the
@@ -411,7 +420,8 @@ object IncrementalStream {
   def sinkNearDup(df: DataFrame, indexDir: String, pairsDir: String,
                   checkpointDir: String, k: Int = 3, numPerm: Int = 32,
                   bands: Int = 8, threshold: Double = 0.8,
-                  textCol: String = "text", idCol: String = "doc_id")
+                  textCol: String = "text", idCol: String = "doc_id",
+                  compactEvery: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
@@ -419,6 +429,8 @@ object IncrementalStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupBatch(batch, batchId, indexDir, pairsDir,
           k, numPerm, bands, threshold, textCol, idCol)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          StoreMaintenance.compactStore(batch.sparkSession, indexDir): Unit
       }
 
   /** Streaming CURATION sink: foreachBatch over
@@ -435,7 +447,8 @@ object IncrementalStream {
                  minQuality: Double = 0.3,
                  keepLangs: Seq[String] = Seq("en"),
                  sampleFraction: Double = 1.0,
-                 textCol: String = "text", idCol: String = "doc_id")
+                 textCol: String = "text", idCol: String = "doc_id",
+                 compactEvery: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
@@ -452,6 +465,10 @@ object IncrementalStream {
           if (out.count() > 0)
             out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         } finally out.unpersist(blocking = true)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          StoreMaintenance.compactStore(batch.sparkSession, seenDir)
+          StoreMaintenance.compactStore(batch.sparkSession, indexDir): Unit
+        }
       }
 
   /** Sessionization via the NATIVE `session_window` operator — the

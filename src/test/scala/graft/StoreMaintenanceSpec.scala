@@ -117,6 +117,32 @@ class StoreMaintenanceSpec extends SparkSpec {
     assert(pairs(pairsDir) == pairs(pairsB))
   }
 
+  test("sinkDedup compactEvery: streamed result identical, store dirs stay bounded") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter("doc_id < 150")
+    val in = tempDir("graft_sm_sink_in")
+    docs.repartition(8).write.mode("overwrite").parquet(in)
+    def run(compactEvery: Int) = {
+      val store = tempDir(s"graft_sm_sink_s$compactEvery") + "/s"
+      val out = tempDir(s"graft_sm_sink_o$compactEvery") + "/o"
+      val ckpt = tempDir(s"graft_sm_sink_ck$compactEvery")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.IncrementalStream
+        .sinkDedup(stream, store, out, ckpt, compactEvery = compactEvery).start()
+      try q.processAllAvailable() finally q.stop()
+      (graft.streaming.IncrementalStream.readDeduped(spark, out).get
+        .select("doc_id").as[Long].collect().toSet, batchDirCount(store))
+    }
+    val (plain, plainDirs) = run(0)
+    val (compacted, compactedDirs) = run(2)
+    assert(compacted == plain) // maintenance is invisible to the answer
+    assert(plainDirs >= 6) // ~one dir per micro-batch without maintenance
+    // one consolidation dir per maintenance run (O(new) each, by
+    // design) + the retained latest + the uncompacted tail
+    assert(compactedDirs < plainDirs && compactedDirs <= 5)
+  }
+
   test("crash recovery: leftover source dir is cleaned by the manifest") {
     val store = tempDir("graft_sm_cr") + "/s"
     val out = tempDir("graft_sm_cro") + "/o"
