@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * Image rows get a REAL decode: `javax.imageio` (JDK-only — PNG,
   * JPEG, GIF, BMP) turns the payload into pixels, and the feature is
   * the Rec.601 mean luma with width/height taken from the DECODED
-  * image, not the metadata columns. Payloads no reader claims (and
-  * audio/video, which the JDK cannot decode) fall back to a
-  * deterministic md5 fingerprint with the metadata dimensions — so
-  * the pipeline is total over arbitrary bytes and oracle-checkable
-  * end to end. Swapping in a richer decoder (libjpeg-turbo, ffmpeg
-  * via JNI) replaces only `decodeImage`; no plumbing changes.
+  * image, not the metadata columns. Audio rows likewise:
+  * `javax.sound.sampled` (JDK-only — WAV/AIFF/AU, 8/16-bit PCM)
+  * yields format facts + full-scale RMS from the decoded samples.
+  * Payloads no reader claims (and video, which the JDK cannot
+  * decode) fall back to a deterministic md5 fingerprint with the
+  * metadata dimensions — so the pipeline is total over arbitrary
+  * bytes and oracle-checkable end to end. Swapping in a richer
+  * decoder (libjpeg-turbo, ffmpeg via JNI) replaces only
+  * `decodeImage`/`decodeAudio`; no plumbing changes.
   */
 object Multimodal {
 
@@ -88,11 +91,74 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decoded audio facts: format parameters and the feature string
+    * `pcm:<rate>hz:<ch>ch:<bits>bit:rms:<v>` — overall RMS over every
+    * sample of every channel, normalized to [0,1] full scale,
+    * accumulated in exact longs so the value is identical on any JVM.
+    */
+  private[graft] case class DecodedAudio(sampleRate: Int, channels: Int,
+                                      bitsPerSample: Int, nFrames: Long,
+                                      feature: String)
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-only — WAV/AIFF/AU
+    * containers, 8/16-bit integer PCM). None when no installed reader
+    * claims the bytes or the encoding isn't integer PCM — the caller
+    * falls back to [[fingerprint]]. The header probe rejects non-audio
+    * payloads in microseconds.
+    */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          ais.getFrameLength <= 0) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val n = bytes.length / bytesPerSample
+          // Σ s² in exact longs: |s| ≤ 2^15 so n·s² overflows long only
+          // past 2^33 samples per payload — far beyond a row's bytes
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val s: Long =
+              if (bits == 8) {
+                if (signed) bytes(i).toLong
+                else (bytes(i) & 0xff).toLong - 128L
+              } else {
+                val off = i * 2
+                val lo = bytes(off) & 0xff
+                val hi = bytes(off + 1) & 0xff
+                val raw = if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
+                val v = if (signed) raw.toShort.toLong else raw.toLong - 32768L
+                v
+              }
+            sumSq += s * s
+            i += 1
+          }
+          val fullScale = if (bits == 8) 128.0 else 32768.0
+          val rms = math.sqrt(sumSq.toDouble / n) / fullScale
+          Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, bits,
+            ais.getFrameLength,
+            s"pcm:${fmt.getSampleRate.toInt}hz:${fmt.getChannels}ch:${bits}bit:rms:" +
+              String.format(java.util.Locale.ROOT, "%.6f", Double.box(rms))))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Partition-batched feature extraction: the decoder is invoked once
     * per partition iterator (the batch shape a native decoder wants),
     * never per-row on the driver. Image rows whose payload decodes get
-    * DECODER-derived width/height and the mean-luma feature; anything
-    * else keeps the metadata dimensions and the md5 fingerprint.
+    * DECODER-derived width/height and the mean-luma feature; audio rows
+    * whose payload is a real PCM container get format + full-scale-RMS
+    * facts from the DECODED samples; anything else keeps the metadata
+    * dimensions and the md5 fingerprint.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val sp = media.sparkSession
@@ -101,8 +167,14 @@ object Multimodal {
       // per-partition setup cost (decoder init) amortized here; the
       // ImageIO plugin registry scan happens once per JVM, not per row
       rows.map { r =>
-        val decoded =
-          if (r.media_type == "image") decodeImage(r.payload) else None
+        val decoded = r.media_type match {
+          case "image" => decodeImage(r.payload)
+          case "audio" => decodeAudio(r.payload).map(a =>
+            // width/height are image facts — metadata passes through;
+            // the decoded format + RMS ride the feature string
+            DecodedImage(r.width, r.height, a.feature))
+          case _ => None
+        }
         decoded match {
           case Some(d) =>
             MediaFeature(r.doc_id, r.media_type, r.payload.length,

@@ -284,6 +284,39 @@ class TextMmSpec extends SparkSpec {
     assert(got(3L).feature_hash.matches("[0-9a-f]{32}"))
   }
 
+  test("real audio decode: handmade 16-bit PCM WAV yields format facts + exact RMS; video never decoded") {
+    // 16-bit mono 8000 Hz WAV via the JDK codec (write side): a square
+    // wave at amplitude 16384 = exactly 0.5 of full scale
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array[Short](16384, -16384, 16384, -16384)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(
+      // metadata duration deliberately wrong (999 ms vs the true 0.5 ms):
+      // the decoded feature must come from the samples, not the metadata
+      Multimodal.MediaRow(1L, "audio", wav, 3, 3, 999),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), 1, 1, 0),
+      Multimodal.MediaRow(3L, "video", wav, 2, 2, 5000), // video: never decoded
+    ).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).feature_hash == "pcm:8000hz:1ch:16bit:rms:0.500000")
+    assert(got(2L).feature_hash.matches("[0-9a-f]{32}"))
+    assert(got(3L).feature_hash.matches("[0-9a-f]{32}"))
+
+    val d = Multimodal.decodeAudio(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 &&
+      d.bitsPerSample == 16 && d.nFrames == 4L)
+  }
+
   test("audioFrameEnergy: hand-computed RMS per frame, ragged tail, non-audio filtered") {
     import graft.mm.Multimodal
     val media = Seq(
