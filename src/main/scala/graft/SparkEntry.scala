@@ -539,6 +539,17 @@ object SparkEntry {
       graft.ops.Sampling.sampleKPerGroup(
         Tables.documents(s, d), "lang", "doc_id", 40)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "d_dsir_select" -> ((s, d) => {
+      // DSIR importance resampling: select the 100 raw-pool docs most
+      // like the src0 target domain. Exact-word form of the paper's
+      // hashed-ngram estimator — the log-ratio model is SQL-
+      // reproducible, so the oracle recomputes the identical ranking
+      val docs = Tables.documents(s, d)
+      graft.pipeline.Dsir.selectTopK(
+        target = docs.filter(col("source") === "src0"),
+        raw = Tables.spread(docs.filter(col("source") =!= "src0")),
+        k = 100)
+    }),
     "d_ann_quantized" -> ((s, d) =>
       // int8-packed brute-force top-k: quantization, integer dots, and
       // the cosine normalization are all deterministic, so the DuckDB
@@ -931,6 +942,39 @@ object SparkEntry {
         |             doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+    "d_dsir_select" ->
+      // identical op order to Dsir.logRatioModel/importanceWeights:
+      // (c+λ)/(T+λV) ratios divided, ln rounded 9dp, exact decimal sum,
+      // final round 6dp — ulp-safe by the repo determinism contract
+      """WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+        |rawp AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |ct AS (SELECT w, count(*) AS c_t FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS w FROM tgt)
+        |       WHERE length(w) > 0 GROUP BY w),
+        |cq AS (SELECT w, count(*) AS c_q FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS w FROM rawp)
+        |       WHERE length(w) > 0 GROUP BY w),
+        |vocab AS (SELECT coalesce(ct.w, cq.w) AS w,
+        |                 coalesce(c_t, 0) AS c_t, coalesce(c_q, 0) AS c_q
+        |          FROM ct FULL OUTER JOIN cq ON ct.w = cq.w),
+        |tot AS (SELECT CAST(sum(c_t) AS DOUBLE) AS t_t,
+        |               CAST(sum(c_q) AS DOUBLE) AS t_q,
+        |               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |model AS (SELECT w, CAST(round(ln(
+        |            ((CAST(c_t AS DOUBLE) + 1.0) / (t_t + 1.0 * v)) /
+        |            ((CAST(c_q AS DOUBLE) + 1.0) / (t_q + 1.0 * v))), 9)
+        |          AS DECIMAL(30,12)) AS logratio
+        |          FROM vocab CROSS JOIN tot),
+        |toks AS (SELECT doc_id, w FROM (
+        |           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM rawp)
+        |         WHERE length(w) > 0),
+        |scored AS (SELECT doc_id, count(logratio) AS n_tokens,
+        |                  sum(logratio) AS sum_lr
+        |           FROM toks LEFT JOIN model USING (w) GROUP BY doc_id)
+        |SELECT r.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |       round(CAST(coalesce(sum_lr, 0) AS DOUBLE), 6) AS log_weight
+        |FROM rawp r LEFT JOIN scored ON r.doc_id = scored.doc_id
+        |ORDER BY log_weight DESC, r.doc_id ASC LIMIT 100""".stripMargin,
     "d_domain_mix_portable" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n FROM documents GROUP BY source
