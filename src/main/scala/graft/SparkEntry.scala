@@ -58,7 +58,11 @@ object SparkEntry {
       val fresh = orders
         .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
         .unionByName(updates)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pmerge_${d.hashCode.toHexString}"
+      // applicationId in the path: two concurrent harness processes on
+      // the same dataset must not overwrite each other's staged target
+      // mid-read (same contract as the d_jsonl_roundtrip staging dir).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pmerge_" +
+        s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
       PartitionedSync.writeFull(base, bucket, path)
       PartitionedSync.mergeIncremental(s, path, fresh,
         Seq("o_orderkey"), "o_orderdate", "o_orderkey", bucket)
@@ -550,6 +554,42 @@ object SparkEntry {
         raw = Tables.spread(docs.filter(col("source") =!= "src0")),
         k = 100)
     }),
+    "d_domain_overlap" -> ((s, d) =>
+      // cross-source 3-gram overlap matrix: which sources share enough
+      // content that cross-source dedup must precede mixing. Gram
+      // hashes in the engine, gram strings in the oracle — distinct
+      // counts agree modulo 64-bit collisions (none at this sf)
+      graft.text.TextAnalysis.domainOverlap(Tables.documents(s, d), 3)),
+    "d_quality_classifier" -> ((s, d) => {
+      // fastText-style learned quality filter: 5 rounds of distributed
+      // logistic descent over hashed unigram+bigram features, then
+      // score the corpus and roll up calibration per true label. The
+      // testdata's metadata columns are uncorrelated with text (every
+      // lang shares one 31-word vocab), so — like d_c4_clean's
+      // boilerplate and d_dedup_embed_lsh's injected dups — the entry
+      // plants deterministic signal: docs with doc_id % 3 == 0 carry a
+      // marker phrase the model must discover. rows-only: iterative
+      // optimization isn't SQL-expressible; ClassifierSpec pins the
+      // exact semantics against a sequential plain-JVM reference.
+      val docs = Tables.documents(s, d)
+        .withColumn("label", (col("doc_id") % 3 === 0).cast("int"))
+        .withColumn("text", when(col("label") === 1,
+          concat(col("text"), lit(" verified curated corpus")))
+          .otherwise(col("text")))
+      // raw presence features (l1Normalize=false): classic bag-of-words
+      // LR conditioning — decisive separation in 5 full-batch passes
+      val m = graft.pipeline.TextClassifier.train(
+        docs, docs.select("doc_id", "label"),
+        dim = 1 << 15, iters = 5, lr = 1.0, l1Normalize = false)
+      graft.pipeline.TextClassifier.score(docs, m)
+        .join(docs.select("doc_id", "label"), "doc_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("prob").cast("decimal(30,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_prob"),
+          count(when(col("prob") >= 0.5, 1)).as("n_pred_pos"))
+        .orderBy("label")
+    }),
     "d_ann_quantized" -> ((s, d) =>
       // int8-packed brute-force top-k: quantization, integer dots, and
       // the cosine normalization are all deterministic, so the DuckDB
@@ -942,6 +982,27 @@ object SparkEntry {
         |             doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+    "d_domain_overlap" ->
+      // gram construction mirrors the d_ngram_jaccard oracle (k=3:
+      // max(len-3,0)+1 grams, short docs contribute their whole text);
+      // counts are over distinct gram STRINGS where the engine counts
+      // distinct 64-bit gram hashes — equal absent collisions
+      """WITH g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS gram
+        |    FROM documents) t),
+        |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  any_value(ta.n) AS grams_a, any_value(tb.n) AS grams_b,
+        |  count(*) AS shared,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |        (any_value(ta.n) + any_value(tb.n) - count(*)), 6) AS jaccard
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |JOIN tot ta ON ta.source = a.source
+        |JOIN tot tb ON tb.source = b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "d_dsir_select" ->
       // identical op order to Dsir.logRatioModel/importanceWeights:
       // (c+λ)/(T+λV) ratios divided, ln rounded 9dp, exact decimal sum,

@@ -16,6 +16,9 @@ import graft.text.TextAnalysis
   *                           → min-id representative per cluster)
   *     → quality gate       (length/punct composite ≥ threshold)
   *     → language filter    (n-gram marker language ID)
+  *     → learned gate       (optional [[TextClassifier]] probability
+  *                           ≥ threshold — the CCNet/DCLM classifier
+  *                           stage, run after the cheap heuristics)
   *     → deterministic sample (id-hash, partitioning-independent)
   *
   * Every stage is a declarative transform — the whole pipeline is ONE
@@ -31,6 +34,8 @@ object Curation {
              minQuality: Double = 0.3,
              keepLangs: Seq[String] = Seq("en"),
              sampleFraction: Double = 1.0,
+             classifier: Option[TextClassifier.Model] = None,
+             minClassifierProb: Double = 0.5,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // 1. exact dedup: survivors are the min id per content hash
     val hashed = docs.withColumn("__h", md5(col(textCol).cast("binary")))
@@ -53,14 +58,34 @@ object Curation {
       .filter(col("quality") >= minQuality)
       .filter(col("pred_lang").isin(keepLangs: _*))
 
+    // 4b. optional learned gate (CCNet/DCLM layering: the trained
+    // filter runs AFTER the cheap heuristics, so it only pays its
+    // feature pass on already-plausible docs)
+    val learned = applyClassifierGate(gated, classifier, minClassifierProb,
+      idCol, textCol)
+
     // 5. deterministic sample
     val sampled =
-      if (sampleFraction >= 1.0) gated
-      else Sampling.deterministicSample(gated, idCol, sampleFraction)
+      if (sampleFraction >= 1.0) learned
+      else Sampling.deterministicSample(learned, idCol, sampleFraction)
 
     sampled.select(col(idCol), col(textCol), col("pred_lang"), col("quality"))
       .orderBy(idCol)
   }
+
+  /** Keep docs the trained [[TextClassifier]] scores ≥ `minProb`;
+    * identity when no model is supplied. History-free, so batch and
+    * delta curation share it unchanged.
+    */
+  private def applyClassifierGate(docs: DataFrame,
+                                  classifier: Option[TextClassifier.Model],
+                                  minProb: Double,
+                                  idCol: String, textCol: String): DataFrame =
+    classifier.fold(docs) { m =>
+      val probs = TextClassifier.score(docs, m, textCol, idCol)
+        .filter(col("prob") >= minProb).select(idCol)
+      docs.join(probs, Seq(idCol), "left_semi")
+    }
 
   /** Incremental curation: curate ONE arriving batch against the
     * persistent ingest stores, without re-reading history — the
@@ -101,6 +126,8 @@ object Curation {
                   minQuality: Double = 0.3,
                   keepLangs: Seq[String] = Seq("en"),
                   sampleFraction: Double = 1.0,
+                  classifier: Option[TextClassifier.Model] = None,
+                  minClassifierProb: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(seenDir)
@@ -148,9 +175,10 @@ object Curation {
       // 3. history-free gates + deterministic sample
       val scored = TextAnalysis.langId(
         TextAnalysis.qualityScore(nearDeduped, textCol), textCol)
-      val gated = scored
+      val gated = applyClassifierGate(scored
         .filter(col("quality") >= minQuality)
-        .filter(col("pred_lang").isin(keepLangs: _*))
+        .filter(col("pred_lang").isin(keepLangs: _*)),
+        classifier, minClassifierProb, idCol, textCol)
       val sampled =
         if (sampleFraction >= 1.0) gated
         else Sampling.deterministicSample(gated, idCol, sampleFraction)

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear quality classifier — the fastText-style
+  * learned filter (Joulin et al. 2017, "Bag of Tricks for Efficient
+  * Text Classification") that modern curation pipelines (CCNet, DCLM,
+  * LLaMA) run between heuristic gates and training: fit a logistic
+  * model on weak labels (a trusted in-domain slice vs the raw pool),
+  * then score every document with the learned probability.
+  * Complements the repo's heuristic quality signals (gopher rules,
+  * C4 clean, char entropy) with the *learned* stage those pipelines
+  * layer on top.
+  *
+  * Features: presence of distinct word unigrams + bigrams, hashed
+  * into `dim` buckets (the hashing trick — fixed feature budget, no
+  * vocab table), L1-normalized per document (each present feature
+  * weighs 1/n_features, fastText's mean-of-embeddings shape). The
+  * gram hashes come from the codegen'd [[graft.functions.Hashes]]
+  * expressions — no per-gram strings materialize.
+  *
+  * Training is batch gradient descent, distributed Spark-first:
+  * the hashed feature stream is built ONCE, repartitioned by doc and
+  * persisted; every iteration is then (broadcast-join the weight
+  * table) → (per-doc margin agg, no extra exchange — the stream is
+  * already doc-partitioned) → (per-feature gradient agg, the one
+  * shuffle keyed by feature). The weight vector and gradient are
+  * bounded by `dim` (driver-side arrays, `dim ≤ 2^20` enforced), so
+  * the only collects are provably bounded — the same contract as the
+  * BPE merge table and k-means sample.
+  *
+  * Determinism (the repo contract): every cross-row float sum runs as
+  * 9-dp-rounded decimals — per-doc margins, per-feature gradients,
+  * the bias gradient and the loss — so training is bit-identical on
+  * any partitioning of the input, and [[score]] rounds to 6 dp.
+  * Iterative optimization is not ANSI-SQL-expressible, so the
+  * SparkEntry row is rows-only; exact semantics are pinned by
+  * ClassifierSpec's plain-JVM sequential cross-check.
+  */
+object TextClassifier {
+
+  /** Trained model: dense-in-a-map weights over hashed features (only
+    * features seen in training are present; absent = 0.0), plus the
+    * per-iteration mean log-loss trace for convergence checks.
+    * `l1Normalize` records the feature scaling the model was trained
+    * under — scoring MUST feed it the same scaling, so it rides the
+    * model rather than being a separate scoring knob.
+    */
+  final case class Model(dim: Int, bias: Double, weights: Map[Int, Double],
+                         losses: Seq[Double], l1Normalize: Boolean = true)
+
+  private def dec9(c: Column): Column = round(c, 9).cast("decimal(30,12)")
+  private val MaxDim = 1 << 20
+
+  /** Hashed presence features: one row per (doc, feature bucket) with
+    * `tf` = cnt/n_features when `l1Normalize` (fastText's
+    * mean-of-embeddings shape — margins independent of doc length,
+    * the right scaling when downstream thresholds must mean the same
+    * thing for tweets and books) or raw cnt when not (classic
+    * bag-of-words logistic regression — much better conditioned for
+    * few-iteration full-batch descent, margins grow with evidence).
+    * cnt > 1 only when two distinct grams collide into a bucket.
+    * Distinct unigrams and bigrams of the space-split text, hashed by
+    * the codegen'd GramHashes expression and folded into `dim`
+    * buckets. Docs with empty text still emit their single
+    * empty-gram feature — no document is dropped.
+    */
+  def hashedFeatures(docs: DataFrame, dim: Int, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     l1Normalize: Boolean = true): DataFrame = {
+    require(dim > 0 && dim <= MaxDim,
+      s"dim must be in (0, $MaxDim]: the weight vector and gradient are " +
+        s"driver-side arrays bounded by dim (got $dim)")
+    val grams = concat(
+      graft.functions.Hashes.gram_hashes(col(textCol), 1),
+      graft.functions.Hashes.gram_hashes(col(textCol), 2))
+    val n = docs.select(col(idCol), explode(grams).as("__h"))
+      .select(col(idCol), pmod(col("__h"), lit(dim.toLong)).cast("int").as("feat"))
+      .groupBy(idCol, "feat").agg(count(lit(1)).as("cnt"))
+    if (!l1Normalize)
+      n.select(col(idCol), col("feat"), col("cnt").cast("double").as("tf"))
+    else {
+      val tot = n.groupBy(idCol).agg(sum("cnt").as("__n"))
+      n.join(tot, idCol :: Nil)
+        .select(col(idCol), col("feat"),
+          (col("cnt").cast("double") / col("__n")).as("tf"))
+    }
+  }
+
+  /** Fit logistic weights on (doc, label∈{0,1}) weak labels by `iters`
+    * rounds of full-batch gradient descent with learning rate `lr`
+    * and L2 penalty `l2`. Deterministic on any input partitioning.
+    */
+  def train(docs: DataFrame, labels: DataFrame, dim: Int, iters: Int = 8,
+            lr: Double = 2.0, l2: Double = 0.0, textCol: String = "text",
+            idCol: String = "doc_id", l1Normalize: Boolean = true): Model = {
+    require(iters > 0, s"iters must be > 0: $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the expensive subtree (tokenize + hash + per-doc agg) evaluates
+    // once: doc-partitioned and persisted, every iteration's margin agg
+    // and residual join sit on this partitioning with no new exchange
+    val feats = hashedFeatures(docs, dim, textCol, idCol, l1Normalize)
+      .join(labels.select(col(idCol), col("label").cast("double").as("__y")),
+        idCol :: Nil)
+      .repartition(col(idCol))
+      .persist()
+    try {
+      val nDocs = feats.select(idCol).distinct().count().toDouble
+      require(nDocs > 0, "no labeled documents to train on")
+      val w = new Array[Double](dim)
+      var bias = 0.0
+      val losses = Seq.newBuilder[Double]
+      for (_ <- 1 to iters) {
+        val nz = w.iterator.zipWithIndex.collect {
+          case (v, i) if v != 0.0 => (i, v)
+        }.toSeq
+        val wdf =
+          if (nz.isEmpty) Seq((0, 0.0)).toDF("feat", "__w").limit(0)
+          else nz.toDF("feat", "__w")
+        // margin_d = Σ_f tf·w_f (+ bias): decimal-summed so the fold
+        // order across a doc's feature rows cannot change the result
+        val resid = feats.join(broadcast(wdf), Seq("feat"), "left")
+          .groupBy(idCol)
+          .agg(sum(dec9(col("tf") * coalesce(col("__w"), lit(0.0))))
+            .as("__m"), first(col("__y")).as("__y"))
+          .select(col(idCol), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("__m").cast("double") + lit(bias)))))
+              .as("__p"))
+          .select(col(idCol), (col("__p") - col("__y")).as("__r"),
+            // log-loss, clamped away from log(0) by the sigmoid's range
+            (-(col("__y") * log(col("__p")) +
+              (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p")))).as("__l"))
+        val stats = resid.agg(
+          sum(dec9(col("__r"))).cast("double").as("gb"),
+          sum(dec9(col("__l"))).cast("double").as("loss")).head()
+        // per-feature gradient: the one per-iteration shuffle (by feat);
+        // bounded by dim, collected to the driver like the BPE table
+        val grad = feats.join(resid.select(col(idCol), col("__r")), idCol :: Nil)
+          .groupBy("feat")
+          .agg(sum(dec9(col("__r") * col("tf"))).cast("double").as("g"))
+          .as[(Int, Double)].collect()
+        for ((f, g) <- grad) w(f) -= lr * (g / nDocs + l2 * w(f))
+        bias -= lr * stats.getDouble(0) / nDocs
+        losses += stats.getDouble(1) / nDocs
+      }
+      Model(dim, bias,
+        w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }.toMap,
+        losses.result(), l1Normalize)
+    } finally { feats.unpersist(blocking = false); () }
+  }
+
+  /** Score documents under a trained model: P(label=1) per doc,
+    * rounded to 6 dp. One pass — features build map-side, the weight
+    * table joins broadcast, the per-doc margin agg is the only
+    * exchange. Docs appear exactly once, including empty-text docs.
+    */
+  def score(docs: DataFrame, model: Model, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf =
+      if (model.weights.isEmpty) Seq((0, 0.0)).toDF("feat", "__w").limit(0)
+      else model.weights.toSeq.toDF("feat", "__w")
+    hashedFeatures(docs, model.dim, textCol, idCol, model.l1Normalize)
+      .join(broadcast(wdf), Seq("feat"), "left")
+      .groupBy(idCol)
+      .agg(sum(dec9(col("tf") * coalesce(col("__w"), lit(0.0)))).as("__m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__m").cast("double") + lit(model.bias)))), 6).as("prob"))
+  }
+}

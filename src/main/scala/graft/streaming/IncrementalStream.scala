@@ -447,6 +447,8 @@ object IncrementalStream {
                  minQuality: Double = 0.3,
                  keepLangs: Seq[String] = Seq("en"),
                  sampleFraction: Double = 1.0,
+                 classifier: Option[graft.pipeline.TextClassifier.Model] = None,
+                 minClassifierProb: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id",
                  compactEvery: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
@@ -457,7 +459,9 @@ object IncrementalStream {
         val out = graft.pipeline.Curation.curateDelta(
           batch, batchId, seenDir, indexDir,
           minQuality = minQuality, keepLangs = keepLangs,
-          sampleFraction = sampleFraction, idCol = idCol, textCol = textCol)
+          sampleFraction = sampleFraction,
+          classifier = classifier, minClassifierProb = minClassifierProb,
+          idCol = idCol, textCol = textCol)
         // materialize once; empty batches write nothing (a
         // part-file-less dir poisons later reads — dedupBatch rule)
         out.persist()

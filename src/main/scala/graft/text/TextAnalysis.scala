@@ -601,4 +601,54 @@ object TextAnalysis {
           count(lit(1))).as("quality_avg"))
       .orderBy(langCol)
   }
+
+  /** Cross-source n-gram overlap matrix — provenance/contamination
+    * analysis over a multi-source corpus: for every source pair, how
+    * many distinct word n-grams they share and the Jaccard of their
+    * gram sets. The report that answers "which crawl snapshots /
+    * vendors overlap enough that cross-source dedup must run before
+    * mixing" and "does any source leak into the eval source".
+    *
+    * Scale shape: grams never materialize as strings — the codegen'd
+    * GramHashes expression emits distinct 64-bit gram hashes per doc
+    * map-side, so the ONE corpus-shaped exchange carries (8 B hash,
+    * source) rows keyed by hash. Pair counting uses the bucketPairs
+    * pattern (Dedup.scala candidate generation), not a gram-table
+    * self-join: each gram's deduped source set expands its (a < b)
+    * combinations inside codegen — fan-out per gram bounded by
+    * |sources|², output matrix |sources|² rows, and per-source totals
+    * ride the SAME hash-keyed exchange (ReusedExchange serves the
+    * second aggregation). Source pairs sharing zero grams are absent
+    * (inner semantics — the oracle mirrors this).
+    *
+    * Hash-collision tolerance matches every other gram consumer
+    * (MinHash, Jaccard-on-hashes): counts are over distinct 64-bit
+    * hashes, which the string-gram oracle reproduces exactly unless
+    * two distinct grams of the same corpus collide.
+    */
+  def domainOverlap(docs: DataFrame, n: Int, textCol: String = "text",
+                    domainCol: String = "source"): DataFrame = {
+    require(n > 0, s"gram size must be > 0: $n")
+    val sets = docs
+      .select(col(domainCol).as("src"),
+        explode(graft.functions.Hashes.gram_hashes(col(textCol), n)).as("h"))
+      .groupBy("h").agg(array_sort(collect_set(col("src"))).as("srcs"))
+    val tot = sets.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val pairs = sets.filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            y -> struct(x AS src_a, y AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.src_a", "p.src_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(tot.select(col("src").as("src_a"), col("n_grams").as("grams_a"))), "src_a")
+      .join(broadcast(tot.select(col("src").as("src_b"), col("n_grams").as("grams_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -49,7 +49,8 @@ object ScaleSoak {
     "q_sync_reconcile", "q_grouping_sets", "d_chunk_docs",
     "d_bm25_search", "d_blocklist_filter", "d_dedup_minhash_delta",
     "q_time_fill", "q_funnel", "q_retention", "d_winnowing_pairs",
-    "d_char_entropy", "d_bigram_logprob", "d_gopher_rules")
+    "d_char_entropy", "d_bigram_logprob", "d_gopher_rules",
+    "d_dsir_select", "d_quality_classifier", "d_domain_overlap")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextClassifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies: the learned filter must separate them
+  private lazy val separable = {
+    val good = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta word$i", 1))
+    val bad = (40 until 80).map(i =>
+      (i.toLong, s"spam junk noise filler garbage blob word$i", 0))
+    (good ++ bad).toDF("doc_id", "text", "label")
+  }
+
+  test("train separates disjoint vocabularies; loss decreases") {
+    // L1-normalized features keep per-step gradients small (||x||₂² ≈
+    // 1/n_features), so full-batch descent tolerates — and needs — a
+    // large rate to converge in few passes
+    val m = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 20, lr = 20.0)
+    assert(m.losses.size == 20)
+    assert(m.losses.forall(l => l > 0 && java.lang.Double.isFinite(l)))
+    assert(m.losses.last < m.losses.head / 4)
+    val scored = TextClassifier.score(separable, m)
+      .join(separable.select("doc_id", "label"), "doc_id")
+      .select(col("doc_id"), (col("prob") >= 0.5).cast("int").as("pred"), col("label"))
+      .collect()
+    assert(scored.length == 80)
+    assert(scored.forall(r => r.getInt(1) == r.getInt(2)), "perfect separation expected")
+  }
+
+  test("training is bit-identical on any input partitioning") {
+    def fit(parts: Int) = TextClassifier.train(
+      separable.repartition(parts), separable.select("doc_id", "label").repartition(parts),
+      dim = 1 << 12, iters = 4, lr = 2.0)
+    val a = fit(7)
+    val b = fit(2)
+    assert(a.bias == b.bias)
+    assert(a.losses == b.losses)
+    assert(a.weights == b.weights)
+  }
+
+  test("distributed training matches a sequential plain-JVM reference") {
+    val docs = Seq(
+      (1L, "up up high rise", 1), (2L, "high rise tall up", 1),
+      (3L, "down low sink fall", 0), (4L, "low fall down deep", 0),
+      (5L, "up down high low", 1),
+    ).toDF("doc_id", "text", "label")
+    val dim = 1 << 12
+    val iters = 5
+    val lr = 1.5
+
+    val got = TextClassifier.train(docs, docs.select("doc_id", "label"),
+      dim = dim, iters = iters, lr = lr)
+
+    // independent sequential gradient descent over the same sparse
+    // features, mirroring the 9-dp-decimal-sum contract exactly
+    val feats: Map[Long, Seq[(Int, Double)]] =
+      TextClassifier.hashedFeatures(docs, dim)
+        .as[(Long, Int, Double)].collect()
+        .groupBy(_._1).map { case (d, fs) => d -> fs.map(f => (f._2, f._3)).toSeq }
+    val labels: Map[Long, Double] = Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 1)
+    def r9(x: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = feats.size.toDouble
+    val w = collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    var bias = 0.0
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val resid = feats.map { case (d, fs) =>
+        val margin = fs.map { case (f, tf) => r9(tf * w(f)) }.sum.toDouble + bias
+        val p = 1.0 / (1.0 + math.exp(-margin))
+        d -> (p - labels(d), -(labels(d) * math.log(p) + (1 - labels(d)) * math.log(1 - p)))
+      }
+      losses += resid.values.map(v => r9(v._2)).sum.toDouble / n
+      val grad = collection.mutable.Map.empty[Int, BigDecimal].withDefaultValue(BigDecimal(0))
+      for ((d, fs) <- feats; (f, tf) <- fs) grad(f) += r9(resid(d)._1 * tf)
+      for ((f, g) <- grad) w(f) -= lr * g.toDouble / n
+      bias -= lr * resid.values.map(v => r9(v._1)).sum.toDouble / n
+    }
+
+    assert(math.abs(got.bias - bias) < 1e-12)
+    got.losses.zip(losses.result()).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    val seqW = w.filter(_._2 != 0.0).toMap
+    assert(got.weights.keySet == seqW.keySet)
+    got.weights.foreach { case (f, v) => assert(math.abs(v - seqW(f)) < 1e-12) }
+  }
+
+  test("score: zero-weight model gives sigmoid(bias); empty text kept") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val m = TextClassifier.Model(1 << 10, bias = 0.4, weights = Map.empty,
+      losses = Nil, l1Normalize = true)
+    val got = TextClassifier.score(docs, m).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = BigDecimal(1.0 / (1.0 + math.exp(-0.4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(1L -> expect, 2L -> expect))
+  }
+}

@@ -36,6 +36,38 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("curate: learned classifier gate drops low-probability docs; None is identity") {
+    import org.apache.spark.sql.functions._
+    // plant the marker the model must reject: every doc_id % 4 == 0
+    // carries junk tokens; train on those weak labels, gate at 0.5
+    val marked = docs.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" zzjunk zzspam zzfiller"))).otherwise(col("text")))
+    val labels = marked.select(col("doc_id"),
+      (col("doc_id") % 4 =!= 0).cast("int").as("label"))
+    val m = graft.pipeline.TextClassifier.train(marked, labels,
+      dim = 1 << 13, iters = 6, lr = 1.0, l1Normalize = false)
+    // the model must rank every junk doc below every clean doc; gate at
+    // the midpoint of the learned margin (threshold choice is the
+    // caller's calibration problem, not the gate's)
+    val probs = graft.pipeline.TextClassifier.score(marked, m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val junkMax = probs.filter(_._1 % 4 == 0).map(_._2).max
+    val cleanMin = probs.filter(_._1 % 4 != 0).map(_._2).min
+    assert(junkMax < cleanMin, s"no learned separation: $junkMax vs $cleanMin")
+    val gatedIds = Curation.curate(marked, minQuality = 0.2,
+      classifier = Some(m), minClassifierProb = (junkMax + cleanMin) / 2)
+      .select("doc_id").as[Long].collect().toSet
+    val plainIds = Curation.curate(marked, minQuality = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gatedIds.nonEmpty)
+    // every gated survivor passes the classifier; all junk-marked docs gone
+    assert(gatedIds.forall(_ % 4 != 0))
+    assert(plainIds.exists(_ % 4 == 0), "ungated pipeline keeps junk docs")
+    // the gate only ever removes: gated ⊆ plain
+    assert(gatedIds.subsetOf(plainIds))
+  }
+
   test("curateDelta: batched union == one-shot curate (connector-free, monotone ids); replay-idempotent") {
     val corpus = docs.select("doc_id", "text").filter("doc_id < 300")
     // near-dups landing across the batch boundary: first-3-words-dropped

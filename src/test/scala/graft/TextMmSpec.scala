@@ -442,4 +442,18 @@ class TextMmSpec extends SparkSpec {
       assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1)
     }
   }
+
+  test("domainOverlap: hand-computed shared grams, zero-overlap pairs absent") {
+    // bigrams (n=2): A1 {a b, b c}, A2 {b c, c d} → A has {a b, b c, c d};
+    // B {b c, c d, d e}; C {x y} shares nothing with anyone
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "b c d", "A"),
+      (3L, "b c d e", "B"), (4L, "x y", "C"),
+    ).toDF("doc_id", "text", "source")
+    val got = graft.text.TextAnalysis.domainOverlap(docs, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // A: 3 distinct grams, B: 3, shared {b c, c d} = 2, jaccard 2/4
+    assert(got.toSeq == Seq(("A", "B", 3L, 3L, 2L, 0.5)))
+  }
 }
