@@ -132,18 +132,24 @@ object TextClassifier {
             // log-loss, clamped away from log(0) by the sigmoid's range
             (-(col("__y") * log(col("__p")) +
               (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p")))).as("__l"))
-        val stats = resid.agg(
-          sum(dec9(col("__r"))).cast("double").as("gb"),
-          sum(dec9(col("__l"))).cast("double").as("loss")).head()
-        // per-feature gradient: the one per-iteration shuffle (by feat);
-        // bounded by dim, collected to the driver like the BPE table
-        val grad = feats.join(resid.select(col(idCol), col("__r")), idCol :: Nil)
+        // ONE action per iteration: the per-feature gradient (the one
+        // shuffle, keyed by feat, bounded by dim — collected like the
+        // BPE table) unioned with a feat = -1 row carrying the bias
+        // gradient and the loss sum, so stats don't cost a second job
+        val grad = feats.join(resid.select(col(idCol), col("__r"), col("__l")),
+            idCol :: Nil)
           .groupBy("feat")
-          .agg(sum(dec9(col("__r") * col("tf"))).cast("double").as("g"))
-          .as[(Int, Double)].collect()
-        for ((f, g) <- grad) w(f) -= lr * (g / nDocs + l2 * w(f))
-        bias -= lr * stats.getDouble(0) / nDocs
-        losses += stats.getDouble(1) / nDocs
+          .agg(sum(dec9(col("__r") * col("tf"))).cast("double").as("g"),
+            lit(Double.NaN).as("loss"))
+          .unionByName(resid.agg(
+            lit(-1).as("feat"),
+            sum(dec9(col("__r"))).cast("double").as("g"),
+            sum(dec9(col("__l"))).cast("double").as("loss")))
+          .as[(Int, Double, Double)].collect()
+        for ((f, g, _) <- grad if f >= 0) w(f) -= lr * (g / nDocs + l2 * w(f))
+        val (_, gb, lossSum) = grad.find(_._1 == -1).get
+        bias -= lr * gb / nDocs
+        losses += lossSum / nDocs
       }
       Model(dim, bias,
         w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }.toMap,
