@@ -254,6 +254,36 @@ object SparkEntry {
         smallGraphEdges = 0L)
         .orderBy("id")
     }),
+    "d_dedup_keep_best" -> ((s, d) => {
+      // ORACLE-CHECKED keep-best dedup: the d_dedup_clusters_sql chain
+      // corpus with INVERTED level ids — the full text (longest, the
+      // "best" member) carries the LARGEST id of its chain, so the
+      // keep-best representative provably diverges from the min-id
+      // rule on every linked chain. Score = length(text), ties
+      // (all-empty truncation chains) fall back to min id on both
+      // engines.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = (0 to 3).map(k => docs.select(
+        (col("doc_id") + 10000 * (3 - k)).as("doc_id"),
+        expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
+        .reduce(_ unionByName _)
+      val sh = copies.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Hashes.gram_hashes(col("text"), 3).as("shingles"))
+      val byBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id") % 10000).orderBy(col("doc_id"))
+      val pairs = sh
+        .withColumn("doc_a", lag(col("doc_id"), 1).over(byBase))
+        .withColumn("sh_a", lag(col("shingles"), 1).over(byBase))
+        .filter(col("doc_a").isNotNull &&
+          size(array_intersect(col("sh_a"), col("shingles"))).cast("double") /
+            size(array_union(col("sh_a"), col("shingles"))) >= 0.5)
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+      graft.dedup.Clusters.dedupByComponentsKeepBest(
+        copies.withColumn("score", length(col("text"))), pairs, "score")
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    }),
     "d_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("simhash", Hashes.simhash64(split(col("text"), " ")))
@@ -1416,6 +1446,46 @@ object SparkEntry {
         |)
         |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, MIN(dst)) AS BIGINT) AS comp
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "d_dedup_keep_best" ->
+      // same chain construction as d_dedup_clusters_sql but with the
+      // level→id mapping inverted (full text = largest id); survivors
+      // = per-component argmax(length, tie min id), plus every
+      // unlinked doc
+      """WITH RECURSIVE copies AS (
+        |  SELECT doc_id + 30000 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string((string_split(text, ' '))[4:], ' ') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string((string_split(text, ' '))[7:], ' ') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string((string_split(text, ' '))[10:], ' ') FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingles
+        |  FROM copies
+        |), chain AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |), edges AS (
+        |  SELECT src, dst FROM chain UNION SELECT dst, src FROM chain
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS id, least(src, MIN(dst)) AS comp FROM reach GROUP BY src
+        |), m AS (
+        |  SELECT c.doc_id, length(c.text) AS len,
+        |         coalesce(comp.comp, c.doc_id) AS comp
+        |  FROM copies c LEFT JOIN comp ON comp.id = c.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len AS BIGINT) AS text_len FROM (
+        |  SELECT doc_id, len,
+        |         row_number() OVER (PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
+        |  FROM m) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d_dedup_embed_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

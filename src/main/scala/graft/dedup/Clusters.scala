@@ -184,4 +184,37 @@ object Clusters {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Prune a corpus keeping the BEST member of each near-dup
+    * component — the FineWeb-style refinement over [[dedupByComponents]]'
+    * min-id rule: inside a cluster of near-duplicates, survival should
+    * go to the highest-quality (or longest, or newest — any scoring
+    * column) version, not the accidentally-smallest id. Representative
+    * = argmax(`scoreCol`), ties broken by min id, so equal scores
+    * degrade exactly to the min-id rule. Docs with no near-dup pair
+    * survive untouched.
+    *
+    * Scale shape: the component table holds only docs that HAD a pair
+    * (near-dup clusters are a small fraction of a deduped corpus); the
+    * score join projects (id, score) — the corpus body never enters
+    * the ranking shuffle, and the final prune is the same anti-join as
+    * the min-id path. Batch-only by design: the incremental path
+    * (curateDelta / streaming sinks) pins first-seen/min-id semantics
+    * because an already-emitted representative cannot be retracted
+    * when a better one arrives later.
+    */
+  def dedupByComponentsKeepBest(docs: DataFrame, pairs: DataFrame,
+                                scoreCol: String,
+                                idCol: String = "doc_id",
+                                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val scored = comps.join(
+      docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("__s").desc, col("id").asc)
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

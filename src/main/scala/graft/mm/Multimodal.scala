@@ -152,13 +152,100 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Parsed video-container facts: presentation duration and the video
+    * track's pixel dimensions, read from the container structure.
+    */
+  private[graft] case class DecodedVideo(durationMs: Long, width: Int,
+                                         height: Int, feature: String)
+
+  /** Real video-CONTAINER parse: ISO-BMFF (MP4/MOV) box structure —
+    * pure byte scanning, no codec required, so it is JDK-only like the
+    * image/audio decoders. Walks top-level boxes (u32 size + fourcc,
+    * size 1 ⇒ u64 largesize, size 0 ⇒ to-EOF), requires a leading
+    * `ftyp` (rejects non-MP4 payloads in nanoseconds), then inside
+    * `moov` reads `mvhd` (timescale + duration → presentation ms) and
+    * the first `trak`/`tkhd` with a nonzero width (the video track;
+    * audio tracks carry 0×0) for 16.16-fixed pixel dimensions.
+    * Version 0 and 1 boxes both handled. None on any malformed/
+    * truncated structure — the caller falls back to [[fingerprint]].
+    * FRAME decode stays out of scope (no JDK video codec); this gives
+    * the metadata a video curation pass actually gates on (duration,
+    * resolution) from the real bytes instead of trusting row metadata.
+    */
+  private[graft] def decodeVideoMeta(payload: Array[Byte]): Option[DecodedVideo] =
+    try {
+      val n = payload.length
+      def u16(o: Int): Int = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+          ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def fourcc(o: Int): String =
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // walk boxes in [from, until); returns (contentStart, contentEnd)
+      // of the first box with the wanted type, or None
+      def findBox(from: Int, until: Int, want: String): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= until) {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          val (hdr, size): (Int, Long) =
+            if (size0 == 1L) { if (off + 16 > until) return None; (16, u64(off + 8)) }
+            else if (size0 == 0L) (8, (until - off).toLong)
+            else (8, size0)
+          if (size < hdr || off + size > until) return None
+          if (typ == want) return Some((off + hdr, (off + size).toInt))
+          off += size.toInt
+        }
+        None
+      }
+      if (n < 16 || u32(0) < 8 || fourcc(4) != "ftyp") None
+      else findBox(0, n, "moov").flatMap { case (ms, me) =>
+        findBox(ms, me, "mvhd").flatMap { case (hs, _) =>
+          val ver = payload(hs) & 0xff
+          val (timescale, duration) =
+            if (ver == 1) (u32(hs + 20), u64(hs + 24))
+            else (u32(hs + 12), u32(hs + 16))
+          if (timescale <= 0) None
+          else {
+            val durMs = duration * 1000L / timescale
+            // first trak whose tkhd has nonzero width = the video track
+            var trakFrom = ms
+            var dims: Option[(Int, Int)] = None
+            var continue = true
+            while (continue && dims.isEmpty) {
+              findBox(trakFrom, me, "trak") match {
+                case None => continue = false
+                case Some((ts, te)) =>
+                  findBox(ts, te, "tkhd").foreach { case (ks, ke) =>
+                    val kv = payload(ks) & 0xff
+                    val wOff = ks + (if (kv == 1) 88 else 76)
+                    if (wOff + 8 <= ke) {
+                      val w = (u32(wOff) >> 16).toInt
+                      val h = (u32(wOff + 4) >> 16).toInt
+                      if (w > 0 && h > 0) dims = Some((w, h))
+                    }
+                  }
+                  trakFrom = te
+              }
+            }
+            val (w, h) = dims.getOrElse((0, 0))
+            val res = if (dims.isDefined) s":${w}x$h" else ""
+            Some(DecodedVideo(durMs, w, h, s"mp4:${durMs}ms$res"))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Partition-batched feature extraction: the decoder is invoked once
     * per partition iterator (the batch shape a native decoder wants),
     * never per-row on the driver. Image rows whose payload decodes get
     * DECODER-derived width/height and the mean-luma feature; audio rows
     * whose payload is a real PCM container get format + full-scale-RMS
-    * facts from the DECODED samples; anything else keeps the metadata
-    * dimensions and the md5 fingerprint.
+    * facts from the DECODED samples; video rows whose payload is a real
+    * ISO-BMFF container get duration + video-track dimensions parsed
+    * from the bytes; anything else keeps the metadata dimensions and
+    * the md5 fingerprint.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val sp = media.sparkSession
@@ -173,6 +260,11 @@ object Multimodal {
             // width/height are image facts — metadata passes through;
             // the decoded format + RMS ride the feature string
             DecodedImage(r.width, r.height, a.feature))
+          case "video" => decodeVideoMeta(r.payload).map(v =>
+            // container-parsed dimensions when the video track carries
+            // them; duration rides the feature string
+            DecodedImage(if (v.width > 0) v.width else r.width,
+              if (v.height > 0) v.height else r.height, v.feature))
           case _ => None
         }
         decoded match {

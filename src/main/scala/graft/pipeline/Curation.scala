@@ -36,6 +36,7 @@ object Curation {
              sampleFraction: Double = 1.0,
              classifier: Option[TextClassifier.Model] = None,
              minClassifierProb: Double = 0.5,
+             keepBestQuality: Boolean = false,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // 1. exact dedup: survivors are the min id per content hash
     val hashed = docs.withColumn("__h", md5(col(textCol).cast("binary")))
@@ -44,16 +45,26 @@ object Curation {
       .select(idCol)
     val exactDeduped = docs.join(survivors, Seq(idCol), "left_semi")
 
-    // 2. near-dup prune over the exact-deduped corpus
+    // 2. near-dup prune over the exact-deduped corpus. Default: min-id
+    // representative (matches curateDelta's first-seen semantics).
+    // keepBestQuality: the quality score computes BEFORE pruning and
+    // the highest-quality member of each cluster survives (FineWeb
+    // rule) — batch-only, see dedupByComponentsKeepBest.
     val pairs = Dedup.minhashNearDups(
       exactDeduped.select(col(idCol), col(textCol)),
       shingleK, numPerm, bands, jaccardThreshold, textCol, idCol)
-    val nearDeduped = Clusters.dedupByComponents(
-      exactDeduped, pairs, idCol, "doc_a", "doc_b")
+    val nearDeduped =
+      if (!keepBestQuality)
+        Clusters.dedupByComponents(exactDeduped, pairs, idCol, "doc_a", "doc_b")
+      else Clusters.dedupByComponentsKeepBest(
+        TextAnalysis.qualityScore(exactDeduped, textCol), pairs, "quality",
+        idCol, "doc_a", "doc_b")
 
-    // 3 + 4. quality gate and language filter (one narrow map)
+    // 3 + 4. quality gate and language filter (one narrow map; the
+    // keep-best path arrives with its quality column already computed)
     val scored = TextAnalysis.langId(
-      TextAnalysis.qualityScore(nearDeduped, textCol), textCol)
+      if (keepBestQuality) nearDeduped
+      else TextAnalysis.qualityScore(nearDeduped, textCol), textCol)
     val gated = scored
       .filter(col("quality") >= minQuality)
       .filter(col("pred_lang").isin(keepLangs: _*))

@@ -70,4 +70,25 @@ class ClustersSpec extends SparkSpec {
     // 2-shingles it should cluster with 1
     assert(!kept.contains(4L))
   }
+
+  test("dedupByComponentsKeepBest: argmax score survives, ties fall back to min id") {
+    import org.apache.spark.sql.functions.col
+    // components {1,2,3} (chain) and {10,11}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.9), // argmax tie 2 vs 3 -> min id 2
+      (10L, 0.5), (11L, 0.8),          // 11 wins despite larger id
+      (20L, 0.0),                      // singleton untouched
+    ).toDF("doc_id", "score")
+    val kept = Clusters.dedupByComponentsKeepBest(docs, pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 20L))
+    // equal scores degrade exactly to the min-id rule
+    val flat = Clusters.dedupByComponentsKeepBest(
+      docs.withColumn("score", col("score") * 0), pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    val minId = Clusters.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat == minId)
+  }
 }

@@ -68,6 +68,31 @@ class CurationSpec extends SparkSpec {
     assert(gatedIds.subsetOf(plainIds))
   }
 
+  test("curate keepBestQuality: highest-quality cluster member survives instead of min id") {
+    // near-dup pairs where the LARGER id carries the fuller text:
+    // 30 words (quality 0.30 — under the 100-word cap, so quality is
+    // strictly monotone in length) vs a 24-word truncation (0.24).
+    // Per-doc word stems keep clusters from merging across docs.
+    def mk(id: Long, from: Int) =
+      (id, (from to 30).map(j => s"w${id % 1000}x$j").mkString(" "))
+    val corpus = ((1L to 20L).map(mk(_, 7)) ++
+      (1001L to 1020L).map(mk(_, 1))).toDF("doc_id", "text")
+    val langs = graft.text.TextAnalysis.langId(corpus)
+      .select("pred_lang").distinct().as[String].collect().toSeq
+    val minIdKept = Curation.curate(corpus, minQuality = 0.0,
+      jaccardThreshold = 0.3, keepLangs = langs)
+      .select("doc_id").as[Long].collect().toSet
+    val bestKept = Curation.curate(corpus, minQuality = 0.0,
+      jaccardThreshold = 0.3, keepLangs = langs, keepBestQuality = true)
+      .select("doc_id").as[Long].collect().toSet
+    // min-id keeps the truncated small-id variant; keep-best keeps the
+    // fuller +1000 variant of every cluster
+    assert(minIdKept == (1L to 20L).toSet,
+      s"min-id policy surprised: $minIdKept")
+    assert(bestKept == (1001L to 1020L).toSet,
+      s"keep-best policy surprised: $bestKept")
+  }
+
   test("curateDelta: batched union == one-shot curate (connector-free, monotone ids); replay-idempotent") {
     val corpus = docs.select("doc_id", "text").filter("doc_id < 300")
     // near-dups landing across the batch boundary: first-3-words-dropped

@@ -443,6 +443,42 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("real video container parse: handmade MP4 yields mvhd duration + tkhd dims; non-BMFF falls back to md5") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8) ++ typ.getBytes("US-ASCII") ++ content
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    // mvhd v0: ver+flags, creation, modification, timescale=1000, duration=7500
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(7500))
+    // tkhd v0: 76 bytes of header/matrix, then width/height as 16.16 fixed
+    val tkhd = box("tkhd",
+      Array.fill[Byte](76)(0) ++ be32(320L << 16) ++ be32(240L << 16))
+    // an audio track (0x0 dims) FIRST: the parser must skip to the video track
+    val tkhdAudio = box("tkhd",
+      Array.fill[Byte](76)(0) ++ be32(0) ++ be32(0))
+    val moov = box("moov", mvhd ++ box("trak", tkhdAudio) ++ box("trak", tkhd))
+    val mp4 = ftyp ++ moov
+
+    // declared metadata deliberately WRONG (1x2, 999 ms): parsed facts
+    // must come from the container bytes
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, 1, 2, 999),
+      Multimodal.MediaRow(2L, "video", "plain text bytes".getBytes("UTF-8"), 3, 4, 5),
+      Multimodal.MediaRow(3L, "video", mp4.take(20), 6, 7, 8), // truncated
+    ).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).feature_hash == "mp4:7500ms:320x240")
+    assert(got(1L).width == 320 && got(1L).height == 240)
+    assert(got(2L).feature_hash.matches("[0-9a-f]{32}"))
+    assert(got(2L).width == 3 && got(2L).height == 4)
+    assert(got(3L).feature_hash.matches("[0-9a-f]{32}"))
+  }
+
   test("domainOverlap: hand-computed shared grams, zero-overlap pairs absent") {
     // bigrams (n=2): A1 {a b, b c}, A2 {b c, c d} → A has {a b, b c, c d};
     // B {b c, c d, d e}; C {x y} shares nothing with anyone
