@@ -323,6 +323,25 @@ object SparkEntry {
       val dup = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       Similarity.nearDupPairsLsh(emb.unionByName(dup), 0.95)
     }),
+    "d_embed_outliers" -> ((s, d) =>
+      // SSL-prototypes pruning signal: cosine of every vector to its
+      // k-means prototype. rows-only (float k-means isn't SQL-
+      // expressible); exact semantics pinned by SemDedupSpec.
+      graft.sim.SemDedup.prototypicality(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), nlist = 8)),
+    "d_decontaminate_semantic" -> ((s, d) => {
+      // embedding-space eval-leak gate: eval set = vecs 0-19; the
+      // corpus carries injected exact copies of every eval vec
+      // (vec_id + 10000 — cos 1.0 by construction, recall 1) plus
+      // whatever organic vectors clear the 0.95 bar. Deterministic
+      // cosine math (6dp before argmax) — fully oracle-checked.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val evalSet = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .unionByName(evalSet.select((col("vec_id") + 10000).as("vec_id"),
+          col("embedding")))
+      Similarity.semanticDecontaminate(corpus, evalSet, 0.95)
+    }),
     "d_semdedup" -> ((s, d) => {
       // SemDeDup: k-means clusters then intra-cluster cosine pruning;
       // injected exact duplicates (vec_id + 10000) are always
@@ -1486,6 +1505,28 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
         |  FROM m) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_decontaminate_semantic" ->
+      // identical op order to Similarity.semanticDecontaminate: raw
+      // double cosine, round 6dp, then argmax with min-eval-id ties
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 20
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT c.vec_id, e.eval_id,
+        |    round(list_dot_product(c.v, e.v) /
+        |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+        |  FROM corpus c CROSS JOIN ev e)
+        |SELECT vec_id, eval_id, cos_sim FROM (
+        |  SELECT vec_id, eval_id, cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rn
+        |  FROM scored WHERE cos_sim >= 0.95) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "d_dedup_embed_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

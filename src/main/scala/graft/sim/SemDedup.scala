@@ -106,4 +106,44 @@ object SemDedup {
     graft.dedup.Clusters.dedupByComponents(
       corpus, pairs, idCol, "vec_a", "vec_b")
   }
+
+  /** Prototypicality scoring (Sorscher et al. 2022, "Beyond neural
+    * scaling laws" — SSL-prototypes): cosine of every vector to its
+    * nearest k-means prototype. The data-pruning signal that paper
+    * ranks by: far-from-every-prototype vectors are either noise
+    * (drop the low tail when data is abundant) or the hard examples
+    * worth keeping (drop the HIGH tail when data is scarce) — this
+    * emits the score and cluster id; the cut is the caller's policy.
+    *
+    * Scale shape: training is the bounded-sample [[Ivf.train]];
+    * scoring is a single narrow pass — the codegen'd map-side
+    * nearest-centroid argmax assigns, and the prototype cosine comes
+    * from a BROADCAST join against the nlist-row centroid table
+    * (normalized there, so dot = cosine). ZERO corpus shuffle; the
+    * output is deterministic on any partitioning (same contract as
+    * [[semanticNearDups]]: hash-sample k-means + lowest-id argmax
+    * ties + 6 dp rounding), but float k-means is not SQL-expressible,
+    * so the check is spec-level, not an oracle.
+    */
+  def prototypicality(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Ivf.train(corpus, nlist, iters, idCol = idCol, vecCol = vecCol)
+    // centroids re-normalized driver-side: mean of unit vectors is not
+    // unit length, and cos(v, c) needs ĉ — nlist rows, broadcast
+    val centsDf = cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i, if (n > 0) c.map(_ / n).toSeq else c.toSeq)
+    }.toSeq.toDF("cluster", "__c")
+    corpus
+      .select(col(idCol), Ivf.normalize(toDouble(col(vecCol))).as("__v"))
+      .withColumn("cluster", Ivf.nearestCentroid(col("__v"), cents))
+      .join(broadcast(centsDf), "cluster")
+      .select(col(idCol), col("cluster"),
+        round(graft.functions.VectorOps.dot(col("__v"), col("__c")), 6)
+          .as("proto_cos"))
+      .orderBy(idCol)
+  }
 }

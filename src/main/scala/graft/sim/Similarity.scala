@@ -150,6 +150,46 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram `TextAnalysis.decontaminate`: flag every corpus vector
+    * whose cosine to ANY eval-set vector reaches `threshold`, with the
+    * offending eval id (argmax cosine, ties → min eval id). N-gram
+    * decontamination misses paraphrases; this is the
+    * paraphrase-robust gate modern pipelines (phi-style) layer on top,
+    * at the price of needing embeddings.
+    *
+    * Scale shape: the eval set is benchmark-sized — it BROADCASTS, the
+    * corpus streams through one nested-loop scoring pass (the same
+    * budget any brute-force query join pays), and the `sim >=
+    * threshold` filter runs BEFORE the per-vector argmax aggregation,
+    * so the exchange carries only flagged candidates (a tiny fraction
+    * of corpus × eval). Filtering before the argmax is lossless: a
+    * vector appears in the output iff its max ≥ threshold, and the max
+    * over the ≥-threshold subset IS the overall max.
+    *
+    * Determinism: cosines round to 6 dp BEFORE the argmax, so the
+    * ranking (and its min-eval-id tie break) is reproducible by a SQL
+    * oracle across engines' ulp drift.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("va"))
+      .withColumn("na", dot(col("va"), col("va")))
+    val e = evalSet.select(col(idCol).as("eval_id"), toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
+    c.join(broadcast(e))
+      .withColumn("sim",
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("negId"))).as("m"))
+      .select(col(idCol), (-col("m.negId")).as("eval_id"),
+        col("m.sim").as("cos_sim"))
+      .orderBy(idCol)
+  }
+
   /** Embedding near-duplicate pairs AT SCALE: multi-band random-
     * hyperplane LSH candidate generation + exact-cosine verification —
     * the bucketed replacement for [[nearDupPairs]]'s cross product.

@@ -85,4 +85,27 @@ class SemDedupSpec extends SparkSpec {
     val b = SemDedup.semanticNearDups(emb.repartition(13), 0.9).collect().toSeq
     assert(a == b)
   }
+
+  test("prototypicality: outlier scores below every cluster member; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // two tight clusters + one vector equidistant from both prototypes
+    val vecs = (
+      (0 until 10).map(i => (i.toLong, Array(10f, (i % 3) * 0.1f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0f, 10f, (i % 3) * 0.1f))) ++
+      Seq((99L, Array(1f, 1f, 1f)))
+    ).toDF("vec_id", "embedding")
+    val got = SemDedup.prototypicality(vecs, nlist = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 21)
+    val memberMin = (0L until 20L).map(got).min
+    assert(got(99L) < memberMin,
+      s"outlier ${got(99L)} not below member floor $memberMin")
+    // members sit essentially on their prototype
+    assert(memberMin > 0.99)
+    val again = SemDedup.prototypicality(vecs.repartition(7), nlist = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == got)
+    // scores are bounded cosines
+    assert(got.values.forall(v => v >= -1.000001 && v <= 1.000001))
+  }
 }

@@ -66,6 +66,20 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("semanticDecontaminate: argmax eval with min-id ties, sub-threshold silent") {
+    val evalSet = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f)),  // cos 1.0 to eval 0
+      (11L, Array(1.0f, 1.0f)),  // 0.707107 to BOTH -> tie -> eval 0
+      (12L, Array(-1.0f, 0.0f)), // cos -1 and 0: below threshold, absent
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, evalSet, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 0L, 1.0), (11L, 0L, 0.707107)))
+  }
+
   test("int8 quantize: bounded round-trip error, cosine preserved, zero vector safe") {
     val embs = graft.core.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
