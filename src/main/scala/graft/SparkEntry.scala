@@ -519,6 +519,21 @@ object SparkEntry {
             .as("query_text"))
       graft.text.Bm25.search(docs, queries, k = 10)
     }),
+    "d_hybrid_search" -> ((s, d) => {
+      // hybrid retrieval: BM25 over text fused with cosine over
+      // embeddings by reciprocal-rank fusion — the first 3 docs are
+      // the queries on both sides (their 8-word prefix lexically,
+      // their aligned embedding semantically), 20 candidates fetched
+      // per retriever, top-10 fused survive
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(col("text")), " "), 1, 8), " ")
+            .as("query_text"))
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.text.HybridSearch.search(docs, emb, queries,
+        emb.filter(col("vec_id") < 3), k = 10, fetchK = 20)
+    }),
     "d_heavy_hitters" -> ((s, d) =>
       // bigram heavy hitters: Misra-Gries candidates + exact recount;
       // result is EXACT (spec pins equality with the full groupBy), so
@@ -592,6 +607,11 @@ object SparkEntry {
       graft.ops.Sampling.sampleKPerGroup(
         Tables.documents(s, d), "lang", "doc_id", 40)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "d_shard_report" -> ((s, d) =>
+      // training-shard balance audit: portable md5 assignment into 8
+      // shards + per-shard token totals — any engine recomputes both
+      // the membership and the totals
+      graft.ops.Sharding.shardReport(Tables.documents(s, d), 8)),
     "d_dsir_select" -> ((s, d) => {
       // DSIR importance resampling: select the 100 raw-pool docs most
       // like the src0 target domain. Exact-word form of the paper's
@@ -1031,6 +1051,17 @@ object SparkEntry {
         |             doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+    "d_shard_report" ->
+      // same md5 bucket recipe as d_sample_portable, mod 8; whitespace
+      // token count mirrors the packSequences/tokenCounts convention
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  min(t) AS min_tokens, max(t) AS max_tokens
+        |FROM (
+        |  SELECT CAST(CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 % 8 AS INT) AS shard,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+        |  FROM documents) x
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "d_domain_overlap" ->
       // gram construction mirrors the d_ngram_jaccard oracle (k=3:
       // max(len-3,0)+1 grams, short docs contribute their whole text);
@@ -1673,6 +1704,67 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "d_hybrid_search" ->
+      // lexical leg mirrors the d_bm25_search oracle (queries = first
+      // 3 docs, rank <= 20); semantic leg mirrors d_cosine_topk
+      // (self excluded, rank <= 20); RRF contributions follow the repo
+      // decimal contract (9dp round -> exact sum -> 6dp)
+      """WITH q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ') AS query_text
+        |  FROM documents WHERE doc_id < 3),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t.term
+        |  FROM q, LATERAL unnest(string_split(lower(query_text), ' ')) AS t(term)),
+        |base AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(len(ws)) AS DOUBLE) AS total_len FROM base),
+        |tok AS (
+        |  SELECT doc_id, len(ws) AS doclen, t.term
+        |  FROM base, LATERAL unnest(ws) AS t(term)),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(
+        |      round(ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) *
+        |      (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(doclen AS DOUBLE) / (total_len / n)))),
+        |      9) AS DECIMAL(30,12)) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sem AS (
+        |  SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+        |      list_dot_product(c.v, qe.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qe.v, qe.v))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM e c JOIN e qe ON qe.vec_id < 3 AND c.vec_id <> qe.vec_id),
+        |contribs AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(30,12)) AS c
+        |  FROM lex WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(30,12))
+        |  FROM sem WHERE rank <= 20),
+        |fused AS (
+        |  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf_score
+        |  FROM contribs GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score FROM (
+        |  SELECT query_id, doc_id, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM fused) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "d_blocklist_filter" ->
       """WITH block AS (
         |  SELECT DISTINCT md5(text) AS bad_fp FROM documents

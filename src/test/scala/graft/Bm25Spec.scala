@@ -77,4 +77,21 @@ class Bm25Spec extends SparkSpec {
     intercept[IllegalArgumentException](Bm25.search(docs, q, k = 1, k1 = 0.0))
     intercept[IllegalArgumentException](Bm25.search(docs, q, k = 1, b = 1.5))
   }
+
+  test("rrfFuse: hand-computed fusion, absent docs contribute nothing, doc-id ties") {
+    import graft.text.HybridSearch
+    // query 7: ranking 1 has A(10)=1, B(11)=2; ranking 2 has B=1, C(12)=2
+    val r1 = Seq((7L, 10L, 1), (7L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((7L, 11L, 1), (7L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = HybridSearch.rrfFuse(Seq(r1, r2), k = 10, kRrf = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // B: 1/2 + 1/1 = 1.5; A: 1/1 = 1.0; C: 1/2 = 0.5
+    assert(got.toSeq == Seq((7L, 1, 11L, 1.5), (7L, 2, 10L, 1.0), (7L, 3, 12L, 0.5)))
+    // equal scores break on doc id: two singleton rankings at rank 1
+    val t1 = Seq((1L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val tie = HybridSearch.rrfFuse(Seq(t1, t2), k = 2, kRrf = 60)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(tie.toSeq == Seq((1, 20L), (2, 30L)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+// Sharding shares Sampling's portable-bucket recipe; its specs live here.
 
 import graft.ops.Sampling
 
@@ -174,5 +175,30 @@ class SamplingSpec extends SparkSpec {
       va.select("doc_id").as[Long].collect().toSet ++
       te.select("doc_id").as[Long].collect().toSet
     assert(ids.size == n)
+  }
+
+  test("sharding: total partition, partition-invariant, report sums the corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val assigned = graft.ops.Sharding.assignShards(docs, 8)
+    // every doc lands in exactly one shard in [0, 8)
+    assert(assigned.count() == n)
+    assert(assigned.filter(col("shard") < 0 || col("shard") >= 8).isEmpty)
+    // assignment is a pure function of the id — any partitioning agrees
+    val a = assigned.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = graft.ops.Sharding.assignShards(docs.repartition(13), 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+    val rep = graft.ops.Sharding.shardReport(docs, 8).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == n)
+    // hash balance sanity at this corpus size: no shard empty, no shard
+    // holding more than half the corpus
+    assert(rep.length == 8)
+    assert(rep.map(_.getAs[Long]("n_docs")).max < n / 2)
+    // per-shard token extrema bound each other
+    rep.foreach { r =>
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+      assert(r.getAs[Long]("sum_tokens") >= r.getAs[Long]("n_docs") * r.getAs[Long]("min_tokens"))
+    }
   }
 }
