@@ -145,6 +145,7 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
     "q_join_dim" -> ((s, d) => Analytics.joinDim(s, d)),
     "q_multi_join" -> ((s, d) => Analytics.multiJoin(s, d)),
+    "q_shipping_priority" -> ((s, d) => Analytics.shippingPriority(s, d)),
     "q_topk" -> ((s, d) => Analytics.topK(s, d)),
     "q_window_rank" -> ((s, d) => Analytics.windowRank(s, d)),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(s, d)),
@@ -1265,6 +1266,14 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-06-30' AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q_topk" ->
       """SELECT c_custkey, c_name, round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

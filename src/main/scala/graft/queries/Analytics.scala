@@ -65,6 +65,32 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q3 shape — shipping priority: top-10 unshipped orders of one
+    * market segment by outstanding revenue. The pattern [[multiJoin]]
+    * (Q5 shape) doesn't cover: a HIGH-cardinality groupBy (per order,
+    * not per nation) whose result is immediately top-N'd — the
+    * orderBy+limit lowers to TakeOrdered, so the full per-order
+    * aggregate never sorts globally. Both date filters push to the
+    * scans; the selective segment filter lets AQE broadcast the
+    * customer side. Revenue sums through decimal (repo contract) with
+    * (o_orderdate, l_orderkey) tie-breaks for a deterministic top-10.
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1996-06-30"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === segment)
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,12)")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Top-10 customers by total order value (TakeOrdered — no global
     * sort materialization).
     */

@@ -50,7 +50,9 @@ object ScaleSoak {
     "d_bm25_search", "d_blocklist_filter", "d_dedup_minhash_delta",
     "q_time_fill", "q_funnel", "q_retention", "d_winnowing_pairs",
     "d_char_entropy", "d_bigram_logprob", "d_gopher_rules",
-    "d_dsir_select", "d_quality_classifier", "d_domain_overlap")
+    "d_dsir_select", "d_quality_classifier", "d_domain_overlap",
+    "d_dedup_keep_best", "d_decontaminate_semantic", "d_embed_outliers",
+    "d_hybrid_search", "d_shard_report", "q_shipping_priority")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
