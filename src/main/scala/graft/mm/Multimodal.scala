@@ -106,7 +106,17 @@ object Multimodal {
     * falls back to [[fingerprint]]. The header probe rejects non-audio
     * payloads in microseconds.
     */
-  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+  /** Decoded integer PCM: format facts + every sample as a centered
+    * long (8-bit unsigned re-centered at 0) + the full-scale divisor.
+    */
+  private[mm] case class PcmSamples(sampleRate: Int, channels: Int,
+                                    bitsPerSample: Int, nFrames: Long,
+                                    samples: Array[Long], fullScale: Double)
+
+  /** Shared PCM extraction for [[decodeAudio]] and
+    * [[audioFrameEnergyDecoded]]: JDK container probe + sample decode.
+    */
+  private[mm] def pcmSamples(payload: Array[Byte]): Option[PcmSamples] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -122,12 +132,10 @@ object Multimodal {
           val bytes = ais.readAllBytes()
           val bytesPerSample = bits / 8
           val n = bytes.length / bytesPerSample
-          // Σ s² in exact longs: |s| ≤ 2^15 so n·s² overflows long only
-          // past 2^33 samples per payload — far beyond a row's bytes
-          var sumSq = 0L
+          val out = new Array[Long](n)
           var i = 0
           while (i < n) {
-            val s: Long =
+            out(i) =
               if (bits == 8) {
                 if (signed) bytes(i).toLong
                 else (bytes(i) & 0xff).toLong - 128L
@@ -136,21 +144,28 @@ object Multimodal {
                 val lo = bytes(off) & 0xff
                 val hi = bytes(off + 1) & 0xff
                 val raw = if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
-                val v = if (signed) raw.toShort.toLong else raw.toLong - 32768L
-                v
+                if (signed) raw.toShort.toLong else raw.toLong - 32768L
               }
-            sumSq += s * s
             i += 1
           }
-          val fullScale = if (bits == 8) 128.0 else 32768.0
-          val rms = math.sqrt(sumSq.toDouble / n) / fullScale
-          Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, bits,
-            ais.getFrameLength,
-            s"pcm:${fmt.getSampleRate.toInt}hz:${fmt.getChannels}ch:${bits}bit:rms:" +
-              String.format(java.util.Locale.ROOT, "%.6f", Double.box(rms))))
+          Some(PcmSamples(fmt.getSampleRate.toInt, fmt.getChannels, bits,
+            ais.getFrameLength, out, if (bits == 8) 128.0 else 32768.0))
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    pcmSamples(payload).map { p =>
+      // Σ s² in exact longs: |s| ≤ 2^15 so n·s² overflows long only
+      // past 2^33 samples per payload — far beyond a row's bytes
+      var sumSq = 0L
+      var i = 0
+      while (i < p.samples.length) { sumSq += p.samples(i) * p.samples(i); i += 1 }
+      val rms = math.sqrt(sumSq.toDouble / p.samples.length) / p.fullScale
+      DecodedAudio(p.sampleRate, p.channels, p.bitsPerSample, p.nFrames,
+        s"pcm:${p.sampleRate}hz:${p.channels}ch:${p.bitsPerSample}bit:rms:" +
+          String.format(java.util.Locale.ROOT, "%.6f", Double.box(rms)))
+    }
 
   /** Parsed video-container facts: presentation duration and the video
     * track's pixel dimensions, read from the container structure.
@@ -300,6 +315,65 @@ object Multimodal {
         col("out_w"), col("out_h"))
       .orderBy("doc_id")
 
+  /** A really-resampled image row: box-fit output dims + re-encoded
+    * PNG payload.
+    */
+  final case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+                                payload: Array[Byte])
+
+  /** REAL image resample — executes [[resizePlan]]'s metadata math on
+    * actual pixels: decode ([[decodeImage]]'s codec family), box-fit
+    * to (maxW, maxH) with the identical floor-division semantics, then
+    * NEAREST-NEIGHBOR resample via an explicit integer source map
+    * (src = out · in/out, floored) — pure int arithmetic, so the
+    * output pixels are bit-identical on any JVM (AffineTransformOp
+    * and getScaledInstance interpolate through platform-variable
+    * float paths; an LLM-pipeline thumbnail step must not depend on
+    * the executor's JVM build). Output re-encodes as PNG (lossless —
+    * the pixels survive exactly). Undecodable payloads drop (the
+    * caller keeps originals via the id).
+    *
+    * Same mapPartitions batch shape as [[extractFeatures]] — one
+    * decoder init per partition, never a driver loop.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    require(maxW >= 1 && maxH >= 1, s"target box must be positive: ${maxW}x$maxH")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "image") None
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // identical box-fit arithmetic to resizePlan (floor division)
+            val (ow, oh) =
+              if (w.toLong * maxH <= h.toLong * maxW)
+                (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+              else (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+            val out = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < oh) {
+              val sy = (y.toLong * h / oh).toInt
+              var x = 0
+              while (x < ow) {
+                out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            if (!javax.imageio.ImageIO.write(out, "png", baos)) None
+            else Some(ResizedImage(r.doc_id, ow, oh, baos.toByteArray))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Frame energy for audio rows: RMS per fixed-size sample frame —
     * the silence-detection / loudness-normalization signal an audio
     * curation pass gates on. The DECODE slot is the stub convention:
@@ -334,6 +408,41 @@ object Multimodal {
           expr("aggregate(__f, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
             .cast("double") / size(col("__f"))), 6).as("rms"))
       .orderBy("doc_id", "frame_id")
+  }
+
+  /** One frame-energy row of a really-decoded audio payload. */
+  final case class AudioFrameRow(doc_id: Long, frame_id: Long,
+                                 n_samples: Long, rms: Double)
+
+  /** REAL-audio frame energy: [[audioFrameEnergy]]'s frame math over
+    * DECODED PCM samples instead of the stub code-point stand-in —
+    * the silence/loudness gate as it runs on actual recordings.
+    * Payloads the JDK cannot decode as integer PCM drop (the stub
+    * variant covers synthetic corpora; this one covers real WAV/AIFF/
+    * AU). Identical frame semantics: fixed `frameSamples` windows,
+    * ragged tail keeps its true length, RMS = sqrt(Σs²/n) normalized
+    * to full scale, 6 dp. Exact long accumulation per frame — the
+    * value is identical on any JVM and any partitioning.
+    */
+  def audioFrameEnergyDecoded(media: Dataset[MediaRow],
+                              frameSamples: Int = 64): Dataset[AudioFrameRow] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "audio").flatMap { r =>
+        pcmSamples(r.payload).toSeq.flatMap { p =>
+          p.samples.grouped(frameSamples).zipWithIndex.map { case (f, i) =>
+            var sumSq = 0L
+            var j = 0
+            while (j < f.length) { sumSq += f(j) * f(j); j += 1 }
+            val rms = BigDecimal(math.sqrt(sumSq.toDouble / f.length) / p.fullScale)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            AudioFrameRow(r.doc_id, i.toLong, f.length.toLong, rms)
+          }
+        }
+      }
+    }
   }
 
   /** Frame-sample offsets for video rows: one offset per second. */

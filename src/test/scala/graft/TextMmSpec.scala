@@ -443,6 +443,60 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("real-audio frame energy: per-frame RMS from decoded samples, ragged tail, non-PCM dropped") {
+    // 6 samples at amplitudes 16384 (0.5 FS) then 32767-ish: frames of 4
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array[Short](16384, -16384, 16384, -16384, 16384, 16384)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 0, 0, 0),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val got = Multimodal.audioFrameEnergyDecoded(media, frameSamples = 4)
+      .collect().sortBy(_.frame_id)
+    // doc 2 undecodable -> absent; doc 1: frame 0 has 4 samples at
+    // |s| = 16384 -> rms 0.5; frame 1 is the ragged 2-sample tail
+    assert(got.map(_.doc_id).toSet == Set(1L))
+    assert(got.length == 2)
+    assert(got(0).n_samples == 4 && got(0).rms == 0.5)
+    assert(got(1).n_samples == 2 && got(1).rms == 0.5)
+  }
+
+  test("real image resample: exact nearest-neighbor pixels, box-fit dims, undecodable dropped") {
+    // 4x2 source with distinct per-pixel colors
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) img.setRGB(x, y, (x + 1) * 0x10 + y * 0x8000)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 0, 0, 0),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0),
+      Multimodal.MediaRow(3L, "audio", png, 0, 0, 0), // non-image skipped
+    ).toDS()
+    val got = Multimodal.resizeImages(media, 2, 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    // only the decodable image row survives
+    assert(got.keySet == Set(1L))
+    // width-bound fit: 4x2 -> out_w=2, out_h = floor(2*2/4) = 1
+    assert(got(1L).out_w == 2 && got(1L).out_h == 1)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).payload))
+    assert(out.getWidth == 2 && out.getHeight == 1)
+    // NN source map: out(0,0)=in(0,0), out(1,0)=in(2,0) — exact pixels
+    assert((out.getRGB(0, 0) & 0xffffff) == (img.getRGB(0, 0) & 0xffffff))
+    assert((out.getRGB(1, 0) & 0xffffff) == (img.getRGB(2, 0) & 0xffffff))
+  }
+
   test("real video container parse: handmade MP4 yields mvhd duration + tkhd dims; non-BMFF falls back to md5") {
     def be32(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
