@@ -106,6 +106,62 @@ object Dsir {
           .cast("double"), 6).as("log_weight"))
   }
 
+  /** The paper's ACTUAL hashed-ngram estimator: words fold into
+    * `buckets` hash buckets (xxhash64, the engine-native hash) and the
+    * add-λ models are fit over bucket counts — no vocab table at all,
+    * so the model is a FIXED `buckets`-row frame at any corpus size
+    * (the exact-word form needs `maxVocab` for that bound; this form
+    * gets it by construction, at the price of hash collisions merging
+    * word statistics — the trade Xie et al. accept). Same scale shape
+    * as [[logRatioModel]]: corpora read once, bucket-keyed count aggs,
+    * broadcast model join. When `buckets` comfortably exceeds the
+    * union vocab, collisions are rare and the per-doc weights equal
+    * the exact-word form's (spec-pinned); engine-specific hashing
+    * makes this rows-only territory, like every xxhash64 consumer.
+    */
+  def importanceWeightsHashed(target: DataFrame, raw: DataFrame, buckets: Int,
+                              lambda: Double = 1.0, textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    require(lambda > 0, s"lambda must be > 0 for smoothing: $lambda")
+    def counts(df: DataFrame) = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val ct = counts(target).withColumnRenamed("cnt", "c_t")
+    val cq = counts(raw).withColumnRenamed("cnt", "c_q")
+    val joined = ct.join(cq, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_q"), lit(0L)).as("c_q"))
+    val tot = joined.agg(
+      sum("c_t").cast("double").as("t_t"),
+      sum("c_q").cast("double").as("t_q"),
+      count(lit(1)).cast("double").as("v"))
+    val model = joined.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(
+          ((col("c_t").cast("double") + lit(lambda)) / (col("t_t") + lit(lambda) * col("v"))) /
+            ((col("c_q").cast("double") + lit(lambda)) / (col("t_q") + lit(lambda) * col("v")))), 9)
+          .cast("decimal(30,12)").as("logratio"))
+    val toks = raw
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol), pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
+    val ids = raw.select(col(idCol))
+    val scored = toks.join(broadcast(model), Seq("b"), "left")
+      .groupBy(idCol)
+      .agg(count(col("logratio")).as("n_tokens"),
+        coalesce(sum(col("logratio")), lit(BigDecimal(0)).cast("decimal(30,12)"))
+          .as("sum_lr"))
+    ids.join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sum_lr"), lit(BigDecimal(0)).cast("decimal(30,12)"))
+          .cast("double"), 6).as("log_weight"))
+  }
+
   /** Deterministic selection: top-k raw docs by log importance weight
     * (ties: doc_id asc) — the greedy form, and the SQL-oracle-checked
     * entry point. TakeOrdered: no global sort of the pool.

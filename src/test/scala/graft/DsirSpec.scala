@@ -91,6 +91,27 @@ class DsirSpec extends SparkSpec {
     assert(seen.contains(2L) || seen.contains(3L))
   }
 
+  test("hashed estimator == exact-word form when buckets dwarf the vocab; tiny buckets stay total") {
+    // collision-free regime: occupied buckets == vocab, so totals and
+    // per-word ratios — hence every weight — match the exact form
+    val exact = Dsir.importanceWeights(target, rawPool)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hashed = Dsir.importanceWeightsHashed(target, rawPool, buckets = 1 << 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hashed == exact)
+    // collision-heavy regime (2 buckets): weights differ but every doc
+    // still appears, token counts are intact, and the result is
+    // partition-deterministic
+    val tiny = Dsir.importanceWeightsHashed(target, rawPool, buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tiny.keySet == exact.keySet)
+    assert(tiny.map(_._2._1) == exact.map(_._2._1))
+    val tinyAgain = Dsir.importanceWeightsHashed(
+      target.repartition(5), rawPool.repartition(3), buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tinyAgain == tiny)
+  }
+
   test("corpus sanity at sf0.001: k respected, weights finite, src0 excluded") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val sel = Dsir.selectTopK(
