@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Features: presence of distinct word unigrams + bigrams, hashed
   * into `dim` buckets (the hashing trick — fixed feature budget, no
-  * vocab table), L1-normalized per document (each present feature
-  * weighs 1/n_features, fastText's mean-of-embeddings shape). The
-  * gram hashes come from the codegen'd [[graft.functions.Hashes]]
-  * expressions — no per-gram strings materialize.
+  * vocab table), optionally L1-normalized per document (fastText's
+  * mean-of-embeddings shape — see [[hashedFeatures]] for the
+  * normalized-vs-raw trade). The gram hashes come from the codegen'd
+  * [[graft.functions.Hashes]] expressions — no per-gram strings
+  * materialize.
   *
   * Training is batch gradient descent, distributed Spark-first:
   * the hashed feature stream is built ONCE, repartitioned by doc and
@@ -91,6 +92,9 @@ object TextClassifier {
   /** Fit logistic weights on (doc, label∈{0,1}) weak labels by `iters`
     * rounds of full-batch gradient descent with learning rate `lr`
     * and L2 penalty `l2`. Deterministic on any input partitioning.
+    * Contract: `labels` carries ONE row per doc — a duplicated label
+    * row would fan out that doc's feature rows and double its weight
+    * in the batch gradient.
     */
   def train(docs: DataFrame, labels: DataFrame, dim: Int, iters: Int = 8,
             lr: Double = 2.0, l2: Double = 0.0, textCol: String = "text",
