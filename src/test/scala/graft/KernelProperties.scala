@@ -187,4 +187,38 @@ object KernelProperties extends Properties("graft.kernels") {
       // interior buckets both extremes must be selected
       thr < 7 || (kept.contains(hi) && kept.contains(lo))
     }
+
+  // decodeVideoMeta is a byte parser over untrusted input — fuzz it:
+  // arbitrary bytes must never throw, and only structurally valid
+  // ISO-BMFF (leading ftyp) may parse
+  property("decodeVideoMeta: total on arbitrary bytes; garbage never parses") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val out = graft.mm.Multimodal.decodeVideoMeta(arr)
+      // no 'ftyp' fourcc at offset 4 => must be None; any result is
+      // non-throwing by reaching this line
+      val hasFtyp = arr.length >= 16 &&
+        new String(arr, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "ftyp"
+      hasFtyp || out.isEmpty
+    }
+
+  property("decodeVideoMeta: truncating a valid MP4 anywhere never throws") =
+    forAll(Gen.chooseNum(0, 200), Gen.chooseNum(1L, 1L << 31),
+      Gen.chooseNum(1L, 1000000L)) { (cut, dur, ts) =>
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(t: String, c: Array[Byte]): Array[Byte] =
+        be32(c.length + 8) ++ t.getBytes("US-ASCII") ++ c
+      val mp4 = box("ftyp", "isomxxxxisom".getBytes("US-ASCII")) ++
+        box("moov", box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur)) ++
+          box("trak", box("tkhd",
+            Array.fill[Byte](76)(0) ++ be32(320L << 16) ++ be32(240L << 16))))
+      // full parse recovers the planted facts; any truncation is total
+      val full = graft.mm.Multimodal.decodeVideoMeta(mp4)
+      val trunc = graft.mm.Multimodal.decodeVideoMeta(mp4.take(math.min(cut, mp4.length)))
+      full.exists(v => v.durationMs == dur * 1000L / ts &&
+        v.width == 320 && v.height == 240) &&
+        (trunc.isEmpty || trunc == full)
+    }
 }
