@@ -115,6 +115,34 @@ object SparkEntry {
     "q_row_counts" -> ((s, d) => TableStats.rowCounts(s, d, Tables.all)),
     "q_histogram" -> ((s, d) =>
       TableStats.histogram(Tables.lineitem(s, d), "l_extendedprice", 20)),
+    "d_length_histogram" -> ((s, d) =>
+      // doc-length (ws tokens) distribution — the signal that tunes
+      // packing maxTokens, chunking stride, and min/max-length gates;
+      // reuses the generic equal-width histogram operator
+      TableStats.histogram(
+        Tables.documents(s, d).select(
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok")),
+        "tok", 16)),
+    "q_returned_revenue" -> ((s, d) => {
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returned
+      // items in one quarter — selective fact filter (returnflag,
+      // order-date window, both pushed) + dim joins + TakeOrdered
+      val cut = lit("1996-01-01").cast("timestamp")
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= cut &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,12)")).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     "q_select_limit" -> ((s, d) =>
       Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey").limit(100)),
@@ -1224,6 +1252,28 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_length_histogram" ->
+      // identical floor-bin arithmetic to the q_histogram oracle over
+      // the derived whitespace-token count
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |b AS (SELECT MIN(tok) AS lo, MAX(tok) AS hi FROM t)
+        |SELECT CAST(least(CAST(FLOOR((tok - lo) / ((hi - lo) / CAST(16 AS DOUBLE))) AS INT), 15) AS INT) AS bin,
+        |  COUNT(*) AS n
+        |FROM t, b WHERE tok IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_type_inference" ->
       """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS k_avg, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
