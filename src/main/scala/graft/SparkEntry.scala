@@ -292,6 +292,14 @@ object SparkEntry {
       // (all-empty truncation chains) fall back to min id on both
       // engines.
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      // the copy-level encoding (doc_id + 10000*k, lag window keyed on
+      // doc_id % 10000) requires base ids < 10000 — true at every
+      // shipped SF (max 5000), and the oracle's recursive CTE hardcodes
+      // the same constants, so enforce the precondition loudly instead
+      // of silently colliding copy levels on a larger corpus
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      require(maxId < 10000,
+        s"d_dedup_keep_best encodes copy levels with offset 10000; corpus max doc_id $maxId breaks it")
       val copies = (0 to 3).map(k => docs.select(
         (col("doc_id") + 10000 * (3 - k)).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
@@ -1247,8 +1255,10 @@ object SparkEntry {
     "q_select_limit" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey LIMIT 100",
     "q_histogram" ->
+      // the CASE mirrors TableStats.histogram's hi == lo special case
+      // (single bin-0 row) so a degenerate column can't 0/0 the oracle
       """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
-        |SELECT CAST(least(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS INT) AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS INT) END AS bin,
         |  COUNT(*) AS n
         |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1259,7 +1269,7 @@ object SparkEntry {
         |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
         |  FROM documents),
         |b AS (SELECT MIN(tok) AS lo, MAX(tok) AS hi FROM t)
-        |SELECT CAST(least(CAST(FLOOR((tok - lo) / ((hi - lo) / CAST(16 AS DOUBLE))) AS INT), 15) AS INT) AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(CAST(FLOOR((tok - lo) / ((hi - lo) / CAST(16 AS DOUBLE))) AS INT), 15) AS INT) END AS bin,
         |  COUNT(*) AS n
         |FROM t, b WHERE tok IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -221,7 +221,11 @@ object Multimodal {
           val (timescale, duration) =
             if (ver == 1) (u32(hs + 20), u64(hs + 24))
             else (u32(hs + 12), u32(hs + 16))
-          if (timescale <= 0) None
+          // u64 mvhd durations above Long.MaxValue/1000 would overflow
+          // the ms scaling into garbage (possibly negative) — reject the
+          // payload as malformed rather than emit a wrong decoded 'fact'
+          if (timescale <= 0 || duration < 0 ||
+            duration > Long.MaxValue / 1000L) None
           else {
             val durMs = duration * 1000L / timescale
             // first trak whose tkhd has nonzero width = the video track

@@ -98,8 +98,10 @@ object TextClassifier {
     */
   def train(docs: DataFrame, labels: DataFrame, dim: Int, iters: Int = 8,
             lr: Double = 2.0, l2: Double = 0.0, textCol: String = "text",
-            idCol: String = "doc_id", l1Normalize: Boolean = true): Model = {
+            idCol: String = "doc_id", l1Normalize: Boolean = true,
+            stopTol: Double = 0.0): Model = {
     require(iters > 0, s"iters must be > 0: $iters")
+    require(stopTol >= 0.0, s"stopTol must be >= 0: $stopTol")
     val spark = docs.sparkSession
     import spark.implicits._
     // the expensive subtree (tokenize + hash + per-doc agg) evaluates
@@ -116,7 +118,17 @@ object TextClassifier {
       val w = new Array[Double](dim)
       var bias = 0.0
       val losses = Seq.newBuilder[Double]
-      for (_ <- 1 to iters) {
+      // early-stop on loss-delta plateau: `iters` stays the hard budget,
+      // stopTol > 0 ends training once the RELATIVE per-iteration loss
+      // improvement falls below it (strongly-separated batches converge
+      // in 2-3 passes; the remaining epochs buy nothing but wall-clock).
+      // stopTol = 0 (default) disables it — bit-identical to the
+      // fixed-iteration schedule the plain-JVM cross-check pins.
+      var prevLoss = Double.NaN
+      var plateaued = false
+      var it = 0
+      while (it < iters && !plateaued) {
+        it += 1
         val nz = w.iterator.zipWithIndex.collect {
           case (v, i) if v != 0.0 => (i, v)
         }.toSeq
@@ -133,9 +145,13 @@ object TextClassifier {
             (lit(1.0) / (lit(1.0) + exp(-(col("__m").cast("double") + lit(bias)))))
               .as("__p"))
           .select(col(idCol), (col("__p") - col("__y")).as("__r"),
-            // log-loss, clamped away from log(0) by the sigmoid's range
-            (-(col("__y") * log(col("__p")) +
-              (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p")))).as("__l"))
+            // log-loss. The sigmoid's mathematical range is (0,1) but in
+            // double precision a saturated margin rounds __p to exactly
+            // 0.0/1.0, so clamp into [eps, 1-eps] before the log terms —
+            // gradients use the unclamped __p (p - y is finite anyway)
+            (-(col("__y") * log(greatest(col("__p"), lit(1e-15))) +
+              (lit(1.0) - col("__y")) *
+                log(greatest(lit(1.0) - col("__p"), lit(1e-15))))).as("__l"))
         // ONE action per iteration: the per-feature gradient (the one
         // shuffle, keyed by feat, bounded by dim — collected like the
         // BPE table) unioned with a feat = -1 row carrying the bias
@@ -153,7 +169,12 @@ object TextClassifier {
         for ((f, g, _) <- grad if f >= 0) w(f) -= lr * (g / nDocs + l2 * w(f))
         val (_, gb, lossSum) = grad.find(_._1 == -1).get
         bias -= lr * gb / nDocs
-        losses += lossSum / nDocs
+        val loss = lossSum / nDocs
+        losses += loss
+        if (stopTol > 0.0 && !prevLoss.isNaN &&
+          math.abs(prevLoss - loss) <= stopTol * math.max(prevLoss, 1e-12))
+          plateaued = true
+        prevLoss = loss
       }
       Model(dim, bias,
         w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }.toMap,

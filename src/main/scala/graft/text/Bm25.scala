@@ -63,8 +63,11 @@ object Bm25 {
       explode(col("__w")).as("term"))
     // prune BEFORE aggregating: only query-term occurrences reach the
     // tf exchange; len is functionally dependent on the doc id, so
-    // carrying it as a grouping key adds nothing to the shuffle width
-    val tf = tokens.join(broadcast(qt.select("term").distinct()), "term")
+    // carrying it as a grouping key adds nothing to the shuffle width.
+    // left_semi against the RAW query-term rows — the broadcast hash
+    // relation dedups keys itself, so no distinct() aggregate (and its
+    // exchange) on the query side
+    val tf = tokens.join(broadcast(qt.select("term")), Seq("term"), "left_semi")
       .groupBy(col(idCol), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // document frequency from the tf output. The when-guard reads the
@@ -86,10 +89,20 @@ object Bm25 {
     val norm = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / avgdl))
+    // ONE exchange covers both the (query, doc) score aggregate and the
+    // per-query top-k window: HashPartitioning(query_id) satisfies the
+    // aggregate's ClusteredDistribution(query_id, doc_id) AND the
+    // window's ClusteredDistribution(query_id), so the explicit
+    // repartition replaces what would otherwise be two back-to-back
+    // exchanges. The rows it carries are the hit-bounded (query, doc,
+    // contrib) stream — same magnitude as the tf exchange — and the
+    // per-query concentration it creates is one the window stage paid
+    // anyway under the two-exchange plan.
     val scored = tf.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", round(idf * norm, 9).cast("decimal(30,12)"))
+      .repartition(col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
 
