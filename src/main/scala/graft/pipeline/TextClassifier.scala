@@ -99,7 +99,7 @@ object TextClassifier {
   def train(docs: DataFrame, labels: DataFrame, dim: Int, iters: Int = 8,
             lr: Double = 2.0, l2: Double = 0.0, textCol: String = "text",
             idCol: String = "doc_id", l1Normalize: Boolean = true,
-            stopTol: Double = 0.0): Model = {
+            stopTol: Double = 0.0, biasInit: Double = 0.0): Model = {
     require(iters > 0, s"iters must be > 0: $iters")
     require(stopTol >= 0.0, s"stopTol must be >= 0: $stopTol")
     val spark = docs.sparkSession
@@ -116,7 +116,12 @@ object TextClassifier {
       val nDocs = feats.select(idCol).distinct().count().toDouble
       require(nDocs > 0, "no labeled documents to train on")
       val w = new Array[Double](dim)
-      var bias = 0.0
+      // biasInit at the class-prior log-odds (ln(n_pos/n_neg)) skips the
+      // 1-2 full-batch epochs plain descent spends collapsing the bias
+      // toward the majority class before weights start separating —
+      // every epoch then buys separation, not calibration-to-prior.
+      // Default 0.0 = the classic zero init the JVM cross-check pins.
+      var bias = biasInit
       val losses = Seq.newBuilder[Double]
       // early-stop on loss-delta plateau: `iters` stays the hard budget,
       // stopTol > 0 ends training once the RELATIVE per-iteration loss

@@ -89,20 +89,17 @@ object Bm25 {
     val norm = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / avgdl))
-    // ONE exchange covers both the (query, doc) score aggregate and the
-    // per-query top-k window: HashPartitioning(query_id) satisfies the
-    // aggregate's ClusteredDistribution(query_id, doc_id) AND the
-    // window's ClusteredDistribution(query_id), so the explicit
-    // repartition replaces what would otherwise be two back-to-back
-    // exchanges. The rows it carries are the hit-bounded (query, doc,
-    // contrib) stream — same magnitude as the tf exchange — and the
-    // per-query concentration it creates is one the window stage paid
-    // anyway under the two-exchange plan.
+    // deliberately TWO exchanges here, not a single repartition(query_id)
+    // serving both the aggregate and the window (measured: that form is
+    // ~20% slower at bench scale and worse at 100 TB): the (query, doc)
+    // agg exchange ships map-side-COMBINED partial sums, not raw per-term
+    // contribution rows, and keeps the agg at full parallelism even when
+    // the query set is smaller than the cluster; the window exchange then
+    // ships only WindowGroupLimit-pruned rows (<= k per query per task)
     val scored = tf.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", round(idf * norm, 9).cast("decimal(30,12)"))
-      .repartition(col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
 

@@ -91,6 +91,33 @@ class ClassifierSpec extends SparkSpec {
     got.weights.foreach { case (f, v) => assert(math.abs(v - seqW(f)) < 1e-12) }
   }
 
+  test("stopTol ends training on a loss plateau; biasInit offsets the schedule") {
+    // a hard budget of 20 epochs, but the loss trace must stop early
+    // once the relative per-epoch improvement falls under 5%; the
+    // truncated trace is a PREFIX of the fixed-schedule trace (early
+    // stop changes when training ends, never what each epoch computes)
+    val full = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 20, lr = 20.0)
+    val stopped = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 20, lr = 20.0, stopTol = 0.05)
+    assert(stopped.losses.size < 20, "plateau must end training early")
+    assert(stopped.losses == full.losses.take(stopped.losses.size))
+    val i = stopped.losses.size - 1
+    assert(math.abs(full.losses(i - 1) - full.losses(i)) <=
+      0.05 * math.max(full.losses(i - 1), 1e-12))
+
+    // biasInit = prior log-odds: a 1-epoch model's bias moves FROM the
+    // init (sigmoid(biasInit) calibration pre-update), not from zero
+    val prior = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 1, lr = 0.0, biasInit = 0.7)
+    assert(prior.bias == 0.7, "lr = 0 must leave the initialized bias untouched")
+    val zero = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 1, lr = 1.0)
+    val off = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 1, lr = 1.0, biasInit = 0.7)
+    assert(zero.bias != off.bias, "init must shift the first update's margins")
+  }
+
   test("score: zero-weight model gives sigmoid(bias); empty text kept") {
     val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val m = TextClassifier.Model(1 << 10, bias = 0.4, weights = Map.empty,
