@@ -517,6 +517,67 @@ object SparkEntry {
     // Gopher default of 50 would gate on word count alone
     "d_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 10)),
+    "d_html_extract" -> ((s, d) => {
+      // crawl-front extraction: wrap each doc's text in a realistic
+      // page (head with title/style/script traps, a link-dense nav, a
+      // short heading, two content paragraphs — one carrying an inline
+      // anchor — and a link-dense footer), then extract. The oracle
+      // reconstructs the expected kept text directly from the RAW text
+      // (independent of the extractor), so the boilerplate drops and
+      // the anchor-text arithmetic are genuinely checked, not mirrored.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>p{color:red}</style>"),
+        lit("<script>var x = \"<p>trap</p>\";</script></head><body>"),
+        lit("<div id=\"nav\"><a href=\"/\">home</a> <a href=\"/a\">about</a> <a href=\"/b\">contact</a></div>"),
+        lit("<h2>Section</h2><p>"), col("text"), lit("</p>"),
+        lit("<p>See <a href=\"/ref\">the reference</a> for details: "),
+        upper(col("text")), lit("</p>"),
+        lit("<div class=\"footer\"><a href=\"/tos\">terms</a> (c) 2026</div></body></html>"))
+      graft.text.HtmlExtract.extract(
+        docs.select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
+    "d_url_filter" -> ((s, d) => {
+      // provenance gate: synthesize a deterministic crawl URL per doc
+      // (mixed case, www/default-port/fragment/tracking noise; every
+      // 5th doc under a co.uk multi-part suffix with an archive.
+      // subdomain), canonicalize, extract the registered domain, and
+      // anti-join a blocklist derived from the source ids (every 4th
+      // source blocked — BOTH its host shapes must drop). The oracle
+      // reconstructs canonical urls + domains from source/doc_id
+      // directly, so the canonicalization rules are checked, not
+      // mirrored.
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Archive."), col("source"), lit(".CO.UK:80/doc/"),
+          col("doc_id"), lit("?utm_source=crawl&id="), col("doc_id"), lit("#top")))
+        .otherwise(concat(lit("HTTPS://WWW.Example-"), col("source"),
+          lit(".COM:443/Doc/"), col("doc_id"), lit("?id="), col("doc_id"),
+          lit("&ref=rss")))
+      val withUrl = docs.withColumn("url", url)
+      val blockedSrc = withUrl.select("source").distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 4 === 0)
+      val block = blockedSrc
+        .select(concat(lit("example-"), col("source"), lit(".com")).as("domain"))
+        .unionByName(blockedSrc
+          .select(concat(col("source"), lit(".co.uk")).as("domain")))
+      graft.ops.UrlOps.urlFilter(withUrl, block)
+        .select("doc_id", "url", "domain").orderBy("doc_id")
+    }),
+    "d_url_domain_stats" -> ((s, d) => {
+      // per-registered-domain corpus profile over the same synthetic
+      // crawl urls — the provenance stats that feed domainMix /
+      // shardReport when `source` arrives as a URL, not a label
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Archive."), col("source"), lit(".CO.UK:80/doc/"),
+          col("doc_id"), lit("?utm_source=crawl&id="), col("doc_id"), lit("#top")))
+        .otherwise(concat(lit("HTTPS://WWW.Example-"), col("source"),
+          lit(".COM:443/Doc/"), col("doc_id"), lit("?id="), col("doc_id"),
+          lit("&ref=rss")))
+      graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
+    }),
     "d_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(Tables.documents(s, d), 200)),
     "d_bpe_pair_counts" -> ((s, d) =>
@@ -540,6 +601,38 @@ object SparkEntry {
         s"$base/jsonl", numFiles = 8, orderCol = "doc_id")
       graft.sources.JsonlCorpus.toParquet(s, s"$base/jsonl", s"$base/pq", schema)
       s.read.parquet(s"$base/pq").orderBy("doc_id")
+    }),
+    "d_warc_roundtrip" -> ((s, d) => {
+      // crawl-format round-trip with NO file I/O in the timed path:
+      // serialize every doc as a WARC resource record, concatenate the
+      // records of each of 16 groups into one multi-record blob
+      // (sorted by doc_id — deterministic byte layout), then walk the
+      // blobs back with the pure-byte record parser and recover
+      // (doc_id, text) from the WARC-Target-URI + payload. Lossless by
+      // construction, so the oracle is a plain projection — any header
+      // arithmetic or content-length advancement error breaks the hash
+      import s.implicits._
+      val recs = Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id % 16, id, graft.sources.Warc.writeRecord(
+            "resource", s"http://corpus.example/doc/$id", "text/plain",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("blob_id", "doc_id", "rec")
+      val blobs = recs.groupBy("blob_id")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+            _.getField("rec")),
+          lit(Array.emptyByteArray), (acc, r) => concat(acc, r)).as("blob"))
+      blobs.select("blob").as[Array[Byte]]
+        .flatMap { blob =>
+          val p = graft.sources.Warc.parseRecords(blob)
+          require(p.quarantinedAt == -1L,
+            s"round-trip blob must parse cleanly, quarantined at ${p.quarantinedAt}")
+          p.records.map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("doc_id", "text")
+        .orderBy("doc_id")
     }),
     "d_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
@@ -1982,6 +2075,36 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+    "d_warc_roundtrip" ->
+      // WARC serialize -> multi-record byte walk -> recover: lossless
+      // by construction, so the oracle is the plain projection
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "d_url_filter" ->
+      // expected canonical urls + registered domains reconstructed
+      // from source/doc_id INDEPENDENTLY of the canonicalizer: scheme
+      // and host lowercase, www./default port/fragment gone, tracking
+      // params (incl. a LEADING utm_) healed out of the query, path
+      // case preserved; co.uk rows register 3 labels. Every 4th
+      // source's domains are blocked in both host shapes.
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN 'http://archive.' || source || '.co.uk/doc/' || doc_id || '?id=' || doc_id
+        |    ELSE 'https://example-' || source || '.com/Doc/' || doc_id || '?id=' || doc_id
+        |  END AS url,
+        |  CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+        |    ELSE 'example-' || source || '.com' END AS domain
+        |FROM documents
+        |WHERE CAST(substr(source, 4) AS INT) % 4 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    "d_url_domain_stats" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+        |    ELSE 'example-' || source || '.com' END AS domain,
+        |    len(text) AS c
+        |  FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_chars
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
     "d_vocab_topk" ->
       """WITH f AS (
         |  SELECT token, count(*) AS cnt FROM (
@@ -2046,6 +2169,27 @@ object SparkEntry {
         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
         |   AND n_stopwords_present >= 2) AS pass
         |FROM sig ORDER BY doc_id""".stripMargin,
+    "d_html_extract" ->
+      // expected output reconstructed from the RAW text, not by
+      // mirroring the extractor: the page wraps text in 5 blocks (nav,
+      // heading, <p>text</p>, <p>See <a>the reference</a> for
+      // details: UPPER</p>, footer). nav/heading/footer always drop
+      // (link-dense / short). Block 3 keeps iff len >= 20 (minChars).
+      // Block 4's visible text is 31 + L chars, its anchor text
+      // contributes 14 of them after whitespace collapse, so it keeps
+      // iff 14/(31+L) <= 0.2 — the same IEEE division both engines run
+      """SELECT doc_id,
+        |  concat_ws(chr(10),
+        |    CASE WHEN len(text) >= 20 THEN text END,
+        |    CASE WHEN 14.0 / (31 + len(text)) <= 0.2
+        |         THEN 'See the reference for details: ' || upper(text) END) AS text,
+        |  CAST(CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN 14.0 / (31 + len(text)) <= 0.2 THEN 1 ELSE 0 END
+        |     AS BIGINT) AS n_blocks_kept,
+        |  CAST(5 - CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
+        |     - CASE WHEN 14.0 / (31 + len(text)) <= 0.2 THEN 1 ELSE 0 END
+        |     AS BIGINT) AS n_blocks_dropped
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d_char_entropy" ->
       // per-doc char histogram via unnest+groupBy (fine at oracle
       // scale; the Spark side builds it per row without a shuffle)

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization, registered-domain extraction, and domain
+  * blocklist filtering — the provenance operators between a crawl
+  * ([[graft.sources.Warc]]) and the source-keyed stages this repo
+  * already ships (domainMix, shardReport key on a `source` column;
+  * UT1-style domain blocklists are the standard companion to the
+  * content blocklist in [[BloomPrune]]).
+  *
+  * Everything here is pure per-row codegen'd string/array
+  * expressions — zero shuffle, no UDF, total on malformed input (a
+  * string that doesn't parse as a URL canonicalizes by the same rules
+  * as far as they apply and yields an empty host). Deliberately
+  * regex-based, not java.net.URI: URI.create throws on the malformed
+  * URLs a real crawl is full of, and an exception per bad row is the
+  * wrong failure mode at 100 TB.
+  */
+object UrlOps {
+
+  /** Query params that carry tracking state, not content identity
+    * (the usual canonicalization drop-set: utm campaign tags, click
+    * ids, affiliate refs).
+    */
+  private val TrackingParams =
+    "utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src"
+
+  /** Multi-part public-suffix second levels: `a.co.uk` registers at 3
+    * labels, `a.example.com` at 2. A fixed heuristic set, NOT the full
+    * Mozilla public-suffix list (that list is refreshed data, not
+    * code; a deployment would broadcast-join its current snapshot —
+    * the extraction shape is identical).
+    */
+  private val MultiPartSld = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Canonical form: lowercase scheme and host, `www.` prefix
+    * stripped, default ports dropped (http:80 / https:443), fragment
+    * removed, tracking params removed (query otherwise preserved in
+    * order), path case preserved. Total: rows without a scheme://host
+    * shape pass through the fragment/param rules with the rest
+    * untouched.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val host = regexp_replace(regexp_replace(hostPort, "^www\\.", ""),
+      ":(80|443)$", "")
+    // split rest into path ? query, drop tracking params from the
+    // query (one replace pass: a leading match consumes nothing of the
+    // separator, an inner match consumes its leading &), re-attach the
+    // query only if something survived
+    def dropTracking(q: Column): Column = regexp_replace(
+      regexp_replace(q, s"(^|&)(?:$TrackingParams)=[^&]*", "$1"),
+      "^&+|&+$|&(?=&)", "")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = dropTracking(regexp_extract(rest, "\\?(.*)$", 1))
+    val tail = concat(path, when(query === "", lit(""))
+      .otherwise(concat(lit("?"), query)))
+    when(host === "",
+      // no scheme://host shape: best-effort — fragment and tracking
+      // params still go, the rest passes through untouched
+      concat(regexp_extract(noFrag, "^([^?]*)", 1),
+        when(dropTracking(regexp_extract(noFrag, "\\?(.*)$", 1)) === "", lit(""))
+          .otherwise(concat(lit("?"),
+            dropTracking(regexp_extract(noFrag, "\\?(.*)$", 1))))))
+      .otherwise(concat(scheme, lit("://"), host, tail))
+  }
+
+  /** Host of a canonical (or raw) URL: lowercase, no www., no port. */
+  def hostOf(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", ""), ":[0-9]+$", "")
+
+  /** Registered domain of a host: the public suffix plus one label —
+    * `a.b.example.com` -> `example.com`, `news.bbc.co.uk` ->
+    * `bbc.co.uk` (3 labels when the second-to-last label is a known
+    * multi-part second level and there are labels to spare). Hosts
+    * with fewer than 2 labels (localhost, IPs are out of scope) pass
+    * through unchanged.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    val take3 = n >= lit(3) &&
+      sld.isin(MultiPartSld: _*) && length(element_at(labels, -1)) <= 3
+    when(n <= 2, host)
+      .when(take3, concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+  }
+
+  /** Canonicalize + annotate + blocklist-filter a URL-carrying frame:
+    * drops rows whose registered domain appears in `blockedDomains`
+    * (one `domain` column — UT1 category lists are exactly this
+    * shape), returns the survivors with `url` rewritten canonical and
+    * a `domain` column for downstream mixing/sharding.
+    *
+    * Scale shape: the blocklist joins as a broadcast anti-join
+    * (UT1-class lists are a few MB); for larger lists the same
+    * [[BloomPrune]] two-phase pattern applies upstream. The corpus
+    * never shuffles.
+    */
+  def urlFilter(docs: DataFrame, blockedDomains: DataFrame,
+                urlCol: String = "url"): DataFrame = {
+    val canon = docs.withColumn(urlCol, canonicalizeUrl(col(urlCol)))
+      .withColumn("domain", registeredDomain(hostOf(col(urlCol))))
+    canon.join(broadcast(blockedDomains.select(col("domain")).distinct()),
+      Seq("domain"), "left_anti")
+  }
+
+  /** Per-registered-domain corpus stats over a URL-carrying frame —
+    * the provenance profile that feeds domain mixing and shard
+    * reports: doc count and character volume per domain. One
+    * partial-agg shuffle keyed by domain.
+    */
+  def domainStats(docs: DataFrame, urlCol: String = "url",
+                  textCol: String = "text"): DataFrame =
+    docs.select(registeredDomain(hostOf(col(urlCol))).as("domain"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__chars").as("n_chars"))
+      .orderBy("domain")
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.text.HtmlExtract
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(html: String, maxLinkDensity: Double = 0.2,
+                  minChars: Int = 20, stopwords: Seq[String] = Nil,
+                  minStopwordFrac: Double = 0.0): (String, Long, Long) = {
+    val r = HtmlExtract.extract(
+      Seq((1L, html)).toDF("doc_id", "html"),
+      maxLinkDensity = maxLinkDensity, minChars = minChars,
+      stopwords = stopwords, minStopwordFrac = minStopwordFrac).head()
+    (r.getString(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("strips script/style/head/comments; drops link-dense nav and short headings") {
+    val html =
+      """<html><head><title>T</title><style>p {color: red}</style>
+        |<script>var trap = "<p>not text</p>";</script></head><body>
+        |<div id="nav"><a href="/">home</a> <a href="/a">about</a> <a href="/b">contact us</a></div>
+        |<h2>Heading</h2>
+        |<p>the quick brown fox jumps over the lazy dog repeatedly</p>
+        |<div class="footer"><a href="/tos">terms of service</a> 2026</div>
+        |</body></html>""".stripMargin
+    val (text, kept, dropped) = run(html)
+    assert(text == "the quick brown fox jumps over the lazy dog repeatedly")
+    assert(kept == 1)
+    // nav (link-dense), "Heading" (short), footer (link-dense) — the
+    // head/script/style/comment content never forms a block at all
+    assert(dropped == 3)
+  }
+
+  test("moderate anchor inside long prose is kept, anchor text preserved") {
+    val html = "<p>See the <a href=\"/ref\">reference section</a> for the full " +
+      "derivation of the result discussed above in considerable detail</p>"
+    val (text, kept, _) = run(html)
+    assert(kept == 1)
+    assert(text == "See the reference section for the full derivation of the " +
+      "result discussed above in considerable detail")
+  }
+
+  test("entity decode: &amp; decodes last so double-escapes stay literal") {
+    val html = "<p>a &lt; b &amp;&amp; c &gt; d &quot;q&quot; &#39;s&#39; " +
+      "&amp;lt; stays literal here</p>"
+    val (text, _, _) = run(html, minChars = 1)
+    assert(text == "a < b && c > d \"q\" 's' &lt; stays literal here")
+  }
+
+  test("br/hr split inline runs into separate blocks") {
+    val html = "<p>first visual block with enough characters here<br>" +
+      "second visual block also long enough to keep<hr/>short</p>"
+    val (text, kept, dropped) = run(html)
+    assert(kept == 2 && dropped == 1)
+    assert(text == "first visual block with enough characters here\n" +
+      "second visual block also long enough to keep")
+  }
+
+  test("malformed markup degrades, never fails: unclosed tags, stray brackets") {
+    // unclosed <div> and <b>: the texts merge into larger blocks;
+    // an unclosed <a ...> swallows only its own tag
+    val (t1, k1, _) = run("<div>alpha beta gamma delta epsilon zeta eta theta",
+      minChars = 10)
+    assert(k1 == 1 && t1 == "alpha beta gamma delta epsilon zeta eta theta")
+    val (t2, _, _) = run(
+      "<p>left side <b>bold run continues with the sentence to the end</p>",
+      minChars = 10)
+    assert(t2 == "left side bold run continues with the sentence to the end")
+    // a bare '<' that never closes eats to the next '>' like a tag
+    // (regex parser contract); everything after survives
+    val (t3, _, _) = run("<p>x < y and the remainder of the text stays</p>",
+      minChars = 5)
+    assert(t3.endsWith("y and the remainder of the text stays") ||
+      t3 == "x < y and the remainder of the text stays")
+  }
+
+  test("stopword gate: prose with function words kept, keyword-stuffing dropped") {
+    val sw = Seq("the", "of", "and", "a", "in", "to")
+    val prose = "<p>the quality of the corpus depends on the curation of the text</p>"
+    val stuffing = "<p>buy cheap widgets best widgets cheap deals widgets sale now</p>"
+    val (t1, k1, _) = run(prose, stopwords = sw, minStopwordFrac = 0.25)
+    val (t2, k2, d2) = run(stuffing, stopwords = sw, minStopwordFrac = 0.25)
+    assert(k1 == 1 && t1.startsWith("the quality"))
+    assert(k2 == 0 && d2 == 1 && t2 == "")
+  }
+
+  test("plain text with no markup is a single kept block; empty html keeps the row") {
+    val (t1, k1, d1) = run("no markup at all just a plain sentence of words")
+    assert((t1, k1, d1) == ("no markup at all just a plain sentence of words", 1L, 0L))
+    val (t2, k2, d2) = run("")
+    assert((t2, k2, d2) == ("", 0L, 0L))
+    val (t3, k3, d3) = run("<div><p></p>  <br/> </div>")
+    assert((t3, k3, d3) == ("", 0L, 0L))
+  }
+
+  test("uppercase legacy markup and attributes with spaces handled") {
+    val html = "<DIV CLASS=\"main\"><P>uppercase tags are still block " +
+      "delimiters in legacy pages</P></DIV>"
+    val (text, kept, _) = run(html)
+    assert(kept == 1)
+    assert(text == "uppercase tags are still block delimiters in legacy pages")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).head().getString(0)
+  private def regdom(h: String): String =
+    Seq(h).toDF("h").select(UrlOps.registeredDomain(col("h"))).head().getString(0)
+
+  test("canonicalize: case, www, default ports, fragments, tracking params") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/Stays?id=7&utm_source=feed#frag")
+      == "https://example.com/Path/Stays?id=7")
+    assert(canon("http://News.Site.org:80/") == "http://news.site.org/")
+    // non-default port survives; param order preserved; unknown params kept
+    assert(canon("https://a.example.com:8443/x?b=2&a=1")
+      == "https://a.example.com:8443/x?b=2&a=1")
+    // all-tracking query drops the '?' entirely, leading tracking heals
+    assert(canon("https://e.com/p?utm_a=1&utm_b=2") == "https://e.com/p")
+    assert(canon("https://e.com/p?utm_a=1&id=9") == "https://e.com/p?id=9")
+    assert(canon("https://e.com/p?id=9&gclid=xyz&q=2") == "https://e.com/p?id=9&q=2")
+  }
+
+  test("canonicalize is total on malformed input") {
+    assert(canon("not a url at all") == "not a url at all")
+    assert(canon("relative/path?x=1&fbclid=z#f") == "relative/path?x=1")
+    assert(canon("") == "")
+    assert(canon("://missing.scheme/x") == "://missing.scheme/x")
+  }
+
+  test("registered domain: 2-label default, multi-part suffixes at 3, short hosts pass") {
+    assert(regdom("a.b.example.com") == "example.com")
+    assert(regdom("news.bbc.co.uk") == "bbc.co.uk")
+    assert(regdom("deep.sub.tree.ac.jp") == "tree.ac.jp")
+    assert(regdom("example.com") == "example.com")
+    assert(regdom("localhost") == "localhost")
+    // 'com' as sld but nothing to spare -> stays 2 labels
+    assert(regdom("co.uk") == "co.uk")
+    // multi-part rule needs a SHORT tld (co.uk yes, co.verylongtld no)
+    assert(regdom("x.co.website") == "co.website")
+  }
+
+  test("urlFilter drops blocked registered domains incl. subdomain forms") {
+    val docs = Seq(
+      (1L, "https://WWW.Blocked-one.COM/a?utm_x=1", "t1"),
+      (2L, "https://sub.blocked-one.com/b", "t2"),
+      (3L, "https://fine.example.net/c#frag", "t3"),
+      (4L, "http://archive.blocked-two.co.uk:80/d", "t4"),
+    ).toDF("doc_id", "url", "text")
+    val block = Seq("blocked-one.com", "blocked-two.co.uk").toDF("domain")
+    val got = UrlOps.urlFilter(docs, block).orderBy("doc_id")
+      .select("doc_id", "url", "domain").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(got.head.getString(1) == "https://fine.example.net/c")
+    assert(got.head.getString(2) == "example.net")
+  }
+
+  test("domainStats aggregates per registered domain") {
+    val docs = Seq(
+      (1L, "https://a.example.com/x", "aaaa"),
+      (2L, "https://b.example.com/y", "bb"),
+      (3L, "https://other.net/z", "c"),
+    ).toDF("doc_id", "url", "text")
+    val got = UrlOps.domainStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("example.com", 2L, 6L), ("other.net", 1L, 1L)))
+  }
+}

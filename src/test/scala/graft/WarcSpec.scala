@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+
+  private def rec(uri: String, body: String, typ: String = "resource") =
+    Warc.writeRecord(typ, uri, "text/plain", body.getBytes(UTF_8))
+
+  test("multi-record walk: types, uris, payloads, offsets") {
+    val bytes = Warc.writeRecord("warcinfo", "", "application/warc-fields",
+      "software: graft\r\n".getBytes(UTF_8)) ++
+      rec("http://a.example/1", "first body") ++
+      rec("http://a.example/2", "second body, a bit longer")
+    val p = Warc.parseRecords(bytes)
+    assert(p.quarantinedAt == -1L)
+    assert(p.records.map(_.warcType) == Seq("warcinfo", "resource", "resource"))
+    assert(p.records(1).targetUri == "http://a.example/1")
+    assert(new String(p.records(2).payload, UTF_8) == "second body, a bit longer")
+    assert(p.records.head.offset == 0L)
+    assert(p.records(1).offset > 0 && p.records(2).offset > p.records(1).offset)
+  }
+
+  test("payload containing 'WARC/1.0' does not resync the walker") {
+    val trap = "fake\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n tail"
+    val bytes = rec("http://t.example/x", trap) ++ rec("http://t.example/y", "real")
+    val p = Warc.parseRecords(bytes)
+    assert(p.quarantinedAt == -1L)
+    assert(p.records.map(_.targetUri) ==
+      Seq("http://t.example/x", "http://t.example/y"))
+    assert(new String(p.records.head.payload, UTF_8) == trap)
+  }
+
+  test("truncated tail and malformed headers quarantine from the record start") {
+    val good = rec("http://q.example/ok", "intact record")
+    // truncated payload: declared length runs past EOF
+    val truncated = good ++ ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 9999\r\n\r\nshort").getBytes(UTF_8)
+    val p1 = Warc.parseRecords(truncated)
+    assert(p1.records.size == 1 && p1.quarantinedAt == good.length.toLong)
+    // header line with no colon
+    val badHdr = good ++ ("WARC/1.0\r\nNOT A HEADER LINE\r\n\r\n").getBytes(UTF_8)
+    val p2 = Warc.parseRecords(badHdr)
+    assert(p2.records.size == 1 && p2.quarantinedAt == good.length.toLong)
+    // wrong magic
+    val p3 = Warc.parseRecords("GIF89a not a warc".getBytes(UTF_8))
+    assert(p3.records.isEmpty && p3.quarantinedAt == 0L)
+    // empty input is clean
+    assert(Warc.parseRecords(Array.emptyByteArray).quarantinedAt == -1L)
+  }
+
+  test("missing record-final CRLFs on the last record still parse") {
+    val full = rec("http://e.example/1", "body one")
+    val noTail = full.dropRight(4) // strip the record-final CRLF CRLF
+    val p = Warc.parseRecords(noTail)
+    assert(p.quarantinedAt == -1L)
+    assert(p.records.size == 1 &&
+      new String(p.records.head.payload, UTF_8) == "body one")
+  }
+
+  test("httpBody strips the response header block, passes bare content through") {
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>the body</html>").getBytes(UTF_8)
+    assert(new String(Warc.httpBody(http), UTF_8) == "<html>the body</html>")
+    val bare = "no http header here".getBytes(UTF_8)
+    assert(Warc.httpBody(bare).sameElements(bare))
+  }
+
+  test("case-insensitive header lookup per spec") {
+    val bytes = ("WARC/1.1\r\nwarc-type: resource\r\n" +
+      "warc-target-uri: http://c.example/z\r\ncontent-length: 4\r\n\r\nbody\r\n\r\n")
+      .getBytes(UTF_8)
+    val p = Warc.parseRecords(bytes)
+    assert(p.quarantinedAt == -1L)
+    assert(p.records.head.warcType == "resource")
+    assert(p.records.head.targetUri == "http://c.example/z")
+  }
+
+  test("read(): one row per record across plain and multi-member-gzip files") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    val plain = rec("http://f.example/1", "plain file record one") ++
+      rec("http://f.example/2", "plain file record two")
+    Files.write(Paths.get(dir, "a.warc"), plain)
+    // per-record gzip members concatenated — the .warc.gz layout
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val gzBytes = gz(rec("http://f.example/3", "gz member record")) ++
+      gz(rec("http://f.example/4", "second gz member"))
+    Files.write(Paths.get(dir, "b.warc.gz"), gzBytes)
+
+    val got = Warc.read(spark, dir).selectExpr(
+      "target_uri", "cast(payload as string) AS body", "quarantined_at")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 4).map(i => s"http://f.example/$i"))
+    assert(got.map(_._2).toSeq == Seq("plain file record one",
+      "plain file record two", "gz member record", "second gz member"))
+    assert(got.forall(_._3 == -1L))
+  }
+}
