@@ -221,8 +221,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val fails = failures.map { case (k, msg) => s"\"$k\":\"${jsonEscape(msg)}\"" }
       .mkString("{", ",", "}")
+    // host-contention metadata: a contended run (another heavy process
+    // sharing the box) self-identifies instead of masquerading as a
+    // code regression — round 10's driver rerun showed uniform 2-4x
+    // inflation on sub-second queries from exactly this
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadEnd = osBean.getSystemLoadAverage
+    val nProcs = Option(new java.io.File("/proc").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit)))
+      .getOrElse(-1)
+    val host =
+      s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs}"""
     val detail =
-      s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir","total":${f6(total)},"spread":$spread,"failures":$fails}"""
+      s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir",$host,"total":${f6(total)},"spread":$spread,"failures":$fails}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"BENCH_DETAIL -> ${detailPath.toAbsolutePath}")

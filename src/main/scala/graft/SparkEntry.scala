@@ -889,6 +889,25 @@ object SparkEntry {
     "m_audio_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(
         Multimodal.mediaTable(Tables.documents(s, d)))),
+    "m_frame_sample_decoded" -> ((s, d) => {
+      // REAL frame extraction round-trip: encode a deterministic
+      // 2-frame animated GIF per doc (frame grays g = id % 256 and
+      // 255 - g, explicit palette so nothing quantizes), then decode
+      // every frame back through the multi-frame reader. The oracle
+      // reconstructs per-frame pixel facts (dims + exact mean luma)
+      // from doc_id alone — a decoder that trusted metadata or
+      // misread any frame's raster breaks the hash.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .map { id =>
+          val g = (id % 256).toInt
+          Multimodal.MediaRow(id, "video",
+            Multimodal.grayGif(Seq(g, 255 - g),
+              (4 + id % 4).toInt, (3 + id % 3).toInt), 0, 0, 0)
+        }
+      Multimodal.frameSampleDecoded(media, step = 1)
+        .toDF().orderBy("doc_id", "frame_idx")
+    }),
     "q_lttb_downsample" -> ((s, d) =>
       // the range-partitioned (no single-partition stage) variant;
       // spec pins it equal to the window-indexed form. Project down to
@@ -2255,6 +2274,21 @@ object SparkEntry {
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
+    "m_frame_sample_decoded" ->
+      // expected per-frame facts from doc_id alone: frame 0 is gray
+      // g = id % 256 (mean luma EXACTLY g — Rec.601 coefficients sum
+      // to 1000), frame 1 is 255 - g; dims 4+id%4 x 3+id%3; the
+      // engine's values come from really-decoded GIF rasters
+      """WITH f AS (
+        |  SELECT doc_id, 0 AS frame_idx, doc_id % 256 AS g FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 255 - doc_id % 256 FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(2 AS BIGINT) AS n_frames,
+        |  CAST(4 + doc_id % 4 AS INT) AS width,
+        |  CAST(3 + doc_id % 3 AS INT) AS height,
+        |  'luma:' || CAST(g AS VARCHAR) || '.000000' AS feature
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m_audio_energy" ->
       // the stub decode surfaces payload bytes as the text's code
       // points; the frame RMS math (exact long sum of squares, IEEE

@@ -59,7 +59,7 @@ object Multimodal {
     * `luma:<mean>` (Rec.601 luma averaged over all pixels, 6 dp —
     * integer accumulation, so the value is identical on any JVM).
     */
-  private[mm] case class DecodedImage(width: Int, height: Int, feature: String)
+  private[graft] case class DecodedImage(width: Int, height: Int, feature: String)
 
   /** Real image decode via `javax.imageio`. None when no installed
     * reader claims the bytes (text payloads, truncated files) — the
@@ -67,29 +67,65 @@ object Multimodal {
     * first, so a non-image payload fails in microseconds, not after a
     * full parse attempt.
     */
+  /** Rec.601 mean-luma fact for a decoded frame: Σ(299R + 587G + 114B)
+    * accumulated exactly in a long (the coefficients sum to 1000, so a
+    * uniform gray g has mean luma exactly g), divided once at the end.
+    */
+  private def lumaFacts(img: java.awt.image.BufferedImage): DecodedImage = {
+    var lumaMilli = 0L // Σ round-free (299R + 587G + 114B), exact in long
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        lumaMilli += 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val px = img.getWidth.toLong * img.getHeight
+    val mean = lumaMilli.toDouble / (1000.0 * px)
+    DecodedImage(img.getWidth, img.getHeight,
+      "luma:" + String.format(java.util.Locale.ROOT, "%.6f", Double.box(mean)))
+  }
+
   private[mm] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(lumaFacts(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Multi-frame decode (animated GIF — the one multi-frame container
+    * the JDK ships a codec for; a still PNG/JPEG is simply n = 1):
+    * frame COUNT plus the decoded frames at indices 0, step, 2·step, …
+    * — only sampled frames are read, skipped ones are never decoded.
+    * Frames are the container's raw rasters (no disposal-method
+    * composition across frames — each sampled frame's own pixels).
+    * None when no reader claims the bytes.
+    */
+  private[graft] def decodeFrames(payload: Array[Byte],
+                                  step: Int): Option[(Int, Seq[(Int, DecodedImage)])] = {
+    require(step >= 1, s"step >= 1: $step")
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
       else {
-        var lumaMilli = 0L // Σ round-free (299R + 587G + 114B), exact in long
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            lumaMilli += 299L * ((rgb >> 16) & 0xff) +
-              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        val px = img.getWidth.toLong * img.getHeight
-        val mean = lumaMilli.toDouble / (1000.0 * px)
-        Some(DecodedImage(img.getWidth, img.getHeight,
-          "luma:" + String.format(java.util.Locale.ROOT, "%.6f", Double.box(mean))))
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((n, (0 until n by step).map(i => (i, lumaFacts(reader.read(i))))))
+        } finally reader.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
 
   /** Decoded audio facts: format parameters and the feature string
     * `pcm:<rate>hz:<ch>ch:<bits>bit:rms:<v>` — overall RMS over every
@@ -458,4 +494,65 @@ object Multimodal {
       .select(col("doc_id"), col("duration_ms"), col("frame_offsets_ms"),
         size(col("frame_offsets_ms")).as("n_frames"))
       .orderBy("doc_id")
+
+  /** Encode solid-gray frames as an animated GIF — the writer half of
+    * [[decodeFrames]] (the same role [[graft.sources.Warc.writeRecord]]
+    * plays for the WARC walker): each frame carries an EXPLICIT
+    * 2-entry indexed palette so no quantization touches the gray value
+    * and the decode-side mean luma is exactly g (coefficients sum to
+    * 1000). Used by the frame-sampling round-trip entry and specs.
+    */
+  private[graft] def grayGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    require(grays.nonEmpty && grays.forall(g => g >= 0 && g <= 255),
+      s"gray values in [0,255]: $grays")
+    require(w > 0 && h > 0, s"positive dims: ${w}x$h")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(g.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(g.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  final case class VideoFrameRow(doc_id: Long, frame_idx: Long,
+                                 n_frames: Long, width: Int, height: Int,
+                                 feature: String)
+
+  /** REALLY-decoded frame sampling — the execution half of
+    * [[frameSampleOffsets]]'s plan, the way [[audioFrameEnergyDecoded]]
+    * executes [[audioFrameEnergy]]'s frame math over real PCM: decode
+    * every `step`-th frame of each multi-frame payload (animated GIF —
+    * the one multi-frame format with a JDK codec; MP4 frame decode has
+    * none, which is exactly why [[decodeVideoMeta]] stops at container
+    * metadata) and emit per-frame pixel facts. Payloads no reader
+    * claims are dropped — same contract as the other decoded variants.
+    * Same mapPartitions batch shape; a real video decoder slots into
+    * [[decodeFrames]] with no plumbing changes.
+    */
+  def frameSampleDecoded(media: Dataset[MediaRow],
+                         step: Int = 1): Dataset[VideoFrameRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeFrames(r.payload, step).toSeq.flatMap { case (n, frames) =>
+          frames.map { case (i, f) =>
+            VideoFrameRow(r.doc_id, i.toLong, n.toLong, f.width, f.height,
+              f.feature)
+          }
+        }
+      }
+    }
+  }
 }

@@ -52,7 +52,9 @@ object ScaleSoak {
     "d_char_entropy", "d_bigram_logprob", "d_gopher_rules",
     "d_dsir_select", "d_quality_classifier", "d_domain_overlap",
     "d_dedup_keep_best", "d_decontaminate_semantic", "d_embed_outliers",
-    "d_hybrid_search", "d_shard_report", "q_shipping_priority")
+    "d_hybrid_search", "d_shard_report", "q_shipping_priority",
+    "q_returned_revenue", "d_length_histogram",
+    "d_html_extract", "d_warc_roundtrip", "d_url_filter")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -249,6 +249,69 @@ class TextMmSpec extends SparkSpec {
     assert(frames.select(max(col("n_frames"))).as[Int].head() <= 30)
   }
 
+  // handmade animated GIF: one solid-gray frame per entry, with an
+  // EXPLICIT indexed palette per frame so the writer quantizes nothing
+  // — gray g decodes to mean luma exactly g (299+587+114 = 1000)
+  private def animatedGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(g.toByte, 0.toByte), Array(g.toByte, 0.toByte), Array(g.toByte, 0.toByte))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  test("real GIF frame decode: per-frame pixels from a handmade 3-frame animation") {
+    val gif = animatedGif(Seq(255, 0, 128), 8, 6)
+    // every frame decoded
+    val Some((n, all)) = Multimodal.decodeFrames(gif, 1)
+    assert(n == 3)
+    assert(all.map(_._1) == Seq(0, 1, 2))
+    assert(all.map(_._2.feature) ==
+      Seq("luma:255.000000", "luma:0.000000", "luma:128.000000"))
+    assert(all.forall { case (_, f) => f.width == 8 && f.height == 6 })
+    // step = 2: frames 1 is SKIPPED (never read), count still 3
+    val Some((n2, sampled)) = Multimodal.decodeFrames(gif, 2)
+    assert(n2 == 3 && sampled.map(_._1) == Seq(0, 2))
+    assert(sampled.map(_._2.feature) == Seq("luma:255.000000", "luma:128.000000"))
+    // non-media bytes: None
+    assert(Multimodal.decodeFrames("not a gif".getBytes("UTF-8"), 1).isEmpty)
+  }
+
+  test("frameSampleDecoded: sampled frame rows per payload, stills n=1, undecodable dropped") {
+    val gif = animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)
+    val png = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 2; y <- 0 until 2) img.setRGB(x, y, 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif, 4, 3, 5000),
+      Multimodal.MediaRow(2L, "image", png, 2, 2, 0),
+      Multimodal.MediaRow(3L, "video", "opaque".getBytes("UTF-8"), 0, 0, 1000),
+    ).toDS()
+    val got = Multimodal.frameSampleDecoded(media, step = 2)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    assert(got.map(r => (r.doc_id, r.frame_idx, r.n_frames)).toSeq ==
+      Seq((1L, 0L, 5L), (1L, 2L, 5L), (1L, 4L, 5L), (2L, 0L, 1L)))
+    assert(got.filter(_.doc_id == 1L).map(_.feature).toSeq ==
+      Seq("luma:10.000000", "luma:30.000000", "luma:50.000000"))
+    assert(got.last.feature == "luma:255.000000")
+  }
+
   test("real image decode: handmade PNG yields decoder dimensions + exact mean luma; undecodable falls back to md5") {
     // handmade 3x2 PNG via the same JDK codec family (write side):
     // two known colors — white (luma 255) on row 0, pure red
