@@ -291,12 +291,16 @@ object SparkEntry {
       // rule on every linked chain. Score = length(text), ties
       // (all-empty truncation chains) fall back to min id on both
       // engines.
-      val docs = Tables.documents(s, d).select("doc_id", "text")
       // the copy-level encoding (doc_id + 10000*k, lag window keyed on
       // doc_id % 10000) requires base ids < 10000 — true at every
       // shipped SF (max 5000), and the oracle's recursive CTE hardcodes
-      // the same constants, so enforce the precondition loudly instead
-      // of silently colliding copy levels on a larger corpus
+      // the same constants. Enforce the precondition loudly (one tiny
+      // single-column scan) instead of silently colliding copy levels
+      // on a larger corpus. NOT an assert_true filter: Catalyst's
+      // constraint inference propagates filter predicates across the
+      // downstream equi-joins, where the assert re-evaluates against
+      // POST-offset ids and throws on valid data (observed).
+      val docs = Tables.documents(s, d).select("doc_id", "text")
       val maxId = docs.agg(max("doc_id")).head.getLong(0)
       require(maxId < 10000,
         s"d_dedup_keep_best encodes copy levels with offset 10000; corpus max doc_id $maxId breaks it")
