@@ -291,28 +291,27 @@ object SparkEntry {
       // rule on every linked chain. Score = length(text), ties
       // (all-empty truncation chains) fall back to min id on both
       // engines.
-      // the copy-level encoding (doc_id + 10000*k, lag window keyed on
-      // doc_id % 10000) requires base ids < 10000 — true at every
-      // shipped SF (max 5000), and the oracle's recursive CTE hardcodes
-      // the same constants. Enforce the precondition loudly (one tiny
-      // single-column scan) instead of silently colliding copy levels
-      // on a larger corpus. NOT an assert_true filter: Catalyst's
-      // constraint inference propagates filter predicates across the
-      // downstream equi-joins, where the assert re-evaluates against
-      // POST-offset ids and throws on valid data (observed).
+      // the copy-level offset derives from max(doc_id) (one tiny
+      // single-column scan) with a floor of 10000 so the shipped SFs
+      // (max base id 4999) keep the exact constants the oracle's
+      // recursive CTE hardcodes, while larger corpora (the 8x soak
+      // unions id+10M shifted copies) get a collision-free encoding
+      // instead of silently folding copy levels together. NOT an
+      // assert_true filter: Catalyst's constraint inference propagates
+      // filter predicates across the downstream equi-joins, where the
+      // assert re-evaluates against POST-offset ids and throws on
+      // valid data (observed).
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      require(maxId < 10000,
-        s"d_dedup_keep_best encodes copy levels with offset 10000; corpus max doc_id $maxId breaks it")
+      val off = math.max(10000L, docs.agg(max("doc_id")).head.getLong(0) + 1L)
       val copies = (0 to 3).map(k => docs.select(
-        (col("doc_id") + 10000 * (3 - k)).as("doc_id"),
+        (col("doc_id") + lit(off) * (3 - k)).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
         .reduce(_ unionByName _)
       val sh = copies.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"),
           graft.functions.Hashes.gram_hashes(col("text"), 3).as("shingles"))
       val byBase = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id") % 10000).orderBy(col("doc_id"))
+        .partitionBy(col("doc_id") % off).orderBy(col("doc_id"))
       val pairs = sh
         .withColumn("doc_a", lag(col("doc_id"), 1).over(byBase))
         .withColumn("sh_a", lag(col("shingles"), 1).over(byBase))
@@ -568,6 +567,66 @@ object SparkEntry {
           .select(concat(col("source"), lit(".co.uk")).as("domain")))
       graft.ops.UrlOps.urlFilter(withUrl, block)
         .select("doc_id", "url", "domain").orderBy("doc_id")
+    }),
+    "d_crawl_pipeline" -> ((s, d) => {
+      // the assembled crawl front door, end to end: serialize each doc
+      // as an HTTP-response WARC record (uri = the synthetic crawl
+      // url, payload = HTTP headers + the d_html_extract page around
+      // the text), concatenate into multi-record blobs, then run the
+      // full chain — byte walk -> httpBody strip -> URL canonicalize +
+      // domain blocklist -> block extraction -> per-domain doc/token
+      // stats. The oracle reconstructs every stage's outcome from
+      // (doc_id, source, text) alone, so a fault ANYWHERE in the chain
+      // (header arithmetic, canonicalization, boilerplate rule, token
+      // split) breaks the hash.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Archive."), col("source"), lit(".CO.UK:80/doc/"),
+          col("doc_id"), lit("?utm_source=crawl&id="), col("doc_id"), lit("#top")))
+        .otherwise(concat(lit("HTTPS://WWW.Example-"), col("source"),
+          lit(".COM:443/Doc/"), col("doc_id"), lit("?id="), col("doc_id"),
+          lit("&ref=rss")))
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>p{color:red}</style>"),
+        lit("<script>var x = \"<p>trap</p>\";</script></head><body>"),
+        lit("<div id=\"nav\"><a href=\"/\">home</a> <a href=\"/a\">about</a> <a href=\"/b\">contact</a></div>"),
+        lit("<h2>Section</h2><p>"), col("text"), lit("</p>"),
+        lit("<p>See <a href=\"/ref\">the reference</a> for details: "),
+        upper(col("text")), lit("</p>"),
+        lit("<div class=\"footer\"><a href=\"/tos\">terms</a> (c) 2026</div></body></html>"))
+      val recs = docs.select(col("doc_id"), url.as("url"), html.as("html"))
+        .as[(Long, String, String)]
+        .map { case (id, u, h) =>
+          (id % 16, id, graft.sources.Warc.writeRecord("response", u, "text/html",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + h)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("blob_id", "doc_id", "rec")
+      val blobs = recs.groupBy("blob_id")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+            _.getField("rec")),
+          lit(Array.emptyByteArray), (acc, r) => concat(acc, r)).as("blob"))
+      val records = blobs.select("blob").as[Array[Byte]]
+        .flatMap { blob =>
+          val p = graft.sources.Warc.parseRecords(blob)
+          require(p.quarantinedAt == -1L,
+            s"crawl blob must parse cleanly, quarantined at ${p.quarantinedAt}")
+          // payloads stay FULL HTTP messages — Crawl.curate owns the
+          // envelope strip, and this entry must exercise that path
+          p.records.map(r => (r.warcType, r.targetUri, r.payload))
+        }.toDF("warc_type", "target_uri", "payload")
+      val blockedSrc = docs.select("source").distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 4 === 0)
+      val block = blockedSrc
+        .select(concat(lit("example-"), col("source"), lit(".com")).as("domain"))
+        .unionByName(blockedSrc
+          .select(concat(col("source"), lit(".co.uk")).as("domain")))
+      graft.pipeline.Crawl.curate(records, block)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_blocks_dropped").as("n_blocks_dropped"))
+        .orderBy("domain")
     }),
     "d_url_domain_stats" -> ((s, d) => {
       // per-registered-domain corpus profile over the same synthetic
@@ -2119,6 +2178,30 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(substr(source, 4) AS INT) % 4 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "d_crawl_pipeline" ->
+      // every stage reconstructed from (doc_id, source, text): the
+      // blocklist drops every 4th source; domains split by doc_id % 5;
+      // per-doc tokens = w (block 3, kept iff L >= 20) + w + 5 (block
+      // 4, kept iff its 14/(31+L) link density <= 0.2); dropped blocks
+      // = 5 - kept (nav/heading/footer always drop)
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS w, len(text) AS L,
+        |    CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+        |      ELSE 'example-' || source || '.com' END AS domain
+        |  FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) % 4 <> 0),
+        |per AS (
+        |  SELECT domain,
+        |    CASE WHEN L >= 20 THEN w ELSE 0 END
+        |      + CASE WHEN 14.0 / (31 + L) <= 0.2 THEN w + 5 ELSE 0 END AS toks,
+        |    5 - CASE WHEN L >= 20 THEN 1 ELSE 0 END
+        |      - CASE WHEN 14.0 / (31 + L) <= 0.2 THEN 1 ELSE 0 END AS dropped
+        |  FROM src)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(dropped) AS BIGINT) AS n_blocks_dropped
+        |FROM per GROUP BY domain ORDER BY domain""".stripMargin,
     "d_url_domain_stats" ->
       """WITH u AS (
         |  SELECT CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'

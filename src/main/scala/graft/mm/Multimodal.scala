@@ -244,7 +244,10 @@ object Multimodal {
             if (size0 == 1L) { if (off + 16 > until) return None; (16, u64(off + 8)) }
             else if (size0 == 0L) (8, (until - off).toLong)
             else (8, size0)
-          if (size < hdr || off + size > until) return None
+          // bound check as `size > until - off` (Int RHS): the naive
+          // `off + size > until` overflows the Long add for adversarial
+          // u64 sizes near Long.MaxValue and lets garbage through
+          if (size < hdr || size > until - off) return None
           if (typ == want) return Some((off + hdr, (off + size).toInt))
           off += size.toInt
         }

@@ -44,6 +44,10 @@ object Sharding {
                   textCol: String = "text", idCol: String = "doc_id",
                   salt: String = "s0"): DataFrame =
     assignShards(docs, nShards, idCol, salt)
+      // token-count convention: split("") -> [""], so an EMPTY text
+      // counts as 1 token — deliberate (both engines agree, and the
+      // oracle mirrors it); callers that must treat empty docs as 0
+      // filter them before sharding
       .withColumn("__t", size(split(trim(col(textCol)), "\\s+")).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+import graft.text.HtmlExtract
+
+/** The assembled crawl front door: WARC records → URL gate → HTML
+  * extraction → per-doc text stats — the chain every crawl-sourced
+  * curation pipeline (C4, RefinedWeb, FineWeb) runs before the text
+  * gates ([[Curation.curate]], c4Clean, gopher rules) take over.
+  * Composes [[graft.sources.Warc]], [[UrlOps]] and [[HtmlExtract]]
+  * without adding machinery of its own — the value is the contract:
+  * one call from crawl bytes to gated, extracted, domain-annotated
+  * documents.
+  *
+  * Scale shape: inherits its pieces' shapes — WARC parse is
+  * one-task-per-file, the URL gate is a broadcast anti-join, the HTML
+  * extraction is zero-shuffle per-row array expressions, and the
+  * domain annotation recomputes from the url (cheap codegen'd string
+  * ops) instead of joining anything back. The corpus never shuffles
+  * inside this chain.
+  */
+object Crawl {
+
+  /** records (warc_type, target_uri, payload) → docs (url, domain,
+    * text, n_blocks_kept, n_blocks_dropped, n_tokens). Only
+    * `response`/`resource` records carry page content (warcinfo /
+    * request / metadata records drop); blocked registered domains
+    * drop; boilerplate blocks drop inside the extraction. Rows whose
+    * extraction keeps nothing survive with empty text and n_tokens 0 —
+    * dropping empty docs is the NEXT gate's decision, not ingestion's.
+    */
+  def curate(records: DataFrame, blockedDomains: DataFrame,
+             maxLinkDensity: Double = 0.2, minChars: Int = 20,
+             stopwords: Seq[String] = Nil,
+             minStopwordFrac: Double = 0.0): DataFrame = {
+    val pages = records
+      .filter(col("warc_type").isin("response", "resource"))
+      .select(col("target_uri").as("url"),
+        // response records capture the full HTTP message — shed the
+        // status line + header block (the codegen'd mirror of
+        // Warc.httpBody: identity when the payload isn't HTTP)
+        regexp_replace(col("payload").cast("string"),
+          "(?s)^HTTP/[^\r\n]*\r\n(?:[^\r\n]+\r\n)*\r\n", "").as("html"))
+    val gated = UrlOps.urlFilter(pages, blockedDomains)
+    val extracted = HtmlExtract.extract(gated, htmlCol = "html",
+      idCol = "url", maxLinkDensity = maxLinkDensity, minChars = minChars,
+      stopwords = stopwords, minStopwordFrac = minStopwordFrac)
+    // domain recomputed from the canonical url — zero-shuffle, no join
+    // back against the gated frame
+    extracted.select(
+      col("url"),
+      UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("domain"),
+      col("text"), col("n_blocks_kept"), col("n_blocks_dropped"),
+      when(col("text") === "", lit(0L))
+        .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+  }
+}
