@@ -628,6 +628,28 @@ object SparkEntry {
           sum("n_blocks_dropped").as("n_blocks_dropped"))
         .orderBy("domain")
     }),
+    "d_url_dedup" -> ((s, d) => {
+      // crawl re-fetch dedup: every doc arrives twice — an old fetch
+      // under a noisy URL (www/case/port/tracking variants) and a
+      // re-crawl under the clean URL with updated text. Both
+      // canonicalize to the SAME url; keep-newest (fetch_id desc) must
+      // surface the updated text with n_fetches = 2. The oracle
+      // reconstructs the canonical url + surviving text per doc.
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val oldFetch = docs.select(
+        concat(lit("HTTPS://WWW.Example-"), col("source"), lit(".COM:443/Doc/"),
+          col("doc_id"), lit("?utm_source=feed")).as("url"),
+        col("text"), (col("doc_id") * 2).as("fetch_id"), col("doc_id"))
+      val reFetch = docs.select(
+        concat(lit("https://example-"), col("source"), lit(".com/Doc/"),
+          col("doc_id")).as("url"),
+        concat(lit("updated: "), col("text")).as("text"),
+        (col("doc_id") * 2 + 1).as("fetch_id"), col("doc_id"))
+      graft.ops.UrlOps.dedupByUrl(
+        oldFetch.unionByName(reFetch), scoreCol = "fetch_id", tieCol = "doc_id")
+        .select(col("url"), col("text"), col("n_fetches"))
+        .orderBy("url")
+    }),
     "d_url_domain_stats" -> ((s, d) => {
       // per-registered-domain corpus profile over the same synthetic
       // crawl urls — the provenance stats that feed domainMix /
@@ -697,6 +719,10 @@ object SparkEntry {
         }.toDF("doc_id", "text")
         .orderBy("doc_id")
     }),
+    "d_ccnet_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail partition over the corpus's own unigram
+      // LM proxy — threshold-compare shape, no global sort
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "d_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
     "d_bm25_search" -> ((s, d) => {
@@ -2155,6 +2181,31 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM words JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_ccnet_buckets" ->
+      // same unigram score pipeline as d_unigram_logprob, then tercile
+      // thresholds via quantile_cont (the same 1 + (n-1)p linear
+      // interpolation percentile() uses), 9dp-rounded before the >=
+      // comparisons, ties to the better bucket
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |scores AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |  FROM words JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(mean_logp, 2.0 / 3.0), 9) AS t_head,
+        |         round(quantile_cont(mean_logp, 1.0 / 3.0), 9) AS t_mid
+        |  FROM scores)
+        |SELECT CASE WHEN mean_logp >= t_head THEN 'head'
+        |            WHEN mean_logp >= t_mid THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  round(CAST(sum(CAST(mean_logp AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_logp,
+        |  round(min(mean_logp), 6) AS min_logp,
+        |  round(max(mean_logp), 6) AS max_logp
+        |FROM scores CROSS JOIN cuts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
     "d_warc_roundtrip" ->
@@ -2202,6 +2253,13 @@ object SparkEntry {
         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(dropped) AS BIGINT) AS n_blocks_dropped
         |FROM per GROUP BY domain ORDER BY domain""".stripMargin,
+    "d_url_dedup" ->
+      // both fetch variants canonicalize to the clean url; keep-newest
+      // surfaces the re-crawl's updated text, n_fetches counts both
+      """SELECT 'https://example-' || source || '.com/Doc/' || doc_id AS url,
+        |  'updated: ' || text AS text,
+        |  CAST(2 AS BIGINT) AS n_fetches
+        |FROM documents ORDER BY url""".stripMargin,
     "d_url_domain_stats" ->
       """WITH u AS (
         |  SELECT CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'

@@ -114,6 +114,33 @@ object UrlOps {
       Seq("domain"), "left_anti")
   }
 
+  /** Crawl re-fetch dedup: a re-crawled corpus carries the same page
+    * many times under cosmetically different URLs (tracking params,
+    * www/case/port noise) and fetch times — keep ONE row per
+    * CANONICAL url: highest `scoreCol` (fetch timestamp for
+    * keep-newest, text length for keep-richest), ties by `tieCol`
+    * ascending. Emits the canonical `url` and `n_fetches` (how many
+    * raw rows collapsed) alongside the surviving row's columns.
+    *
+    * One exchange keyed by the canonical url — the same shuffle any
+    * per-url reduction pays. (`n_fetches` deliberately rides the same
+    * window: computing it blocks WindowGroupLimit's pre-shuffle
+    * row_number pruning, but the alternative is a second exchange for
+    * a count join — one full-width shuffle beats two.)
+    */
+  def dedupByUrl(docs: DataFrame, scoreCol: String, tieCol: String,
+                 urlCol: String = "url"): DataFrame = {
+    val canon = docs.withColumn(urlCol, canonicalizeUrl(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol))
+    val ordered = w.orderBy(col(scoreCol).desc, col(tieCol).asc)
+    canon
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("n_fetches", count(lit(1)).over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Per-registered-domain corpus stats over a URL-carrying frame —
     * the provenance profile that feeds domain mixing and shard
     * reports: doc count and character volume per domain. One

@@ -352,6 +352,42 @@ object TextAnalysis {
     * partitioning AND reproducible by the SQL oracle (double `ln`
     * may differ by an ulp across engines; the rounding absorbs it).
     */
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020): split
+    * the corpus into head/middle/tail thirds by the LM-quality proxy
+    * ([[unigramLogProb]]'s mean log-prob — higher = more
+    * in-distribution; CCNet buckets on exactly this signal, with
+    * a KenLM in place of the self-trained unigram model), the
+    * standard precursor to training-data mixing ("train on head,
+    * sample middle, drop tail").
+    *
+    * Scale shape: bucket by TERCILE THRESHOLDS compared per row — the
+    * two cut points are one tiny aggregate broadcast back — NOT by a
+    * global ntile, which would range-sort the whole corpus through a
+    * single-partition window. Ties at a cut go to the better bucket
+    * (>=). Cuts round to 9 dp (absorbing interpolation ulp drift)
+    * over the 6 dp scores, so the verdict reproduces cross-engine.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val scores = unigramLogProb(docs, textCol, idCol)
+      .select(col(idCol), col("mean_logp"))
+    val cuts = scores.agg(
+      round(expr("percentile(mean_logp, 2.0D / 3.0D)"), 9).as("__t_head"),
+      round(expr("percentile(mean_logp, 1.0D / 3.0D)"), 9).as("__t_mid"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("mean_logp") >= col("__t_head"), "head")
+          .when(col("mean_logp") >= col("__t_mid"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("mean_logp").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_logp"),
+        round(min(col("mean_logp")), 6).as("min_logp"),
+        round(max(col("mean_logp")), 6).as("max_logp"))
+      .orderBy("bucket")
+  }
+
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))

@@ -54,7 +54,8 @@ object ScaleSoak {
     "d_dedup_keep_best", "d_decontaminate_semantic", "d_embed_outliers",
     "d_hybrid_search", "d_shard_report", "q_shipping_priority",
     "q_returned_revenue", "d_length_histogram",
-    "d_html_extract", "d_warc_roundtrip", "d_url_filter")
+    "d_html_extract", "d_warc_roundtrip", "d_url_filter",
+    "d_url_dedup", "d_ccnet_buckets", "d_crawl_pipeline")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

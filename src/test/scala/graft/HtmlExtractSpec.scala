@@ -94,6 +94,25 @@ class HtmlExtractSpec extends SparkSpec {
     assert((t3, k3, d3) == ("", 0L, 0L))
   }
 
+  test("total on 200 pseudo-random byte-salad strings; tag-free text is identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val salad = (0 until 200).map { i =>
+      val chars = "<>&/\"'= abcDEF\n\r\t#;"
+      (i.toLong, (0 until rnd.nextInt(80)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+    // never throws, one row out per row in
+    val out = HtmlExtract.extract(salad.toDF("doc_id", "html")).collect()
+    assert(out.length == 200)
+    // tag-free, entity-free text round-trips as a single block modulo
+    // whitespace collapse
+    val clean = (0 until 50).map(i =>
+      (i.toLong, s"plain words only number $i with several tokens present"))
+    val got = HtmlExtract.extract(clean.toDF("doc_id", "html"), minChars = 1)
+      .orderBy("doc_id").collect()
+    assert(got.zip(clean).forall { case (r, (_, t)) => r.getString(1) == t })
+  }
+
   test("uppercase legacy markup and attributes with spaces handled") {
     val html = "<DIV CLASS=\"main\"><P>uppercase tags are still block " +
       "delimiters in legacy pages</P></DIV>"

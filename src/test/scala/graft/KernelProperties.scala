@@ -221,4 +221,52 @@ object KernelProperties extends Properties("graft.kernels") {
         v.width == 320 && v.height == 240) &&
         (trunc.isEmpty || trunc == full)
     }
+
+  // Warc.parseRecords is the other byte parser over untrusted input —
+  // same fuzz contract as the MP4 walker: total on arbitrary bytes,
+  // and every complete record it does return is internally consistent
+  property("warc: total on arbitrary bytes; quarantine offset in range") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val p = graft.sources.Warc.parseRecords(arr)
+      (p.quarantinedAt == -1L ||
+        (p.quarantinedAt >= 0L && p.quarantinedAt <= arr.length)) &&
+        p.records.forall(r => r.offset >= 0 && r.offset < math.max(arr.length, 1))
+    }
+
+  property("warc: writeRecord -> parseRecords round-trips any record sequence") =
+    forAll(Gen.listOf(Gen.zip(
+      Gen.alphaNumStr.map(s => s"http://x.example/$s"),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))) { recs =>
+      val blob = recs.map { case (uri, body) =>
+        graft.sources.Warc.writeRecord("resource", uri, "application/octet-stream", body)
+      }.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val p = graft.sources.Warc.parseRecords(blob)
+      p.quarantinedAt == -1L && p.records.size == recs.size &&
+        p.records.zip(recs).forall { case (r, (uri, body)) =>
+          r.targetUri == uri && r.payload.sameElements(body)
+        }
+    }
+
+  property("warc: truncating a valid stream anywhere is total, prefix-consistent") =
+    forAll(Gen.chooseNum(0, 400), Gen.alphaNumStr) { (cut, s) =>
+      val blob = graft.sources.Warc.writeRecord("resource",
+        "http://t.example/a", "text/plain", s.getBytes("UTF-8")) ++
+        graft.sources.Warc.writeRecord("resource",
+          "http://t.example/b", "text/plain", ("tail " + s).getBytes("UTF-8"))
+      val full = graft.sources.Warc.parseRecords(blob)
+      val part = graft.sources.Warc.parseRecords(blob.take(math.min(cut, blob.length)))
+      full.quarantinedAt == -1L && full.records.size == 2 &&
+        part.records.size <= 2 &&
+        part.records.zip(full.records).forall { case (a, b) =>
+          a.targetUri == b.targetUri && a.payload.sameElements(b.payload)
+        }
+    }
+
+  // HtmlExtract's keep-rule runs inside Spark; the fuzz surface here is
+  // the un-markup'd fast path: tag-free text must survive extraction
+  // verbatim as one block (whitespace-collapsed), and arbitrary
+  // strings must never throw — exercised via the same expressions the
+  // operator uses, evaluated through a local relation in SparkSpec
+  // (see HtmlExtractSpec); kernel-level fuzz is not applicable.
 }

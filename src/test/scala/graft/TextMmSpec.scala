@@ -444,6 +444,26 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("perplexityBuckets: thirds by threshold, ties to the better bucket, no global sort") {
+    // 6 docs engineered so the unigram scores form 3 clear tiers: docs
+    // made of the corpus-frequent word score high (head), mixed docs
+    // middle, rare-word docs low (tail)
+    val docs = Seq(
+      (1L, "x x x x"), (2L, "x x x x"),          // all-frequent -> head
+      (3L, "x x q1 x"), (4L, "x x q2 x"),        // one rare word -> middle
+      (5L, "q3 q4 q5 q6"), (6L, "q7 q8 q9 q0"),  // all-rare -> tail
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(docs)
+      .select("bucket", "n_docs").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("head", 2L), ("middle", 2L), ("tail", 2L)))
+    // identical scores all land in ONE bucket (threshold semantics,
+    // not row-count splitting): a uniform corpus is all head
+    val same = Seq((1L, "w w"), (2L, "w w"), (3L, "w w")).toDF("doc_id", "text")
+    val uniform = TextAnalysis.perplexityBuckets(same)
+      .select("bucket", "n_docs").as[(String, Long)].collect().toSeq
+    assert(uniform == Seq(("head", 3L)))
+  }
+
   test("bigramLogProb: hand-computed interpolated model, short docs absent, partition-invariant") {
     // corpus bigrams: doc1 "a b a" → (a,b),(b,a); doc2 "a b" → (a,b);
     // doc3 "x" → none (absent from output)

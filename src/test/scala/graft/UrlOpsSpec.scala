@@ -59,6 +59,28 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.head.getString(2) == "example.net")
   }
 
+  test("dedupByUrl: canonical-equivalent fetches collapse, newest wins, ties by tiecol") {
+    val fetches = Seq(
+      // three shapes of ONE page: tracking noise, www/case, clean
+      (1L, "HTTPS://WWW.Site.COM/a?utm_x=1", "v1", 10L),
+      (2L, "https://site.com/a", "v2", 30L),
+      (3L, "https://Site.com:443/a", "v3", 20L),
+      // a different page survives independently
+      (4L, "https://site.com/b", "other", 5L),
+      // equal scores: tie falls to the smaller id
+      (5L, "https://site.com/c", "tie-lo", 7L),
+      (6L, "https://site.com/c", "tie-hi", 7L),
+    ).toDF("id", "url", "text", "fetched_at")
+    val got = UrlOps.dedupByUrl(fetches, scoreCol = "fetched_at", tieCol = "id")
+      .orderBy("url")
+      .select("url", "text", "n_fetches").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("https://site.com/a", "v2", 3L),
+      ("https://site.com/b", "other", 1L),
+      ("https://site.com/c", "tie-lo", 2L)))
+  }
+
   test("domainStats aggregates per registered domain") {
     val docs = Seq(
       (1L, "https://a.example.com/x", "aaaa"),
