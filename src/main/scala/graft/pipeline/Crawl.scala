@@ -57,4 +57,58 @@ object Crawl {
       when(col("text") === "", lit(0L))
         .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
   }
+
+  /** One streaming-ingest micro-batch: gate + extract the batch's
+    * (url, html, fetchCol) pages, then merge into the SnapshotStore
+    * target keeping the LATEST fetch per canonical url — a continuous
+    * crawl converges to the same corpus a one-shot [[curate]] +
+    * [[UrlOps.dedupByUrl]] over all raw fetches produces. Exposed for
+    * direct replay testing; at-least-once safe (committed batch ids
+    * skip, the store swaps snapshots atomically) — the
+    * [[graft.streaming.IncrementalStream.mergeUpsertBatch]] contract
+    * on the crawl front.
+    */
+  def crawlBatch(batch: DataFrame, batchId: Long, targetDir: String,
+                 blockedDomains: DataFrame,
+                 fetchCol: String = "fetched_at"): Unit = {
+    val store = new graft.streaming.SnapshotStore(batch.sparkSession, targetDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
+    val gated = UrlOps.urlFilter(
+      batch.select(col("url"), col("html"), col(fetchCol)), blockedDomains)
+    val extracted = HtmlExtract.extract(gated, htmlCol = "html", idCol = "url")
+    val curated = extracted.select(
+      col("url"),
+      UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("domain"),
+      col("text"),
+      when(col("text") === "", lit(0L))
+        .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"),
+      col(fetchCol))
+    val merged = store.read() match {
+      case Some(t) => graft.sync.SyncOps.applyIncremental(
+        t, curated.select(t.columns.map(col): _*), Seq("url"), fetchCol,
+        tieBreak = "text")
+      case None => graft.sync.SyncOps.upsertKeepLatest(
+        curated, Seq("url"), fetchCol, tieBreak = "text")
+    }
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming crawl-ingest sink (foreachBatch over [[crawlBatch]]):
+    * raw (url, html, fetched_at) pages stream in, the curated
+    * latest-fetch-per-canonical-url corpus accumulates in `targetDir`.
+    */
+  def sinkCrawl(df: DataFrame, targetDir: String, checkpointDir: String,
+                blockedDomains: DataFrame,
+                fetchCol: String = "fetched_at"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        crawlBatch(batch, batchId, targetDir, blockedDomains, fetchCol)
+      }
+
+  /** The committed crawl corpus (None until the first batch commits). */
+  def readCrawlTarget(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String): Option[DataFrame] =
+    new graft.streaming.SnapshotStore(spark, targetDir).read()
 }

@@ -64,8 +64,11 @@ object HtmlExtract {
   }
 
   /** Extract article text from `htmlCol`: returns one row per input
-    * row with `text` (kept blocks joined by \n — empty string when
-    * every block is boilerplate), `n_blocks_kept`, `n_blocks_dropped`.
+    * row with every non-html input column passed through plus `text`
+    * (kept blocks joined by \n — empty string when every block is
+    * boilerplate), `n_blocks_kept`, `n_blocks_dropped`. Input columns
+    * named `text`/`n_blocks_kept`/`n_blocks_dropped` would collide —
+    * rename before calling.
     *
     * Keep rule per block (jusText-style):
     *   - normalized length >= `minChars` (short blocks are headers /
@@ -115,9 +118,13 @@ object HtmlExtract {
     }
 
     val kept = filter(blocks, keep(_))
-    docs.select(col(idCol),
+    // every non-html input column passes through (idCol first for the
+    // common (id, text, …) shape) — callers carrying fetch metadata or
+    // a domain annotation keep it without a join-back
+    val passthrough = idCol +: docs.columns.filterNot(c => c == htmlCol || c == idCol)
+    docs.select(passthrough.map(col) ++ Seq(
       array_join(transform(kept, _.getField("txt")), "\n").as("text"),
       size(kept).cast("long").as("n_blocks_kept"),
-      (size(blocks) - size(kept)).cast("long").as("n_blocks_dropped"))
+      (size(blocks) - size(kept)).cast("long").as("n_blocks_dropped")): _*)
   }
 }

@@ -26,6 +26,58 @@ class CrawlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_blocks_dropped") == 1L) // the link-dense nav
   }
 
+  test("streaming crawl ingest == one-shot curate + url-dedup; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // 3 fetch waves of 2 pages, with url-shape noise and re-fetches:
+    // page A fetched 3x (noisy url first, updated text last), page B
+    // 2x, page C once on a blocked domain
+    def page(body: String) =
+      s"<html><body><p>$body content long enough to clear the minimum</p></body></html>"
+    val fetches = Seq(
+      (1L, "HTTPS://WWW.Site-a.COM/p?utm_x=1", page("a v1")),
+      (2L, "http://site-b.org/q", page("b v1")),
+      (3L, "https://site-a.com/p", page("a v2")),
+      (4L, "http://blocked.net/x", page("c v1")),
+      (5L, "https://Site-a.com:443/p", page("a v3")),
+      (6L, "HTTP://site-b.org:80/q#frag", page("b v2")),
+    ).map { case (t, u, h) => (u, h, t) }
+    val in = tmp("graft_crawl_in")
+    val raw = fetches.toDF("url", "html", "fetched_at")
+    raw.write.mode("overwrite").parquet(in)
+    val block = Seq("blocked.net").toDF("domain")
+    val target = tmp("graft_crawl_t") + "/t"
+    val ckpt = tmp("graft_crawl_ck")
+
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Crawl.sinkCrawl(stream, target, ckpt, block).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = Crawl.readCrawlTarget(spark, target).get
+      .select("url", "text", "n_tokens", "domain")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(got == Set(
+      ("https://site-a.com/p", "a v3 content long enough to clear the minimum", 9L, "site-a.com"),
+      ("http://site-b.org/q", "b v2 content long enough to clear the minimum", 9L, "site-b.org")))
+
+    // direct replay of an already-committed batch id changes nothing
+    Crawl.crawlBatch(raw.limit(2), batchId = 0L, target, block)
+    val again = Crawl.readCrawlTarget(spark, target).get
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(again == got.map(r => (r._1, r._2)))
+
+    // one-shot reference: curate-shape over ALL raw fetches, newest per
+    // canonical url — the streaming target must equal it exactly
+    val oneShot = graft.ops.UrlOps.dedupByUrl(
+      graft.text.HtmlExtract.extract(
+        graft.ops.UrlOps.urlFilter(raw, block), htmlCol = "html", idCol = "url"),
+      scoreCol = "fetched_at", tieCol = "url")
+      .select(col("url"), col("text")).as[(String, String)].collect().toSet
+    assert(oneShot == got.map(r => (r._1, r._2)))
+  }
+
   test("curate: all-boilerplate page survives with empty text and zero tokens") {
     val records = Seq(
       ("response", "http://empty.org/",
