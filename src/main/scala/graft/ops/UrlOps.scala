@@ -47,8 +47,13 @@ object UrlOps {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
-    val host = regexp_replace(regexp_replace(hostPort, "^www\\.", ""),
-      ":(80|443)$", "")
+    val bare = regexp_replace(hostPort, "^www\\.", "")
+    // default-port strip is SCHEME-AWARE: http://h:443 is a real
+    // non-default endpoint and must keep its port (caught by the
+    // java.net.URI cross-check in the spec)
+    val host = when(scheme === "http", regexp_replace(bare, ":80$", ""))
+      .when(scheme === "https", regexp_replace(bare, ":443$", ""))
+      .otherwise(bare)
     // split rest into path ? query, drop tracking params from the
     // query (one replace pass: a leading match consumes nothing of the
     // separator, an inner match consumes its leading &), re-attach the

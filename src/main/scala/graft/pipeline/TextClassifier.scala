@@ -113,8 +113,11 @@ object TextClassifier {
       .repartition(col(idCol))
       .persist()
     try {
-      val nDocs = feats.select(idCol).distinct().count().toDouble
-      require(nDocs > 0, "no labeled documents to train on")
+      // nDocs rides the first iteration's gradient collect (the bias
+      // row carries a doc count) instead of a dedicated
+      // distinct().count() pass over the feature stream — that pass
+      // cost a full extra scan + exchange per train() call
+      var nDocs = 0.0
       val w = new Array[Double](dim)
       // biasInit at the class-prior log-odds (ln(n_pos/n_neg)) skips the
       // 1-2 full-batch epochs plain descent spends collapsing the bias
@@ -165,14 +168,17 @@ object TextClassifier {
             idCol :: Nil)
           .groupBy("feat")
           .agg(sum(dec9(col("__r") * col("tf"))).cast("double").as("g"),
-            lit(Double.NaN).as("loss"))
+            lit(Double.NaN).as("loss"), lit(0L).as("nd"))
           .unionByName(resid.agg(
             lit(-1).as("feat"),
             sum(dec9(col("__r"))).cast("double").as("g"),
-            sum(dec9(col("__l"))).cast("double").as("loss")))
-          .as[(Int, Double, Double)].collect()
-        for ((f, g, _) <- grad if f >= 0) w(f) -= lr * (g / nDocs + l2 * w(f))
-        val (_, gb, lossSum) = grad.find(_._1 == -1).get
+            sum(dec9(col("__l"))).cast("double").as("loss"),
+            count(lit(1)).as("nd")))
+          .as[(Int, Double, Double, Long)].collect()
+        val (_, gb, lossSum, nd) = grad.find(_._1 == -1).get
+        nDocs = nd.toDouble
+        require(nDocs > 0, "no labeled documents to train on")
+        for ((f, g, _, _) <- grad if f >= 0) w(f) -= lr * (g / nDocs + l2 * w(f))
         bias -= lr * gb / nDocs
         val loss = lossSum / nDocs
         losses += loss

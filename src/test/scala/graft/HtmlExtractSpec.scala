@@ -94,6 +94,110 @@ class HtmlExtractSpec extends SparkSpec {
     assert((t3, k3, d3) == ("", 0L, 0L))
   }
 
+  test("matches an independent char-scanner reference on 150 generated pages") {
+    // independent implementation: a hand-rolled tag tokenizer (no
+    // regexes) walking chars — different mechanism, same documented
+    // semantics
+    def refExtract(html: String, maxLink: Double, minChars: Int): (String, Long, Long) = {
+      val blockTags = ("p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr " +
+        "td th blockquote pre section article header footer nav aside main form " +
+        "fieldset figure figcaption address center body html title br hr").split(" ").toSet
+      // 1. drop comments and script/style/head elements with content
+      val sb = new StringBuilder
+      var i = 0
+      val low = html.toLowerCase
+      while (i < html.length) {
+        if (low.startsWith("<!--", i)) {
+          val e = low.indexOf("-->", i + 4)
+          sb.append(' '); i = if (e < 0) html.length else e + 3
+        } else {
+          val dropped = Seq("script", "style", "head").find(t =>
+            low.startsWith(s"<$t", i) && (i + 1 + t.length >= html.length ||
+              !Character.isLetterOrDigit(html.charAt(i + 1 + t.length))))
+          dropped match {
+            case Some(t) =>
+              val e = low.indexOf(s"</$t", i)
+              sb.append(' ')
+              i = if (e < 0) html.length
+              else { val g = low.indexOf('>', e); if (g < 0) html.length else g + 1 }
+            case None => sb.append(html.charAt(i)); i += 1
+          }
+        }
+      }
+      val body = sb.toString
+      // 2. tokenize into blocks, tracking anchor content
+      def norm(s: String): String = {
+        val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(s) { case (c, (f, t)) => c.replace(f, t) }
+        ent.replaceAll("\\s+", " ").trim
+      }
+      var full = new StringBuilder
+      var noa = new StringBuilder
+      var anchorDepth = 0
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def flush(): Unit = {
+        val t = norm(full.toString)
+        if (t.nonEmpty) blocks += ((t, norm(noa.toString)))
+        full = new StringBuilder; noa = new StringBuilder; anchorDepth = 0
+      }
+      var j = 0
+      val lb = body.toLowerCase
+      while (j < body.length) {
+        if (body.charAt(j) == '<') {
+          val close = lb.indexOf('>', j)
+          val end = if (close < 0) body.length else close
+          val inner = lb.substring(math.min(j + 1, body.length), end)
+          val name = inner.stripPrefix("/").takeWhile(c => c.isLetterOrDigit)
+          if (blockTags.contains(name)) flush()
+          else if (name == "a") {
+            if (inner.startsWith("/")) { anchorDepth = math.max(0, anchorDepth - 1) }
+            else { anchorDepth += 1; noa.append(' ') }
+            full.append(' '); if (anchorDepth == 0 && !inner.startsWith("/")) ()
+          } else { full.append(' '); noa.append(' ') }
+          j = if (close < 0) body.length else close + 1
+        } else {
+          full.append(body.charAt(j))
+          if (anchorDepth == 0) noa.append(body.charAt(j))
+          j += 1
+        }
+      }
+      flush()
+      val kept = blocks.filter { case (t, n) =>
+        val len = t.length.toDouble
+        t.length >= minChars && (len - n.length) / len <= maxLink
+      }
+      (kept.map(_._1).mkString("\n"), kept.size.toLong, (blocks.size - kept.size).toLong)
+    }
+
+    val rnd = new scala.util.Random(11)
+    val words = "alpha beta gamma delta epsilon zeta theta lambda sigma omega".split(" ")
+    def sentence(n: Int) = (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val pages = (0 until 150).map { i =>
+      val nBlocks = 1 + rnd.nextInt(5)
+      val body = (0 until nBlocks).map { _ =>
+        val tag = Seq("p", "div", "li", "h2")(rnd.nextInt(4))
+        val inner = rnd.nextInt(4) match {
+          case 0 => sentence(2 + rnd.nextInt(10))
+          case 1 => s"${sentence(3)} <a href=\"/x\">${sentence(1 + rnd.nextInt(3))}</a> ${sentence(rnd.nextInt(8))}"
+          case 2 => s"${sentence(2)} <b>${sentence(2)}</b> &amp; ${sentence(3)} &lt;tag&gt;"
+          case _ => s"<a href=\"/only\">${sentence(1 + rnd.nextInt(2))}</a>"
+        }
+        s"<$tag>$inner</$tag>"
+      }.mkString
+      val head = if (rnd.nextBoolean())
+        "<head><title>T</title><style>p{}</style><script>var a=1;</script></head>" else ""
+      val comment = if (rnd.nextBoolean()) s"<!-- ${sentence(3)} -->" else ""
+      (i.toLong, s"<html>$head<body>$comment$body</body></html>")
+    }
+    val got = HtmlExtract.extract(pages.toDF("doc_id", "html"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    pages.zip(got).foreach { case ((_, html), g) =>
+      assert(g == refExtract(html, 0.2, 20), s"page: $html")
+    }
+  }
+
   test("total on 200 pseudo-random byte-salad strings; tag-free text is identity") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

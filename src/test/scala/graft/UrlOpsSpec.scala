@@ -59,6 +59,46 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.head.getString(2) == "example.net")
   }
 
+  test("canonicalize matches an independent java.net.URI reference on 300 generated urls") {
+    // independent implementation: parse with the JDK's URI machinery
+    // (a completely different mechanism than the operator's regexes)
+    // and rebuild the canonical form by the documented rules
+    def reference(u: String): String = {
+      val uri = java.net.URI.create(u)
+      val scheme = uri.getScheme.toLowerCase
+      var host = uri.getHost.toLowerCase.stripPrefix("www.")
+      val port = uri.getPort
+      val keepPort = port != -1 &&
+        !((scheme == "http" && port == 80) || (scheme == "https" && port == 443))
+      val q = Option(uri.getRawQuery).map(_.split("&").filterNot(p =>
+        p.takeWhile(_ != '=') match {
+          case k if k.startsWith("utm_") => true
+          case "gclid" | "fbclid" | "msclkid" | "mc_cid" | "mc_eid" | "ref" | "ref_src" => true
+          case _ => false
+        }).mkString("&")).filter(_.nonEmpty)
+      scheme + "://" + host + (if (keepPort) s":$port" else "") +
+        uri.getRawPath + q.map("?" + _).getOrElse("")
+    }
+    val rnd = new scala.util.Random(7)
+    val hosts = Seq("www.Example.COM", "sub.Site.org", "a-b.co.uk", "X9.net")
+    val urls = (0 until 300).map { i =>
+      val scheme = if (rnd.nextBoolean()) "http" else "HTTPS"
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("/", "/Path/To/Doc", s"/d$i", "/x.html")(rnd.nextInt(4))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        Seq(s"id=$i", "utm_source=f", "gclid=z", s"q=v$i", "ref=r")(rnd.nextInt(5)))
+      val frag = if (rnd.nextBoolean()) "#sec" else ""
+      (i.toLong, s"$scheme://${hosts(rnd.nextInt(hosts.length))}$port$path" +
+        (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag)
+    }
+    val got = urls.toDF("id", "url")
+      .select(col("id"), UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    urls.foreach { case (id, u) =>
+      assert(got(id) == reference(u), s"url: $u")
+    }
+  }
+
   test("dedupByUrl: canonical-equivalent fetches collapse, newest wins, ties by tiecol") {
     val fetches = Seq(
       // three shapes of ONE page: tracking noise, www/case, clean
