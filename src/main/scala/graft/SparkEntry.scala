@@ -22,6 +22,27 @@ object SparkEntry {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** Group (blob_id, doc_id, record-bytes) rows into multi-record WARC
+    * blobs: byte layout deterministic (records sorted by id within a
+    * blob), blob COUNT scales with the corpus (callers shard by
+    * id / recordsPerBlob — bounded blob size, the way real crawl
+    * archives shard), and each blob builds LINEARLY through one output
+    * stream. (The previous fold of binary concat() was QUADRATIC in
+    * blob size — the 8× soak measured d_crawl_pipeline at 9.9× before
+    * this.)
+    */
+  private def warcBlobs(
+      recs: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])]): org.apache.spark.sql.Dataset[Array[Byte]] = {
+    val sp = recs.sparkSession
+    import sp.implicits._
+    recs.groupByKey(_._1).mapGroups { (_, it) =>
+      val sorted = it.toArray.sortBy(_._2)
+      val out = new java.io.ByteArrayOutputStream()
+      sorted.foreach(r => out.write(r._3))
+      out.toByteArray
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Agg(spark, "/root/testdata/sf0.001")
@@ -572,7 +593,7 @@ object SparkEntry {
       // the assembled crawl front door, end to end: serialize each doc
       // as an HTTP-response WARC record (uri = the synthetic crawl
       // url, payload = HTTP headers + the d_html_extract page around
-      // the text), concatenate into multi-record blobs, then run the
+      // the text), concatenate every 500 records into a blob, then run the
       // full chain — byte walk -> httpBody strip -> URL canonicalize +
       // domain blocklist -> block extraction -> per-domain doc/token
       // stats. The oracle reconstructs every stage's outcome from
@@ -598,16 +619,11 @@ object SparkEntry {
       val recs = docs.select(col("doc_id"), url.as("url"), html.as("html"))
         .as[(Long, String, String)]
         .map { case (id, u, h) =>
-          (id % 16, id, graft.sources.Warc.writeRecord("response", u, "text/html",
+          (id / 500, id, graft.sources.Warc.writeRecord("response", u, "text/html",
             ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + h)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }.toDF("blob_id", "doc_id", "rec")
-      val blobs = recs.groupBy("blob_id")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-            _.getField("rec")),
-          lit(Array.emptyByteArray), (acc, r) => concat(acc, r)).as("blob"))
-      val records = blobs.select("blob").as[Array[Byte]]
+        }
+      val records = warcBlobs(recs)
         .flatMap { blob =>
           val p = graft.sources.Warc.parseRecords(blob)
           require(p.quarantinedAt == -1L,
@@ -689,9 +705,10 @@ object SparkEntry {
     }),
     "d_warc_roundtrip" -> ((s, d) => {
       // crawl-format round-trip with NO file I/O in the timed path:
-      // serialize every doc as a WARC resource record, concatenate the
-      // records of each of 16 groups into one multi-record blob
-      // (sorted by doc_id — deterministic byte layout), then walk the
+      // serialize every doc as a WARC resource record, concatenate
+      // every 500 records into one multi-record blob (sorted by
+      // doc_id — deterministic byte layout; blob count scales with
+      // the corpus like real crawl archives), then walk the
       // blobs back with the pure-byte record parser and recover
       // (doc_id, text) from the WARC-Target-URI + payload. Lossless by
       // construction, so the oracle is a plain projection — any header
@@ -700,16 +717,11 @@ object SparkEntry {
       val recs = Tables.documents(s, d).select("doc_id", "text")
         .as[(Long, String)]
         .map { case (id, text) =>
-          (id % 16, id, graft.sources.Warc.writeRecord(
+          (id / 500, id, graft.sources.Warc.writeRecord(
             "resource", s"http://corpus.example/doc/$id", "text/plain",
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }.toDF("blob_id", "doc_id", "rec")
-      val blobs = recs.groupBy("blob_id")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-            _.getField("rec")),
-          lit(Array.emptyByteArray), (acc, r) => concat(acc, r)).as("blob"))
-      blobs.select("blob").as[Array[Byte]]
+        }
+      warcBlobs(recs)
         .flatMap { blob =>
           val p = graft.sources.Warc.parseRecords(blob)
           require(p.quarantinedAt == -1L,

@@ -368,12 +368,24 @@ object TextAnalysis {
     * over the 6 dp scores, so the verdict reproduces cross-engine.
     */
   def perplexityBuckets(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        exactCuts: Boolean = true): DataFrame = {
     val scores = unigramLogProb(docs, textCol, idCol)
       .select(col(idCol), col("mean_logp"))
+    // exactCuts = true: percentile() — oracle-reproducible, but its
+    // merge state is O(distinct score values) on one reducer; fine up
+    // to millions of distinct 6dp scores. At real corpus scale pass
+    // false: approx_percentile's KLL-class sketch is bounded-memory
+    // and the thresholds only steer a three-way split. (The two
+    // passes over the score pipeline are inherent — cuts must exist
+    // before bucketing; a deployment checkpoints `scores` between.)
+    val (tHead, tMid) =
+      if (exactCuts) (expr("percentile(mean_logp, 2.0D / 3.0D)"),
+        expr("percentile(mean_logp, 1.0D / 3.0D)"))
+      else (expr("approx_percentile(mean_logp, 2.0D / 3.0D, 10000)"),
+        expr("approx_percentile(mean_logp, 1.0D / 3.0D, 10000)"))
     val cuts = scores.agg(
-      round(expr("percentile(mean_logp, 2.0D / 3.0D)"), 9).as("__t_head"),
-      round(expr("percentile(mean_logp, 1.0D / 3.0D)"), 9).as("__t_mid"))
+      round(tHead, 9).as("__t_head"), round(tMid, 9).as("__t_mid"))
     scores.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("mean_logp") >= col("__t_head"), "head")

@@ -462,6 +462,16 @@ class TextMmSpec extends SparkSpec {
     val uniform = TextAnalysis.perplexityBuckets(same)
       .select("bucket", "n_docs").as[(String, Long)].collect().toSeq
     assert(uniform == Seq(("head", 3L)))
+    // the bounded-memory scale path: approx_percentile is nearest-RANK
+    // (no interpolation), so assert rank-tolerant thirds over a corpus
+    // of 30 strictly graded scores rather than exact tier counts
+    val graded = (1 to 30).map(i =>
+      (i.toLong, ("x " * i).trim + s" rare$i")).toDF("doc_id", "text")
+    val approx = TextAnalysis.perplexityBuckets(graded, exactCuts = false)
+      .select("bucket", "n_docs").as[(String, Long)].collect().toMap
+    assert(approx.values.sum == 30L)
+    assert(approx.keySet == Set("head", "middle", "tail"))
+    assert(approx.values.forall(n => n >= 8 && n <= 12))
   }
 
   test("bigramLogProb: hand-computed interpolated model, short docs absent, partition-invariant") {
