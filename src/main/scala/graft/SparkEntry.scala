@@ -731,6 +731,12 @@ object SparkEntry {
         }.toDF("doc_id", "text")
         .orderBy("doc_id")
     }),
+    "d_compression_ratio" -> ((s, d) =>
+      // deflate-ratio quality signal; rows-only — DuckDB has no
+      // deflate, TextMmSpec pins semantics (repetition vs noise vs
+      // prose ordering, partitioning bit-identity)
+      TextAnalysis.compressionRatio(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "d_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail partition over the corpus's own unigram
       // LM proxy — threshold-compare shape, no global sort

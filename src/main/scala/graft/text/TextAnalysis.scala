@@ -516,6 +516,53 @@ object TextAnalysis {
     * (surrogate-pair) input diverges between engines' split("")
     * semantics and is out of the oracle contract.
     */
+  /** Deflate compression ratio per document — the quality gate
+    * char-level entropy can't fully express: zlib models REPEATED
+    * SUBSTRINGS, so boilerplate spam, template farms and
+    * keyword-stuffing compress far below prose (ratio = compressed /
+    * raw bytes; RefinedWeb-class pipelines gate on exactly this
+    * signal), while binary garbage refuses to compress (ratio ≈ 1).
+    * Complements [[charEntropy]] (distribution-level) and
+    * [[repetitionSignals]] (word/3-gram-level) with the
+    * arbitrary-length-repeat view.
+    *
+    * Genuinely imperative per-row work (a zlib stream), so this is
+    * the mapPartitions batch shape the media decoders use: ONE
+    * Deflater per partition, reset between rows — allocation cost
+    * amortizes, zero shuffle, pipelines inside the scan. Ratios are
+    * deterministic for a given JDK (Deflater is pure JDK code, no
+    * native zlib version drift inside one runtime), hence rows-only +
+    * spec rather than a cross-engine oracle: DuckDB has no deflate.
+    */
+  def compressionRatio(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level in [1,9]: $level")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else BigDecimal(compressed.toDouble / raw.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF(idCol, "raw_bytes", "compressed_bytes", "ratio")
+  }
+
   def charEntropy(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     // fixed internal alias so caller column names never land raw in a

@@ -55,7 +55,8 @@ object ScaleSoak {
     "d_hybrid_search", "d_shard_report", "q_shipping_priority",
     "q_returned_revenue", "d_length_histogram",
     "d_html_extract", "d_warc_roundtrip", "d_url_filter",
-    "d_url_dedup", "d_ccnet_buckets", "d_crawl_pipeline")
+    "d_url_dedup", "d_ccnet_buckets", "d_crawl_pipeline",
+    "d_compression_ratio")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

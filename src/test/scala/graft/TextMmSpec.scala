@@ -444,6 +444,34 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("compressionRatio: repetition compresses, noise doesn't, deterministic on any partitioning") {
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 400).map(_ => (33 + rnd.nextInt(90)).toChar).mkString
+    val docs = Seq(
+      (1L, "spam " * 80),                 // pure repetition -> tiny ratio
+      (2L, noise),                        // near-incompressible
+      (3L, ""),                           // empty: ratio 1.0 by contract
+      (4L, "the quick brown fox jumps over the lazy dog while the slow red " +
+        "hen watches from the fence and considers whether the grass beyond " +
+        "the gate is worth the walk on such a warm afternoon in late summer " +
+        "when the shade under the oak is deep and the water trough is full " +
+        "and nothing in particular needs doing before the evening comes"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._3 < 0.1, s"repetition must compress hard: ${got(1L)}")
+    assert(got(2L)._3 > 0.8, s"noise must not compress: ${got(2L)}")
+    assert(got(3L) == ((0L, got(3L)._2, 1.0)))
+    assert(got(4L)._3 > got(1L)._3 && got(4L)._3 < got(2L)._3,
+      "prose sits between repetition and noise")
+    assert(got(1L)._1 == 400L) // raw utf-8 byte count
+    // bit-identical on any partitioning (one Deflater per partition,
+    // reset between rows — no cross-row state leaks)
+    val again = TextAnalysis.compressionRatio(docs.repartition(3)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
   test("perplexityBuckets: thirds by threshold, ties to the better bucket, no global sort") {
     // 6 docs engineered so the unigram scores form 3 clear tiers: docs
     // made of the corpus-frequent word score high (head), mixed docs
