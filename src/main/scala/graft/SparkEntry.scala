@@ -982,6 +982,26 @@ object SparkEntry {
         Tables.documents(s, d), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")),
+    "d_domain_mix_temp" -> ((s, d) => {
+      // temperature-scaled mixing end to end (XLM-R/mT5 recipe):
+      // weights = p^alpha renormalized over the corpus's OWN counts,
+      // then the portable max-retention mix. Weights round to 12 dp on
+      // both engines — pow() may differ in the last ulp across libms,
+      // and the bucket threshold must not sit on that ulp. The oracle
+      // recomputes the whole chain: counts -> pow -> name-ordered
+      // z-fold -> fractions -> md5 membership -> per-domain kept
+      // counts.
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = graft.ops.Sampling.temperatureWeights(counts, alpha = 0.5)
+        .map { case (dn, x) => dn ->
+          BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      graft.ops.Sampling.mixDomainsPortable(docs, "source", "doc_id", w,
+        salt = "temp")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
     "m_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaTable(Tables.documents(s, d)))
@@ -1403,6 +1423,27 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000
         |      < CAST(floor(f * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    "d_domain_mix_temp" ->
+      // full temperature-mix chain recomputed: integer-valued count
+      // sums are exact in double (no order issue); the z normalizer
+      // folds in SOURCE-NAME order via list_sum to mirror the engine's
+      // sorted fold; weights round 12dp (pow ulp absorption) before
+      // the identical-op-order fraction arithmetic and md5 membership
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n) AS t FROM c),
+        |raw AS (SELECT source, n, pow(n / t, 0.5) AS r FROM c CROSS JOIN tot),
+        |z AS (SELECT list_sum(list(r ORDER BY source)) AS zz FROM raw),
+        |w AS (SELECT source, n, round(r / zz, 12) AS wt FROM raw CROSS JOIN z),
+        |ts AS (SELECT min(n / wt) AS total FROM w),
+        |fr AS (SELECT source,
+        |         CASE WHEN wt * total / n >= 1.0 - 1e-9 THEN CAST(1.0 AS DOUBLE)
+        |              ELSE wt * total / n END AS f
+        |       FROM w CROSS JOIN ts)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents d JOIN fr ON d.source = fr.source
+        |WHERE CAST(('0x' || substring(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000
+        |      < CAST(floor(f * 1000000) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_full_sync" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q_incremental_sync" ->
