@@ -544,6 +544,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level, true)
+        // Deflater holds NATIVE memory — release it when the task ends
+        // rather than waiting on finalization (a long-lived executor
+        // running many partitions would otherwise accumulate native
+        // buffers until GC happens to notice)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         rows.map { case (id, text) =>
           val raw = Option(text).getOrElse("")
