@@ -131,6 +131,28 @@ object Bench {
     val warmupFailure =
       try { SparkEntry.entry(spark).count(); None }
       catch { case NonFatal(e) => Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}") }
+    // fixed CALIBRATION workload, timed at suite start and end: a
+    // deterministic CPU+shuffle job independent of the suite and the
+    // data. Round 11 measured identical-code full-suite sums drifting
+    // 46→54 s across one session at flat load-average — dividing suite
+    // times by the calibration time turns cross-session comparisons
+    // back into code comparisons. Median of 3 so one GC pause can't
+    // skew the normalizer.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(8000000L)
+          .selectExpr("xxhash64(id) AS h", "id % 1024 AS k")
+          .repartition(cpus.toInt, org.apache.spark.sql.functions.col("k"))
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+          .head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = Seq.fill(3)(once()).sorted
+      ts(1)
+    }
+    val calibStart = try calibrate() catch { case NonFatal(_) => -1.0 }
     // also warm the parquet WRITE path: staging operators (Lttb) are the
     // only writers in the suite, and without this their first 2-3 timed
     // runs absorb the whole FileFormatWriter/compression JIT bill —
@@ -230,8 +252,9 @@ object Bench {
     val nProcs = Option(new java.io.File("/proc").listFiles())
       .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit)))
       .getOrElse(-1)
+    val calibEnd = try calibrate() catch { case NonFatal(_) => -1.0 }
     val host =
-      s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs}"""
+      s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs,"calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)}}"""
     val detail =
       s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir",$host,"total":${f6(total)},"spread":$spread,"failures":$fails}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
