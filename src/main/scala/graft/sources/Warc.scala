@@ -1,13 +1,10 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500) record reader — the arrival format of web crawls
   * (Common Crawl ships `.warc.gz`), and the step BEFORE
@@ -23,15 +20,23 @@ import org.apache.spark.sql.functions._
   * sync points), so the unit of parallelism is the FILE — exactly how
   * crawl archives are laid out (Common Crawl: ~1 GiB per warc file,
   * tens of thousands of files per snapshot). [[read]] maps one task
-  * per file via the binaryFile source; a 100 TB crawl is ~100k files
-  * = ~100k independent tasks, no shuffle at all until the caller
-  * aggregates.
+  * per file; a 100 TB crawl is ~100k files = ~100k independent tasks,
+  * no shuffle at all until the caller aggregates.
+  *
+  * Memory shape: the walker is INCREMENTAL — [[StreamWalker]] emits
+  * records one at a time off an InputStream, so only the current
+  * record's header block and payload are ever resident. A real Common
+  * Crawl file (~1 GiB gzip, 3–5 GiB decompressed — past the JVM's
+  * 2 GiB array limit) streams through one task in bounded heap;
+  * per-record payloads stay page-sized. [[parseRecords]] is the same
+  * grammar run over an in-memory blob (specs, synthetic corpora).
   */
 object Warc {
 
   /** One parsed record: its WARC headers (original case preserved in
     * `headers`; lookups below are case-insensitive per the spec) and
-    * raw payload bytes.
+    * raw payload bytes. `offset` is the record's start position in the
+    * DECOMPRESSED stream.
     */
   final case class WarcRecord(offset: Long, warcType: String,
                               targetUri: String, contentType: String,
@@ -47,66 +52,131 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  /** Walk concatenated WARC records in `bytes`. Grammar per record:
-    * version line (`WARC/1.0` or `WARC/1.1`), header lines
-    * (`Name: value`) up to an empty line, `Content-Length` payload
-    * bytes, then CRLF CRLF. Anything else stops the walk with the
-    * offending offset quarantined.
+  /** Incremental record walker over a (decompressed) WARC byte
+    * stream. Grammar per record: version line (`WARC/1.0` or
+    * `WARC/1.1`), header lines (`Name: value`) up to an empty line,
+    * `Content-Length` payload bytes, then CRLF CRLF (the two
+    * record-terminating CRLFs are optional on the LAST record of a
+    * stream per common writer practice; between records the skip loop
+    * absorbs them). Anything else stops the walk with the offending
+    * DECOMPRESSED offset in [[quarantinedAt]] (valid once the iterator
+    * is exhausted; -1 = clean EOF so far).
+    *
+    * Bounded memory: one header line (capped at `maxLineBytes` —
+    * streaming input is unbounded, unlike the blob form) plus one
+    * payload at a time. Line scanning looks for the exact CRLF pair —
+    * a bare LF or lone CR inside a header line is line CONTENT, same
+    * as the blob walker.
     */
-  def parseRecords(bytes: Array[Byte]): WarcParse = {
-    val out = ArrayBuffer.empty[WarcRecord]
-    val n = bytes.length
-    var off = 0
-    // the two record-terminating CRLFs are optional on the LAST record
-    // of a stream per common writer practice; require them between
-    // records (content-length advancement re-syncs on the next version
-    // line anyway)
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 < n) i else -1
+  final class StreamWalker(raw: InputStream, maxLineBytes: Int = 1 << 20)
+      extends Iterator[WarcRecord] {
+    private val in = new PushbackInputStream(
+      new BufferedInputStream(raw, 64 * 1024), 2)
+    private var pos = 0L
+    private var quarantinedOff = -1L
+    private var done = false
+    private var pending: WarcRecord = _
+    private var fetched = false
+
+    /** Offset of the first malformed structure; -1 if the stream was
+      * clean. Only final once `hasNext` has returned false.
+      */
+    def quarantinedAt: Long = quarantinedOff
+
+    private def rd(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+    private def unrd(b: Int): Unit = { in.unread(b); pos -= 1 }
+
+    // bytes until the exact CRLF pair; null = EOF or oversize line
+    // (both malformed mid-record)
+    private def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      while (buf.size <= maxLineBytes) {
+        val b = rd()
+        if (b < 0) return null
+        if (b == '\r') {
+          val b2 = rd()
+          if (b2 == '\n')
+            return new String(buf.toByteArray, StandardCharsets.UTF_8)
+          if (b2 >= 0) unrd(b2)
+          buf.write(b)
+        } else buf.write(b)
+      }
+      null
     }
-    while (off < n) {
-      // skip inter-record CRLFs
-      while (off + 1 < n && bytes(off) == '\r' && bytes(off + 1) == '\n') off += 2
-      if (off >= n) return WarcParse(out.toSeq, -1L)
-      val recStart = off
-      val ve = lineEnd(off)
-      if (ve < 0) return WarcParse(out.toSeq, recStart.toLong)
-      val version = new String(bytes, off, ve - off, StandardCharsets.US_ASCII)
-      if (version != "WARC/1.0" && version != "WARC/1.1")
-        return WarcParse(out.toSeq, recStart.toLong)
-      off = ve + 2
-      var headers = Map.empty[String, String]
-      var bad = false
-      var done = false
-      while (!done && !bad) {
-        val he = lineEnd(off)
-        if (he < 0) bad = true
-        else if (he == off) { off += 2; done = true } // empty line
-        else {
-          val line = new String(bytes, off, he - off, StandardCharsets.UTF_8)
-          val colon = line.indexOf(':')
-          if (colon <= 0) bad = true
-          else {
-            headers += (line.substring(0, colon).trim -> line.substring(colon + 1).trim)
-            off = he + 2
+
+    private def advance(): WarcRecord = {
+      if (done) return null
+      // skip inter-record CRLF pairs (a lone CR is record content —
+      // push it back and let the version check quarantine it)
+      var skipping = true
+      while (skipping) {
+        val b = rd()
+        if (b < 0) { done = true; return null } // clean EOF
+        if (b == '\r') {
+          val b2 = rd()
+          if (b2 != '\n') {
+            if (b2 >= 0) unrd(b2)
+            unrd('\r'); skipping = false
           }
+        } else { unrd(b); skipping = false }
+      }
+      val recStart = pos
+      def fail(): WarcRecord = {
+        quarantinedOff = recStart; done = true; null
+      }
+      val version = readLine()
+      if (version == null || (version != "WARC/1.0" && version != "WARC/1.1"))
+        return fail()
+      var headers = Map.empty[String, String]
+      var inHdrs = true
+      while (inHdrs) {
+        val line = readLine()
+        if (line == null) return fail()
+        else if (line.isEmpty) inHdrs = false
+        else {
+          val colon = line.indexOf(':')
+          if (colon <= 0) return fail()
+          headers += (line.substring(0, colon).trim ->
+            line.substring(colon + 1).trim)
         }
       }
-      if (bad) return WarcParse(out.toSeq, recStart.toLong)
       def hdr(name: String): Option[String] =
         headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
       val len = hdr("Content-Length").flatMap(_.toLongOption).getOrElse(-1L)
-      if (len < 0 || len > Int.MaxValue || off + len > n)
-        return WarcParse(out.toSeq, recStart.toLong)
-      val payload = java.util.Arrays.copyOfRange(bytes, off, off + len.toInt)
-      out += WarcRecord(recStart.toLong,
+      if (len < 0 || len > Int.MaxValue) return fail()
+      val payload = new Array[Byte](len.toInt)
+      var got = 0
+      while (got < payload.length) {
+        val r = in.read(payload, got, payload.length - got)
+        if (r < 0) return fail()
+        got += r; pos += r
+      }
+      WarcRecord(recStart,
         hdr("WARC-Type").getOrElse(""), hdr("WARC-Target-URI").getOrElse(""),
         hdr("Content-Type").getOrElse(""), headers, payload)
-      off += len.toInt
     }
-    WarcParse(out.toSeq, -1L)
+
+    override def hasNext: Boolean = {
+      if (!fetched) { pending = advance(); fetched = true }
+      pending != null
+    }
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      fetched = false
+      val r = pending; pending = null; r
+    }
+  }
+
+  /** Walk concatenated WARC records in an in-memory blob — the
+    * [[StreamWalker]] grammar over a byte array (one code path, so the
+    * blob-built oracle corpora and the streaming file reader can never
+    * diverge).
+    */
+  def parseRecords(bytes: Array[Byte]): WarcParse = {
+    val w = new StreamWalker(new ByteArrayInputStream(bytes))
+    val recs = w.toVector
+    WarcParse(recs, w.quarantinedAt)
   }
 
   /** Serialize one record — the writer half of the round-trip, and
@@ -147,48 +217,59 @@ object Warc {
     }
   }
 
-  /** Gunzip a whole `.warc.gz` stream. WARC gzip files are a SEQUENCE
-    * of gzip members (one per record, so readers can re-sync);
-    * GZIPInputStream consumes multi-member streams natively.
-    */
-  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-    try {
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      var r = in.read(buf)
-      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-      out.toByteArray
-    } finally in.close()
+  // gzip magic peek: WARC gzip files are a SEQUENCE of gzip members
+  // (one per record, so readers can re-sync); GZIPInputStream consumes
+  // multi-member streams natively and incrementally.
+  private def maybeGunzip(in: InputStream): InputStream = {
+    val pb = new PushbackInputStream(in, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 * 1024) else pb
   }
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
-
-  /** Read WARC files under `path` (plain or per-record-gzip) into one
-    * row per record: (file, record offset, warc_type, target_uri,
-    * content_type, payload bytes, quarantined_at for the file's tail).
-    * One task per file (binaryFile source); genuinely imperative
-    * per-file byte walking, so mapPartitions is the right tool here —
-    * the same contract as the media decoders.
+  /** Read WARC files under `path` (plain or gzip, single- or
+    * multi-member) into one row per record: (file, decompressed record
+    * offset, warc_type, target_uri, content_type, payload bytes,
+    * quarantined_at). Record rows carry quarantined_at = -1; a file
+    * whose tail is malformed/truncated additionally emits ONE sentinel
+    * row (empty type/uri/payload, offset = quarantined_at = the bad
+    * offset) AFTER its records — callers filter
+    * `quarantined_at >= 0` for the quarantine report, and the
+    * `warc_type` gates every pipeline already applies drop sentinels
+    * for free.
+    *
+    * One task per file via `sparkContext.binaryFiles` — its
+    * PortableDataStream hands the walker a true InputStream, so a
+    * multi-GiB-decompressed file streams through in bounded heap
+    * (the DataFrame binaryFile source would materialize each file as
+    * one <2 GiB row instead). Genuinely imperative per-file byte
+    * walking — the same RDD-boundary contract as the media decoders.
     */
   def read(spark: SparkSession, path: String,
            pathGlobFilter: String = "*"): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", pathGlobFilter).load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    files.mapPartitions { it =>
-      it.flatMap { case (file, raw) =>
-        val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
-        val parsed = parseRecords(bytes)
-        parsed.records.iterator.map { r =>
-          (file, r.offset, r.warcType, r.targetUri, r.contentType,
-            r.payload, parsed.quarantinedAt)
-        }
+    val target = if (pathGlobFilter == "*") path else s"$path/$pathGlobFilter"
+    val rows = spark.sparkContext.binaryFiles(target)
+      .flatMap { case (file, pds) =>
+        val in = maybeGunzip(new BufferedInputStream(pds.open(), 64 * 1024))
+        // release the file handle + Inflater native memory even when
+        // the iterator is abandoned mid-file (limit/take queries)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val w = new StreamWalker(in)
+        w.map(r => (file, r.offset, r.warcType, r.targetUri, r.contentType,
+          r.payload, -1L)) ++
+          // deferred: quarantinedAt is only final after exhaustion
+          Iterator.single(()).flatMap { _ =>
+            in.close()
+            if (w.quarantinedAt >= 0)
+              Iterator.single((file, w.quarantinedAt, "", "", "",
+                Array.emptyByteArray, w.quarantinedAt))
+            else Iterator.empty
+          }
       }
-    }.toDF("file", "offset", "warc_type", "target_uri", "content_type",
-      "payload", "quarantined_at")
+    spark.createDataset(rows).toDF("file", "offset", "warc_type",
+      "target_uri", "content_type", "payload", "quarantined_at")
   }
 }

@@ -102,4 +102,44 @@ class WarcSpec extends SparkSpec {
       "plain file record two", "gz member record", "second gz member"))
     assert(got.forall(_._3 == -1L))
   }
+
+  test("read(): quarantined tail surfaces as one sentinel row after the records") {
+    val dir = Files.createTempDirectory("graft_warc_q").toString
+    val good = rec("http://q.example/ok", "intact record")
+    val bytes = good ++ ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 9999\r\n\r\nshort").getBytes(UTF_8)
+    Files.write(Paths.get(dir, "t.warc"), bytes)
+    val got = Warc.read(spark, dir)
+      .selectExpr("target_uri", "offset", "quarantined_at")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("http://q.example/ok", 0L, -1L),
+      ("", good.length.toLong, good.length.toLong)))
+  }
+
+  test("read(): multi-GiB decompressed .warc.gz streams in bounded heap") {
+    // 2300 x 1 MiB payloads ≈ 2.3 GiB decompressed — past the JVM's
+    // Int-indexed array wall a whole-file reader dies on (and past
+    // what an 8g heap could hold twice over for a copy). Zero-filled
+    // payloads keep the compressed file ~2 MiB so the disk footprint
+    // and deflate time stay small; the INFLATED volume is what the
+    // walker must stream through in bounded memory.
+    val dir = Files.createTempDirectory("graft_warc_big").toString
+    val payload = new Array[Byte](1 << 20)
+    val n = 2300
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(
+        Files.newOutputStream(Paths.get(dir, "big.warc.gz")), 1 << 20))
+    try (0 until n).foreach { i =>
+      out.write(Warc.writeRecord("resource", s"http://big.example/$i",
+        "application/octet-stream", payload))
+    } finally out.close()
+    val agg = Warc.read(spark, dir).selectExpr(
+      "count(*) AS n", "sum(length(payload)) AS bytes",
+      "max(quarantined_at) AS q").collect().head
+    assert(agg.getLong(0) == n.toLong)
+    assert(agg.getLong(1) == n.toLong * (1 << 20)) // 2.3e9 > Int.MaxValue
+    assert(agg.getLong(2) == -1L)
+  }
 }
