@@ -22,10 +22,15 @@ object UrlOps {
 
   /** Query params that carry tracking state, not content identity
     * (the usual canonicalization drop-set: utm campaign tags, click
-    * ids, affiliate refs).
+    * ids, twitter's ref_src). Bare `ref` is deliberately NOT here: on
+    * real sites it is often content-bearing (referenced-id endpoints,
+    * pagination anchors), and a keep-newest dedupByUrl over a healed
+    * `ref` would silently collapse genuinely distinct pages. Callers
+    * whose corpus uses `ref` purely for referral tracking pass their
+    * own set via [[canonicalizeUrl(url:*,trackingParams:*)]].
     */
-  private val TrackingParams =
-    "utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src"
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[^=&]*", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref_src")
 
   /** Multi-part public-suffix second levels: `a.co.uk` registers at 3
     * labels, `a.example.com` at 2. A fixed heuristic set, NOT the full
@@ -42,7 +47,16 @@ object UrlOps {
     * shape pass through the fragment/param rules with the rest
     * untouched.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeUrl(url, DefaultTrackingParams)
+
+  /** [[canonicalizeUrl(url:*)]] with a caller-supplied tracking-param
+    * drop-set (each element a regex alternative matched against the
+    * full param NAME).
+    */
+  def canonicalizeUrl(url: Column, trackingParams: Seq[String]): Column = {
+    require(trackingParams.nonEmpty, "trackingParams must be non-empty")
+    val tracking = trackingParams.mkString("|")
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
@@ -59,7 +73,7 @@ object UrlOps {
     // separator, an inner match consumes its leading &), re-attach the
     // query only if something survived
     def dropTracking(q: Column): Column = regexp_replace(
-      regexp_replace(q, s"(^|&)(?:$TrackingParams)=[^&]*", "$1"),
+      regexp_replace(q, s"(^|&)(?:$tracking)=[^&]*", "$1"),
       "^&+|&+$|&(?=&)", "")
     val path = regexp_extract(rest, "^([^?]*)", 1)
     val query = dropTracking(regexp_extract(rest, "\\?(.*)$", 1))

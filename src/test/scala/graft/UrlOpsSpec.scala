@@ -73,7 +73,9 @@ class UrlOpsSpec extends SparkSpec {
       val q = Option(uri.getRawQuery).map(_.split("&").filterNot(p =>
         p.takeWhile(_ != '=') match {
           case k if k.startsWith("utm_") => true
-          case "gclid" | "fbclid" | "msclkid" | "mc_cid" | "mc_eid" | "ref" | "ref_src" => true
+          // bare `ref` is content-bearing and NOT in the default
+          // tracking set — it must survive canonicalization
+          case "gclid" | "fbclid" | "msclkid" | "mc_cid" | "mc_eid" | "ref_src" => true
           case _ => false
         }).mkString("&")).filter(_.nonEmpty)
       scheme + "://" + host + (if (keepPort) s":$port" else "") +
