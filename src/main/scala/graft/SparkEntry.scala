@@ -557,6 +557,10 @@ object SparkEntry {
         lit("<h2>Section</h2><p>"), col("text"), lit("</p>"),
         lit("<p>See <a href=\"/ref\">the reference</a> for details: "),
         upper(col("text")), lit("</p>"),
+        // numeric character references (dec + hex) and the
+        // double-escape: decodes to "It’s 5 < 7 &amp; fine — really"
+        // (30 chars, no anchors -> always kept)
+        lit("<p>It&#8217;s 5 &#x3C; 7 &amp;amp; fine &#8212; really</p>"),
         lit("<div class=\"footer\"><a href=\"/tos\">terms</a> (c) 2026</div></body></html>"))
       graft.text.HtmlExtract.extract(
         docs.select(col("doc_id"), html.as("html")))
@@ -678,6 +682,38 @@ object SparkEntry {
           lit(".COM:443/Doc/"), col("doc_id"), lit("?id="), col("doc_id"),
           lit("&ref=rss")))
       graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
+    }),
+    "d_crawl_charset" -> ((s, d) => {
+      // charset-aware ingestion: three page shapes per doc — Latin-1
+      // declared in the HTTP Content-Type header, Shift-JIS declared
+      // only in a <meta charset> tag, and an undeclared UTF-8 default
+      // — each carrying a non-ASCII marker byte sequence (0xE9 /
+      // 0x83 0x65 / 0xE2 0x9C 0x93) that MOJIBAKES under a blind
+      // UTF-8 cast. The oracle rebuilds url, decoded text, and token
+      // count from doc_id/text with chr() codepoints, so the per-row
+      // charset detection AND the byte-exact decode are both on the
+      // hash path.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      def ascii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("binary")
+      val p0 = concat(ascii(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n<p>"),
+        col("text"), lit(" caf"))), unhex(lit("E9")), ascii(lit("</p>")))
+      val p1 = concat(ascii(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<meta charset=\"shift_jis\"><p>"),
+        col("text"), lit(" "))), unhex(lit("8365")), ascii(lit("</p>")))
+      val p2 = concat(ascii(concat(
+        lit("HTTP/1.1 200 OK\r\n\r\n<p>"), col("text"), lit(" "))),
+        unhex(lit("E29C93")), ascii(lit("</p>")))
+      val records = docs.select(
+        lit("response").as("warc_type"),
+        concat(lit("https://cs.example/doc/"), col("doc_id")).as("target_uri"),
+        when(col("doc_id") % 3 === 0, p0)
+          .when(col("doc_id") % 3 === 1, p1).otherwise(p2).as("payload"))
+      graft.pipeline.Crawl.curate(records, Seq.empty[String].toDF("domain"),
+          minChars = 1)
+        .select("url", "text", "n_tokens").orderBy("url")
     }),
     "d_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(Tables.documents(s, d), 200)),
@@ -892,12 +928,15 @@ object SparkEntry {
       // (measured 0.5-0.55 verdict-perfect; >= 0.6 starts flipping
       // negatives) — label-0/1 mean_prob 0.35/0.73, verdicts 0/333 and
       // 167/167, at 3/5 of the 5-epoch schedule's training cost
-      val nPos = docs.filter(col("label") === 1).count().toDouble
-      val nNeg = docs.filter(col("label") === 0).count().toDouble
+      // class-prior bias from ONE tiny agg action (two separate
+      // count() actions here meant two extra scans of the transformed
+      // docs inside the timed entry — ADVICE r11)
+      val byLabel = docs.groupBy("label").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val m = graft.pipeline.TextClassifier.train(
         docs, docs.select("doc_id", "label"),
         dim = 1 << 15, iters = 3, lr = 0.5, l1Normalize = false,
-        biasInit = math.log(nPos / nNeg))
+        biasInit = math.log(byLabel(1).toDouble / byLabel(0).toDouble))
       graft.pipeline.TextClassifier.score(docs, m)
         .join(docs.select("doc_id", "label"), "doc_id")
         .groupBy("label")
@@ -2277,11 +2316,13 @@ object SparkEntry {
       // and host lowercase, www./default port/fragment gone, tracking
       // params (incl. a LEADING utm_) healed out of the query, path
       // case preserved; co.uk rows register 3 labels. Every 4th
-      // source's domains are blocked in both host shapes.
+      // source's domains are blocked in both host shapes. `ref` is
+      // content-bearing (NOT in the default tracking set) so the
+      // else-branch's &ref=rss SURVIVES canonicalization.
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0
         |    THEN 'http://archive.' || source || '.co.uk/doc/' || doc_id || '?id=' || doc_id
-        |    ELSE 'https://example-' || source || '.com/Doc/' || doc_id || '?id=' || doc_id
+        |    ELSE 'https://example-' || source || '.com/Doc/' || doc_id || '?id=' || doc_id || '&ref=rss'
         |  END AS url,
         |  CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
         |    ELSE 'example-' || source || '.com' END AS domain
@@ -2293,7 +2334,10 @@ object SparkEntry {
       // blocklist drops every 4th source; domains split by doc_id % 5;
       // per-doc tokens = w (block 3, kept iff L >= 20) + w + 5 (block
       // 4, kept iff its 14/(31+L) link density <= 0.2); dropped blocks
-      // = 5 - kept (nav/heading/footer always drop)
+      // = block total - kept, where the total is 4 constant blocks
+      // (nav/heading/anchor-p/footer — the first two and the footer
+      // always drop) + the text block only when text is non-empty (the
+      // extractor filters empty blocks before counting)
       """WITH src AS (
         |  SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS w, len(text) AS L,
@@ -2305,7 +2349,8 @@ object SparkEntry {
         |  SELECT domain,
         |    CASE WHEN L >= 20 THEN w ELSE 0 END
         |      + CASE WHEN 14.0 / (31 + L) <= 0.2 THEN w + 5 ELSE 0 END AS toks,
-        |    5 - CASE WHEN L >= 20 THEN 1 ELSE 0 END
+        |    4 + CASE WHEN L > 0 THEN 1 ELSE 0 END
+        |      - CASE WHEN L >= 20 THEN 1 ELSE 0 END
         |      - CASE WHEN 14.0 / (31 + L) <= 0.2 THEN 1 ELSE 0 END AS dropped
         |  FROM src)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2318,6 +2363,19 @@ object SparkEntry {
       """SELECT 'https://example-' || source || '.com/Doc/' || doc_id AS url,
         |  'updated: ' || text AS text,
         |  CAST(2 AS BIGINT) AS n_fetches
+        |FROM documents ORDER BY url""".stripMargin,
+    "d_crawl_charset" ->
+      // expected decoded text rebuilt with chr() codepoints: é =
+      // U+00E9 (arrived as Latin-1 0xE9, header-declared), テ =
+      // U+30C6 (arrived as Shift-JIS 0x83 0x65, meta-declared),
+      // ✓ = U+2713 (arrived as UTF-8, undeclared default). Each
+      // suffix adds exactly one whitespace token.
+      """SELECT 'https://cs.example/doc/' || doc_id AS url,
+        |  text || CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN ' caf' || chr(233)
+        |    WHEN 1 THEN ' ' || chr(12486)
+        |    ELSE ' ' || chr(10003) END AS text,
+        |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
         |FROM documents ORDER BY url""".stripMargin,
     "d_url_domain_stats" ->
       """WITH u AS (
@@ -2394,22 +2452,33 @@ object SparkEntry {
         |FROM sig ORDER BY doc_id""".stripMargin,
     "d_html_extract" ->
       // expected output reconstructed from the RAW text, not by
-      // mirroring the extractor: the page wraps text in 5 blocks (nav,
+      // mirroring the extractor: the page wraps text in 6 blocks (nav,
       // heading, <p>text</p>, <p>See <a>the reference</a> for
-      // details: UPPER</p>, footer). nav/heading/footer always drop
-      // (link-dense / short). Block 3 keeps iff len >= 20 (minChars).
+      // details: UPPER</p>, an entity-bearing <p>, footer).
+      // nav/heading/footer always drop (link-dense / short). Block 3
+      // keeps iff len >= 20 (minChars) — and only EXISTS when text is
+      // non-empty (the extractor filters empty blocks before counting,
+      // hence the len(text) > 0 term in the block total; the remaining
+      // corpus invariants this arithmetic leans on — markup-free,
+      // single-spaced text — are asserted by the harness corpus).
       // Block 4's visible text is 31 + L chars, its anchor text
       // contributes 14 of them after whitespace collapse, so it keeps
-      // iff 14/(31+L) <= 0.2 — the same IEEE division both engines run
+      // iff 14/(31+L) <= 0.2 — the same IEEE division both engines
+      // run. Block 5 carries numeric character references; its decoded
+      // 30-char anchor-free text always keeps, and the expected string
+      // is rebuilt here from chr() codepoints, independent of the
+      // engine's decoder.
       """SELECT doc_id,
         |  concat_ws(chr(10),
         |    CASE WHEN len(text) >= 20 THEN text END,
         |    CASE WHEN 14.0 / (31 + len(text)) <= 0.2
-        |         THEN 'See the reference for details: ' || upper(text) END) AS text,
-        |  CAST(CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
+        |         THEN 'See the reference for details: ' || upper(text) END,
+        |    'It' || chr(8217) || 's 5 < 7 &amp; fine ' || chr(8212) || ' really') AS text,
+        |  CAST(1 + CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
         |     + CASE WHEN 14.0 / (31 + len(text)) <= 0.2 THEN 1 ELSE 0 END
         |     AS BIGINT) AS n_blocks_kept,
-        |  CAST(5 - CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
+        |  CAST(5 + CASE WHEN len(text) > 0 THEN 1 ELSE 0 END
+        |     - 1 - CASE WHEN len(text) >= 20 THEN 1 ELSE 0 END
         |     - CASE WHEN 14.0 / (31 + len(text)) <= 0.2 THEN 1 ELSE 0 END
         |     AS BIGINT) AS n_blocks_dropped
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -36,14 +36,34 @@ object Crawl {
              maxLinkDensity: Double = 0.2, minChars: Int = 20,
              stopwords: Seq[String] = Nil,
              minStopwordFrac: Double = 0.0): DataFrame = {
+    // response records capture the full HTTP message — split the
+    // status line + header block (everything up to the FIRST CRLF
+    // CRLF, the codegen'd mirror of Warc.httpBody: empty when the
+    // payload isn't HTTP or has no blank line; non-greedy .*?, NOT a
+    // per-line grammar — real crawls carry header blocks with bare
+    // LFs and httpBody strips those the same way) from the body
+    // BYTES, then decode the body with the page's own charset: the
+    // HTTP Content-Type header wins, a <meta charset> / http-equiv
+    // tag is the fallback, UTF-8 (with U+FFFD replacement) the
+    // default. The header block is ASCII, so its char length in the
+    // raw pseudo-UTF-8 view IS its byte length, and the ASCII meta
+    // tag is findable in that view even when the body bytes are
+    // legacy-charset (every supported legacy charset is
+    // ASCII-compatible; UTF-16 pages are out of scope).
+    val payloadStr = col("payload").cast("string")
+    val headerBlock = regexp_extract(payloadStr, "(?s)^(HTTP/.*?\r\n\r\n)", 1)
+    val headerCs = regexp_extract(headerBlock,
+      "(?i)content-type:[^\r\n]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-.:]+)", 1)
+    val metaCs = regexp_extract(payloadStr,
+      "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-.:]+)", 1)
+    val charset = lower(when(headerCs =!= "", headerCs)
+      .when(metaCs =!= "", metaCs).otherwise(lit("utf-8")))
+    val bodyBytes = col("payload").substr(
+      length(headerBlock) + 1, lit(Int.MaxValue))
     val pages = records
       .filter(col("warc_type").isin("response", "resource"))
       .select(col("target_uri").as("url"),
-        // response records capture the full HTTP message — shed the
-        // status line + header block (the codegen'd mirror of
-        // Warc.httpBody: identity when the payload isn't HTTP)
-        regexp_replace(col("payload").cast("string"),
-          "(?s)^HTTP/[^\r\n]*\r\n(?:[^\r\n]+\r\n)*\r\n", "").as("html"))
+        graft.functions.Charsets.decode_charset(bodyBytes, charset).as("html"))
     val gated = UrlOps.urlFilter(pages, blockedDomains)
     val extracted = HtmlExtract.extract(gated, htmlCol = "html",
       idCol = "url", maxLinkDensity = maxLinkDensity, minChars = minChars,

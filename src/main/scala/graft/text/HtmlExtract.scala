@@ -51,16 +51,18 @@ object HtmlExtract {
     regexp_replace(noStyle, "(?is)<head\\b[^>]*>.*?</head>", " ")
   }
 
-  /** Inline-tag strip + minimal entity decode + whitespace collapse.
-    * Entity order matters: `&amp;` decodes LAST so `&amp;lt;` yields
-    * the literal `&lt;`, not `<`.
+  /** Inline-tag strip + character-reference decode + whitespace
+    * collapse. The decode is [[graft.functions.HtmlKernels]]'s
+    * single left-to-right pass over named AND numeric (`&#8217;`,
+    * `&#x2019;`) references — the scan continues after each
+    * replacement, so `&amp;lt;` yields the literal `&lt;` (the
+    * decode-order contract the old `&amp;`-last regexp chain kept).
+    * Decoded characters are text, never markup: tags were stripped
+    * BEFORE the decode, so `&#x3C;p&#x3E;` stays visible text.
     */
   private def blockText(seg: Column): Column = {
     val noTags = regexp_replace(seg, "<[^>]*>", " ")
-    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    trim(regexp_replace(graft.functions.Html.decode_entities(noTags), "\\s+", " "))
   }
 
   /** Extract article text from `htmlCol`: returns one row per input

@@ -78,6 +78,66 @@ class CrawlSpec extends SparkSpec {
     assert(oneShot == got.map(r => (r._1, r._2)))
   }
 
+  test("curate: charset-aware decode — header charset, meta fallback, utf-8 default, bare-LF headers") {
+    // handmade legacy-charset pages: the extracted text must
+    // round-trip EXACTLY (the é arrives as Latin-1 0xE9, the テ as
+    // Shift-JIS 0x83 0x65 — both mojibake under a blind UTF-8 cast)
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes("US-ASCII") ++ body
+    val latin1Body =
+      "<html><body><p>le café est ouvert toute la journée ici</p></body></html>"
+        .getBytes("ISO-8859-1")
+    val sjisBody =
+      ("<html><head><meta charset=\"shift_jis\"></head><body>" +
+        "<p>this page carries katakana テ inside prose text</p></body></html>")
+        .getBytes("Shift_JIS")
+    val utf8Body =
+      "<html><body><p>plain utf-8 default applies to this page ✓</p></body></html>"
+        .getBytes("UTF-8")
+    // a bare-LF line inside the header block: the strip still runs to
+    // the first CRLF CRLF (httpBody's contract), headers never leak
+    val bareLf = ("HTTP/1.1 200 OK\r\nX-Odd: broken\nheader\r\n\r\n" +
+      "<p>body after a bare-LF header block stays intact</p>").getBytes("UTF-8")
+    val records = Seq(
+      ("response", "http://l1.example/a",
+        http("Content-Type: text/html; charset=ISO-8859-1\r\n", latin1Body)),
+      ("response", "http://sj.example/b",
+        http("Content-Type: text/html\r\n", sjisBody)),
+      ("response", "http://u8.example/c", http("", utf8Body)),
+      ("response", "http://lf.example/d", bareLf),
+    ).toDF("warc_type", "target_uri", "payload")
+    val got = Crawl.curate(records, Seq.empty[String].toDF("domain"),
+        minChars = 10)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got("http://l1.example/a") ==
+      "le café est ouvert toute la journée ici")
+    assert(got("http://sj.example/b") ==
+      "this page carries katakana テ inside prose text")
+    assert(got("http://u8.example/c") ==
+      "plain utf-8 default applies to this page ✓")
+    assert(got("http://lf.example/d") ==
+      "body after a bare-LF header block stays intact")
+  }
+
+  test("curate: unknown charset falls back to utf-8; malformed bytes become U+FFFD, never throw") {
+    val body = "<p>unknown charset page still extracts this sentence</p>".getBytes("UTF-8")
+    val bad = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-nonsense\r\n\r\n")
+      .getBytes("US-ASCII") ++ body
+    val mojibake = ("HTTP/1.1 200 OK\r\n\r\n<p>broken byte here " ).getBytes("UTF-8") ++
+      Array(0x83.toByte, 0x65.toByte) ++ " rest of the sentence survives</p>".getBytes("UTF-8")
+    val records = Seq(
+      ("response", "http://nc.example/a", bad),
+      ("response", "http://mb.example/b", mojibake),
+    ).toDF("warc_type", "target_uri", "payload")
+    val got = Crawl.curate(records, Seq.empty[String].toDF("domain"), minChars = 10)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got("http://nc.example/a") ==
+      "unknown charset page still extracts this sentence")
+    // 0x83 0x65: 0x83 is a bare continuation byte -> U+FFFD; 0x65 is 'e'
+    assert(got("http://mb.example/b") ==
+      "broken byte here �e rest of the sentence survives")
+  }
+
   test("curate: all-boilerplate page survives with empty text and zero tokens") {
     val records = Seq(
       ("response", "http://empty.org/",

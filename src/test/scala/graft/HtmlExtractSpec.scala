@@ -48,6 +48,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(text == "a < b && c > d \"q\" 's' &lt; stays literal here")
   }
 
+  test("numeric character references: decimal, hex, double-escape, invalid pass-through") {
+    val html = "<p>It&#8217;s 5 &#x3C; 7 &#38;lt; stays &#xA0;spaced " +
+      "&#abc; &#; &#x110000; &#xD800; ok</p>"
+    val (text, _, _) = run(html, minChars = 1)
+    // &#8217; -> ’, &#x3C; -> literal '<' text (tags were stripped
+    // before the decode), &#38;lt; -> '&' then literal "lt;" (the
+    // single-pass scan never re-reads its own output), &#xA0; -> a
+    // plain space that collapses, malformed/overflow/surrogate refs
+    // pass through as literal text
+    assert(text == "It’s 5 < 7 &lt; stays spaced " +
+      "&#abc; &#; &#x110000; &#xD800; ok")
+  }
+
   test("br/hr split inline runs into separate blocks") {
     val html = "<p>first visual block with enough characters here<br>" +
       "second visual block also long enough to keep<hr/>short</p>"
@@ -126,10 +139,29 @@ class HtmlExtractSpec extends SparkSpec {
       }
       val body = sb.toString
       // 2. tokenize into blocks, tracking anchor content
+      // numeric refs via java.util.regex callback (a different
+      // mechanism than the engine's single-pass scanner), then the
+      // named chain — the generator avoids pathological double-escape
+      // overlaps where sequential and single-pass decoding diverge
+      def decodeNum(s: String): String = {
+        val m = java.util.regex.Pattern
+          .compile("&#(?:[xX]([0-9a-fA-F]{1,6})|([0-9]{1,7}));").matcher(s)
+        val sb = new StringBuffer
+        while (m.find()) {
+          val cp = if (m.group(1) != null) Integer.parseInt(m.group(1), 16)
+            else Integer.parseInt(m.group(2))
+          val rep = if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+            new String(Character.toChars(if (cp == 0xA0) ' ' else cp))
+          else m.group(0)
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+        }
+        m.appendTail(sb)
+        sb.toString
+      }
       def norm(s: String): String = {
         val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
           "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-          .foldLeft(s) { case (c, (f, t)) => c.replace(f, t) }
+          .foldLeft(decodeNum(s)) { case (c, (f, t)) => c.replace(f, t) }
         ent.replaceAll("\\s+", " ").trim
       }
       var full = new StringBuilder
@@ -180,7 +212,8 @@ class HtmlExtractSpec extends SparkSpec {
         val inner = rnd.nextInt(4) match {
           case 0 => sentence(2 + rnd.nextInt(10))
           case 1 => s"${sentence(3)} <a href=\"/x\">${sentence(1 + rnd.nextInt(3))}</a> ${sentence(rnd.nextInt(8))}"
-          case 2 => s"${sentence(2)} <b>${sentence(2)}</b> &amp; ${sentence(3)} &lt;tag&gt;"
+          case 2 => s"${sentence(2)} <b>${sentence(2)}</b> &amp; it&#8217;s " +
+            s"${sentence(3)} &lt;tag&gt; &#x2014; ${sentence(2)}"
           case _ => s"<a href=\"/only\">${sentence(1 + rnd.nextInt(2))}</a>"
         }
         s"<$tag>$inner</$tag>"
