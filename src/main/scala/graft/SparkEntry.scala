@@ -683,6 +683,28 @@ object SparkEntry {
           lit("&ref=rss")))
       graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
     }),
+    "d_url_psl" -> ((s, d) => {
+      // public-suffix list as DATA: four host shapes per doc exercise
+      // longest-match (github.io over io, de.com over com, co.uk over
+      // uk) and the implicit `*` fallback for an unlisted tld. The
+      // oracle rebuilds host + registered domain from doc_id/source
+      // directly. Plan: broadcast joins only — the corpus never
+      // shuffles.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val host = when(col("doc_id") % 4 === 0,
+        concat(lit("pages.user-"), col("source"), lit(".github.io")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("shop."), col("source"), lit(".de.com")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("news.archive."), col("source"), lit(".co.uk")))
+        .otherwise(concat(lit("x.y."), col("source"), lit(".test")))
+      val psl = Seq("com", "uk", "co.uk", "de.com", "github.io", "io", "de")
+        .toDF("suffix")
+      graft.ops.UrlOps.registeredDomainWithPsl(
+          docs.withColumn("host", host), psl)
+        .select("doc_id", "host", "domain").orderBy("doc_id")
+    }),
     "d_crawl_charset" -> ((s, d) => {
       // charset-aware ingestion: three page shapes per doc — Latin-1
       // declared in the HTTP Content-Type header, Shift-JIS declared
@@ -2364,6 +2386,21 @@ object SparkEntry {
         |  'updated: ' || text AS text,
         |  CAST(2 AS BIGINT) AS n_fetches
         |FROM documents ORDER BY url""".stripMargin,
+    "d_url_psl" ->
+      // expected registered domains rebuilt from doc_id/source by the
+      // documented longest-match rule, independent of the join plan
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'pages.user-' || source || '.github.io'
+        |    WHEN 1 THEN 'shop.' || source || '.de.com'
+        |    WHEN 2 THEN 'news.archive.' || source || '.co.uk'
+        |    ELSE 'x.y.' || source || '.test' END AS host,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'user-' || source || '.github.io'
+        |    WHEN 1 THEN source || '.de.com'
+        |    WHEN 2 THEN source || '.co.uk'
+        |    ELSE source || '.test' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d_crawl_charset" ->
       // expected decoded text rebuilt with chr() codepoints: é =
       // U+00E9 (arrived as Latin-1 0xE9, header-declared), テ =

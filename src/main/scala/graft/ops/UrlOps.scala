@@ -114,6 +114,58 @@ object UrlOps {
       .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
   }
 
+  /** Registered domains with the public-suffix list AS DATA — the
+    * deployment-grade path [[registeredDomain]]'s fixed heuristic
+    * stands in for. `psl` is one `suffix` column holding a snapshot
+    * of plain public-suffix rules (`com`, `co.uk`, `github.io`,
+    * `de.com` …): the registered domain is the LONGEST listed suffix
+    * of the host plus one more label. Hosts matching no rule fall
+    * back to the PSL's implicit `*` default (last label is the
+    * suffix → 2-label domain); hosts with no label to spare (the
+    * host IS a suffix, or a single label) pass through unchanged —
+    * the [[registeredDomain]] conventions, now driven by data.
+    * Wildcard (`*.ck`) and exception (`!www.ck`) rules are out of
+    * scope; expand them to plain rows when snapshotting the list.
+    *
+    * Scale shape: one broadcast hash join per candidate suffix
+    * length (`maxSuffixLabels`, default 4 — the longest plain rules
+    * in the live PSL) — the corpus NEVER shuffles and no explode
+    * multiplies it; the PSL snapshot is a few hundred KB, exactly
+    * the blocklist's broadcast class.
+    */
+  def registeredDomainWithPsl(docs: DataFrame, psl: DataFrame,
+                              hostCol: String = "host",
+                              out: String = "domain",
+                              maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1, s"maxSuffixLabels >= 1: $maxSuffixLabels")
+    val labels = "__psl_labels"
+    val suffixes = psl.select(col("suffix")).distinct()
+    var cur = docs.withColumn(labels, split(col(hostCol), "\\."))
+    (1 to maxSuffixLabels).foreach { k =>
+      // equi-join on the host's k-label suffix; n > k keeps one label
+      // to spare (a host that IS a public suffix has no registrable
+      // domain and falls through)
+      cur = cur.join(
+        broadcast(suffixes.select(col("suffix").as(s"__psl_m$k"))),
+        concat_ws(".", slice(col(labels), -k, k)) === col(s"__psl_m$k") &&
+          size(col(labels)) > k,
+        "left")
+    }
+    // fold 1..max so the LONGEST suffix ends outermost in the
+    // when-chain (the last fold iteration wraps the rest)
+    val byLongest = (1 to maxSuffixLabels).foldLeft(
+      // no rule matched: implicit `*` default — 2 labels when there
+      // are at least 2, else the host unchanged
+      when(size(col(labels)) <= 2, col(hostCol))
+        .otherwise(concat_ws(".", slice(col(labels), -2, 2)))) {
+      case (fallback, k) =>
+        when(col(s"__psl_m$k").isNotNull,
+          concat_ws(".", slice(col(labels), -(k + 1), k + 1))).otherwise(fallback)
+    }
+    cur.withColumn(out, byLongest)
+      .drop(labels +: (1 to maxSuffixLabels).map(k => s"__psl_m$k"): _*)
+  }
+
   /** Canonicalize + annotate + blocklist-filter a URL-carrying frame:
     * drops rows whose registered domain appears in `blockedDomains`
     * (one `domain` column — UT1 category lists are exactly this

@@ -35,7 +35,8 @@ object Crawl {
   def curate(records: DataFrame, blockedDomains: DataFrame,
              maxLinkDensity: Double = 0.2, minChars: Int = 20,
              stopwords: Seq[String] = Nil,
-             minStopwordFrac: Double = 0.0): DataFrame = {
+             minStopwordFrac: Double = 0.0,
+             passthrough: Seq[String] = Nil): DataFrame = {
     // response records capture the full HTTP message — split the
     // status line + header block (everything up to the FIRST CRLF
     // CRLF, the codegen'd mirror of Warc.httpBody: empty when the
@@ -62,20 +63,22 @@ object Crawl {
       length(headerBlock) + 1, lit(Int.MaxValue))
     val pages = records
       .filter(col("warc_type").isin("response", "resource"))
-      .select(col("target_uri").as("url"),
-        graft.functions.Charsets.decode_charset(bodyBytes, charset).as("html"))
+      .select(col("target_uri").as("url") +:
+        graft.functions.Charsets.decode_charset(bodyBytes, charset).as("html") +:
+        passthrough.map(col): _*)
     val gated = UrlOps.urlFilter(pages, blockedDomains)
     val extracted = HtmlExtract.extract(gated, htmlCol = "html",
       idCol = "url", maxLinkDensity = maxLinkDensity, minChars = minChars,
       stopwords = stopwords, minStopwordFrac = minStopwordFrac)
     // domain recomputed from the canonical url — zero-shuffle, no join
     // back against the gated frame
-    extracted.select(
+    extracted.select(Seq(
       col("url"),
       UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("domain"),
       col("text"), col("n_blocks_kept"), col("n_blocks_dropped"),
       when(col("text") === "", lit(0L))
         .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+      ++ passthrough.map(col): _*)
   }
 
   /** One streaming-ingest micro-batch: gate + extract the batch's
@@ -125,6 +128,71 @@ object Crawl {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         crawlBatch(batch, batchId, targetDir, blockedDomains, fetchCol)
+      }
+
+  /** One WARC-layer ingest micro-batch: `files` is a bounded frame of
+    * `.warc(.gz)` file paths (one micro-batch of arrivals); each file
+    * streams through [[graft.sources.Warc.read]]'s bounded-heap
+    * walker, the records run the full [[curate]] chain carrying their
+    * `warc_date` (ISO-8601 UTC — string order is fetch order), and
+    * the result merges into the SnapshotStore keeping the LATEST
+    * capture per canonical url. At-least-once safe: committed batch
+    * ids replay as no-ops. The collect is of PATHS only — bounded by
+    * files-per-trigger, never corpus-shaped.
+    */
+  def crawlWarcBatch(files: DataFrame, batchId: Long, targetDir: String,
+                     blockedDomains: DataFrame): Unit = {
+    val spark = files.sparkSession
+    val store = new graft.streaming.SnapshotStore(spark, targetDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
+    val paths = files.select(col("path")).distinct()
+      .collect().map(_.getString(0))
+    if (paths.isEmpty) return
+    val records = graft.sources.Warc.read(spark, paths.mkString(","))
+    val curated = curate(records, blockedDomains,
+        passthrough = Seq("warc_date"))
+      .select("url", "domain", "text", "n_tokens", "warc_date")
+    val merged = store.read() match {
+      case Some(t) => graft.sync.SyncOps.applyIncremental(
+        t, curated.select(t.columns.map(col): _*), Seq("url"), "warc_date",
+        tieBreak = "text")
+      case None => graft.sync.SyncOps.upsertKeepLatest(
+        curated, Seq("url"), "warc_date", tieBreak = "text")
+    }
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming crawl ingest at the ARRIVAL format: tail a directory
+    * of `.warc(.gz)` files (the file-arrival stream a fetcher fleet
+    * produces) and accumulate the curated latest-capture-per-url
+    * corpus in `targetDir`. The file listing rides Structured
+    * Streaming's file source (checkpointed, exactly-once file
+    * discovery); only PATHS flow through the stream — the bytes
+    * stream through [[graft.sources.Warc.read]] inside each batch,
+    * so a multi-GiB member never materializes as a row.
+    */
+  def sinkCrawlWarc(spark: org.apache.spark.sql.SparkSession,
+                    warcDir: String, targetDir: String,
+                    checkpointDir: String, blockedDomains: DataFrame,
+                    maxFilesPerTrigger: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema (streaming sources
+      // require it stated up front); only `path` is selected below,
+      // so column pruning keeps file bytes out of the stream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", org.apache.spark.sql.types.LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType))
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(warcDir)
+      .select(col("path"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        crawlWarcBatch(batch, batchId, targetDir, blockedDomains)
       }
 
   /** The committed crawl corpus (None until the first batch commits). */

@@ -183,7 +183,8 @@ object Warc {
     * what the specs and the oracle entry build corpora with.
     */
   def writeRecord(warcType: String, targetUri: String,
-                  contentType: String, payload: Array[Byte]): Array[Byte] = {
+                  contentType: String, payload: Array[Byte],
+                  extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -191,6 +192,9 @@ object Warc {
       sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     if (contentType.nonEmpty)
       sb.append("Content-Type: ").append(contentType).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes(StandardCharsets.UTF_8)
     head ++ payload ++ Crlf ++ Crlf
@@ -230,7 +234,9 @@ object Warc {
 
   /** Read WARC files under `path` (plain or gzip, single- or
     * multi-member) into one row per record: (file, decompressed record
-    * offset, warc_type, target_uri, content_type, payload bytes,
+    * offset, warc_type, target_uri, content_type, warc_date — the
+    * WARC-Date header, empty when absent (ISO-8601 UTC per the spec,
+    * so string order IS fetch order) — payload bytes,
     * quarantined_at). Record rows carry quarantined_at = -1; a file
     * whose tail is malformed/truncated additionally emits ONE sentinel
     * row (empty type/uri/payload, offset = quarantined_at = the bad
@@ -258,18 +264,23 @@ object Warc {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
         val w = new StreamWalker(in)
-        w.map(r => (file, r.offset, r.warcType, r.targetUri, r.contentType,
-          r.payload, -1L)) ++
+        w.map { r =>
+          val date = r.headers.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("WARC-Date") => v
+          }.getOrElse("")
+          (file, r.offset, r.warcType, r.targetUri, r.contentType, date,
+            r.payload, -1L)
+        } ++
           // deferred: quarantinedAt is only final after exhaustion
           Iterator.single(()).flatMap { _ =>
             in.close()
             if (w.quarantinedAt >= 0)
-              Iterator.single((file, w.quarantinedAt, "", "", "",
+              Iterator.single((file, w.quarantinedAt, "", "", "", "",
                 Array.emptyByteArray, w.quarantinedAt))
             else Iterator.empty
           }
       }
     spark.createDataset(rows).toDF("file", "offset", "warc_type",
-      "target_uri", "content_type", "payload", "quarantined_at")
+      "target_uri", "content_type", "warc_date", "payload", "quarantined_at")
   }
 }

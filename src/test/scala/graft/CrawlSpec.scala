@@ -138,6 +138,66 @@ class CrawlSpec extends SparkSpec {
       "broken byte here �e rest of the sentence survives")
   }
 
+  test("streaming WARC-layer ingest: files arriving across triggers == one-shot; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def page(body: String) =
+      s"<html><body><p>$body content long enough to clear the minimum</p></body></html>"
+    def rec(url: String, date: String, body: String): Array[Byte] =
+      graft.sources.Warc.writeRecord("response", url, "text/html",
+        ("HTTP/1.1 200 OK\r\n\r\n" + page(body)).getBytes("UTF-8"),
+        extraHeaders = Seq("WARC-Date" -> date))
+    // 3 warc.gz files = 3 fetch waves; page A captured in all three
+    // (latest date must win), B in two, C once on a blocked domain
+    val waves = Seq(
+      Seq(rec("HTTPS://WWW.Site-a.COM/p?utm_x=1", "2026-01-01T00:00:00Z", "a v1"),
+        rec("http://site-b.org/q", "2026-01-01T00:05:00Z", "b v1")),
+      Seq(rec("https://site-a.com/p", "2026-01-02T00:00:00Z", "a v2"),
+        rec("http://blocked.net/x", "2026-01-02T00:01:00Z", "c v1")),
+      Seq(rec("https://Site-a.com:443/p", "2026-01-03T00:00:00Z", "a v3"),
+        rec("HTTP://site-b.org:80/q#frag", "2026-01-03T00:02:00Z", "b v2")))
+    val in = tmp("graft_warcstream_in")
+    waves.zipWithIndex.foreach { case (recs, i) =>
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(in, f"wave$i%02d.warc.gz")))
+      try recs.foreach(out.write) finally out.close()
+    }
+    val block = Seq("blocked.net").toDF("domain")
+    val target = tmp("graft_warcstream_t") + "/t"
+    val ckpt = tmp("graft_warcstream_ck")
+
+    val q = Crawl.sinkCrawlWarc(spark, in, target, ckpt, block,
+      maxFilesPerTrigger = 1).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = Crawl.readCrawlTarget(spark, target).get
+      .select("url", "text", "n_tokens", "domain", "warc_date")
+      .as[(String, String, Long, String, String)].collect().toSet
+    assert(got == Set(
+      ("https://site-a.com/p", "a v3 content long enough to clear the minimum",
+        9L, "site-a.com", "2026-01-03T00:00:00Z"),
+      ("http://site-b.org/q", "b v2 content long enough to clear the minimum",
+        9L, "site-b.org", "2026-01-03T00:02:00Z")))
+
+    // replay of an already-committed batch id is a no-op
+    Crawl.crawlWarcBatch(
+      Seq(s"$in/wave00.warc.gz").toDF("path"), batchId = 0L, target, block)
+    val again = Crawl.readCrawlTarget(spark, target).get
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(again == got.map(r => (r._1, r._2)))
+
+    // one-shot reference over ALL files at once: Warc.read -> curate
+    // (warc_date riding through) -> keep-latest per canonical url
+    val oneShot = graft.ops.UrlOps.dedupByUrl(
+      Crawl.curate(graft.sources.Warc.read(spark, in), block,
+        passthrough = Seq("warc_date")),
+      scoreCol = "warc_date", tieCol = "url")
+      .select(col("url"), col("text"), col("warc_date"))
+      .as[(String, String, String)].collect().toSet
+    assert(oneShot == got.map(r => (r._1, r._2, r._5)))
+  }
+
   test("curate: all-boilerplate page survives with empty text and zero tokens") {
     val records = Seq(
       ("response", "http://empty.org/",

@@ -101,6 +101,44 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("registeredDomainWithPsl: longest listed suffix + one label; fallback and pass-through") {
+    val psl = Seq("com", "uk", "co.uk", "de.com", "github.io", "io", "de",
+      "ap-south-1.es.amazonaws.com").toDF("suffix")
+    val hosts = Seq(
+      "pages.user.github.io",  // github.io beats io -> user.github.io
+      "shop.example.de.com",   // de.com beats com -> example.de.com
+      "news.bbc.co.uk",        // co.uk beats uk -> bbc.co.uk
+      "a.b.example.com",       // com -> example.com
+      "my-search.ap-south-1.es.amazonaws.com", // 4-label rule, depth cap
+      "github.io",             // host IS a suffix: no label to spare -> unchanged
+      "x.y.sometld.test",      // unlisted tld: implicit * default -> sometld.test
+      "localhost",             // single label -> unchanged
+    ).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = graft.ops.UrlOps.registeredDomainWithPsl(
+        hosts.toDF("id", "host"), psl)
+      .orderBy("id").select("domain").collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "user.github.io", "example.de.com", "bbc.co.uk", "example.com",
+      "my-search.ap-south-1.es.amazonaws.com",
+      "github.io", "sometld.test", "localhost"))
+  }
+
+  test("registeredDomainWithPsl agrees with the heuristic on its own ground") {
+    // on hosts whose suffixes the fixed heuristic models (plain tld,
+    // co.uk-class), PSL-as-data and the heuristic must agree — the
+    // heuristic is the zero-dependency default for the same semantics
+    val psl = Seq("com", "uk", "co.uk", "org", "net").toDF("suffix")
+    val hosts = Seq("a.b.example.com", "news.bbc.co.uk", "example.org",
+      "deep.x.site.net", "plain.com").zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = hosts.toDF("id", "host")
+    val viaPsl = graft.ops.UrlOps.registeredDomainWithPsl(df, psl)
+      .orderBy("id").select("domain").collect().map(_.getString(0)).toSeq
+    val viaHeuristic = df.orderBy("id")
+      .select(graft.ops.UrlOps.registeredDomain(col("host"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(viaPsl == viaHeuristic)
+  }
+
   test("dedupByUrl: canonical-equivalent fetches collapse, newest wins, ties by tiecol") {
     val fetches = Seq(
       // three shapes of ONE page: tracking noise, www/case, clean
