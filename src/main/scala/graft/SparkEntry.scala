@@ -685,6 +685,47 @@ object SparkEntry {
           lit("&ref=rss")))
       graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
     }),
+    "d_url_percent" -> ((s, d) => {
+      // percent-encoding canonicalization end to end: every doc's url
+      // carries unreserved escapes (%41->A, %61->a, %7e->~), a
+      // reserved escape in lowercase hex (%2f -> %2F, kept), and a
+      // malformed %g1 (literal) — normalize, then full canonicalize.
+      // The oracle rebuilds the expected canonical url by plain string
+      // construction from doc_id/source.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val url = concat(lit("HTTPS://WWW.Ex%41mple-"), col("source"),
+        lit(".COM:443/p%61th%2Fdoc/"), col("doc_id"),
+        lit("?id=%2fv%7e&x=%g1"))
+      docs.select(col("doc_id"),
+        graft.ops.UrlOps.canonicalizeUrl(
+          graft.ops.UrlOps.normalizePercentEncoding(url)).as("url"))
+        .orderBy("doc_id")
+    }),
+    "d_robots_filter" -> ((s, d) => {
+      // retroactive robots.txt compliance over a synthesized crawl:
+      // four path shapes per doc (open / private / private-public /
+      // pdf) against a policy exercising group selection (evilbot's
+      // blanket ban must NOT apply), longest-match allow-override, and
+      // the $-anchored wildcard; every 3rd source ships NO robots row
+      // (allowed). The oracle rebuilds url + verdict from
+      // doc_id/source arithmetic alone.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/doc/"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/public/"), col("doc_id")))
+        .otherwise(concat(lit("/files/"), col("doc_id"), lit(".pdf")))
+      val url = concat(lit("https://"), col("source"), lit(".example.com"), path)
+      val robots = docs.select("source").distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          lit("User-agent: evilbot\nDisallow: /\n\nUser-agent: *\n" +
+            "Disallow: /private/\nAllow: /private/public/\n" +
+            "Disallow: /*.pdf$\n").as("robots_txt"))
+      graft.ops.Robots.robotsVerdict(
+          docs.withColumn("url", url), robots, "graftbot")
+        .select("doc_id", "url", "allowed").orderBy("doc_id")
+    }),
     "d_url_psl" -> ((s, d) => {
       // public-suffix list as DATA: four host shapes per doc exercise
       // longest-match (github.io over io, de.com over com, co.uk over
@@ -2388,6 +2429,29 @@ object SparkEntry {
         |  'updated: ' || text AS text,
         |  CAST(2 AS BIGINT) AS n_fetches
         |FROM documents ORDER BY url""".stripMargin,
+    "d_url_percent" ->
+      // expected: %41/%61/%7e decoded (unreserved), %2f kept uppercase
+      // (reserved '/'), %g1 literal; then scheme/host lowercase, www +
+      // default port stripped
+      """SELECT doc_id,
+        |  'https://example-' || source || '.com/path%2Fdoc/' || doc_id
+        |    || '?id=%2Fv~&x=%g1' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_robots_filter" ->
+      // expected verdicts rebuilt from the synthesis arithmetic: no
+      // robots row (every 3rd source) allows everything; otherwise
+      // open (/doc/) and the allow-override (/private/public/) pass,
+      // /private/ and the $-anchored *.pdf rule block
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com' ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '/doc/' || doc_id
+        |      WHEN 1 THEN '/private/' || doc_id
+        |      WHEN 2 THEN '/private/public/' || doc_id
+        |      ELSE '/files/' || doc_id || '.pdf' END AS url,
+        |  (CAST(substr(source, 4) AS INT) % 3 = 0)
+        |    OR (CAST(doc_id % 4 AS INT) IN (0, 2)) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d_url_psl" ->
       // expected registered domains rebuilt from doc_id/source by the
       // documented longest-match rule, independent of the join plan

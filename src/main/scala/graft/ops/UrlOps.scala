@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL canonicalization, registered-domain extraction, and domain
   * blocklist filtering — the provenance operators between a crawl
@@ -18,6 +19,67 @@ import org.apache.spark.sql.functions._
   * URLs a real crawl is full of, and an exception per bad row is the
   * wrong failure mode at 100 TB.
   */
+/** Percent-encoding normalization kernel (RFC 3986 §6.2.2): `%58`-class
+  * escapes of UNRESERVED characters (ALPHA / DIGIT / `-._~`) decode —
+  * `%41` and `A` are the same URI and must canonicalize together or
+  * dedupByUrl treats them as distinct pages — while escapes of
+  * reserved/other octets keep their `%XX` with the hex UPPERCASED
+  * (`%2f` ≡ `%2F`); a `%` not followed by two hex digits passes
+  * through literally (crawl-grade totality).
+  */
+object UrlKernels {
+  private def hex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def unreserved(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' || b == '~'
+
+  def normalizePercent(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.indexOf('%') < 0) return u
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        val v = hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2))
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Codegen'd percent-encoding normalization — see
+  * [[UrlKernels.normalizePercent]].
+  */
+case class NormalizePercent(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernels.normalizePercent(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.UrlKernels.normalizePercent($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): NormalizePercent =
+    copy(c)
+}
+
 object UrlOps {
 
   /** Query params that carry tracking state, not content identity
@@ -47,6 +109,17 @@ object UrlOps {
     * shape pass through the fragment/param rules with the rest
     * untouched.
     */
+  /** Percent-encoding normalization (RFC 3986 §6.2.2) — see
+    * [[UrlKernels.normalizePercent]]. Compose BEFORE
+    * [[canonicalizeUrl]]: `%41` vs `A` and `%2f` vs `%2F` variants of
+    * one page must land on one canonical url or keep-newest dedup
+    * keeps both.
+    */
+  def normalizePercentEncoding(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      NormalizePercent(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
+
   def canonicalizeUrl(url: Column): Column =
     canonicalizeUrl(url, DefaultTrackingParams)
 

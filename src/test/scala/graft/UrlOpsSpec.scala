@@ -101,6 +101,30 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("percent-encoding normalization: unreserved decode, reserved uppercase, malformed pass") {
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.normalizePercentEncoding(col("u")))
+        .head().getString(0)
+    // %41/%61/%7e are unreserved (A/a/~) -> decode; %2f is reserved
+    // '/' -> keep, hex uppercased; %g1 / trailing % are malformed ->
+    // literal
+    assert(norm("https://Ex%41mple.com/p%61th%2Fdoc?q=%2fv%7e&x=%g1&y=%2")
+      == "https://ExAmple.com/path%2Fdoc?q=%2Fv~&x=%g1&y=%2")
+    // idempotent: a normalized url re-normalizes to itself
+    val once = norm("/a%20b%5a%2f%25c%")
+    assert(once == "/a%20bZ%2F%25c%")
+    assert(norm(once) == once)
+    // no '%' at all is identity
+    assert(norm("https://example.com/plain?a=1") == "https://example.com/plain?a=1")
+    // composes with canonicalizeUrl: encoded-host variants of one page
+    // collapse
+    val canon = Seq("HTTPS://WWW.Ex%41mple.COM:443/Doc%7E1?id=2")
+      .toDF("u")
+      .select(UrlOps.canonicalizeUrl(UrlOps.normalizePercentEncoding(col("u"))))
+      .head().getString(0)
+    assert(canon == "https://example.com/Doc~1?id=2")
+  }
+
   test("registeredDomainWithPsl: longest listed suffix + one label; fallback and pass-through") {
     val psl = Seq("com", "uk", "co.uk", "de.com", "github.io", "io", "de",
       "ap-south-1.es.amazonaws.com").toDF("suffix")
