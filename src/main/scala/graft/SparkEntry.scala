@@ -685,6 +685,45 @@ object SparkEntry {
           lit("&ref=rss")))
       graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
     }),
+    "d_link_graph" -> ((s, d) => {
+      // link-graph extraction: each doc's page carries the five
+      // resolvable link forms (absolute, root-relative, path-relative,
+      // protocol-relative, nofollow) plus a fragment-only anchor that
+      // must drop; the oracle reconstructs every edge by string
+      // arithmetic from doc_id/source.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("/index.html"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ext.example/d/"), col("doc_id"),
+        lit("\">external "), col("doc_id"), lit("</a>"),
+        lit("<a href='/doc/"), col("doc_id") + 1, lit("'>next doc</a>"),
+        lit("<a href=sub/page.html>sub page</a>"),
+        lit("<a href=\"//cdn.example/lib.js\">cdn asset</a>"),
+        lit("<a href=\"/tos\" rel=\"nofollow\">terms</a>"),
+        lit("<a href=\"#top\">top</a>"))
+      graft.text.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), base.as("url"), html.as("html")))
+        .select("doc_id", "href", "anchor_text", "nofollow")
+        .orderBy("doc_id", "href")
+    }),
+    "d_domain_rank" -> ((s, d) => {
+      // domain PageRank over a deterministic ring-plus-hub graph built
+      // from the distinct sources: every source links to its
+      // lexicographic successor (wrapping) and to a hub that links
+      // nowhere (dangling). 5 synchronous iterations; the oracle
+      // unrolls the identical arithmetic in SQL.
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      graft.ops.LinkGraph.pageRank(
+          ring.unionByName(toHub), iters = 5)
+        .orderBy(desc("rank"), asc("n"))
+    }),
     "d_url_percent" -> ((s, d) => {
       // percent-encoding canonicalization end to end: every doc's url
       // carries unreserved escapes (%41->A, %61->a, %7e->~), a
@@ -2429,6 +2468,65 @@ object SparkEntry {
         |  'updated: ' || text AS text,
         |  CAST(2 AS BIGINT) AS n_fetches
         |FROM documents ORDER BY url""".stripMargin,
+    "d_link_graph" ->
+      // every edge rebuilt by string arithmetic: the five resolvable
+      // forms resolve against base https://<source>.example.com/a/<id>/
+      // (absolute kept, /doc -> origin, sub/ -> base dir, // -> https:,
+      // /tos nofollow); the fragment-only anchor contributes no row
+      """WITH links AS (
+        |  SELECT doc_id, 'https://ext.example/d/' || doc_id AS href,
+        |    'external ' || doc_id AS anchor_text, FALSE AS nofollow FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://' || source || '.example.com/doc/' || (doc_id + 1),
+        |    'next doc', FALSE FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://' || source || '.example.com/a/' || doc_id || '/sub/page.html',
+        |    'sub page', FALSE FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://cdn.example/lib.js', 'cdn asset', FALSE FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://' || source || '.example.com/tos',
+        |    'terms', TRUE FROM documents)
+        |SELECT doc_id, href, anchor_text, nofollow
+        |FROM links ORDER BY doc_id, href""".stripMargin,
+    "d_domain_rank" ->
+      // the engine's 5 iterations unrolled: per-edge contributions
+      // round 9dp and sum as DECIMAL(30,12), ranks round 9dp per
+      // iteration, 6dp emit — the exact determinism contract, so the
+      // hash matches bit-for-bit
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.deg FROM edges e JOIN od USING (src)),
+        |r0 AS (SELECT n, round(1.0 / c.nn, 9) AS r FROM nodes CROSS JOIN c),
+        |i1 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(r0.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN r0 ON ed.src = r0.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i2 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i1.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i1 ON ed.src = i1.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i3 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i2.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i2 ON ed.src = i2.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i4 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i3.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i3 ON ed.src = i3.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i5 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
+        |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
     "d_url_percent" ->
       // expected: %41/%61/%7e decoded (unreserved), %2f kept uppercase
       // (reserved '/'), %g1 literal; then scheme/host lowercase, www +

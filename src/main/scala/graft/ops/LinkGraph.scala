@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality over crawl edges — the Common-Crawl-class
+  * quality signal: host/domain PageRank feeds crawl prioritization
+  * and source-quality weighting the same way harmonic centrality
+  * ranks CC's own domain lists. Pairs with
+  * [[graft.text.HtmlExtract.extractLinks]] (page-level edges) +
+  * [[UrlOps.registeredDomain]]/hostOf (collapse to host/domain
+  * granularity) upstream.
+  *
+  * Scale shape: everything here is NODE/EDGE-shaped, never
+  * corpus-shaped — a web-scale domain graph is ~10⁸ edges, orders
+  * below the page corpus that produced it. Each synchronous iteration
+  * is one src-keyed join (ranks × out-degreed edges — AQE broadcasts
+  * the rank side while it fits) and one dst-keyed partial-agg
+  * exchange; the edge set with its out-degrees is computed once and
+  * persisted across iterations.
+  *
+  * Determinism contract (the repo's 9dp-decimal convention): per-edge
+  * contributions round to 9dp and sum as DECIMAL(30,12), each
+  * iteration's rank rounds to 9dp, the final emit to 6dp — bit-equal
+  * on any partitioning AND reproducible in any SQL engine (the oracle
+  * unrolls the same iterations). Parallel edges collapse (`distinct`);
+  * dangling-node mass is dropped, not redistributed (ranks then sum
+  * to < 1; the consumed signal — the ordering — is unaffected), the
+  * (1−d)/N floor keeps every node ranked.
+  */
+object LinkGraph {
+
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().persist()
+    val n = nodes.count().toDouble // one node-shaped action, reused below
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
+      .persist()
+    var ranks = nodes.select(col("n"), round(lit(1.0 / n), 9).as("r"))
+    (1 to iters).foreach { _ =>
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("n"))
+        .select(col("dst").as("n"),
+          round(col("r") / col("deg"), 9).cast("decimal(30,12)").as("c"))
+        .groupBy("n").agg(sum("c").as("sc"))
+      ranks = nodes.join(contribs, Seq("n"), "left")
+        .select(col("n"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("sc").cast("double"), lit(0.0)), 9).as("r"))
+    }
+    ranks.select(col("n"), round(col("r"), 6).as("rank"))
+  }
+}

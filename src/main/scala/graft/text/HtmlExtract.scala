@@ -129,4 +129,61 @@ object HtmlExtract {
       size(kept).cast("long").as("n_blocks_kept"),
       (size(blocks) - size(kept)).cast("long").as("n_blocks_dropped")): _*)
   }
+
+  // one match per anchor element; group 1 = quoted-or-bare href value,
+  // group 2 = anchor inner markup. Three parallel regexp_extract_all
+  // calls (full match / href / inner) stay aligned because they run
+  // the SAME pattern — arrays_zip then pairs them positionally.
+  private val APat =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a>"
+
+  /** Extract the link graph of `htmlCol`: one row per resolvable
+    * anchor — (passthrough cols, `href` resolved against the page's
+    * `urlCol`, `anchor_text` extracted like any text block,
+    * `nofollow`). Resolution covers the crawl-relevant forms:
+    * absolute http(s), protocol-relative `//host/…`, root-relative
+    * `/path`, and path-relative (against the base's directory);
+    * fragment-only, `javascript:`, `mailto:` and other non-http
+    * schemes drop. The row explosion is ONE row per link — the same
+    * shape any link-graph job must materialize — and everything
+    * before it is per-row array expressions (zero shuffle).
+    */
+  def extractLinks(docs: DataFrame, htmlCol: String = "html",
+                   urlCol: String = "url"): DataFrame = {
+    val html = col(htmlCol)
+    val zipped = arrays_zip(
+      regexp_extract_all(html, lit(APat), lit(1)).as("h"),
+      regexp_extract_all(html, lit(APat), lit(2)).as("t"),
+      regexp_extract_all(html, lit(APat), lit(0)).as("f"))
+    val passthrough = docs.columns.filterNot(_ == htmlCol)
+    val exploded = docs
+      .select(passthrough.map(col) :+ explode(zipped).as("__a"): _*)
+      .select(passthrough.map(col) :+
+        regexp_replace(col("__a").getField("h"), "^[\"']|[\"']$", "").as("__href") :+
+        blockText(col("__a").getField("t")).as("anchor_text") :+
+        col("__a").getField("f")
+          .rlike("(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow")
+          .as("nofollow"): _*)
+    val base = col(urlCol)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    // base directory: origin + path up to the last '/'; "/" when the
+    // base has no path (greedy + required trailing '/' backtracks off
+    // the last segment)
+    val dirRaw = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(?:/[^?#]*)?/)", 1)
+    val dir = when(dirRaw === "", concat(origin, lit("/"))).otherwise(dirRaw)
+    val h = col("__href")
+    val resolved =
+      when(h.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(origin, h))
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || h.startsWith("#") || h === "",
+          lit(null))
+        .otherwise(concat(dir, h))
+    exploded
+      .withColumn("href", resolved)
+      .filter(col("href").isNotNull)
+      .drop("__href")
+  }
 }

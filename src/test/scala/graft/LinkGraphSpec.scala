@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LinkGraph
+import graft.text.HtmlExtract
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinks: resolution forms, anchor text, nofollow, drops") {
+    val html =
+      "<p>intro</p>" +
+        "<a href=\"https://ext.example/d\">absolute <b>link</b></a>" +
+        "<a href='/doc/2'>root relative</a>" +
+        "<a href=sub/page.html>bare relative</a>" +
+        "<a href=\"//cdn.example/x\">protocol relative</a>" +
+        "<a href=\"/tos\" rel=\"nofollow\">terms</a>" +
+        "<a href=\"#frag\">fragment only</a>" +
+        "<a href=\"mailto:a@b.example\">mail</a>" +
+        "<a name=\"anchor-no-href\">no href</a>"
+    val docs = Seq((1L, "https://site.example/a/b/index.html", html))
+      .toDF("doc_id", "url", "html")
+    val got = HtmlExtract.extractLinks(docs)
+      .select("href", "anchor_text", "nofollow")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      ("https://ext.example/d", "absolute link", false),
+      ("https://site.example/doc/2", "root relative", false),
+      ("https://site.example/a/b/sub/page.html", "bare relative", false),
+      ("https://cdn.example/x", "protocol relative", false),
+      ("https://site.example/tos", "terms", true)))
+  }
+
+  test("extractLinks: base without a path resolves relatives against /") {
+    val docs = Seq((1L, "https://site.example",
+      "<a href=\"x.html\">rel</a><a href=\"/abs\">abs</a>"))
+      .toDF("doc_id", "url", "html")
+    val got = HtmlExtract.extractLinks(docs).select("href")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("https://site.example/x.html", "https://site.example/abs"))
+  }
+
+  test("pageRank matches a sequential reference on a hand graph, bit-for-bit") {
+    // a -> b, a -> c, b -> c, c -> a, d -> c (d has no in-links; c is
+    // the hub). Sequential reference mirrors the 9dp/decimal contract.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+    def reference(iters: Int): Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toDouble
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toDouble }
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      var r = nodes.map(_ -> r9(1.0 / n)).toMap
+      (1 to iters).foreach { _ =>
+        val contrib = edges
+          .map { case (s, d) => d -> r9(r(s).toDouble / deg(s)) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        r = nodes.map(v => v -> r9(
+          (1.0 - 0.85) / n + 0.85 * contrib.getOrElse(v, BigDecimal(0)).toDouble)).toMap
+      }
+      r.map { case (k, v) =>
+        k -> BigDecimal(v.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == reference(5))
+    // a and c trade the whole cycle's mass (c funnels ALL of its rank
+    // to a); b sees only half of a's; the unlinked d holds the floor
+    assert(math.min(got("a"), got("c")) > got("b"))
+    assert(got.values.forall(_ >= got("d")) && got("b") > got("d"))
+  }
+
+  test("pageRank is deterministic under repartitioning and drops parallel edges") {
+    val edges = (0 until 40).flatMap(i =>
+      Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))
+    val a = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val b = LinkGraph.pageRank(edges.toDF("src", "dst").repartition(17), iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(a == b)
+    // ranks are a probability-mass residue: positive, sum <= 1 (hub is
+    // dangling, its mass drops)
+    assert(a.values.forall(_ > 0))
+    assert(a.values.sum <= 1.0 + 1e-6)
+  }
+}
