@@ -707,6 +707,28 @@ object SparkEntry {
         .select("doc_id", "href", "anchor_text", "nofollow")
         .orderBy("doc_id", "href")
     }),
+    "d_anchor_text" -> ((s, d) => {
+      // anchor-text aggregation over the d_link_graph edge synthesis:
+      // the nofollow /tos links must contribute NO signal, the shared
+      // cdn target accumulates the whole corpus's in-links, and every
+      // per-doc target keeps its single anchor. Oracle rebuilds each
+      // aggregate row by arithmetic.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("/index.html"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ext.example/d/"), col("doc_id"),
+        lit("\">external "), col("doc_id"), lit("</a>"),
+        lit("<a href='/doc/"), col("doc_id") + 1, lit("'>next doc</a>"),
+        lit("<a href=sub/page.html>sub page</a>"),
+        lit("<a href=\"//cdn.example/lib.js\">cdn asset</a>"),
+        lit("<a href=\"/tos\" rel=\"nofollow\">terms</a>"),
+        lit("<a href=\"#top\">top</a>"))
+      val edges = graft.text.HtmlExtract.extractLinks(
+        docs.select(col("doc_id"), base.as("url"), html.as("html")))
+      graft.ops.LinkGraph.anchorTexts(edges, k = 3)
+        .orderBy("href")
+    }),
     "d_domain_rank" -> ((s, d) => {
       // domain PageRank over a deterministic ring-plus-hub graph built
       // from the distinct sources: every source links to its
@@ -2489,6 +2511,24 @@ object SparkEntry {
         |    'terms', TRUE FROM documents)
         |SELECT doc_id, href, anchor_text, nofollow
         |FROM links ORDER BY doc_id, href""".stripMargin,
+    "d_anchor_text" ->
+      // per-target aggregates rebuilt by arithmetic: three unique
+      // per-doc targets with one anchor each, one corpus-wide cdn
+      // target, and NO row for the nofollow-only /tos targets
+      """WITH per AS (
+        |  SELECT 'https://ext.example/d/' || doc_id AS href,
+        |    CAST(1 AS BIGINT) AS n_links, 'external ' || doc_id AS anchors
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/doc/' || (doc_id + 1),
+        |    CAST(1 AS BIGINT), 'next doc' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/a/' || doc_id || '/sub/page.html',
+        |    CAST(1 AS BIGINT), 'sub page' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://cdn.example/lib.js',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents), 'cdn asset')
+        |SELECT href, n_links, anchors FROM per ORDER BY href""".stripMargin,
     "d_domain_rank" ->
       // the engine's 5 iterations unrolled: per-edge contributions
       // round 9dp and sum as DECIMAL(30,12), ranks round 9dp per

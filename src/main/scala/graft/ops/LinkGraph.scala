@@ -56,4 +56,39 @@ object LinkGraph {
     }
     ranks.select(col("n"), round(col("r"), 6).as("rank"))
   }
+
+  /** Anchor-text aggregation per link target — the classic off-page
+    * description signal (incoming anchor texts describe the TARGET
+    * page better than its own boilerplate; search and quality
+    * pipelines both consume it): per `hrefCol`, the in-link count and
+    * the top-`k` distinct anchor texts by frequency (ties
+    * lexicographic), joined with `|` so the column stays scalar.
+    * `rel=nofollow` links carry no endorsement and are excluded by
+    * default (when the frame has a `nofollow` column).
+    *
+    * Scale shape: one (href, text)-keyed partial-agg exchange, then a
+    * window + final agg that both ride one href-keyed partitioning —
+    * everything EDGE-shaped.
+    */
+  def anchorTexts(edges: DataFrame, hrefCol: String = "href",
+                  textCol: String = "anchor_text", k: Int = 3,
+                  includeNofollow: Boolean = false): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val e =
+      if (includeNofollow || !edges.columns.contains("nofollow")) edges
+      else edges.filter(!col("nofollow"))
+    val counts = e.groupBy(col(hrefCol), col(textCol)).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hrefCol).orderBy(desc("c"), asc(textCol))
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(hrefCol)
+      .agg(sum("c").cast("long").as("n_links"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rk") <= k, struct(col("__rk"), col(textCol).as("t"))))),
+            _.getField("t")),
+          "|").as("anchors"))
+  }
 }

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** WARC (ISO 28500) record reader — the arrival format of web crawls
   * (Common Crawl ships `.warc.gz`), and the step BEFORE
@@ -283,4 +284,21 @@ object Warc {
     spark.createDataset(rows).toDF("file", "offset", "warc_type",
       "target_uri", "content_type", "warc_date", "payload", "quarantined_at")
   }
+
+  /** Read Common-Crawl-style WET files (extracted-text WARC:
+    * `conversion` records carrying text/plain payloads) into
+    * (file, url, warc_date, text) — the shortcut arrival format when
+    * the crawl provider already ran extraction, feeding the text
+    * gates directly and skipping [[graft.text.HtmlExtract]]. Same
+    * streaming walker and one-task-per-file shape as [[read]]; WET
+    * payloads are UTF-8 by spec (non-conversion records — the
+    * per-file warcinfo header — and quarantine sentinels drop with
+    * the same `warc_type` gate every consumer applies).
+    */
+  def readWet(spark: SparkSession, path: String,
+              pathGlobFilter: String = "*"): DataFrame =
+    read(spark, path, pathGlobFilter)
+      .filter(col("warc_type") === "conversion")
+      .select(col("file"), col("target_uri").as("url"), col("warc_date"),
+        col("payload").cast("string").as("text"))
 }

@@ -57,7 +57,8 @@ object ScaleSoak {
     "d_html_extract", "d_warc_roundtrip", "d_url_filter",
     "d_url_dedup", "d_ccnet_buckets", "d_crawl_pipeline",
     "d_compression_ratio", "d_crawl_charset", "d_url_psl",
-    "d_robots_filter", "d_url_percent", "d_link_graph", "d_domain_rank")
+    "d_robots_filter", "d_url_percent", "d_link_graph", "d_domain_rank",
+    "d_anchor_text")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -41,6 +41,54 @@ class LinkGraphSpec extends SparkSpec {
     assert(got == Set("https://site.example/x.html", "https://site.example/abs"))
   }
 
+  test("anchorTexts: top-k by frequency, lexicographic ties, nofollow excluded") {
+    val edges = Seq(
+      ("https://t.example/a", "read this", false),
+      ("https://t.example/a", "read this", false),
+      ("https://t.example/a", "click", false),
+      ("https://t.example/a", "archive", false),
+      ("https://t.example/a", "zebra", false),   // 4 distinct, k=3 cuts
+      ("https://t.example/a", "spam anchor", true), // nofollow: no signal
+      ("https://t.example/b", "only one", false),
+    ).toDF("href", "anchor_text", "nofollow")
+    val got = graft.ops.LinkGraph.anchorTexts(edges, k = 3)
+      .orderBy("href")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // counts: "read this" 2; archive/click/zebra 1 each -> ties
+    // lexicographic, zebra cut by k=3
+    assert(got == Seq(
+      ("https://t.example/a", 5L, "read this|archive|click"),
+      ("https://t.example/b", 1L, "only one")))
+    // includeNofollow folds the flagged link back in
+    val withNf = graft.ops.LinkGraph.anchorTexts(edges, k = 5,
+      includeNofollow = true).filter(col("href").endsWith("/a"))
+      .head()
+    assert(withNf.getLong(1) == 6L)
+  }
+
+  test("readWet: conversion records stream back as (url, date, text)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    val recs =
+      graft.sources.Warc.writeRecord("warcinfo", "", "application/warc-fields",
+        "software: graft".getBytes("UTF-8")) ++
+        graft.sources.Warc.writeRecord("conversion", "https://a.example/p",
+          "text/plain", "extracted text of page one".getBytes("UTF-8"),
+          extraHeaders = Seq("WARC-Date" -> "2026-02-01T00:00:00Z")) ++
+        graft.sources.Warc.writeRecord("conversion", "https://b.example/q",
+          "text/plain", "page two text".getBytes("UTF-8"),
+          extraHeaders = Seq("WARC-Date" -> "2026-02-01T00:01:00Z"))
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, "x.warc.wet.gz")))
+    try out.write(recs) finally out.close()
+    val got = graft.sources.Warc.readWet(spark, dir)
+      .select("url", "warc_date", "text")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("https://a.example/p", "2026-02-01T00:00:00Z", "extracted text of page one"),
+      ("https://b.example/q", "2026-02-01T00:01:00Z", "page two text")))
+  }
+
   test("pageRank matches a sequential reference on a hand graph, bit-for-bit") {
     // a -> b, a -> c, b -> c, c -> a, d -> c (d has no in-links; c is
     // the hub). Sequential reference mirrors the 9dp/decimal contract.
