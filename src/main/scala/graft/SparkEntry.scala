@@ -685,6 +685,35 @@ object SparkEntry {
           lit("&ref=rss")))
       graft.ops.UrlOps.domainStats(docs.withColumn("url", url))
     }),
+    "d_crawl_gates" -> ((s, d) => {
+      // the FULLY-gated crawl front door in one call: percent-encoded
+      // url noise (%61 -> a), a domain blocklist (every 4th source), a
+      // retroactive robots.txt snapshot (every 5th source disallows
+      // /page/), and page-level noindex opt-outs (every 7th doc) all
+      // compose inside Crawl.curate. The oracle derives each gate's
+      // verdict from doc_id/source arithmetic alone — a fault in any
+      // gate (or in their ordering) breaks the hash.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val url = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".example/p%61ge/"), col("doc_id"))
+      val html = concat(
+        when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit("")),
+        lit("<p>"), col("text"), lit("</p>"))
+      val records = docs.select(
+        lit("response").as("warc_type"), url.as("target_uri"),
+        concat(lit("HTTP/1.1 200 OK\r\n\r\n"), html).cast("binary").as("payload"))
+      val srcN = substring(col("source"), 4, 10).cast("int")
+      val blocked = docs.select("source").distinct().filter(srcN % 4 === 0)
+        .select(concat(col("source"), lit(".example")).as("domain"))
+      val robots = docs.select("source").distinct().filter(srcN % 5 === 0)
+        .select(concat(col("source"), lit(".example")).as("host"),
+          lit("User-agent: *\nDisallow: /page/\n").as("robots_txt"))
+      graft.pipeline.Crawl.curate(records, blocked,
+          robots = Some(robots), agent = "graftbot", dropNoindex = true)
+        .select("url", "n_tokens").orderBy("url")
+    }),
     "d_link_graph" -> ((s, d) => {
       // link-graph extraction: each doc's page carries the five
       // resolvable link forms (absolute, root-relative, path-relative,
@@ -2490,6 +2519,18 @@ object SparkEntry {
         |  'updated: ' || text AS text,
         |  CAST(2 AS BIGINT) AS n_fetches
         |FROM documents ORDER BY url""".stripMargin,
+    "d_crawl_gates" ->
+      // survivors = not domain-blocked (src%4), not robots-disallowed
+      // (src%5), not noindex (doc%7); canonical url has %61 decoded,
+      // www/scheme-case healed; single-block token count
+      """SELECT 'https://' || source || '.example/page/' || doc_id AS url,
+        |  CAST(CASE WHEN len(text) >= 20
+        |       THEN len(string_split(text, ' ')) ELSE 0 END AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE CAST(substr(source, 4) AS INT) % 4 <> 0
+        |  AND CAST(substr(source, 4) AS INT) % 5 <> 0
+        |  AND doc_id % 7 <> 0
+        |ORDER BY url""".stripMargin,
     "d_link_graph" ->
       // every edge rebuilt by string arithmetic: the five resolvable
       // forms resolve against base https://<source>.example.com/a/<id>/

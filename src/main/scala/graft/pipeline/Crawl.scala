@@ -31,12 +31,24 @@ object Crawl {
     * drop; boilerplate blocks drop inside the extraction. Rows whose
     * extraction keeps nothing survive with empty text and n_tokens 0 —
     * dropping empty docs is the NEXT gate's decision, not ingestion's.
+    *
+    * Optional compliance gates, all zero-extra-corpus-shuffle:
+    * `robots` = a (host, robots_txt) snapshot retroactively applied
+    * for `agent` ([[graft.ops.Robots]] — one host-keyed join);
+    * `dropNoindex` honors the page-level opt-outs (`<meta
+    * name=robots … noindex>` and `X-Robots-Tag`, checked BEFORE
+    * extraction so opted-out pages cost nothing); percent-encoding
+    * normalization runs before canonicalization so `%61`-class URL
+    * variants collapse ([[UrlOps.normalizePercentEncoding]]).
     */
   def curate(records: DataFrame, blockedDomains: DataFrame,
              maxLinkDensity: Double = 0.2, minChars: Int = 20,
              stopwords: Seq[String] = Nil,
              minStopwordFrac: Double = 0.0,
-             passthrough: Seq[String] = Nil): DataFrame = {
+             passthrough: Seq[String] = Nil,
+             robots: Option[DataFrame] = None,
+             agent: String = "graftbot",
+             dropNoindex: Boolean = false): DataFrame = {
     // response records capture the full HTTP message — split the
     // status line + header block (everything up to the FIRST CRLF
     // CRLF, the codegen'd mirror of Warc.httpBody: empty when the
@@ -61,12 +73,22 @@ object Crawl {
       .when(metaCs =!= "", metaCs).otherwise(lit("utf-8")))
     val bodyBytes = col("payload").substr(
       length(headerBlock) + 1, lit(Int.MaxValue))
+    val noindexGate =
+      if (!dropNoindex) lit(true)
+      else !graft.ops.Robots.headerNoindex(payloadStr)
     val pages = records
-      .filter(col("warc_type").isin("response", "resource"))
-      .select(col("target_uri").as("url") +:
+      .filter(col("warc_type").isin("response", "resource") && noindexGate)
+      .select(UrlOps.normalizePercentEncoding(col("target_uri")).as("url") +:
         graft.functions.Charsets.decode_charset(bodyBytes, charset).as("html") +:
         passthrough.map(col): _*)
-    val gated = UrlOps.urlFilter(pages, blockedDomains)
+    val indexable =
+      if (!dropNoindex) pages
+      else pages.filter(!graft.ops.Robots.metaNoindex(col("html")))
+    val preGate = UrlOps.urlFilter(indexable, blockedDomains)
+    val gated = robots match {
+      case Some(r) => graft.ops.Robots.applyRobots(preGate, r, agent)
+      case None => preGate
+    }
     val extracted = HtmlExtract.extract(gated, htmlCol = "html",
       idCol = "url", maxLinkDensity = maxLinkDensity, minChars = minChars,
       stopwords = stopwords, minStopwordFrac = minStopwordFrac)

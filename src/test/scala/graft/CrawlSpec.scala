@@ -198,6 +198,36 @@ class CrawlSpec extends SparkSpec {
     assert(oneShot == got.map(r => (r._1, r._2, r._5)))
   }
 
+  test("curate: robots + noindex + percent gates compose in one call") {
+    def http(html: String) =
+      ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+    val body = "<p>a sentence long enough to clear the block minimum</p>"
+    val records = Seq(
+      // %61 -> a: survives, url canonicalizes to /page/1
+      ("response", "https://ok.example/p%61ge/1", http(body)),
+      // robots disallows /private/ on this host
+      ("response", "https://ok.example/private/2", http(body)),
+      // page-level meta noindex
+      ("response", "https://ok.example/page/3",
+        http("<meta name=\"robots\" content=\"noindex\">" + body)),
+      // header-level opt-out
+      ("response", "https://ok.example/page/4",
+        ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n\r\n" + body).getBytes("UTF-8")),
+      // blocked domain
+      ("response", "https://bad.example/page/5", http(body)),
+    ).toDF("warc_type", "target_uri", "payload")
+    val robots = Seq(("ok.example", "User-agent: *\nDisallow: /private/\n"))
+      .toDF("host", "robots_txt")
+    val got = Crawl.curate(records, Seq("bad.example").toDF("domain"),
+        robots = Some(robots), dropNoindex = true)
+      .select("url").as[String].collect().toSet
+    assert(got == Set("https://ok.example/page/1"))
+    // gates off: only the domain blocklist applies
+    val loose = Crawl.curate(records, Seq("bad.example").toDF("domain"))
+      .select("url").as[String].collect().toSet
+    assert(loose.size == 4 && loose.contains("https://ok.example/private/2"))
+  }
+
   test("curate: all-boilerplate page survives with empty text and zero tokens") {
     val records = Seq(
       ("response", "http://empty.org/",
