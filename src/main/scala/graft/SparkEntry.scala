@@ -775,6 +775,25 @@ object SparkEntry {
           ring.unionByName(toHub), iters = 5)
         .orderBy(desc("rank"), asc("n"))
     }),
+    "d_harmonic" -> ((s, d) => {
+      // harmonic centrality (exact ball-expansion mode) over the same
+      // ring-plus-hub graph as d_domain_rank, truncated at distance 4:
+      // the hub collects every source at distance 1 (H = |S|), ring
+      // nodes see exactly their 4 nearest predecessors (H = 1 + 1/2 +
+      // 1/3 + 1/4). The oracle walks the graph with a recursive CTE
+      // and recomputes min-distances independently of the ball
+      // algebra.
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      graft.ops.LinkGraph.harmonicCentrality(
+          ring.unionByName(toHub), maxDist = 4)
+        .orderBy("n")
+    }),
     "d_url_percent" -> ((s, d) => {
       // percent-encoding canonicalization end to end: every doc's url
       // carries unreserved escapes (%41->A, %61->a, %7e->~), a
@@ -2608,6 +2627,26 @@ object SparkEntry {
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_harmonic" ->
+      // min-distances via a recursive walk (bounded by dist < 4 before
+      // the +1 step), harmonic = per-pair round(1/dist, 9) decimal sum
+      // — the engine's per-ring delta/t accumulation must equal it
+      """WITH RECURSIVE s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s),
+        |walk AS (
+        |  SELECT src, dst, 1 AS dist FROM edges
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON w.dst = e.src WHERE w.dist < 4),
+        |pairs AS (SELECT src, dst, min(dist) AS dist FROM walk
+        |  WHERE src <> dst GROUP BY src, dst)
+        |SELECT dst AS n, CAST(count(*) AS BIGINT) AS n_reachable,
+        |  round(CAST(sum(CAST(round(1.0 / dist, 9) AS DECIMAL(30,12))) AS DOUBLE), 6) AS harmonic
+        |FROM pairs GROUP BY dst ORDER BY n""".stripMargin,
     "d_url_percent" ->
       // expected: %41/%61/%7e decoded (unreserved), %2f kept uppercase
       // (reserved '/'), %g1 literal; then scheme/host lowercase, www +

@@ -57,6 +57,82 @@ object LinkGraph {
     ranks.select(col("n"), round(col("r"), 6).as("rank"))
   }
 
+  /** Harmonic centrality — the signal Common Crawl actually ranks its
+    * domain lists with: H(v) = Σ_{u≠v, d(u,v)<∞} 1/d(u,v) over
+    * directed distances INTO v, truncated at `maxDist` (beyond
+    * small-world diameters the 1/d tail is noise). Computed by ball
+    * expansion (the HyperBall recipe, Boldi & Vigna 2013): B_t(v) =
+    * {v} ∪ ⋃_{(w,v)∈E} B_{t−1}(w); nodes first appearing in B_t are
+    * at distance exactly t and contribute 1/t.
+    *
+    * Two modes, the repo's exact-baseline / scale-path pair:
+    *   - `exact = true`: balls are id arrays — exact distances, oracle
+    *     -mirrorable, bounded-reach graphs only (a ball is O(reach)).
+    *   - `exact = false`: balls are DataSketches HLL sketches (Spark's
+    *     own `hll_sketch_agg`/`hll_union`/`hll_sketch_estimate`) —
+    *     fixed 2^lgK-register state per node no matter the reach,
+    *     ~1.6% standard error at lgK 12; negative sketch-estimate
+    *     deltas clamp to 0. This is the 100 TB path: a web-scale
+    *     domain graph's balls cover millions of nodes by t = 3, and
+    *     HyperBall exists precisely because exact sets explode.
+    *
+    * Scale shape: per iteration one src-keyed join + one dst-keyed
+    * merge exchange over NODE/EDGE-shaped frames (the pageRank shape);
+    * state persists across iterations. Determinism: the per-distance
+    * term round(1/t, 9) accumulates as DECIMAL(30,12) (count × term is
+    * exact decimal arithmetic), 6dp emit — in exact mode bit-equal on
+    * any partitioning and in any SQL engine; sketch mode is
+    * deterministic for a fixed lgK (sketch state is hash-derived).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String = "src",
+                         dstCol: String = "dst", maxDist: Int = 6,
+                         exact: Boolean = true, lgK: Int = 12): DataFrame = {
+    require(maxDist >= 1, s"maxDist >= 1: $maxDist")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    var state =
+      if (exact)
+        nodes.select(col("n"), array(col("n")).as("ball"),
+          lit(1L).as("c"), lit(0).cast("decimal(30,12)").as("h"))
+      else
+        nodes.groupBy("n")
+          .agg(expr(s"hll_sketch_agg(n, $lgK)").as("ball"))
+          .select(col("n"), col("ball"),
+            expr("hll_sketch_estimate(ball)").as("c"),
+            lit(0).cast("decimal(30,12)").as("h"))
+    state = state.persist()
+    (1 to maxDist).foreach { t =>
+      val nbr = e
+        .join(state.select(col("n").as("src"), col("ball").as("nball")), "src")
+        .groupBy(col("dst").as("n"))
+        .agg(if (exact) array_distinct(flatten(collect_list(col("nball")))).as("inc")
+             else expr("hll_union_agg(nball)").as("inc"))
+      val term = round(lit(1.0) / t, 9).cast("decimal(30,12)")
+      val merged = state.join(nbr, Seq("n"), "left")
+      val newBall =
+        if (exact) when(col("inc").isNull, col("ball"))
+          .otherwise(array_distinct(concat(col("ball"), col("inc"))))
+        else coalesce(expr("hll_union(ball, inc)"), col("ball"))
+      state = merged
+        .withColumn("__ball", newBall)
+        .withColumn("__c",
+          if (exact) size(col("__ball")).cast("long")
+          else expr("hll_sketch_estimate(__ball)"))
+        // count casts to DECIMAL(10,0): the product's adjusted scale
+        // stays >= 9, so term x count (<= 9 decimals) is EXACT — a
+        // wider cast would push Spark's precision adjustment below the
+        // term's 9 decimals and silently truncate vs the oracle
+        .select(col("n"), col("__ball").as("ball"), col("__c").as("c"),
+          (col("h") + term * greatest(col("__c") - col("c"), lit(0L))
+            .cast("decimal(10,0)")).as("h"))
+        .persist()
+    }
+    state.select(col("n"), (col("c") - 1).as("n_reachable"),
+      round(col("h").cast("double"), 6).as("harmonic"))
+  }
+
   /** Anchor-text aggregation per link target — the classic off-page
     * description signal (incoming anchor texts describe the TARGET
     * page better than its own boilerplate; search and quality

@@ -119,6 +119,50 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.values.forall(_ >= got("d")) && got("b") > got("d"))
   }
 
+  test("harmonicCentrality exact: hand graph distances, truncation, repartition determinism") {
+    // a->b, b->c, a->c, c->d: into d — c at 1, b at 2, a at 2 (via c)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val got = graft.ops.LinkGraph.harmonicCentrality(
+        edges.toDF("src", "dst"), maxDist = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("d") == (3L, 2.0))       // 1 + 1/2 + 1/2
+    assert(got("c") == (2L, 2.0))       // b at 1, a at 1
+    assert(got("b") == (1L, 1.0))
+    assert(got("a") == (0L, 0.0))
+    // maxDist truncates: directed 5-ring at maxDist 2 -> 1 + 1/2 each
+    val ring5 = (0 until 5).map(i => (s"r$i", s"r${(i + 1) % 5}"))
+    val t = graft.ops.LinkGraph.harmonicCentrality(
+        ring5.toDF("src", "dst"), maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(t == Set((2L, 1.5)))
+    // bit-identical on any partitioning
+    val a = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst"), maxDist = 4).collect().map(_.toSeq).toSet
+    val b = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst").repartition(13), maxDist = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("harmonicCentrality sketched tracks exact within HLL tolerance at scale shape") {
+    // 150-node directed ring + a hub every node links to: reach stays
+    // bounded for exact, large enough to exercise the sketch path
+    val edges = (0 until 150).flatMap(i =>
+      Seq((f"n$i%03d", f"n${(i + 1) % 150}%03d"), (f"n$i%03d", "hub")))
+    val ex = graft.ops.LinkGraph.harmonicCentrality(
+        edges.toDF("src", "dst"), maxDist = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val sk = graft.ops.LinkGraph.harmonicCentrality(
+        edges.toDF("src", "dst"), maxDist = 5, exact = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sk.keySet == ex.keySet)
+    // DataSketches HLL is exact-mode at these cardinalities; allow a
+    // few percent anyway for estimator slack
+    ex.foreach { case (n, h) =>
+      assert(math.abs(sk(n) - h) <= math.max(0.05 * h, 0.01), s"node $n: $h vs ${sk(n)}")
+    }
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))
