@@ -736,6 +736,49 @@ object SparkEntry {
         .select("doc_id", "href", "anchor_text", "nofollow")
         .orderBy("doc_id", "href")
     }),
+    "d_crawl_frontier" -> ((s, d) => {
+      // frontier discovery over the d_link_graph synthesis plus two
+      // fetched-hit links: the plain self link and its utm-tracking
+      // variant both canonicalize to the page's own (fetched) url and
+      // anti-join away; the nofollow /tos link is not discovered;
+      // everything else is unseen — cdn.example collects the whole
+      // corpus's in-links, per-doc targets keep one each.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("/index.html"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ext.example/d/"), col("doc_id"),
+        lit("\">external "), col("doc_id"), lit("</a>"),
+        lit("<a href='/doc/"), col("doc_id") + 1, lit("'>next doc</a>"),
+        lit("<a href=sub/page.html>sub page</a>"),
+        lit("<a href=\"//cdn.example/lib.js\">cdn asset</a>"),
+        lit("<a href=\"/tos\" rel=\"nofollow\">terms</a>"),
+        lit("<a href=\"index.html\">self</a>"),
+        lit("<a href=\"index.html?utm_source=feed\">self promo</a>"))
+      val edges = graft.text.HtmlExtract.extractLinks(
+        docs.select(col("doc_id"), base.as("url"), html.as("html")))
+      graft.pipeline.Crawl.frontier(edges, docs.select(base.as("url")))
+        .orderBy(desc("n_inlinks"), asc("url"))
+    }),
+    "d_crawl_diff" -> ((s, d) => {
+      // snapshot diff between two synthesized fetch waves: wave 2
+      // drops doc_id%5 (gone), rewrites text for doc_id%3 (changed),
+      // keeps the rest byte-identical (unchanged), and discovers a
+      // /p2 page for doc_id%7 (added). Fingerprint = md5(text); the
+      // oracle rebuilds every status from the same arithmetic.
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"))
+      val prev = docs.select(url.as("url"), md5(col("text")).as("fingerprint"))
+      val curr = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(url.as("url"),
+          md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fingerprint"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select(concat(url, lit("/p2")).as("url"),
+            md5(concat(col("text"), lit(" p2"))).as("fingerprint")))
+      graft.pipeline.Crawl.snapshotDiff(prev, curr).orderBy("url")
+    }),
     "d_anchor_text" -> ((s, d) => {
       // anchor-text aggregation over the d_link_graph edge synthesis:
       // the nofollow /tos links must contribute NO signal, the shared
@@ -2571,6 +2614,47 @@ object SparkEntry {
         |    'terms', TRUE FROM documents)
         |SELECT doc_id, href, anchor_text, nofollow
         |FROM links ORDER BY doc_id, href""".stripMargin,
+    "d_crawl_frontier" ->
+      // unseen candidates rebuilt by arithmetic: the self links
+      // canonicalize to the fetched base (no row), /tos is nofollow
+      // (no row), cdn collects the corpus; domains follow the
+      // registered-domain heuristic on the three known host shapes
+      """WITH cand AS (
+        |  SELECT 'https://ext.example/d/' || doc_id AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/doc/' || (doc_id + 1) FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/a/' || doc_id || '/sub/page.html' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://cdn.example/lib.js' FROM documents),
+        |agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_inlinks FROM cand GROUP BY url)
+        |SELECT url,
+        |  CASE WHEN url LIKE 'https://ext.example/%' THEN 'ext.example'
+        |       WHEN url LIKE 'https://cdn.example/%' THEN 'cdn.example'
+        |       ELSE 'example.com' END AS domain,
+        |  n_inlinks
+        |FROM agg ORDER BY n_inlinks DESC, url""".stripMargin,
+    "d_crawl_diff" ->
+      // every status from doc_id arithmetic: %5 gone (no wave-2 row),
+      // else %3 changed (md5 of the rewritten text), else unchanged;
+      // %7 docs discover an added /p2 page with no wave-1 row
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/a/' || doc_id AS url, text
+        |  FROM documents)
+        |SELECT url,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'gone'
+        |       WHEN doc_id % 3 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  md5(text) AS fp_prev,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN md5(text || ' v2')
+        |       ELSE md5(text) END AS fp_curr
+        |FROM base
+        |UNION ALL
+        |SELECT url || '/p2', 'added', NULL, md5(text || ' p2')
+        |FROM base WHERE doc_id % 7 = 0
+        |ORDER BY url""".stripMargin,
     "d_anchor_text" ->
       // per-target aggregates rebuilt by arithmetic: three unique
       // per-doc targets with one anchor each, one corpus-wide cdn

@@ -221,4 +221,82 @@ object Crawl {
   def readCrawlTarget(spark: org.apache.spark.sql.SparkSession,
                       targetDir: String): Option[DataFrame] =
     new graft.streaming.SnapshotStore(spark, targetDir).read()
+
+  /** Frontier discovery — the step that closes the crawl loop:
+    * extracted out-links that are NOT yet in the fetched corpus, with
+    * their in-link support, ready to rank into the next fetch queue
+    * (the Mercator-class frontier every crawler maintains; in-link
+    * count is the classic admission signal, a domain-rank join the
+    * upgraded one). `edges` is
+    * [[graft.text.HtmlExtract.extractLinks]]-shaped (`hrefCol` +
+    * optional `nofollow`, excluded by default — no endorsement, no
+    * discovery); `fetched` is any frame of already-crawled urls. Both
+    * sides canonicalize ([[UrlOps.canonicalizeUrl]]) so tracking-param
+    * and fragment variants of a fetched page can't re-enter the queue.
+    *
+    * Scale shape: edge-shaped throughout — one href-keyed partial-agg
+    * exchange (in-link counts), one url-keyed anti-join against the
+    * fetched urls (sort-merge at corpus scale; the frontier never
+    * joins page CONTENT, only urls), domain recomputed per-row, the
+    * optional rank join broadcast (node-shaped). No global sort —
+    * consumers TakeOrdered their fetch batch (rank, then in-links).
+    */
+  def frontier(edges: DataFrame, fetched: DataFrame,
+               hrefCol: String = "href",
+               fetchedUrlCol: String = "url",
+               followNofollow: Boolean = false,
+               ranks: Option[DataFrame] = None): DataFrame = {
+    val followed =
+      if (!followNofollow && edges.columns.contains("nofollow"))
+        edges.filter(!col("nofollow"))
+      else edges
+    val candidates = followed
+      .select(UrlOps.canonicalizeUrl(col(hrefCol)).as("url"))
+      .groupBy("url").agg(count(lit(1)).as("n_inlinks"))
+    // no distinct on the fetched side: left_anti ignores right-side
+    // multiplicity, so pre-deduping would only add an exchange
+    val seen = fetched.select(
+      UrlOps.canonicalizeUrl(col(fetchedUrlCol)).as("url"))
+    val unseen = candidates.join(seen, Seq("url"), "left_anti")
+      .withColumn("domain", UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
+    ranks match {
+      case Some(r) =>
+        unseen.join(broadcast(r.select(col("n").as("domain"), col("rank"))),
+            Seq("domain"), "left")
+          .select(col("url"), col("domain"), col("n_inlinks"),
+            coalesce(col("rank"), lit(0.0)).as("rank"))
+      case None => unseen.select("url", "domain", "n_inlinks")
+    }
+  }
+
+  /** Snapshot diff — the incremental-recrawl primitive: classify every
+    * canonical url across two crawl snapshots as `added` (new only),
+    * `gone` (prev only), `changed` (both, fingerprints differ) or
+    * `unchanged`. The fingerprint is whatever content digest the
+    * corpus carries (md5/xxhash of extracted text — cheap and
+    * order-insensitive to re-fetch timing); downstream, `changed` +
+    * `added` is the re-process set and `gone` drives tombstones — the
+    * crawl-front analogue of [[graft.sync.SyncOps]]'s reconcile.
+    * Caller contract: one row per url per snapshot (run
+    * [[UrlOps.dedupByUrl]] first — this function diffs corpora, it
+    * does not adjudicate duplicate fetches).
+    *
+    * Scale shape: one full-outer sort-merge join keyed on url — one
+    * exchange per side, carrying only (url, fingerprint), never page
+    * content; at 100 TB both snapshots are url-bucketable so repeated
+    * diffs against a bucketed prior snapshot skip its exchange.
+    */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame,
+                   urlCol: String = "url",
+                   fpCol: String = "fingerprint"): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"), col(fpCol).as("fp_prev"))
+    val c = curr.select(col(urlCol).as("url"), col(fpCol).as("fp_curr"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_curr").isNull, lit("gone"))
+          .when(col("fp_prev") === col("fp_curr"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_prev"), col("fp_curr"))
+  }
 }

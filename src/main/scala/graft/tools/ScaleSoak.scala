@@ -58,7 +58,8 @@ object ScaleSoak {
     "d_url_dedup", "d_ccnet_buckets", "d_crawl_pipeline",
     "d_compression_ratio", "d_crawl_charset", "d_url_psl",
     "d_robots_filter", "d_url_percent", "d_link_graph", "d_domain_rank",
-    "d_anchor_text", "d_crawl_gates", "d_harmonic")
+    "d_anchor_text", "d_crawl_gates", "d_harmonic", "d_crawl_frontier",
+    "d_crawl_diff")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

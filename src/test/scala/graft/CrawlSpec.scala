@@ -240,4 +240,52 @@ class CrawlSpec extends SparkSpec {
     assert(got.head.getAs[Long]("n_tokens") == 0L)
     assert(got.head.getAs[Long]("n_blocks_kept") == 0L)
   }
+
+  test("frontier: unseen links counted, fetched variants anti-joined, nofollow excluded, ranks join") {
+    val edges = Seq(
+      // two raw variants of ONE unseen page: counts merge under
+      // canonicalization (case host + tracking param)
+      ("https://new.site-x.com/a?utm_source=f", "x", false),
+      ("https://NEW.site-x.com/a", "x", false),
+      // a fetched page seen through a tracking variant must NOT
+      // re-enter the queue
+      ("https://site-a.com/p?utm_x=1", "seen", false),
+      // nofollow: no endorsement, no discovery (by default)
+      ("https://no.example/f", "n", true),
+      ("https://other.org/b", "o", false),
+    ).toDF("href", "anchor_text", "nofollow")
+    val fetched = Seq("HTTPS://WWW.site-a.com/p").toDF("url")
+    val got = Crawl.frontier(edges, fetched).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("https://new.site-x.com/a", "site-x.com", 2L),
+      ("https://other.org/b", "other.org", 1L)))
+    // followNofollow flips discovery of the nofollow target
+    val withNf = Crawl.frontier(edges, fetched, followNofollow = true)
+      .collect().map(_.getString(0)).toSet
+    assert(withNf.contains("https://no.example/f"))
+    // a domain-rank join orders the fetch queue; unranked domains
+    // coalesce to 0
+    val ranks = Seq(("other.org", 0.9), ("site-x.com", 0.2)).toDF("n", "rank")
+    val ranked = Crawl.frontier(edges, fetched, ranks = Some(ranks))
+      .orderBy(org.apache.spark.sql.functions.desc("rank")).collect()
+    assert(ranked.head.getString(0) == "https://other.org/b" &&
+      ranked.head.getDouble(3) == 0.9)
+    assert(ranked.map(_.getDouble(3)).min == 0.2)
+  }
+
+  test("snapshotDiff: added / gone / changed / unchanged from fingerprints") {
+    val prev = Seq(("u1", "fa"), ("u2", "fb"), ("u3", "fc"))
+      .toDF("url", "fingerprint")
+    val curr = Seq(("u1", "fa"), ("u2", "fb2"), ("u4", "fd"))
+      .toDF("url", "fingerprint")
+    val got = Crawl.snapshotDiff(prev, curr).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got.size == 4)
+    assert(got("u1") == (("unchanged", "fa", "fa")))
+    assert(got("u2") == (("changed", "fb", "fb2")))
+    assert(got("u3") == (("gone", "fc", null)))
+    assert(got("u4") == (("added", null, "fd")))
+  }
 }
