@@ -760,6 +760,52 @@ object SparkEntry {
       graft.pipeline.Crawl.frontier(edges, docs.select(base.as("url")))
         .orderBy(desc("n_inlinks"), asc("url"))
     }),
+    "d_sitemap" -> ((s, d) => {
+      // one sitemap blob per doc: three <url> entries (full hints;
+      // an XML-escaped loc that must decode; a malformed priority
+      // that must null, not throw under ANSI) plus a <sitemapindex>
+      // pointer — every field rebuilt by arithmetic. The \b in the
+      // entry pattern keeps <urlset>/<sitemapindex> wrappers from
+      // matching as entries.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val lm = concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("</loc><lastmod>"), lm,
+        lit("</lastmod><changefreq>daily</changefreq><priority>0.8</priority></url>"),
+        lit("<url><loc>https://"), col("source"), lit(".example.com/q?a=1&amp;b="),
+        col("doc_id"), lit("</loc></url>"),
+        lit("<url><loc>https://"), col("source"), lit(".example.com/p/"), col("doc_id"),
+        lit("</loc><priority>often</priority></url></urlset>"),
+        lit("<sitemapindex><sitemap><loc>https://"), col("source"),
+        lit(".example.com/sitemap-"), col("doc_id"),
+        lit(".xml</loc></sitemap></sitemapindex>"))
+      graft.ops.Sitemaps.parse(docs.select(col("doc_id"), xml.as("xml")))
+        .orderBy("doc_id", "kind", "loc")
+    }),
+    "d_fetch_schedule" -> ((s, d) => {
+      // politeness waves over the d_crawl_frontier output: each
+      // host's candidates rank by (in-links desc, url) and spill
+      // into waves of 2; the oracle replays the per-host window
+      // arithmetic.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("/index.html"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ext.example/d/"), col("doc_id"),
+        lit("\">external "), col("doc_id"), lit("</a>"),
+        lit("<a href='/doc/"), col("doc_id") + 1, lit("'>next doc</a>"),
+        lit("<a href=sub/page.html>sub page</a>"),
+        lit("<a href=\"//cdn.example/lib.js\">cdn asset</a>"),
+        lit("<a href=\"/tos\" rel=\"nofollow\">terms</a>"))
+      val edges = graft.text.HtmlExtract.extractLinks(
+        docs.select(col("doc_id"), base.as("url"), html.as("html")))
+      val front = graft.pipeline.Crawl.frontier(edges, docs.select(base.as("url")))
+      graft.pipeline.Crawl.fetchSchedule(front, perHostPerWave = 2)
+        .select("url", "host", "n_inlinks", "wave", "slot")
+        .orderBy("host", "wave", "slot")
+    }),
     "d_crawl_diff" -> ((s, d) => {
       // snapshot diff between two synthesized fetch waves: wave 2
       // drops doc_id%5 (gone), rewrites text for doc_id%3 (changed),
@@ -2634,6 +2680,51 @@ object SparkEntry {
         |       ELSE 'example.com' END AS domain,
         |  n_inlinks
         |FROM agg ORDER BY n_inlinks DESC, url""".stripMargin,
+    "d_sitemap" ->
+      // four entries per doc rebuilt by arithmetic: the full-hint
+      // url, the escaped loc (&amp; decoded), the malformed-priority
+      // url (null), and the sitemapindex pointer
+      """WITH base AS (SELECT doc_id, source,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lm
+        |  FROM documents)
+        |SELECT doc_id, 'url' AS kind,
+        |  'https://' || source || '.example.com/a/' || doc_id AS loc,
+        |  lm AS lastmod, 'daily' AS changefreq, CAST(0.8 AS DOUBLE) AS priority
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, 'url', 'https://' || source || '.example.com/q?a=1&b=' || doc_id,
+        |  NULL, NULL, NULL FROM base
+        |UNION ALL
+        |SELECT doc_id, 'url', 'https://' || source || '.example.com/p/' || doc_id,
+        |  NULL, NULL, NULL FROM base
+        |UNION ALL
+        |SELECT doc_id, 'sitemap',
+        |  'https://' || source || '.example.com/sitemap-' || doc_id || '.xml',
+        |  NULL, NULL, NULL FROM base
+        |ORDER BY doc_id, kind, loc""".stripMargin,
+    "d_fetch_schedule" ->
+      // the frontier CTE with hosts from the known shapes, then the
+      // identical per-host (n_inlinks desc, url) window split into
+      // waves of 2
+      """WITH cand AS (
+        |  SELECT 'https://ext.example/d/' || doc_id AS url,
+        |    'ext.example' AS host FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/doc/' || (doc_id + 1),
+        |    source || '.example.com' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/a/' || doc_id || '/sub/page.html',
+        |    source || '.example.com' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://cdn.example/lib.js', 'cdn.example' FROM documents),
+        |agg AS (SELECT url, host, CAST(count(*) AS BIGINT) AS n_inlinks
+        |  FROM cand GROUP BY url, host),
+        |rn AS (SELECT url, host, n_inlinks,
+        |  ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_inlinks DESC, url) - 1 AS r
+        |  FROM agg)
+        |SELECT url, host, n_inlinks,
+        |  CAST(floor(r / 2.0) AS BIGINT) AS wave, CAST(r % 2 AS BIGINT) AS slot
+        |FROM rn ORDER BY host, wave, slot""".stripMargin,
     "d_crawl_diff" ->
       // every status from doc_id arithmetic: %5 gone (no wave-2 row),
       // else %3 changed (md5 of the rewritten text), else unchanged;

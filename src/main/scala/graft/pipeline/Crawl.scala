@@ -269,6 +269,33 @@ object Crawl {
     }
   }
 
+  /** Politeness-aware fetch scheduling — turn a ranked frontier into
+    * fetch WAVES no host is hit too hard within: each host's
+    * candidates rank by (priority desc, url), and wave k takes each
+    * host's next `perHostPerWave` urls — the per-host rate cap every
+    * polite crawler enforces (RFC 9309 crawl-delay is the same
+    * constraint stated as seconds; waves are its batch form). A fetch
+    * fleet drains wave 0 across ALL hosts in parallel, then wave 1…
+    * so per-host pressure is bounded while fleet-wide throughput
+    * stays full.
+    *
+    * Scale shape: one host-keyed window (rank within host) — the
+    * single exchange ANY per-host policy pays; no global sort, no
+    * driver state. Output adds `host`, `wave` (0-based) and `slot`
+    * (position within the host+wave) to the frontier row.
+    */
+  def fetchSchedule(frontier: DataFrame, perHostPerWave: Int = 4,
+                    urlCol: String = "url",
+                    priorityCol: String = "n_inlinks"): DataFrame = {
+    require(perHostPerWave >= 1, s"perHostPerWave >= 1: $perHostPerWave")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(desc(priorityCol), col(urlCol))
+    val rn = row_number().over(w) - 1
+    frontier.withColumn("host", UrlOps.hostOf(col(urlCol)))
+      .withColumn("wave", floor(rn / lit(perHostPerWave)))
+      .withColumn("slot", (rn % perHostPerWave).cast("long"))
+  }
+
   /** Snapshot diff — the incremental-recrawl primitive: classify every
     * canonical url across two crawl snapshots as `added` (new only),
     * `gone` (prev only), `changed` (both, fingerprints differ) or

@@ -274,6 +274,28 @@ class CrawlSpec extends SparkSpec {
     assert(ranked.map(_.getDouble(3)).min == 0.2)
   }
 
+  test("fetchSchedule: per-host waves by priority, slots bounded, single-url hosts at wave 0") {
+    val front = Seq(
+      ("https://big.example/p1", 5L), ("https://big.example/p2", 4L),
+      ("https://big.example/p3", 3L), ("https://big.example/p4", 3L),
+      ("https://big.example/p5", 1L),
+      ("https://solo.org/x", 9L),
+    ).toDF("url", "n_inlinks")
+    val got = Crawl.fetchSchedule(front, perHostPerWave = 2).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("wave"), r.getAs[Long]("slot")))).toMap
+    // priority desc, url asc within host; waves of 2
+    assert(got("https://big.example/p1") == (("big.example", 0L, 0L)))
+    assert(got("https://big.example/p2") == (("big.example", 0L, 1L)))
+    assert(got("https://big.example/p3") == (("big.example", 1L, 0L)))
+    assert(got("https://big.example/p4") == (("big.example", 1L, 1L)))
+    assert(got("https://big.example/p5") == (("big.example", 2L, 0L)))
+    assert(got("https://solo.org/x") == (("solo.org", 0L, 0L)))
+    // no host exceeds the cap in any wave
+    val byHostWave = got.values.groupBy(v => (v._1, v._2)).map(_._2.size)
+    assert(byHostWave.forall(_ <= 2))
+  }
+
   test("snapshotDiff: added / gone / changed / unchanged from fingerprints") {
     val prev = Seq(("u1", "fa"), ("u2", "fb"), ("u3", "fc"))
       .toDF("url", "fingerprint")
