@@ -883,6 +883,22 @@ object SparkEntry {
           ring.unionByName(toHub), maxDist = 4)
         .orderBy("n")
     }),
+    "d_hits" -> ((s, d) => {
+      // HITS over the ring-plus-hub graph: every source is both a
+      // hub (links to its successor + hub.example) and a small
+      // authority (one ring in-link); hub.example is a pure
+      // authority (no out-links — hub score 0). 3 iterations, L1
+      // normalization; the oracle unrolls the identical arithmetic.
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      graft.ops.LinkGraph.hits(ring.unionByName(toHub), iters = 3)
+        .orderBy("n")
+    }),
     "d_url_percent" -> ((s, d) => {
       // percent-encoding canonicalization end to end: every doc's url
       // carries unreserved escapes (%41->A, %61->a, %7e->~), a
@@ -2802,6 +2818,51 @@ object SparkEntry {
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_hits" ->
+      // the engine's 3 iterations unrolled: phase sums of 9dp scores
+      // as DECIMAL(30,12) (exact), L1-normalize round(raw/total, 9),
+      // 6dp emit — the same determinism contract as d_domain_rank
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |h0 AS (SELECT n, 1.0 AS x FROM nodes),
+        |a1r AS (SELECT e.dst AS n, sum(CAST(round(h0.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN h0 ON e.src = h0.n GROUP BY e.dst),
+        |a1 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM a1r), 9) AS x
+        |  FROM nodes LEFT JOIN a1r ON nodes.n = a1r.n),
+        |h1r AS (SELECT e.src AS n, sum(CAST(round(a1.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN a1 ON e.dst = a1.n GROUP BY e.src),
+        |h1 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM h1r), 9) AS x
+        |  FROM nodes LEFT JOIN h1r ON nodes.n = h1r.n),
+        |a2r AS (SELECT e.dst AS n, sum(CAST(round(h1.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN h1 ON e.src = h1.n GROUP BY e.dst),
+        |a2 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM a2r), 9) AS x
+        |  FROM nodes LEFT JOIN a2r ON nodes.n = a2r.n),
+        |h2r AS (SELECT e.src AS n, sum(CAST(round(a2.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN a2 ON e.dst = a2.n GROUP BY e.src),
+        |h2 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM h2r), 9) AS x
+        |  FROM nodes LEFT JOIN h2r ON nodes.n = h2r.n),
+        |a3r AS (SELECT e.dst AS n, sum(CAST(round(h2.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN h2 ON e.src = h2.n GROUP BY e.dst),
+        |a3 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM a3r), 9) AS x
+        |  FROM nodes LEFT JOIN a3r ON nodes.n = a3r.n),
+        |h3r AS (SELECT e.src AS n, sum(CAST(round(a3.x, 9) AS DECIMAL(30,12))) AS r
+        |  FROM edges e JOIN a3 ON e.dst = a3.n GROUP BY e.src),
+        |h3 AS (SELECT nodes.n, round(COALESCE(CAST(r AS DOUBLE), 0.0)
+        |    / (SELECT CAST(sum(r) AS DOUBLE) FROM h3r), 9) AS x
+        |  FROM nodes LEFT JOIN h3r ON nodes.n = h3r.n)
+        |SELECT h3.n, round(h3.x, 6) AS hub, round(a3.x, 6) AS authority
+        |FROM h3 JOIN a3 ON h3.n = a3.n ORDER BY h3.n""".stripMargin,
     "d_harmonic" ->
       // min-distances via a recursive walk (bounded by dist < 4 before
       // the +1 step), harmonic = per-pair round(1/dist, 9) decimal sum

@@ -133,6 +133,57 @@ object LinkGraph {
       round(col("h").cast("double"), 6).as("harmonic"))
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) — the third
+    * centrality signal, separating PAGES THAT POINT WELL (hubs:
+    * directories, link lists, sitemaps-as-pages) from PAGES POINTED
+    * AT (authorities): a_t(v) = Σ_{(u,v)} h_{t-1}(u), h_t(u) =
+    * Σ_{(u,v)} a_t(v), each normalized per iteration. Normalization
+    * is L1 (divide by the score total) rather than Kleinberg's L2:
+    * the RANKING — the consumed signal — is identical under any
+    * positive rescale, and L1 keeps the whole pipeline in the repo's
+    * exact-decimal determinism contract (no sqrt): per-edge
+    * contributions are the 9dp scores summed as DECIMAL(30,12)
+    * (exact), the normalized score is round(raw/total, 9) in double,
+    * 6dp emit — bit-equal on any partitioning and reproducible in
+    * any SQL engine (the oracle unrolls the same iterations).
+    *
+    * Scale shape: pageRank's — node/edge-shaped throughout, per
+    * iteration one src-keyed and one dst-keyed join + partial-agg
+    * exchange, plus a 1-row total frame (broadcast-NLJ of one row,
+    * the repo's benign stat-frame pattern). Nodes with no in-edges
+    * hold authority 0, no out-edges hub 0; parallel edges collapse.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().persist()
+    // raw phase sums (9dp inputs, exact decimal) -> L1-normalized 9dp
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("r")).cast("double").as("__t"))
+      nodes.join(raw, Seq("n"), "left").crossJoin(tot)
+        .select(col("n"),
+          round(coalesce(col("r").cast("double"), lit(0.0)) / col("__t"), 9)
+            .as("x"))
+    }
+    var h = nodes.select(col("n"), lit(1.0).as("x"))
+    var a = h // overwritten on the first iteration (iters >= 1)
+    (1 to iters).foreach { _ =>
+      a = normalize(e
+        .join(h.select(col("n").as("src"), col("x")), "src")
+        .groupBy(col("dst").as("n"))
+        .agg(sum(round(col("x"), 9).cast("decimal(30,12)")).as("r")))
+      h = normalize(e
+        .join(a.select(col("n").as("dst"), col("x")), "dst")
+        .groupBy(col("src").as("n"))
+        .agg(sum(round(col("x"), 9).cast("decimal(30,12)")).as("r")))
+    }
+    h.select(col("n"), round(col("x"), 6).as("hub"))
+      .join(a.select(col("n"), round(col("x"), 6).as("authority")), Seq("n"))
+  }
+
   /** Anchor-text aggregation per link target — the classic off-page
     * description signal (incoming anchor texts describe the TARGET
     * page better than its own boilerplate; search and quality

@@ -163,6 +163,35 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: one-iteration hand numbers; multi-iteration structure; repartition determinism") {
+    // bipartite: x,y -> {p,q}; z -> p. After one iteration:
+    // a_raw p=3, q=2 (total 5) -> a(p)=.6, a(q)=.4, sources 0;
+    // h_raw x=y=1.0, z=.6 (total 2.6) -> h = 1/2.6, 1/2.6, .6/2.6
+    val edges = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"), ("z", "p"))
+    val one = graft.ops.LinkGraph.hits(edges.toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(one("p") == ((0.0, 0.6)) && one("q") == ((0.0, 0.4)))
+    assert(one("x") == ((0.384615, 0.0)) && one("y") == ((0.384615, 0.0)))
+    assert(one("z") == ((0.230769, 0.0)))
+    // 3 iterations keep the structure: p out-ranks q in authority,
+    // x=y out-rank z as hubs, pure sinks/sources hold zero on the
+    // other score, each L1 total stays ~1
+    val got = graft.ops.LinkGraph.hits(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("p")._2 > got("q")._2 && got("q")._2 > 0)
+    assert(got("x")._1 == got("y")._1 && got("x")._1 > got("z")._1)
+    assert(got("p")._1 == 0.0 && got("x")._2 == 0.0)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    // bit-identical on any partitioning
+    val a = graft.ops.LinkGraph.hits(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(_.toSeq).toSet
+    val b = graft.ops.LinkGraph.hits(
+      edges.toDF("src", "dst").repartition(13), iters = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))
