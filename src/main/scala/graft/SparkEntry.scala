@@ -883,6 +883,22 @@ object SparkEntry {
           ring.unionByName(toHub), maxDist = 4)
         .orderBy("n")
     }),
+    "d_link_components" -> ((s, d) => {
+      // disjoint per-source chains: consecutive docs within a source
+      // link up (the last doc self-edges so singleton sources still
+      // surface); every source collapses to ONE component whose
+      // representative is its lexicographically smallest node string
+      // — which the oracle computes directly with a window min.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val node = concat(col("source"), lit("/"), col("doc_id"))
+      val nxt = coalesce(lead(col("doc_id"), 1).over(w), col("doc_id"))
+      graft.ops.LinkGraph.components(
+          docs.select(node.as("src"),
+            concat(col("source"), lit("/"), nxt).as("dst")))
+        .orderBy("n")
+    }),
     "d_hits" -> ((s, d) => {
       // HITS over the ring-plus-hub graph: every source is both a
       // hub (links to its successor + hub.example) and a small
@@ -2818,6 +2834,13 @@ object SparkEntry {
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_link_components" ->
+      // chains within a source are one component; the representative
+      // is the component's lexicographic min node — a plain window
+      // min per source, no graph walk needed
+      """SELECT source || '/' || doc_id AS n,
+        |  min(source || '/' || doc_id) OVER (PARTITION BY source) AS component
+        |FROM documents ORDER BY n""".stripMargin,
     "d_hits" ->
       // the engine's 3 iterations unrolled: phase sums of 9dp scores
       // as DECIMAL(30,12) (exact), L1-normalize round(raw/total, 9),

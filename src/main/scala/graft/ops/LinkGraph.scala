@@ -184,6 +184,42 @@ object LinkGraph {
       .join(a.select(col("n"), round(col("x"), 6).as("authority")), Seq("n"))
   }
 
+  /** Connected components over the link graph — host/domain clusters
+    * (mirror networks, link farms, site families): every node labeled
+    * with its component's LEXICOGRAPHICALLY SMALLEST member (a stable,
+    * human-readable representative). String nodes ride the dedup
+    * engine's long-id CC ([[graft.dedup.Clusters.connectedComponents]]
+    * — min-label propagation with escalated pointer doubling, O(log
+    * diameter) shuffle rounds) through a dense id assignment: ids are
+    * `row_number` over the sorted node set, so min id IS the
+    * lexicographic min and the label contract carries over verbatim.
+    *
+    * Scale shape: node/edge-shaped throughout. The id assignment is
+    * one global sort of the NODE table (a window over the full set —
+    * domain-granularity frames, orders below the corpus; the same
+    * cost class as pageRank's out-degree build). Edges translate via
+    * two node-keyed joins, then CC's per-round exchanges take over;
+    * labels map back through two more node-keyed joins.
+    */
+  def components(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n")
+    val ids = nodes.select(col("n"), row_number().over(w).cast("long").as("__id"))
+      .persist()
+    val pairs = e
+      .join(ids.select(col("n").as("src"), col("__id").as("a")), "src")
+      .join(ids.select(col("n").as("dst"), col("__id").as("b")), "dst")
+      .select("a", "b")
+    val cc = graft.dedup.Clusters.connectedComponents(pairs, "a", "b", maxIter)
+    cc.join(ids.select(col("n"), col("__id")), cc("id") === col("__id"))
+      .select(col("n"), col("comp").as("__c"))
+      .join(ids.select(col("__id").as("__c"), col("n").as("component")), "__c")
+      .select("n", "component")
+  }
+
   /** Anchor-text aggregation per link target — the classic off-page
     * description signal (incoming anchor texts describe the TARGET
     * page better than its own boilerplate; search and quality

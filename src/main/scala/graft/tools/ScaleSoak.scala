@@ -59,7 +59,8 @@ object ScaleSoak {
     "d_compression_ratio", "d_crawl_charset", "d_url_psl",
     "d_robots_filter", "d_url_percent", "d_link_graph", "d_domain_rank",
     "d_anchor_text", "d_crawl_gates", "d_harmonic", "d_crawl_frontier",
-    "d_crawl_diff", "d_sitemap", "d_fetch_schedule", "d_hits")
+    "d_crawl_diff", "d_sitemap", "d_fetch_schedule", "d_hits",
+    "d_link_components")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -192,6 +192,26 @@ class LinkGraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("components: string nodes, lexicographic representative, singletons via self-edge, determinism") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"),
+      // lexicographic, not numeric: "n10" < "n2" is the representative
+      ("n2", "n10"))
+    val got = graft.ops.LinkGraph.components(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d",
+      "f" -> "f",
+      "n2" -> "n10", "n10" -> "n10"))
+    // bit-identical on any partitioning, and on the distributed CC
+    // path (smallGraphEdges unreachable via a tiny maxIter graph is
+    // covered by ClustersSpec; here: repartition determinism)
+    val b = graft.ops.LinkGraph.components(
+      edges.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(b == got)
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))
