@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.GZIPInputStream
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -199,6 +199,74 @@ object Warc {
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes(StandardCharsets.UTF_8)
     head ++ payload ++ Crlf ++ Crlf
+  }
+
+  /** Distributed WARC export — the writer half of the interchange
+    * story: a curated corpus re-exports as standard `.warc.gz` files
+    * any WARC consumer (including [[read]]) can ingest. `records`
+    * carries (warc_type, target_uri, content_type, payload) plus an
+    * optional `warc_date` column; one FILE per non-empty input
+    * partition (size files with a repartition upstream), one GZIP
+    * MEMBER per record — the Common Crawl convention that keeps
+    * files re-syncable and lets [[read]] stream them in bounded
+    * heap. Returns one (file, n_records) row per written file —
+    * file-shaped, safely collectible.
+    *
+    * File IO happens inside the task (the media-decoder/Compaction
+    * RDD-boundary contract): each task writes a private temp name
+    * and atomically renames on success, so a re-executed or
+    * speculative attempt can never leave a partial file under the
+    * final name (local/NFS semantics; on an object store, route
+    * through its committer instead). Each member's GZIPOutputStream
+    * is closed per record behind a close-shield (releases its
+    * native Deflater eagerly — the compressionRatio lesson) without
+    * closing the shared file stream.
+    */
+  def write(records: DataFrame, dir: String, gzip: Boolean = true): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val hasDate = records.columns.contains("warc_date")
+    val cols = Seq("warc_type", "target_uri", "content_type", "payload") ++
+      (if (hasDate) Seq("warc_date") else Nil)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    records.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val ext = if (gzip) ".warc.gz" else ".warc"
+          val fin = java.nio.file.Paths.get(dir, f"part-${tc.partitionId}%05d$ext")
+          val tmp = java.nio.file.Paths.get(
+            dir, f".part-${tc.partitionId}%05d.${tc.taskAttemptId}%d.tmp")
+          val fos = java.nio.file.Files.newOutputStream(tmp)
+          val shield = new java.io.FilterOutputStream(fos) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              out.write(b, off, len)
+            override def close(): Unit = out.flush() // member close only
+          }
+          var n = 0L
+          try {
+            while (it.hasNext) {
+              val r = it.next()
+              val date =
+                if (hasDate && !r.isNullAt(4)) Seq("WARC-Date" -> r.getString(4))
+                else Nil
+              val bytes = writeRecord(r.getString(0), r.getString(1),
+                r.getString(2), r.getAs[Array[Byte]](3), date)
+              if (gzip) {
+                val gz = new GZIPOutputStream(shield, 64 * 1024)
+                gz.write(bytes)
+                gz.close() // finish member + end() its Deflater
+              } else fos.write(bytes)
+              n += 1
+            }
+          } finally fos.close()
+          java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Iterator.single((fin.toString, n))
+        }
+      }.toDF("file", "n_records")
   }
 
   /** Strip the HTTP header block from a `response` record's payload

@@ -103,6 +103,37 @@ class WarcSpec extends SparkSpec {
     assert(got.forall(_._3 == -1L))
   }
 
+  test("write(): distributed export round-trips through read, one gzip member per record") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_warc_w").toString + "/out"
+    val rows = (1 to 7).map(i => ("response", s"http://w.example/$i",
+      "text/html", s"body number $i".getBytes(UTF_8),
+      f"2026-03-${i}%02dT00:00:00Z"))
+    val df = rows.toDF("warc_type", "target_uri", "content_type",
+      "payload", "warc_date")
+    // more partitions than rows: empty partitions must write no file
+    val report = Warc.write(df.repartition(10), dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(report.map(_._2).sum == 7L)
+    assert(report.forall(_._1.endsWith(".warc.gz")))
+    val files = new java.io.File(dir).listFiles.map(_.getName).toSeq
+    assert(files.forall(f => f.startsWith("part-") && f.endsWith(".warc.gz")))
+    assert(files.size == report.length)
+    val back = Warc.read(spark, dir).selectExpr("warc_type", "target_uri",
+      "cast(payload as string) AS body", "warc_date", "quarantined_at")
+      .collect()
+    assert(back.forall(_.getLong(4) == -1L))
+    assert(back.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSet ==
+      rows.map(t => (t._1, t._2, s"body number ${t._2.split('/').last}", t._5)).toSet)
+    // plain (non-gzip) export round-trips the same
+    val dir2 = Files.createTempDirectory("graft_warc_w2").toString + "/out"
+    Warc.write(df.repartition(2), dir2, gzip = false).collect()
+    val back2 = Warc.read(spark, dir2)
+      .selectExpr("target_uri").as[String].collect().toSet
+    assert(back2 == rows.map(_._2).toSet)
+  }
+
   test("read(): quarantined tail surfaces as one sentinel row after the records") {
     val dir = Files.createTempDirectory("graft_warc_q").toString
     val good = rec("http://q.example/ok", "intact record")
