@@ -957,23 +957,30 @@ object SparkEntry {
         .select("doc_id", "url", "allowed").orderBy("doc_id")
     }),
     "d_url_psl" -> ((s, d) => {
-      // public-suffix list as DATA: four host shapes per doc exercise
+      // public-suffix list as DATA: six host shapes per doc exercise
       // longest-match (github.io over io, de.com over com, co.uk over
-      // uk) and the implicit `*` fallback for an unlisted tld. The
+      // uk), the implicit `*` fallback for an unlisted tld, a
+      // WILDCARD rule (*.ck — one label fills the star, one more
+      // registers) and an EXCEPTION rule (!www.ck — the matching
+      // labels ARE the registered domain, beating the wildcard). The
       // oracle rebuilds host + registered domain from doc_id/source
       // directly. Plan: broadcast joins only — the corpus never
       // shuffles.
       import s.implicits._
       val docs = Tables.documents(s, d).select("doc_id", "source")
-      val host = when(col("doc_id") % 4 === 0,
+      val host = when(col("doc_id") % 6 === 0,
         concat(lit("pages.user-"), col("source"), lit(".github.io")))
-        .when(col("doc_id") % 4 === 1,
+        .when(col("doc_id") % 6 === 1,
           concat(lit("shop."), col("source"), lit(".de.com")))
-        .when(col("doc_id") % 4 === 2,
+        .when(col("doc_id") % 6 === 2,
           concat(lit("news.archive."), col("source"), lit(".co.uk")))
-        .otherwise(concat(lit("x.y."), col("source"), lit(".test")))
-      val psl = Seq("com", "uk", "co.uk", "de.com", "github.io", "io", "de")
-        .toDF("suffix")
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("x.y."), col("source"), lit(".test")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("a.b."), col("source"), lit(".ck")))
+        .otherwise(lit("deep.www.ck"))
+      val psl = Seq("com", "uk", "co.uk", "de.com", "github.io", "io", "de",
+        "*.ck", "!www.ck").toDF("suffix")
       graft.ops.UrlOps.registeredDomainWithPsl(
           docs.withColumn("host", host), psl)
         .select("doc_id", "host", "domain").orderBy("doc_id")
@@ -2931,18 +2938,23 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_url_psl" ->
       // expected registered domains rebuilt from doc_id/source by the
-      // documented longest-match rule, independent of the join plan
+      // documented longest-match / wildcard / exception-priority
+      // rules, independent of the join plan
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT)
+        |  CASE CAST(doc_id % 6 AS INT)
         |    WHEN 0 THEN 'pages.user-' || source || '.github.io'
         |    WHEN 1 THEN 'shop.' || source || '.de.com'
         |    WHEN 2 THEN 'news.archive.' || source || '.co.uk'
-        |    ELSE 'x.y.' || source || '.test' END AS host,
-        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 3 THEN 'x.y.' || source || '.test'
+        |    WHEN 4 THEN 'a.b.' || source || '.ck'
+        |    ELSE 'deep.www.ck' END AS host,
+        |  CASE CAST(doc_id % 6 AS INT)
         |    WHEN 0 THEN 'user-' || source || '.github.io'
         |    WHEN 1 THEN source || '.de.com'
         |    WHEN 2 THEN source || '.co.uk'
-        |    ELSE source || '.test' END AS domain
+        |    WHEN 3 THEN source || '.test'
+        |    WHEN 4 THEN 'b.' || source || '.ck'
+        |    ELSE 'www.ck' END AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_crawl_charset" ->
       // expected decoded text rebuilt with chr() codepoints: é =

@@ -197,12 +197,17 @@ object UrlOps {
     * suffix → 2-label domain); hosts with no label to spare (the
     * host IS a suffix, or a single label) pass through unchanged —
     * the [[registeredDomain]] conventions, now driven by data.
-    * Wildcard (`*.ck`) and exception (`!www.ck`) rules are out of
-    * scope; expand them to plain rows when snapshotting the list.
+    * Wildcard rules (`*.ck` — any ONE label matches the starred
+    * position) and exception rules (`!www.ck` — the matching domain
+    * IS registrable even though a wildcard covers it) are honored
+    * with PSL priority: a matching exception beats everything and
+    * makes the host's matching labels the registered domain;
+    * otherwise the longest plain-or-wildcard match wins.
     *
     * Scale shape: one broadcast hash join per candidate suffix
-    * length (`maxSuffixLabels`, default 4 — the longest plain rules
-    * in the live PSL) — the corpus NEVER shuffles and no explode
+    * length PER RULE CLASS (`maxSuffixLabels`, default 4 — the
+    * longest plain rules in the live PSL; wildcard/exception joins
+    * start at 2 labels) — the corpus NEVER shuffles and no explode
     * multiplies it; the PSL snapshot is a few hundred KB, exactly
     * the blocklist's broadcast class.
     */
@@ -212,31 +217,71 @@ object UrlOps {
                               maxSuffixLabels: Int = 4): DataFrame = {
     require(maxSuffixLabels >= 1, s"maxSuffixLabels >= 1: $maxSuffixLabels")
     val labels = "__psl_labels"
-    val suffixes = psl.select(col("suffix")).distinct()
+    val rules = psl.select(col("suffix")).distinct()
+    val ruleLen = size(split(col("suffix"), "\\."))
+    val plain = rules.filter(!col("suffix").startsWith("!") &&
+      !col("suffix").startsWith("*."))
+    val wild = rules.filter(col("suffix").startsWith("*."))
+    val exc = rules.filter(col("suffix").startsWith("!"))
+      .select(col("suffix").substr(lit(2), lit(Int.MaxValue)).as("suffix"))
     var cur = docs.withColumn(labels, split(col(hostCol), "\\."))
     (1 to maxSuffixLabels).foreach { k =>
-      // equi-join on the host's k-label suffix; n > k keeps one label
-      // to spare (a host that IS a public suffix has no registrable
-      // domain and falls through)
+      // plain: equi-join on the host's k-label suffix; n > k keeps one
+      // label to spare (a host that IS a public suffix has no
+      // registrable domain and falls through)
       cur = cur.join(
-        broadcast(suffixes.select(col("suffix").as(s"__psl_m$k"))),
+        broadcast(plain.filter(ruleLen === k)
+          .select(col("suffix").as(s"__psl_m$k"))),
         concat_ws(".", slice(col(labels), -k, k)) === col(s"__psl_m$k") &&
           size(col(labels)) > k,
         "left")
+      if (k >= 2) {
+        // wildcard: the host's k-label suffix with its FIRST label
+        // replaced by '*' equi-joins the rule text verbatim
+        cur = cur.join(
+          broadcast(wild.filter(ruleLen === k)
+            .select(col("suffix").as(s"__psl_w$k"))),
+          concat(lit("*."),
+            concat_ws(".", slice(col(labels), -(k - 1), k - 1))) ===
+            col(s"__psl_w$k") && size(col(labels)) > k,
+          "left")
+        // exception: exact k-label suffix match, and >= (not >) — the
+        // host may BE the exception domain (www.ck registers itself)
+        cur = cur.join(
+          broadcast(exc.filter(ruleLen === k)
+            .select(col("suffix").as(s"__psl_e$k"))),
+          concat_ws(".", slice(col(labels), -k, k)) === col(s"__psl_e$k") &&
+            size(col(labels)) >= k,
+          "left")
+      }
     }
     // fold 1..max so the LONGEST suffix ends outermost in the
-    // when-chain (the last fold iteration wraps the rest)
+    // when-chain (the last fold iteration wraps the rest); a wildcard
+    // match at key length k is a k-label suffix like a plain match
     val byLongest = (1 to maxSuffixLabels).foldLeft(
       // no rule matched: implicit `*` default — 2 labels when there
       // are at least 2, else the host unchanged
       when(size(col(labels)) <= 2, col(hostCol))
         .otherwise(concat_ws(".", slice(col(labels), -2, 2)))) {
       case (fallback, k) =>
-        when(col(s"__psl_m$k").isNotNull,
+        val matched =
+          if (k >= 2) col(s"__psl_m$k").isNotNull || col(s"__psl_w$k").isNotNull
+          else col(s"__psl_m$k").isNotNull
+        when(matched,
           concat_ws(".", slice(col(labels), -(k + 1), k + 1))).otherwise(fallback)
     }
-    cur.withColumn(out, byLongest)
-      .drop(labels +: (1 to maxSuffixLabels).map(k => s"__psl_m$k"): _*)
+    // exceptions wrap outermost — PSL priority: a matching exception
+    // beats any plain/wildcard rule, and the host's matching k labels
+    // ARE the registered domain
+    val withExc = (2 to maxSuffixLabels).foldLeft(byLongest) {
+      case (fallback, k) =>
+        when(col(s"__psl_e$k").isNotNull,
+          concat_ws(".", slice(col(labels), -k, k))).otherwise(fallback)
+    }
+    cur.withColumn(out, withExc)
+      .drop(labels +: ((1 to maxSuffixLabels).map(k => s"__psl_m$k") ++
+        (2 to maxSuffixLabels).flatMap(k =>
+          Seq(s"__psl_w$k", s"__psl_e$k"))): _*)
   }
 
   /** Canonicalize + annotate + blocklist-filter a URL-carrying frame:

@@ -147,6 +147,27 @@ class UrlOpsSpec extends SparkSpec {
       "github.io", "sometld.test", "localhost"))
   }
 
+  test("registeredDomainWithPsl: wildcard and exception rules with PSL priority") {
+    val psl = Seq("com", "*.ck", "!www.ck", "*.kawasaki.jp", "jp")
+      .toDF("suffix")
+    val hosts = Seq(
+      "a.b.foo.ck",       // *.ck: foo.ck is the suffix -> b.foo.ck
+      "b.foo.ck",         // *.ck -> b.foo.ck
+      "foo.ck",           // host IS a wildcard suffix: no spare label,
+                          //   implicit-* fallback ALSO has none -> unchanged
+      "www.ck",           // exception: the match IS the domain
+      "deep.www.ck",      // exception beats the covering wildcard
+      "x.city.kawasaki.jp", // 3-label wildcard -> x.city.kawasaki.jp
+      "plain.jp",         // plain rule under the same tld -> plain.jp
+    ).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = graft.ops.UrlOps.registeredDomainWithPsl(
+        hosts.toDF("id", "host"), psl)
+      .orderBy("id").select("domain").collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "b.foo.ck", "b.foo.ck", "foo.ck", "www.ck", "www.ck",
+      "x.city.kawasaki.jp", "plain.jp"))
+  }
+
   test("registeredDomainWithPsl agrees with the heuristic on its own ground") {
     // on hosts whose suffixes the fixed heuristic models (plain tld,
     // co.uk-class), PSL-as-data and the heuristic must agree — the
