@@ -180,6 +180,16 @@ object Robots {
   def robots_allowed(rules: Column, path: Column): Column =
     column(RobotsAllowed(expression(rules), expression(path)))
 
+  /** `Sitemap:` directives from a robots.txt blob (standalone lines
+    * per RFC 9309 §2.3 / sitemaps.org, case-insensitive, outside any
+    * user-agent group) as a URL array — the discovery handoff:
+    * robots → [[Sitemaps.parse]] → `Crawl.frontier`. Pure regexp
+    * column, zero shuffle.
+    */
+  def sitemapUrls(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt,
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1))
+
   /** Path + query of a URL, as robots rules match it ("/" when the
     * URL has no path).
     */

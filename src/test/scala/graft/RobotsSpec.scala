@@ -115,4 +115,19 @@ class RobotsSpec extends SparkSpec {
     assert(!verdict(robots, "ccbot", "/any/path?q=1"))
     assert(verdict(robots, "newsbot", "/any/path"))
   }
+
+  test("sitemapUrls: case-insensitive directives in order; none -> empty array") {
+    import spark.implicits._
+    val robots =
+      "# comment\nUser-agent: *\nDisallow: /private/\n" +
+        "Sitemap: https://a.example/sitemap.xml\n" +
+        "sitemap:\thttps://a.example/maps/s2.xml \nSITEMAPS: not-this\n"
+    val got = Seq((1, robots), (2, "User-agent: *\nAllow: /\n"))
+      .toDF("id", "txt")
+      .select($"id", graft.ops.Robots.sitemapUrls($"txt").as("maps"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1) == List("https://a.example/sitemap.xml",
+      "https://a.example/maps/s2.xml"))
+    assert(got(2) == Nil)
+  }
 }
