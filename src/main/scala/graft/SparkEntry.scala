@@ -883,6 +883,19 @@ object SparkEntry {
           ring.unionByName(toHub), maxDist = 4)
         .orderBy("n")
     }),
+    "d_token_budget" -> ((s, d) => {
+      // quality-first fill under a fixed TOKEN budget: score =
+      // doc_id % 100 (deterministic quality proxy), tokens = word
+      // count; keep the (score desc, doc_id) prefix whose inclusive
+      // running token total stays within 15000. The oracle replays
+      // the running sum as a SQL window.
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (col("doc_id") % 100).cast("double").as("score"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.selectByTokenBudget(docs, budget = 15000L)
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
     "d_link_components" -> ((s, d) => {
       // disjoint per-source chains: consecutive docs within a source
       // link up (the last doc self-edges so singleton sources still
@@ -2841,6 +2854,18 @@ object SparkEntry {
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_token_budget" ->
+      // the engine's distributed prefix sum == one SQL running-sum
+      // window over the same total order; tokens are non-negative so
+      // cum is monotone and the <= filter IS the prefix
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 100 AS DOUBLE) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, score, n_tokens FROM r WHERE cum <= 15000
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "d_link_components" ->
       // chains within a source are one component; the representative
       // is the component's lexicographic min node — a plain window

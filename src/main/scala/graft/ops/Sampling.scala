@@ -186,4 +186,66 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Token-budget selection — keep the BEST documents until a token
+    * budget is exhausted: total-order by (`scoreCol` desc, `idCol`
+    * asc) and keep every document whose INCLUSIVE running token total
+    * stays within `budget`. The selection a curation run makes when
+    * the training budget is fixed in TOKENS, not documents
+    * (quality-first fill).
+    *
+    * Scale shape: a single-partition global window would serialize
+    * the corpus, so this is the classic two-pass distributed prefix
+    * sum over ONE distributed range sort: (1) `orderBy` range-sorts
+    * and the sorted frame persists, pinning identical partitions for
+    * both passes; (2) per-partition token subtotals collect to the
+    * driver — ONE row per partition, bounded by shuffle partitions,
+    * never corpus-shaped (the inherent second pass of any prefix
+    * sum, not an avoidable stat scan); (3) each partition's exclusive
+    * start offset rides the closure back and a partition-LOCAL
+    * running sum completes the global prefix — zero exchanges after
+    * the sort, and a partition whose start offset already exceeds
+    * the budget emits nothing without scanning. Determinism: the
+    * (score desc, id) order is total, so the kept set is bit-stable
+    * on any input partitioning. The persisted sort follows the
+    * JsonlCorpus cache-lifecycle convention (LRU-evicted; no handle
+    * survives the call).
+    */
+  def selectByTokenBudget(docs: DataFrame, budget: Long,
+                          tokensCol: String = "n_tokens",
+                          scoreCol: String = "score",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget >= 0: $budget")
+    import org.apache.spark.sql.{Encoders, Row}
+    val sorted = docs.orderBy(col(scoreCol).desc, col(idCol).asc).persist()
+    val tIdx = sorted.schema.fieldIndex(tokensCol)
+    def tok(r: Row): Long = r.get(tIdx) match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$tokensCol must be numeric, got: ${other.getClass}")
+    }
+    // pass 1: per-partition subtotals (range partitions are ordered by
+    // the sort key, so partition id order IS the global row order)
+    val subtotals = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(r => s += tok(r))
+      Iterator.single((pid, s))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = subtotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid + 1, acc + s) }
+      .init.zip(subtotals)
+      .map { case ((_, excl), (pid, _)) => pid -> excl }.toMap
+    // pass 2: partition-local running sum from the broadcast offset
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(sorted.schema)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offsets.getOrElse(pid, 0L)
+      if (run >= budget) Iterator.empty
+      else it.takeWhile { r => run += tok(r); run <= budget }
+    }
+  }
 }

@@ -201,4 +201,27 @@ class SamplingSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_tokens") >= r.getAs[Long]("n_docs") * r.getAs[Long]("min_tokens"))
     }
   }
+
+  test("selectByTokenBudget: inclusive prefix cut, no back-fill, budget edges, repartition-stable") {
+    // (id, score, tokens): quality order by (score desc, id) is
+    // b(9),d(9),a(5),c(3),e(1) with tokens 4,3,5,2,10
+    val docs = Seq(
+      (1L, 5.0, 5L), (2L, 9.0, 4L), (3L, 3.0, 2L), (4L, 9.0, 3L),
+      (5L, 1.0, 10L),
+    ).toDF("doc_id", "score", "n_tokens")
+    def ids(budget: Long, df: org.apache.spark.sql.DataFrame = docs) =
+      Sampling.selectByTokenBudget(df, budget)
+        .collect().map(_.getLong(0)).toSet
+    // cum: 2->4, 4->7, 1->12, 3->14, 5->24
+    assert(ids(14) == Set(2L, 4L, 1L, 3L))   // inclusive boundary
+    assert(ids(13) == Set(2L, 4L, 1L))       // 14 > 13: doc 3 out
+    // NO back-fill: budget 11 cuts at doc 1 (cum 12 > 11); doc 3
+    // (2 tokens, would fit) must NOT sneak in past the quality order
+    assert(ids(11) == Set(2L, 4L))
+    assert(ids(0) == Set.empty[Long])
+    assert(ids(1000) == Set(1L, 2L, 3L, 4L, 5L))
+    // bit-stable on any input partitioning
+    assert(ids(14, docs.repartition(7)) == Set(2L, 4L, 1L, 3L))
+    assert(ids(14, docs.coalesce(1)) == Set(2L, 4L, 1L, 3L))
+  }
 }
