@@ -883,6 +883,21 @@ object SparkEntry {
           ring.unionByName(toHub), maxDist = 4)
         .orderBy("n")
     }),
+    "d_embed_pca" -> ((s, d) => {
+      // PCA dimensionality cut over the embeddings table: fit the
+      // top-2 components (dim-bounded treeAggregate + driver power
+      // iteration) and project every row. Rows-only by construction
+      // (float-sum determinism class, like k-means/IVF training);
+      // the spec pins planted-axis recovery, orthonormality, and
+      // hand-checked projections.
+      val emb = Tables.embeddings(s, d)
+      val m = graft.sim.Pca.fit(emb, k = 2)
+      graft.sim.Pca.project(emb, m)
+        .select(col("vec_id"),
+          round(element_at(col("pca"), 1), 6).as("p1"),
+          round(element_at(col("pca"), 2), 6).as("p2"))
+        .orderBy("vec_id")
+    }),
     "d_token_budget" -> ((s, d) => {
       // quality-first fill under a fixed TOKEN budget: score =
       // doc_id % 100 (deterministic quality proxy), tokens = word
