@@ -883,6 +883,17 @@ object SparkEntry {
           ring.unionByName(toHub), maxDist = 4)
         .orderBy("n")
     }),
+    "d_curriculum" -> ((s, d) => {
+      // deterministic curriculum order: quartile buckets over a
+      // synthetic quality score, portable md5 shuffle within bucket;
+      // the oracle recomputes the exact quantile cuts (quantile_cont
+      // == exact percentile, pinned in round 10) and the same md5
+      // keys.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 97).cast("double").as("score"))
+      graft.ops.Sampling.curriculumOrder(docs)
+        .orderBy("bucket", "shuffle_key")
+    }),
     "d_embed_pca" -> ((s, d) => {
       // PCA dimensionality cut over the embeddings table: fit the
       // top-2 components (dim-bounded treeAggregate + driver power
@@ -2869,6 +2880,17 @@ object SparkEntry {
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_curriculum" ->
+      // same quartile cuts via quantile_cont (== Spark's exact
+      // percentile), same <=-boundary rule, same salted md5 keys
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS score
+        |  FROM documents),
+        |c AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS q FROM t)
+        |SELECT doc_id, score,
+        |  CASE WHEN score <= q[1] THEN 0 WHEN score <= q[2] THEN 1
+        |       WHEN score <= q[3] THEN 2 ELSE 3 END AS bucket,
+        |  md5(CAST(doc_id AS VARCHAR) || ':graft') AS shuffle_key
+        |FROM t, c ORDER BY bucket, shuffle_key""".stripMargin,
     "d_token_budget" ->
       // the engine's distributed prefix sum == one SQL running-sum
       // window over the same total order; tokens are non-negative so

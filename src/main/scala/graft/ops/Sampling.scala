@@ -187,6 +187,40 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Curriculum ordering — the deterministic TRAINING ORDER generator
+    * (easy-to-hard curricula, quality-ascending schedules): documents
+    * bucket by exact score quantiles and shuffle WITHIN each bucket
+    * by a portable salted hash, so the epoch order is (a) curriculum-
+    * shaped across buckets, (b) decorrelated from any ingest order
+    * within a bucket, and (c) bit-reproducible on any engine or
+    * partitioning (the md5 convention of the portable samplers —
+    * same bytes in any SQL engine). Consumers sort by (bucket,
+    * shuffle_key) when materializing shards — this function attaches
+    * the keys and imposes NO global sort itself.
+    *
+    * Scale shape: one small exact-percentile agg (score-column only)
+    * broadcast back as literal cuts — the ccnetBuckets recipe, no
+    * global ntile window — then pure per-row codegen'd expressions.
+    * Exact `percentile` (not approx) because the cuts sit on the
+    * oracle hash path: only the exact form matches quantile_cont
+    * across engines.
+    */
+  def curriculumOrder(df: DataFrame, scoreCol: String = "score",
+                      idCol: String = "doc_id", buckets: Int = 4,
+                      salt: String = "graft"): DataFrame = {
+    require(buckets >= 2, s"buckets >= 2: $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = df.agg(expr(
+        s"percentile($scoreCol, array(${qs.mkString(",")}))"))
+      .first().getSeq[Double](0)
+    val bucket = cuts.zipWithIndex.foldRight(lit(buckets - 1): org.apache.spark.sql.Column) {
+      case ((cut, i), rest) => when(col(scoreCol) <= cut, lit(i)).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket)
+      .withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+  }
+
   /** Token-budget selection — keep the BEST documents until a token
     * budget is exhausted: total-order by (`scoreCol` desc, `idCol`
     * asc) and keep every document whose INCLUSIVE running token total

@@ -60,7 +60,8 @@ object ScaleSoak {
     "d_robots_filter", "d_url_percent", "d_link_graph", "d_domain_rank",
     "d_anchor_text", "d_crawl_gates", "d_harmonic", "d_crawl_frontier",
     "d_crawl_diff", "d_sitemap", "d_fetch_schedule", "d_hits",
-    "d_link_components", "d_token_budget", "d_embed_pca")
+    "d_link_components", "d_token_budget", "d_embed_pca",
+    "d_curriculum")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -224,4 +224,20 @@ class SamplingSpec extends SparkSpec {
     assert(ids(14, docs.repartition(7)) == Set(2L, 4L, 1L, 3L))
     assert(ids(14, docs.coalesce(1)) == Set(2L, 4L, 1L, 3L))
   }
+
+  test("curriculumOrder: quantile buckets, md5 JVM reference, repartition-stable") {
+    val docs = (0L until 8L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val got = Sampling.curriculumOrder(docs, buckets = 2, salt = "s")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    // median of 0..7 = 3.5: scores <= 3.5 -> bucket 0
+    (0L to 3L).foreach(i => assert(got(i)._1 == 0))
+    (4L to 7L).foreach(i => assert(got(i)._1 == 1))
+    // shuffle_key is the portable md5 of "id:salt"
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+      .digest("5:s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(5L)._2 == mdRef)
+    val again = Sampling.curriculumOrder(docs.repartition(5), buckets = 2, salt = "s")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(again == got)
+  }
 }
