@@ -1396,6 +1396,25 @@ object SparkEntry {
     "m_audio_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(
         Multimodal.mediaTable(Tables.documents(s, d)))),
+    "d_shot_detect" -> ((s, d) => {
+      // shot-boundary detection over REALLY-decoded frames: each doc
+      // encodes a 4-frame GIF with grays [g, g+5, 200, 205]
+      // (g = id % 100), so the only luma jumps >= 50 are the start
+      // and frame 2 — two shots per doc. The oracle replays the
+      // lag/threshold window from doc_id arithmetic; the engine's
+      // lumas come from decoded GIF rasters.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .map { id =>
+          val g = (id % 100).toInt
+          Multimodal.MediaRow(id, "video",
+            Multimodal.grayGif(Seq(g, g + 5, 200, 205), 4, 3), 0, 0, 0)
+        }
+      Multimodal.shotBoundaries(
+          Multimodal.frameSampleDecoded(media, step = 1).toDF(),
+          threshold = 50.0)
+        .orderBy("doc_id", "frame_idx")
+    }),
     "m_frame_sample_decoded" -> ((s, d) => {
       // REAL frame extraction round-trip: encode a deterministic
       // 2-frame animated GIF per doc (frame grays g = id % 256 and
@@ -3201,6 +3220,23 @@ object SparkEntry {
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
+    "d_shot_detect" ->
+      // the engine's lumas are decoded pixels; the oracle knows them
+      // from arithmetic (gray g => mean luma exactly g) and replays
+      // the lag/threshold window: boundaries at frame 0 (no
+      // predecessor) and frame 2 (jump 200-(g+5) >= 95 >= 50)
+      """WITH f AS (
+        |  SELECT doc_id, 0 AS i, CAST(doc_id % 100 AS DOUBLE) AS luma FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, CAST(doc_id % 100 + 5 AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, CAST(200 AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, CAST(205 AS DOUBLE) FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, luma,
+        |  (i = 0 OR i = 2) AS is_boundary,
+        |  CAST(CASE WHEN i < 2 THEN 0 ELSE 1 END AS BIGINT) AS shot_id
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m_frame_sample_decoded" ->
       // expected per-frame facts from doc_id alone: frame 0 is gray
       // g = id % 256 (mean luma EXACTLY g — Rec.601 coefficients sum

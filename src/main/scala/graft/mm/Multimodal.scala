@@ -532,6 +532,36 @@ object Multimodal {
                                  n_frames: Long, width: Int, height: Int,
                                  feature: String)
 
+  /** Shot-boundary detection over decoded frames — scene segmentation
+    * for video curation (sample one frame per SHOT instead of one per
+    * time step): a boundary is frame 0 or a mean-luma jump >=
+    * `threshold` against the previous frame, `shot_id` numbers the
+    * segments from 0. The luma-delta rule is the classic cheap cut
+    * detector; a histogram or embedding delta slots into the same
+    * window shape. Frames whose feature is not a decoded-pixel fact
+    * (md5 fallbacks of undecodable payloads) drop — there is no luma
+    * to compare.
+    *
+    * Scale shape: one doc-keyed window exchange over FRAME-shaped
+    * rows — the rasters died inside the decode task
+    * ([[frameSampleDecoded]]); only per-frame facts shuffle.
+    */
+  def shotBoundaries(frames: DataFrame, threshold: Double = 30.0): DataFrame = {
+    require(threshold > 0, s"threshold > 0: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val luma = when(col("feature").startsWith("luma:"),
+      col("feature").substr(lit(6), lit(Int.MaxValue)).cast("double"))
+    frames.withColumn("__luma", luma).filter(col("__luma").isNotNull)
+      .withColumn("__delta", col("__luma") - lag(col("__luma"), 1).over(w))
+      .withColumn("is_boundary",
+        col("__delta").isNull || abs(col("__delta")) >= threshold)
+      .withColumn("shot_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).over(w) - 1)
+      .select(col("doc_id"), col("frame_idx"), col("__luma").as("luma"),
+        col("is_boundary"), col("shot_id"))
+  }
+
   /** REALLY-decoded frame sampling — the execution half of
     * [[frameSampleOffsets]]'s plan, the way [[audioFrameEnergyDecoded]]
     * executes [[audioFrameEnergy]]'s frame math over real PCM: decode

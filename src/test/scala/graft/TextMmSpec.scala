@@ -667,4 +667,35 @@ class TextMmSpec extends SparkSpec {
     // A: 3 distinct grams, B: 3, shared {b c, c d} = 2, jaccard 2/4
     assert(got.toSeq == Seq(("A", "B", 3L, 3L, 2L, 0.5)))
   }
+
+  test("shotBoundaries: luma-delta cuts, shot numbering, fallback frames drop; decoded end-to-end") {
+    val frames = Seq(
+      (1L, 0L, "luma:10.000000"), (1L, 1L, "luma:12.000000"),
+      (1L, 2L, "luma:90.000000"), (1L, 3L, "luma:88.000000"),
+      (1L, 4L, "luma:10.000000"),
+      (2L, 0L, "luma:50.000000"),
+      (3L, 0L, "d41d8cd98f00b204e9800998ecf8427e"), // md5 fallback: drops
+    ).toDF("doc_id", "frame_idx", "feature")
+    val got = Multimodal.shotBoundaries(frames, threshold = 30.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(!got.keySet.exists(_._1 == 3L))
+    assert(got((1L, 0L)) == ((10.0, true, 0L)))
+    assert(got((1L, 1L)) == ((12.0, false, 0L)))
+    assert(got((1L, 2L)) == ((90.0, true, 1L)))   // +78 cut
+    assert(got((1L, 3L)) == ((88.0, false, 1L)))
+    assert(got((1L, 4L)) == ((10.0, true, 2L)))   // -78 cut (abs)
+    assert(got((2L, 0L)) == ((50.0, true, 0L)))
+    // end-to-end over really-decoded GIF rasters
+    val media = Seq(5L, 6L).toDF("doc_id").as[Long].map { id =>
+      Multimodal.MediaRow(id, "video",
+        Multimodal.grayGif(Seq(20, 25, 220), 3, 2), 0, 0, 0)
+    }
+    val e2e = Multimodal.shotBoundaries(
+        Multimodal.frameSampleDecoded(media, step = 1).toDF(), threshold = 50.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    Seq(5L, 6L).foreach { id =>
+      assert(e2e((id, 0L)) == 0L && e2e((id, 1L)) == 0L && e2e((id, 2L)) == 1L)
+    }
+  }
 }
