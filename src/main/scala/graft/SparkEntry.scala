@@ -1396,6 +1396,23 @@ object SparkEntry {
     "m_audio_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(
         Multimodal.mediaTable(Tables.documents(s, d)))),
+    "d_vad_segments" -> ((s, d) => {
+      // voice-activity segmentation over the stub-PCM frame-energy
+      // stream: each doc's payload is text + a 64-sample run of
+      // chr(1) "silence" + text, so at threshold 50 the energy dips
+      // exactly where the silence run lands and the active frames
+      // island into segments. The oracle replays the frame RMS math
+      // AND the gaps-and-islands window arithmetic.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)].map { case (id, t) =>
+          Multimodal.MediaRow(id, "audio",
+            (t + ("\u0001" * 64) + t).getBytes("UTF-8"), 0, 0, 0)
+        }
+      Multimodal.vadSegments(Multimodal.audioFrameEnergy(media),
+          threshold = 50.0)
+        .orderBy("doc_id", "seg_id")
+    }),
     "d_shot_detect" -> ((s, d) => {
       // shot-boundary detection over REALLY-decoded frames: each doc
       // encodes a 4-frame GIF with grays [g, g+5, 200, 205]
@@ -3220,6 +3237,38 @@ object SparkEntry {
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
+    "d_vad_segments" ->
+      // the m_audio_energy frame CTEs over the silence-injected
+      // payload, then the identical gaps-and-islands arithmetic:
+      // island key = frame_id - per-(doc, activity) row number
+      """WITH audio AS (
+        |  SELECT doc_id, text || repeat(chr(1), 64) || text AS pcm FROM documents),
+        |codes AS (
+        |  SELECT doc_id, list_transform(string_split(pcm, ''), c -> ascii(c)) AS cs
+        |  FROM audio),
+        |frames AS (
+        |  SELECT doc_id, CAST(g - 1 AS BIGINT) AS frame_id,
+        |    cs[(g - 1) * 64 + 1 : g * 64] AS f
+        |  FROM codes, UNNEST(range(1, CAST(ceil(len(cs) / 64.0) AS BIGINT) + 1)) t(g)),
+        |rmsf AS (
+        |  SELECT doc_id, frame_id,
+        |    round(sqrt(CAST(list_sum(list_transform(f, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)
+        |      / len(f)), 6) AS rms
+        |  FROM frames),
+        |isl AS (
+        |  SELECT doc_id, frame_id, rms, rms >= 50.0 AS active,
+        |    frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id, rms >= 50.0
+        |      ORDER BY frame_id) AS k
+        |  FROM rmsf),
+        |seg AS (
+        |  SELECT doc_id, min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    round(CAST(sum(CAST(rms AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_rms
+        |  FROM isl WHERE active GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS BIGINT) AS seg_id,
+        |  start_frame, end_frame, n_frames, mean_rms
+        |FROM seg ORDER BY doc_id, seg_id""".stripMargin,
     "d_shot_detect" ->
       // the engine's lumas are decoded pixels; the oracle knows them
       // from arithmetic (gray g => mean luma exactly g) and replays

@@ -457,6 +457,40 @@ object Multimodal {
   final case class AudioFrameRow(doc_id: Long, frame_id: Long,
                                  n_samples: Long, rms: Double)
 
+  /** Voice-activity segmentation over a frame-energy stream
+    * ([[audioFrameEnergy]] / [[audioFrameEnergyDecoded]] output) —
+    * the silence-trimming gate an audio curation pass runs before
+    * transcription: frames with `rms >= threshold` are active,
+    * consecutive active frames group into segments (classic
+    * gaps-and-islands: island key = frame_id − per-(doc, activity)
+    * row number), each segment reports its frame span and 6dp mean
+    * RMS (decimal-summed — deterministic on any partitioning).
+    *
+    * Scale shape: one doc-keyed window + one (doc, island) partial
+    * agg + one doc-keyed numbering window — all over FRAME-shaped
+    * rows; the samples died inside the energy fold.
+    */
+  def vadSegments(frames: DataFrame, threshold: Double = 10.0): DataFrame = {
+    require(threshold > 0, s"threshold > 0: $threshold")
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("__active")).orderBy("frame_id")
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy("start_frame")
+    frames.withColumn("__active", col("rms") >= threshold)
+      .withColumn("__isl", col("frame_id") - row_number().over(wIsl))
+      .filter(col("__active"))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("frame_id").as("start_frame"),
+        max("frame_id").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(sum(col("rms").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_rms"))
+      .select(col("doc_id"),
+        (row_number().over(wSeg) - 1).cast("long").as("seg_id"),
+        col("start_frame"), col("end_frame"), col("n_frames"),
+        col("mean_rms"))
+  }
+
   /** REAL-audio frame energy: [[audioFrameEnergy]]'s frame math over
     * DECODED PCM samples instead of the stub code-point stand-in —
     * the silence/loudness gate as it runs on actual recordings.

@@ -698,4 +698,23 @@ class TextMmSpec extends SparkSpec {
       assert(e2e((id, 0L)) == 0L && e2e((id, 1L)) == 0L && e2e((id, 2L)) == 1L)
     }
   }
+
+  test("vadSegments: active islands, spans + decimal means, silent docs vanish, stable") {
+    val frames = Seq(
+      (1L, 0L, 60.0), (1L, 1L, 70.0), (1L, 2L, 5.0), (1L, 3L, 80.0),
+      (1L, 4L, 90.0), (1L, 5L, 4.0),
+      (2L, 0L, 3.0), (2L, 1L, 2.0),      // all silent: no segments
+      (3L, 0L, 55.0),
+    ).toDF("doc_id", "frame_id", "rms")
+    val got = Multimodal.vadSegments(frames, threshold = 50.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 3)
+    assert(got((1L, 0L)) == ((0L, 1L, 2L, 65.0)))
+    assert(got((1L, 1L)) == ((3L, 4L, 2L, 85.0)))
+    assert(got((3L, 0L)) == ((0L, 0L, 1L, 55.0)))
+    val b = Multimodal.vadSegments(frames.repartition(5), threshold = 50.0)
+      .collect().map(_.toSeq).toSet
+    assert(b == Multimodal.vadSegments(frames, 50.0).collect().map(_.toSeq).toSet)
+  }
 }
