@@ -922,6 +922,38 @@ object SparkEntry {
       graft.ops.Sampling.selectByTokenBudget(docs, budget = 15000L)
         .orderBy(desc("score"), asc("doc_id"))
     }),
+    "d_split_assign" -> ((s, d) =>
+      // portable train/val/test assignment (80/10/10): the split
+      // label is pure md5-bucket arithmetic over the id, so the
+      // oracle recomputes every label from the published spec alone
+      graft.ops.Sampling.splitAssignPortable(
+          Tables.documents(s, d), "doc_id", 0.8, 0.1)
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
+    "d_split_leakage" -> ((s, d) => {
+      // split-leakage audit over SQL-expressible near-dup pairs (the
+      // d_dedup_clusters_sql edge recipe, one mutation level): doc k
+      // pairs its first-3-words-dropped copy (id + 10000) iff exact
+      // 3-gram jaccard >= 0.5; a pair LEAKS when the md5 split
+      // arithmetic lands its endpoints in different splits. Labels
+      // are recomputed from the pair ids — zero corpus joins.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text")))
+      val sh = copies.select(col("doc_id"),
+        graft.functions.Hashes.gram_hashes(col("text"), 3).as("shingles"))
+      val byBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id") % 10000).orderBy(col("doc_id"))
+      val pairs = sh
+        .withColumn("doc_a", lag(col("doc_id"), 1).over(byBase))
+        .withColumn("sh_a", lag(col("shingles"), 1).over(byBase))
+        .filter(col("doc_a").isNotNull &&
+          size(array_intersect(col("sh_a"), col("shingles"))).cast("double") /
+            size(array_union(col("sh_a"), col("shingles"))) >= 0.5)
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+      graft.ops.Sampling.splitLeakage(pairs, 0.8, 0.1)
+        .orderBy("doc_a")
+    }),
     "d_link_components" -> ((s, d) => {
       // disjoint per-source chains: consecutive docs within a source
       // link up (the last doc self-edges so singleton sources still
@@ -2939,6 +2971,43 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
         |SELECT doc_id, score, n_tokens FROM r WHERE cum <= 15000
         |ORDER BY score DESC, doc_id""".stripMargin,
+    "d_split_assign" ->
+      // the same md5 bucket recipe as d_sample_portable against
+      // half-open 80/10/10 ranges
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 800000 THEN 'train'
+        |       WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_split_leakage" ->
+      // pair CTE = the d_dedup_clusters_sql chain recipe at one
+      // mutation level; split labels = the d_split_assign arithmetic
+      // applied to both endpoints; crossing pairs only
+      """WITH copies AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string((string_split(text, ' '))[4:], ' ') FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingles
+        |  FROM copies
+        |), chain AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |), lab AS (
+        |  SELECT doc_a, doc_b,
+        |    CASE WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 800000 THEN 'train'
+        |         WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 900000 THEN 'val'
+        |         ELSE 'test' END AS split_a,
+        |    CASE WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 800000 THEN 'train'
+        |         WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 < 900000 THEN 'val'
+        |         ELSE 'test' END AS split_b
+        |  FROM chain)
+        |SELECT doc_a, doc_b, split_a, split_b FROM lab
+        |WHERE split_a <> split_b ORDER BY doc_a""".stripMargin,
     "d_link_components" ->
       // chains within a source are one component; the representative
       // is the component's lexicographic min node — a plain window

@@ -187,6 +187,56 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic train/validation/test ASSIGNMENT as a column — the
+    * split recorded in dataset metadata (one labeled frame to write,
+    * filter, or audit) rather than three filtered frames ([[split3]]
+    * is the filter form). Portable md5 bucket: the assignment is
+    * recomputable in ANY engine from (salt, id, fractions) alone, so a
+    * published split can be re-derived or audited outside the JVM —
+    * the property an eval-set provenance story actually needs.
+    * Disjoint and exhaustive by construction (half-open bucket
+    * ranges); stable under any partitioning; pure per-row codegen'd
+    * arithmetic — zero shuffle, column-prunable.
+    */
+  def splitAssignPortable(df: DataFrame, idCol: String, trainFrac: Double,
+                          valFrac: Double, salt: String = "split"): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), trainFrac, valFrac, salt))
+
+  /** The split label as a COLUMN over any id expression — the portable
+    * md5 bucket against half-open fraction ranges. Exposed separately
+    * because the assignment is a pure function of the id: consumers
+    * auditing PAIRS of ids ([[splitLeakage]]) label both endpoints
+    * with two scalar expressions instead of joining the corpus twice.
+    */
+  def splitLabel(id: org.apache.spark.sql.Column, trainFrac: Double,
+                 valFrac: Double, salt: String = "split"): org.apache.spark.sql.Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"bad fractions ($trainFrac, $valFrac)")
+    val b = conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val t = (trainFrac * 1000000L).toLong
+    val v = ((trainFrac + valFrac) * 1000000L).toLong
+    when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test"))
+  }
+
+  /** Split-leakage audit — near-dup pairs whose endpoints landed in
+    * DIFFERENT splits (a test doc that is a near-duplicate of a train
+    * doc silently inflates eval scores; this is the check a dataset
+    * release runs before publishing its split). Input is any pair
+    * frame (e.g. `Dedup.minhashNearDups` output); the split label is
+    * recomputed per endpoint from the id arithmetic — ZERO joins
+    * against the corpus, zero shuffles beyond what produced the
+    * pairs, because [[splitAssignPortable]] is a pure function of
+    * the id. Returns only the crossing pairs, labeled.
+    */
+  def splitLeakage(pairs: DataFrame, trainFrac: Double, valFrac: Double,
+                   salt: String = "split", aCol: String = "doc_a",
+                   bCol: String = "doc_b"): DataFrame =
+    pairs
+      .withColumn("split_a", splitLabel(col(aCol), trainFrac, valFrac, salt))
+      .withColumn("split_b", splitLabel(col(bCol), trainFrac, valFrac, salt))
+      .filter(col("split_a") =!= col("split_b"))
+
   /** Curriculum ordering — the deterministic TRAINING ORDER generator
     * (easy-to-hard curricula, quality-ascending schedules): documents
     * bucket by exact score quantiles and shuffle WITHIN each bucket

@@ -61,7 +61,8 @@ object ScaleSoak {
     "d_anchor_text", "d_crawl_gates", "d_harmonic", "d_crawl_frontier",
     "d_crawl_diff", "d_sitemap", "d_fetch_schedule", "d_hits",
     "d_link_components", "d_token_budget", "d_embed_pca",
-    "d_curriculum", "d_shot_detect", "d_vad_segments")
+    "d_curriculum", "d_shot_detect", "d_vad_segments",
+    "d_split_assign", "d_split_leakage")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

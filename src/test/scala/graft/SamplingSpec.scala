@@ -225,6 +225,54 @@ class SamplingSpec extends SparkSpec {
     assert(ids(14, docs.coalesce(1)) == Set(2L, 4L, 1L, 3L))
   }
 
+  test("splitAssignPortable: exhaustive, portable md5 reference, repartition-stable") {
+    val got = Sampling.splitAssignPortable(docs, "doc_id", 0.8, 0.1)
+    val n = docs.count()
+    assert(got.count() == n)
+    val byLabel = got.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel.values.sum == n)
+    // ~80/10/10 at corpus size (hash balance, generous bounds)
+    assert(byLabel("train").toDouble / n > 0.7)
+    assert(byLabel("test").toDouble / n < 0.2)
+    // the label is the published md5-bucket spec — JVM reference
+    def ref(id: Long): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+      val b = (BigInt(dg.map("%02x".format(_)).mkString.substring(0, 15), 16)
+        % 1000000).toLong
+      if (b < 800000) "train" else if (b < 900000) "val" else "test"
+    }
+    val m = got.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    m.take(50).foreach { case (id, s) => assert(s == ref(id), s"doc $id") }
+    // pure function of the id: any partitioning agrees
+    val again = Sampling.splitAssignPortable(docs.repartition(11), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == m)
+  }
+
+  test("splitLeakage: crossing pairs only, labels match assignment, no corpus join") {
+    // find one id per label so the hand-built pairs cover all shapes
+    val labelOf = Sampling.splitAssignPortable(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def pick(l: String) = labelOf.collectFirst { case (id, `l`) => id }.get
+    val (tr, va, te) = (pick("train"), pick("val"), pick("test"))
+    val tr2 = labelOf.collect { case (id, "train") => id }.drop(1).head
+    val pairs = Seq((tr, tr2), (tr, va), (va, te), (te, tr))
+      .toDF("doc_a", "doc_b")
+    val got = Sampling.splitLeakage(pairs, 0.8, 0.1)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getString(3))).toSet
+    assert(rows == Set((tr, va, "train", "val"), (va, te, "val", "test"),
+      (te, tr, "test", "train")))
+    // labels come from arithmetic, not a corpus join
+    assert(!got.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("curriculumOrder: quantile buckets, md5 JVM reference, repartition-stable") {
     val docs = (0L until 8L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
     val got = Sampling.curriculumOrder(docs, buckets = 2, salt = "s")
