@@ -1483,6 +1483,52 @@ object SparkEntry {
       Multimodal.frameSampleDecoded(media, step = 1)
         .toDF().orderBy("doc_id", "frame_idx")
     }),
+    "m_image_dhash" -> ((s, d) => {
+      // perceptual hash over REALLY-decoded images: each doc encodes
+      // a 9x8 per-pixel GIF with g(x,y) = (id*37 + y*9 + x*13) % 256,
+      // so the thumbnail grid-sample is the identity and every dHash
+      // bit is derivable from arithmetic. The engine's bits come from
+      // decoded rasters; the oracle rebuilds the 16-hex string
+      // nibble by nibble.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .map { id =>
+          val grays = for (y <- 0 until 8; x <- 0 until 9)
+            yield ((id * 37 + y * 9 + x * 13) % 256).toInt
+          Multimodal.MediaRow(id, "image",
+            Multimodal.grayPixelGif(grays, 9, 8), 0, 0, 0)
+        }
+      Multimodal.dhash(media).toDF()
+        .select("doc_id", "width", "height", "dhash").orderBy("doc_id")
+    }),
+    "m_image_dedup" -> ((s, d) => {
+      // image near-dup pairs by dHash hamming <= 3: grays are md5-
+      // derived per (doc, pixel) — pseudorandom, so unrelated docs
+      // sit ~32 bits apart and the recovered pairs are exactly the
+      // planted perturbed copies (id + 10000, +101 gray at pixel
+      // (0,4) — flips at most the two comparisons that pixel
+      // touches). Band join + exact XOR-popcount verification; the
+      // oracle rebuilds every gray from the same md5 and replays
+      // banding AND verification.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .flatMap { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def gray(p: Int, pert: Boolean): Int = {
+            val h = md.digest(s"$id:$p".getBytes("UTF-8"))
+            (((h(0) & 0xff) + (if (pert && p == 4) 101 else 0)) % 256)
+          }
+          def grays(pert: Boolean) =
+            (0 until 72).map(gray(_, pert))
+          Seq(
+            Multimodal.MediaRow(id, "image",
+              Multimodal.grayPixelGif(grays(pert = false), 9, 8), 0, 0, 0),
+            Multimodal.MediaRow(id + 10000, "image",
+              Multimodal.grayPixelGif(grays(pert = true), 9, 8), 0, 0, 0))
+        }
+      Multimodal.dhashPairs(Multimodal.dhash(media).toDF(), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_lttb_downsample" -> ((s, d) =>
       // the range-partitioned (no single-partition stage) variant;
       // spec pins it equal to the window-indexed form. Project down to
@@ -3370,6 +3416,69 @@ object SparkEntry {
         |  CAST(3 + doc_id % 3 AS INT) AS height,
         |  'luma:' || CAST(g AS VARCHAR) || '.000000' AS feature
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "m_image_dhash" ->
+      // the 9x8 planted image makes the thumbnail sample the
+      // identity; gray g has luma exactly g, so dHash bit (y*8+x) =
+      // [g(x+1,y) > g(x,y)] from arithmetic alone. MSB-first: nibble
+      // ni = bit//4, in-nibble weight 8/4/2/1
+      """WITH px AS (
+        |  SELECT doc_id, y, x, (doc_id*37 + y*9 + x*13) % 256 AS g
+        |  FROM documents, range(8) t(y), range(9) u(x)
+        |), bits AS (
+        |  SELECT a.doc_id, a.y*8 + a.x AS bi,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |), nib AS (
+        |  SELECT doc_id, bi // 4 AS ni,
+        |    sum(bit * CASE bi % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY doc_id, bi // 4
+        |)
+        |SELECT doc_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY ni) AS dhash
+        |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "m_image_dedup" ->
+      // same bit arithmetic over base + perturbed copies, then the
+      // engine's own pigeonhole scheme: 4 bands of 4 hex chars for
+      // candidates, exact bit-diff count as verification — the
+      // verify step makes the pair set banding-independent
+      """WITH ids AS (
+        |  SELECT doc_id, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 1 FROM documents
+        |), px AS (
+        |  SELECT i.doc_id, y, x,
+        |    (CAST(('0x' || substring(md5(CAST(i.doc_id - 10000*pert AS VARCHAR) || ':' || CAST(y*9 + x AS VARCHAR)), 1, 2)) AS INT) +
+        |     CASE WHEN pert = 1 AND y = 0 AND x = 4 THEN 101 ELSE 0 END) % 256 AS g
+        |  FROM ids i, range(8) t(y), range(9) u(x)
+        |), bits AS (
+        |  SELECT a.doc_id, a.y*8 + a.x AS bi,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |), nib AS (
+        |  SELECT doc_id, bi // 4 AS ni,
+        |    sum(bit * CASE bi % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY doc_id, bi // 4
+        |), hex AS (
+        |  SELECT doc_id,
+        |    string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY ni) AS dhash
+        |  FROM nib GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, b AS band_idx, substring(dhash, CAST(b*4 + 1 AS INT), 4) AS band
+        |  FROM hex, range(4) r(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.bi = ba.bi
+        |  GROUP BY c.doc_a, c.doc_b
+        |)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "m_audio_energy" ->
       // the stub decode surfaces payload bytes as the text's code
       // points; the frame RMS math (exact long sum of squares, IEEE

@@ -562,6 +562,137 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Single-frame GIF with PER-PIXEL grays (row-major, length w*h)
+    * against an explicit 256-gray palette — nothing quantizes, so a
+    * decoder reading any pixel gets the exact planted value. The
+    * per-pixel sibling of [[grayGif]]'s uniform frames; feeds the
+    * perceptual-hash oracles, where the hash bits must be derivable
+    * from (doc_id, x, y) arithmetic alone.
+    */
+  private[graft] def grayPixelGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    require(grays.length == w * h, s"need ${w * h} grays, got ${grays.length}")
+    require(grays.forall(g => g >= 0 && g <= 255), "gray values in [0,255]")
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var i = 0
+    while (i < grays.length) {
+      img.getRaster.setSample(i % w, i / w, 0, grays(i))
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    baos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: grid-sample a
+    * 9x8 luma thumbnail (integer midpoint sampling — sx = floor((2x+1)
+    * w / 18), sy = floor((2y+1)h / 16); deterministic on any JVM, and
+    * the identity map when the input is already 9x8), then one bit per
+    * horizontally adjacent pair: bit (y*8+x), MSB first, is set iff
+    * luma(x+1,y) > luma(x,y). Lumas compare as exact Rec.601 integer
+    * milli-sums — no float anywhere, so the hash is bit-reproducible.
+    * None when no reader claims the bytes (same contract as
+    * [[decodeImage]]).
+    */
+  private[graft] def dhash64(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        def lumaMilli(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+        }
+        val th = Array.tabulate(8, 9) { (y, x) =>
+          lumaMilli(((2 * x + 1).toLong * w / 18).toInt,
+                    ((2 * y + 1).toLong * h / 16).toInt)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (th(y)(x + 1) > th(y)(x)) hash |= 1L << (63 - (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, hash))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class DhashRow(doc_id: Long, width: Int, height: Int,
+                            dhash_i64: Long, dhash: String)
+
+  /** Perceptual hashes for an image corpus — the image-side analogue
+    * of MinHash signatures: one 64-bit dHash per decodable payload
+    * (undecodable payloads drop — same contract as the other decoded
+    * variants), as both the raw i64 (for XOR hamming) and the
+    * zero-padded 16-hex form (for banding, display, and external
+    * audit). Scale shape: the rasters die inside the decode task;
+    * only (id, dims, 8-byte hash) rows ever move.
+    */
+  def dhash(media: Dataset[MediaRow]): Dataset[DhashRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dhash64(r.payload).map { case (w, h, hash) =>
+          DhashRow(r.doc_id, w, h, hash,
+            String.format("%016x", java.lang.Long.valueOf(hash)))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance — the image
+    * dedup candidate generator (resize/re-encode/small-edit copies
+    * land within a few bits of each other): band the 16-hex hash into
+    * `maxHamming + 1` equal slices (pigeonhole: two hashes within
+    * `maxHamming` bits MUST agree on at least one slice — no missed
+    * pairs), self-join per band, then verify the TRUE hamming via
+    * `bit_count(a XOR b)`. Results are exact for the banding scheme:
+    * the verify step makes the pair set independent of HOW candidates
+    * were generated, which is what lets a SQL oracle with the same
+    * pigeonhole argument hash-match. `maxHamming + 1` must divide 16
+    * (hex-char bands), so maxHamming in {0, 1, 3, 7, 15}; 3 is the
+    * usual near-dup radius.
+    *
+    * Scale shape: the MinHash-LSH accounting — one exchange on the
+    * band key (16-byte rows), verified pairs only after the bucket
+    * join; no all-pairs product anywhere.
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nBands = maxHamming + 1
+    require(nBands > 0 && 16 % nBands == 0,
+      s"maxHamming + 1 must divide 16, got $maxHamming")
+    val width = 16 / nBands
+    val bands = (0 until nBands).map(i =>
+      struct(lit(i).as("band_idx"),
+        substring(col("dhash"), i * width + 1, width).as("band")))
+    val melted = hashes
+      .select(col(idCol), col("dhash_i64"), explode(array(bands: _*)).as("b"))
+      .select(col(idCol), col("dhash_i64"),
+        col("b.band_idx").as("band_idx"), col("b.band").as("band"))
+    val a = melted.select(col("band_idx"), col("band"),
+      col(idCol).as("doc_a"), col("dhash_i64").as("h_a"))
+    val b = melted.select(col("band_idx"), col("band"),
+      col(idCol).as("doc_b"), col("dhash_i64").as("h_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+      .withColumn("hamming",
+        expr("bit_count(h_a ^ h_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   final case class VideoFrameRow(doc_id: Long, frame_idx: Long,
                                  n_frames: Long, width: Int, height: Int,
                                  feature: String)

@@ -699,6 +699,59 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("dhash: planted-pattern bits, resize invariance, undecodable drops") {
+    // monotone rows: every adjacent comparison rises -> all 64 bits
+    val allUp = (for (y <- 0 until 8; x <- 0 until 9) yield x * 10)
+    // falling rows -> no bits
+    val allDown = (for (y <- 0 until 8; x <- 0 until 9) yield 80 - x * 10)
+    // rise then fall: bits 0..3 per row -> nibbles f,0 -> "f0" * 8
+    val upDown = (for (y <- 0 until 8; x <- 0 until 9)
+      yield Seq(0, 10, 20, 30, 40, 30, 20, 10, 0)(x))
+    val media = Seq(
+      (1L, Multimodal.grayPixelGif(allUp, 9, 8)),
+      (2L, Multimodal.grayPixelGif(allDown, 9, 8)),
+      (3L, Multimodal.grayPixelGif(upDown, 9, 8)),
+      // 18x16 block-replicated copy of upDown: midpoint sampling must
+      // land inside the blocks -> identical hash to doc 3
+      (4L, Multimodal.grayPixelGif(
+        (for (y <- 0 until 16; x <- 0 until 18)
+          yield Seq(0, 10, 20, 30, 40, 30, 20, 10, 0)(x / 2)), 18, 16)),
+      (5L, "not an image".getBytes("UTF-8")),
+    ).map { case (id, p) => Multimodal.MediaRow(id, "image", p, 0, 0, 0) }
+      .toDS()
+    val got = Multimodal.dhash(media).collect()
+      .map(r => r.doc_id -> ((r.dhash, r.dhash_i64, r.width, r.height))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L)._1 == "ffffffffffffffff" && got(1L)._2 == -1L)
+    assert(got(2L)._1 == "0000000000000000" && got(2L)._2 == 0L)
+    assert(got(3L)._1 == "f0f0f0f0f0f0f0f0")
+    assert(got(4L)._1 == got(3L)._1)
+    assert(got(4L)._3 == 18 && got(4L)._4 == 16)
+    assert(got(1L)._3 == 9 && got(1L)._4 == 8)
+  }
+
+  test("dhashPairs: pigeonhole candidates, exact verify, negative-hash xor") {
+    def row(id: Long, h: Long) =
+      (id, h, String.format("%016x", java.lang.Long.valueOf(h)))
+    val hashes = Seq(
+      row(1L, 0L), row(2L, 1L), row(3L, 7L),
+      row(4L, 0xff00000000000000L), // shares 3 bands with 1; hamming 8: OUT
+      row(5L, 0x123456789abcdef0L), // shares no band: never a candidate
+      row(6L, -1L), row(7L, -2L),   // top-bit-set pair, hamming 1
+    ).toDF("doc_id", "dhash_i64", "dhash")
+    val got = Multimodal.dhashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 2), (6L, 7L, 1)))
+    // banding must divide the 16 hex chars
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashPairs(hashes, maxHamming = 4)
+    }
+    // repartition-stable
+    val again = Multimodal.dhashPairs(hashes.repartition(5), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+  }
+
   test("vadSegments: active islands, spans + decimal means, silent docs vanish, stable") {
     val frames = Seq(
       (1L, 0L, 60.0), (1L, 1L, 70.0), (1L, 2L, 5.0), (1L, 3L, 80.0),
