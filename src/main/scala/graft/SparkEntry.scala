@@ -239,6 +239,20 @@ object SparkEntry {
       Dedup.minhashNearDups(
         docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
     }),
+    "d_dedup_minhash_portable" -> ((s, d) => {
+      // the SAME injected near-dups as d_dedup_minhash_pairs, but
+      // through the portable hash family: md5-mod-2^31 shingle
+      // hashes, (2i+1)h + b_i mod 2^31-1 permutations, decimal band
+      // strings — the oracle recomputes signatures, buckets, AND the
+      // exact-jaccard verification; the whole MinHash+LSH pipeline
+      // sits on the hash path
+      val docs = Tables.documents(s, d)
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, 1000000), ' ')").as("text"))
+      Dedup.minhashNearDupsPortable(
+        docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
+    }),
     "d_dedup_minhash_delta" -> ((s, d) => {
       // incremental ingest: the corpus is the standing index; the new
       // batch is every doc's near-dup copy (first 3 words dropped,
@@ -2302,6 +2316,46 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
         |    ON a.vec_id < b.vec_id) t
         |WHERE cs >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "d_dedup_minhash_portable" ->
+      // the WHOLE MinHash+LSH pipeline recomputed: md5-mod-2^31
+      // shingle hashes, the (2i+1)h + b_i mod 2^31-1 signature
+      // family (every product < 2^38 — exact in BIGINT), decimal
+      // band strings, pigeonhole candidates, exact-jaccard verify
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string((string_split(text, ' '))[4:], ' ') FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |  FROM corpus
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(g,
+        |    s -> CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT) % 2147483648 AS BIGINT))) AS h
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(h, v ->
+        |      ((2*i + 1) * v + (i * 2654435761) % 2147483647) % 2147483647))) AS s
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b, array_to_string(s[b*4 + 1 : b*4 + 4], '-') AS bv
+        |  FROM sig, range(0, 8) r(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |), ver AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    round(CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(ha.h, hb.h))), 6) AS jaccard
+        |  FROM cand c
+        |  JOIN hs ha ON ha.doc_id = c.doc_a
+        |  JOIN hs hb ON hb.doc_id = c.doc_b
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM ver
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_clusters_sql" ->
       """WITH RECURSIVE copies AS (
         |  SELECT doc_id, text FROM documents

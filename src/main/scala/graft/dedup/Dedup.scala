@@ -138,6 +138,62 @@ object Dedup {
       graft.functions.Hashes.minhash_sig(
         expr("transform(shingles, s -> xxhash64(s))"), numPerm))
 
+  /** PORTABLE minhash index rows (id, hs, sig) — every value
+    * recomputable in ANY engine from the published spec alone, the
+    * [[graft.ops.Sampling.deterministicSamplePortable]] property
+    * applied to dedup: shingle hash h = md5 first-15-hex mod 2^31,
+    * permutation i of the family sig(i) = min over shingles of
+    * ((2i+1)·h + (i·2654435761 mod p)) mod p with p = 2^31 − 1 (odd
+    * multipliers, Knuth-constant offsets — a classic universal-ish
+    * family whose every product stays under 2^38, exact in BIGINT in
+    * any engine). Slower than the xxhash64 path (md5 per shingle)
+    * but the SIGNATURES — not just the verified pairs — can be
+    * audited or recomputed outside the JVM, which is what lets the
+    * DuckDB oracle hash-match the whole pipeline bit for bit.
+    */
+  def minhashIndexPortable(docs: DataFrame, k: Int, numPerm: Int,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    shingles(docs, k, textCol)
+      .withColumn("hs", array_distinct(expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483648)")))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${numPerm - 1}), i ->
+           |  array_min(transform(hs, h ->
+           |    ((2*i + 1) * h + (i * 2654435761) % 2147483647) % 2147483647)))""".stripMargin))
+      .select(col(idCol), col("hs"), col("sig"))
+
+  /** [[lshBuckets]] with PORTABLE band keys: the band value is the
+    * '-'-joined decimal signature slice (a string any engine rebuilds
+    * verbatim), not an xxhash64 of it. Same single-posexplode shape.
+    */
+  def lshBucketsPortable(withSig: DataFrame, numPerm: Int, bands: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    val rows = numPerm / bands
+    val bandVals = array((0 until bands).map { b =>
+      concat_ws("-", (0 until rows).map(r =>
+        element_at(col("sig"), b * rows + r + 1).cast("string")): _*)
+    }: _*)
+    withSig.select(col(idCol), posexplode(bandVals).as(Seq("band_id", "band_hash")))
+  }
+
+  /** [[minhashNearDups]] with the portable hash family end to end:
+    * shingle hashes, signatures, band keys, and the exact-Jaccard
+    * verification all recomputable in any SQL engine — the variant a
+    * published dedup recipe ships when its membership decisions must
+    * be re-derivable years later. Same scale accounting as the
+    * xxhash64 path (one band-key exchange, verify-after-bucket).
+    */
+  def minhashNearDupsPortable(docs: DataFrame, k: Int, numPerm: Int,
+                              bands: Int, threshold: Double,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val sh = minhashIndexPortable(docs, k, numPerm, textCol, idCol)
+    val buckets = lshBucketsPortable(sh, numPerm, bands, idCol)
+    val pairs = bucketPairs(buckets, idCol).distinct()
+    verifyJaccard(sh, pairs, threshold, idCol)
+  }
+
   /** LSH banding: split the signature into `bands` bands of
     * `numPerm / bands` rows; each band hashes to a bucket key.
     * Near-duplicates agree on ≥1 band with high probability.

@@ -29,6 +29,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("portable minhash: JVM-reference signatures, pairs recovered, stable") {
+    // signature arithmetic against an independent JVM reference
+    val one = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.minhashIndexPortable(one, 3, 4).collect().head
+    val hsGot = got.getSeq[Long](1).toSet
+    val sigGot = got.getSeq[Long](2)
+    def h(s: String): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(dg.substring(0, 15), 16)) % 2147483648L
+    }
+    val hs = Set("a b c", "b c d", "c d e").map(h)
+    assert(hsGot == hs)
+    val p = 2147483647L
+    val sigRef = (0 until 4).map(i =>
+      hs.map(v => ((2 * i + 1) * v + (i * 2654435761L) % p) % p).min)
+    assert(sigGot == sigRef)
+    // the planted near-dups come back; the unrelated doc never pairs
+    val pairs = Dedup.minhashNearDupsPortable(docs, 2, 32, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    // deterministic on any partitioning
+    val again = Dedup.minhashNearDupsPortable(docs.repartition(5), 2, 32, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
   test("incremental index: batch1 pairs + delta pairs == one-shot pairs") {
     val corpus = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").limit(300)
