@@ -936,6 +936,30 @@ object SparkEntry {
       graft.ops.Sampling.selectByTokenBudget(docs, budget = 15000L)
         .orderBy(desc("score"), asc("doc_id"))
     }),
+    "d_script_detect" -> ((s, d) => {
+      // Unicode script mix: plant per-doc Cyrillic and CJK runs next
+      // to the Latin base text, so every count, fraction, and the
+      // dominance CASE replay in the oracle. The planted chars come
+      // from literal arrays — Spark's chr() is mod-256 ASCII, unlike
+      // DuckDB's codepoint chr(), so the codepoints are baked in as
+      // literals on this side and chr() arithmetic on the oracle side
+      val cyr = (0 until 32).map(i => (0x410 + i).toChar.toString)
+      val cjk = (0 until 64).map(i => (0x4E00 + i).toChar.toString)
+      val docs = Tables.documents(s, d)
+        .withColumn("__c1",
+          element_at(array(cyr.map(lit): _*), (col("doc_id") % 32 + 1).cast("int")))
+        .withColumn("__c2",
+          element_at(array(cjk.map(lit): _*), (col("doc_id") % 64 + 1).cast("int")))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat(__c1, CAST(doc_id % 7 AS INT))"),
+            expr("repeat(__c2, CAST(doc_id % 5 AS INT))")).as("text"))
+      graft.text.TextAnalysis.scriptMix(docs)
+        .select("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_greek",
+          "n_arabic", "n_cjk", "n_digit", "frac_latin", "frac_cyrillic",
+          "frac_cjk", "dominant_script")
+        .orderBy("doc_id")
+    }),
     "d_split_assign" -> ((s, d) =>
       // portable train/val/test assignment (80/10/10): the split
       // label is pure md5-bucket arithmetic over the id, so the
@@ -3071,6 +3095,39 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
         |SELECT doc_id, score, n_tokens FROM r WHERE cum <= 15000
         |ORDER BY score DESC, doc_id""".stripMargin,
+    "d_script_detect" ->
+      // same planted runs via chr(); codepoint-range classes mean
+      // the same thing in RE2 as in Java regex, so counts, 6dp
+      // fractions, and the priority-ordered dominance CASE all
+      // hash-match
+      """WITH t AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    repeat(chr(CAST(1040 + doc_id % 32 AS INT)), CAST(doc_id % 7 AS INT)) ||
+        |    repeat(chr(CAST(19968 + doc_id % 64 AS INT)), CAST(doc_id % 5 AS INT)) AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM t
+        |), m AS (
+        |  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) AS mx FROM c
+        |)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
+        |  round(CAST(n_latin AS DOUBLE) / n_chars, 6) AS frac_latin,
+        |  round(CAST(n_cyrillic AS DOUBLE) / n_chars, 6) AS frac_cyrillic,
+        |  round(CAST(n_cjk AS DOUBLE) / n_chars, 6) AS frac_cjk,
+        |  CASE WHEN mx = 0 THEN 'none'
+        |       WHEN n_latin = mx THEN 'latin'
+        |       WHEN n_cyrillic = mx THEN 'cyrillic'
+        |       WHEN n_greek = mx THEN 'greek'
+        |       WHEN n_arabic = mx THEN 'arabic'
+        |       ELSE 'cjk' END AS dominant_script
+        |FROM m ORDER BY doc_id""".stripMargin,
     "d_split_assign" ->
       // the same md5 bucket recipe as d_sample_portable against
       // half-open 80/10/10 ranges

@@ -39,6 +39,54 @@ object TextAnalysis {
         .otherwise("zh"))
   }
 
+  /** Unicode SCRIPT mix — the writing-system histogram a multilingual
+    * curation pass runs alongside [[langId]] (language says WHAT is
+    * written, script says HOW; mixed-script docs are a spam/encoding
+    * signal, and script routing picks the tokenizer): per-doc counts
+    * and 6dp fractions for latin / cyrillic / greek / arabic / cjk
+    * (han + kana + hangul) / digit over BMP codepoint classes, plus
+    * the dominant LETTER script (digits excluded; ties resolve in the
+    * listed priority order; no letters at all → "none").
+    *
+    * Per-row codegen'd `regexp_count` over explicit codepoint-range
+    * classes — the classes are plain character ranges on purpose:
+    * they mean the same thing in any regex engine, so the whole
+    * histogram sits on the oracle hash path. Zero shuffle,
+    * column-prunable.
+    */
+  def scriptMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) = regexp_count(t, lit(cls)).cast("long")
+    val nLatin = cnt("[A-Za-zÀ-ɏ]")
+    val nCyr = cnt("[Ѐ-ӿ]")
+    val nGreek = cnt("[Ͱ-Ͽ]")
+    val nArabic = cnt("[؀-ۿ]")
+    val nCjk = cnt("[一-鿿぀-ヿ가-힯]")
+    val nDigit = cnt("[0-9]")
+    val m = greatest(nLatin, nCyr, nGreek, nArabic, nCjk)
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_latin", nLatin)
+      .withColumn("n_cyrillic", nCyr)
+      .withColumn("n_greek", nGreek)
+      .withColumn("n_arabic", nArabic)
+      .withColumn("n_cjk", nCjk)
+      .withColumn("n_digit", nDigit)
+      .withColumn("frac_latin",
+        round(col("n_latin").cast("double") / col("n_chars"), 6))
+      .withColumn("frac_cyrillic",
+        round(col("n_cyrillic").cast("double") / col("n_chars"), 6))
+      .withColumn("frac_cjk",
+        round(col("n_cjk").cast("double") / col("n_chars"), 6))
+      .withColumn("dominant_script",
+        when(m === 0, "none")
+          .when(col("n_latin") === m, "latin")
+          .when(col("n_cyrillic") === m, "cyrillic")
+          .when(col("n_greek") === m, "greek")
+          .when(col("n_arabic") === m, "arabic")
+          .otherwise("cjk"))
+  }
+
   /** Length / punctuation / stopword quality features + a composite
     * score in [0, 1].
     */

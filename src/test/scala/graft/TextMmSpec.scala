@@ -699,6 +699,28 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("scriptMix: per-class counts, fractions, priority dominance, none") {
+    val docs = Seq(
+      (1L, "abc 123"),                 // latin 3, digit 3, space uncounted
+      (2L, "пример текста тут"),       // cyrillic only
+      (3L, "日本語テスト한국"),          // han 3 + kana 3 + hangul 2 = cjk 8
+      (4L, "abаб"),          // latin 2 == cyrillic 2: tie -> latin
+      (5L, "12 34"),                   // digits only: no letter script
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.scriptMix(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_latin"),
+          r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_cjk"),
+          r.getAs[Long]("n_digit"), r.getAs[Double]("frac_latin"),
+          r.getAs[String]("dominant_script")))).toMap
+    assert(got(1L) == ((7L, 3L, 0L, 0L, 3L, 0.428571, "latin")))
+    assert(got(2L)._3 == 15L && got(2L)._7 == "cyrillic")
+    assert(got(3L) == ((8L, 0L, 0L, 8L, 0L, 0.0, "cjk")))
+    assert(got(4L)._7 == "latin") // tie resolves by priority order
+    assert(got(5L)._7 == "none")
+    assert(got(5L)._5 == 4L)
+  }
+
   test("dhash: planted-pattern bits, resize invariance, undecodable drops") {
     // monotone rows: every adjacent comparison rises -> all 64 bits
     val allUp = (for (y <- 0 until 8; x <- 0 until 9) yield x * 10)
