@@ -960,6 +960,28 @@ object SparkEntry {
           "frac_cjk", "dominant_script")
         .orderBy("doc_id")
     }),
+    "d_unicode_normalize" -> ((s, d) => {
+      // NFC normalization through the codegen'd kernel: docs not
+      // divisible by 3 get a decomposed base+combining-mark pair
+      // appended (à é ô ñ in decomposed form, chosen by id%4 — baked
+      // as literals, see d_script_detect on Spark's chr()); the
+      // oracle replays with DuckDB's nfc_normalize, putting the
+      // normalized TEXT, both lengths, and the changed flag on the
+      // hash path. UAX#15 NFC is engine-independent by spec.
+      val tail = (0 until 4).map(i => "aeon".charAt(i).toString + (768 + i).toChar)
+      val docs = Tables.documents(s, d)
+        .withColumn("__t",
+          element_at(array(tail.map(lit): _*), (col("doc_id") % 4 + 1).cast("int")))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" x"), col("__t"))).as("text"))
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("raw_len"),
+          graft.functions.Unicode.nfc(col("text")).as("text_nfc"))
+        .withColumn("nfc_len", length(col("text_nfc")).cast("long"))
+        .withColumn("changed", col("nfc_len") =!= col("raw_len"))
+        .orderBy("doc_id")
+    }),
     "d_split_assign" -> ((s, d) =>
       // portable train/val/test assignment (80/10/10): the split
       // label is pure md5-bucket arithmetic over the id, so the
@@ -3128,6 +3150,21 @@ object SparkEntry {
         |       WHEN n_arabic = mx THEN 'arabic'
         |       ELSE 'cjk' END AS dominant_script
         |FROM m ORDER BY doc_id""".stripMargin,
+    "d_unicode_normalize" ->
+      // same planted decomposed pairs via chr() arithmetic; both
+      // engines implement UAX#15 NFC (utf8proc vs java.text), so the
+      // normalized text hash-matches byte for byte
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+        |    ELSE text || ' x' ||
+        |         substring('aeon', CAST(doc_id % 4 AS INT) + 1, 1) ||
+        |         chr(CAST(768 + doc_id % 4 AS INT)) END AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+        |  nfc_normalize(text) AS text_nfc,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len,
+        |  length(nfc_normalize(text)) <> length(text) AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "d_split_assign" ->
       // the same md5 bucket recipe as d_sample_portable against
       // half-open 80/10/10 ranges

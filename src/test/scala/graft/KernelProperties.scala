@@ -37,6 +37,20 @@ object KernelProperties extends Properties("graft.kernels") {
       h2 == h * 1000003L + (c.toByte & 0xff)
     }
 
+  property("nfc kernel: idempotent, identity on ASCII, matches java.text reference") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar,
+      Gen.oneOf('e', 'a', 'o', 'n'),
+      Gen.oneOf('̀', '́', '̂', '̃'),
+      Gen.oneOf('é', 'à', '中')))) { chars =>
+      val s = chars.mkString
+      val got = graft.functions.UnicodeKernels.nfc(UTF8String.fromString(s)).toString
+      val ref = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val again = graft.functions.UnicodeKernels.nfc(UTF8String.fromString(got)).toString
+      got == ref && again == got &&
+        (!s.forall(_ < 128) || got == s)
+    }
+
   property("simhash64: permutation-invariant over token multisets") =
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr)) { tokens =>
       def sig(ts: Seq[String]): Long = HashKernels.simhash64(

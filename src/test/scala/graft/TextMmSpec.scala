@@ -699,6 +699,23 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("unicode nfc/nfkc columns: composition, compatibility folding, ascii identity") {
+    val docs = Seq(
+      (1L, "cafe\u0301"),       // decomposed acute -> cafe with U+00E9
+      (2L, "plain ascii"),
+      (3L, "\uFF11\uFF12ab"),   // fullwidth digits: NFKC folds, NFC keeps
+      (4L, "n\u0303o"),          // decomposed tilde -> U+00F1 o
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.Unicode.nfc(col("text")).as("nfc"),
+        graft.functions.Unicode.nfkc(col("text")).as("nfkc"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == (("caf\u00e9", "caf\u00e9")))
+    assert(got(2L) == (("plain ascii", "plain ascii")))
+    assert(got(3L)._1 == "\uFF11\uFF12ab" && got(3L)._2 == "12ab")
+    assert(got(4L)._1 == "\u00f1o")
+  }
+
   test("scriptMix: per-class counts, fractions, priority dominance, none") {
     val docs = Seq(
       (1L, "abc 123"),                 // latin 3, digit 3, space uncounted
