@@ -1488,6 +1488,19 @@ object SparkEntry {
     "m_audio_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(
         Multimodal.mediaTable(Tables.documents(s, d)))),
+    "d_audio_clipping" -> ((s, d) => {
+      // clipping stats over stub PCM: each doc's payload plants a
+      // run of code-point-254 "pinned" samples (length id % 9)
+      // between two copies of the text, so peak, clip count, and
+      // the fold-based RMS all replay from ascii() arithmetic
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)].map { case (id, t) =>
+          Multimodal.MediaRow(id, "audio",
+            (t + ("þ" * (id % 9).toInt) + t).getBytes("UTF-8"), 0, 0, 0)
+        }
+      Multimodal.audioClipping(media, clipLevel = 250).orderBy("doc_id")
+    }),
     "d_vad_segments" -> ((s, d) => {
       // voice-activity segmentation over the stub-PCM frame-energy
       // stream: each doc's payload is text + a 64-sample run of
@@ -3500,6 +3513,23 @@ object SparkEntry {
       """SELECT doc_id, CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms,
         |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2 ORDER BY doc_id""".stripMargin,
+    "d_audio_clipping" ->
+      // chr(254) = 'þ' round-trips UTF-8 as ONE code point, so the
+      // stub sample stream is text ++ pinned-run ++ text in both
+      // engines; peak/clip/RMS replay over ascii() lists
+      """WITH audio AS (
+        |  SELECT doc_id,
+        |    text || repeat(chr(254), CAST(doc_id % 9 AS INT)) || text AS t
+        |  FROM documents),
+        |codes AS (
+        |  SELECT doc_id, list_transform(string_split(t, ''), c -> ascii(c)) AS cs
+        |  FROM audio)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_samples,
+        |  CAST(list_max(cs) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(cs, x -> CASE WHEN x >= 250 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped,
+        |  round(CAST(list_sum(list_transform(cs, x -> CASE WHEN x >= 250 THEN 1 ELSE 0 END)) AS DOUBLE) / len(cs), 6) AS clip_frac,
+        |  round(sqrt(CAST(list_sum(list_transform(cs, x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(cs)), 6) AS rms
+        |FROM codes ORDER BY doc_id""".stripMargin,
     "d_vad_segments" ->
       // the m_audio_energy frame CTEs over the silence-injected
       // payload, then the identical gaps-and-islands arithmetic:

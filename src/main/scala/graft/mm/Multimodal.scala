@@ -453,6 +453,75 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Clipping / loudness statistics over the stub-PCM convention
+    * ([[audioFrameEnergy]]'s code-point samples): per doc, sample
+    * count, peak amplitude, count and 6dp fraction of samples at or
+    * above `clipLevel`, and overall RMS. Clipping (samples pinned at
+    * full scale) is the cheap recording-damage gate an audio curation
+    * pass runs before spending transcription compute; loudness feeds
+    * normalization. One codegen'd fold per payload — sample arrays
+    * never explode to rows, zero shuffle.
+    */
+  def audioClipping(media: Dataset[MediaRow], clipLevel: Int = 250): DataFrame = {
+    require(clipLevel > 0, s"clipLevel > 0: $clipLevel")
+    media.toDF()
+      .filter(col("media_type") === "audio")
+      .filter(length(col("payload")) > 0)
+      .withColumn("__cs",
+        expr("transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"))
+      .select(col("doc_id"),
+        size(col("__cs")).cast("long").as("n_samples"),
+        expr("CAST(array_max(__cs) AS BIGINT)").as("peak"),
+        expr(s"aggregate(__cs, 0L, (a, x) -> a + IF(x >= $clipLevel, 1L, 0L))")
+          .as("n_clipped"),
+        expr("aggregate(__cs, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
+          .as("__sumsq"))
+      .withColumn("clip_frac",
+        round(col("n_clipped").cast("double") / col("n_samples"), 6))
+      .withColumn("rms",
+        round(sqrt(col("__sumsq").cast("double") / col("n_samples")), 6))
+      .select("doc_id", "n_samples", "peak", "n_clipped", "clip_frac", "rms")
+  }
+
+  /** One clipping-stats row of a really-decoded audio payload. */
+  final case class AudioClipRow(doc_id: Long, n_samples: Long, peak: Long,
+                                n_clipped: Long, clip_frac: Double, rms: Double)
+
+  /** [[audioClipping]] over DECODED integer PCM (WAV/AIFF/AU):
+    * centered samples, clipping at `clipFrac` of full scale
+    * (|s| >= clipFrac·FS — both rails count), RMS normalized to
+    * [0, 1] full scale. Undecodable payloads drop — the
+    * [[audioFrameEnergyDecoded]] contract.
+    */
+  def audioClippingDecoded(media: Dataset[MediaRow],
+                           clipFrac: Double = 0.99): Dataset[AudioClipRow] = {
+    require(clipFrac > 0 && clipFrac <= 1, s"clipFrac in (0,1]: $clipFrac")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "audio").flatMap { r =>
+        pcmSamples(r.payload).map { p =>
+          val clipAt = clipFrac * p.fullScale
+          var sumSq = 0L; var peak = 0L; var clipped = 0L
+          var j = 0
+          while (j < p.samples.length) {
+            val s = p.samples(j); val a = math.abs(s)
+            sumSq += s * s
+            if (a > peak) peak = a
+            if (a >= clipAt) clipped += 1
+            j += 1
+          }
+          val n = p.samples.length
+          def r6(d: Double) = BigDecimal(d)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          AudioClipRow(r.doc_id, n.toLong, peak, clipped,
+            if (n == 0) 0.0 else r6(clipped.toDouble / n),
+            if (n == 0) 0.0 else r6(math.sqrt(sumSq.toDouble / n) / p.fullScale))
+        }
+      }
+    }
+  }
+
   /** One frame-energy row of a really-decoded audio payload. */
   final case class AudioFrameRow(doc_id: Long, frame_id: Long,
                                  n_samples: Long, rms: Double)

@@ -591,6 +591,49 @@ class TextMmSpec extends SparkSpec {
     assert(got(1).n_samples == 2 && got(1).rms == 0.5)
   }
 
+  test("audioClipping: stub peak/clip/rms fold; decoded rails, normalized stats") {
+    // stub path: "ab" = codes 97,98 plus two pinned 254s
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "abþþ".getBytes("UTF-8"), 0, 0, 0),
+      Multimodal.MediaRow(2L, "audio", "ab".getBytes("UTF-8"), 0, 0, 0),
+      Multimodal.MediaRow(3L, "video", "ignored".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val got = Multimodal.audioClipping(media, clipLevel = 250).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(!got.contains(3L))
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 254L, 2L, 0.5,
+      r6(math.sqrt((97.0 * 97 + 98 * 98 + 2 * 254 * 254) / 4)))))
+    assert(got(2L) == ((2L, 98L, 0L, 0.0,
+      r6(math.sqrt((97.0 * 97 + 98 * 98) / 2)))))
+    // decoded path: 16-bit PCM with both rails pinned
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array[Short](32767, -32768, 16384, 0)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val dm = Seq(
+      Multimodal.MediaRow(5L, "audio", baos.toByteArray, 0, 0, 0),
+      Multimodal.MediaRow(6L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val dec = Multimodal.audioClippingDecoded(dm, clipFrac = 0.99).collect()
+    assert(dec.map(_.doc_id).toSet == Set(5L))
+    val r = dec.head
+    // rails 32767 and -32768 both clip at 0.99 FS (32768·0.99 = 32440.3)
+    assert(r.n_samples == 4L && r.peak == 32768L && r.n_clipped == 2L)
+    assert(r.clip_frac == 0.5)
+    val fs = 32768.0
+    assert(r.rms == r6(math.sqrt(
+      (32767.0 * 32767 + 32768.0 * 32768 + 16384.0 * 16384) / 4) / fs))
+  }
+
   test("real image resample: exact nearest-neighbor pixels, box-fit dims, undecodable dropped") {
     // 4x2 source with distinct per-pixel colors
     val img = new java.awt.image.BufferedImage(4, 2,
