@@ -1602,6 +1602,56 @@ object SparkEntry {
       Multimodal.dhashPairs(Multimodal.dhash(media).toDF(), maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+    "m_image_dedup_delta" -> ((s, d) => {
+      // incremental image ingest: the base corpus is a standing
+      // dhash INDEX (hashed once, payloads never re-decoded); the
+      // batch is every image's perturbed copy. With md5-pseudorandom
+      // grays the one-shot pair set is exactly the cross pairs
+      // (base×base and batch×batch find nothing), so the delta
+      // result hash-matches the same oracle as m_image_dedup.
+      import s.implicits._
+      def media(pert: Boolean) = Tables.documents(s, d).select("doc_id").as[Long]
+        .map { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def gray(p: Int): Int = {
+            val h = md.digest(s"$id:$p".getBytes("UTF-8"))
+            (((h(0) & 0xff) + (if (pert && p == 4) 101 else 0)) % 256)
+          }
+          Multimodal.MediaRow(id + (if (pert) 10000 else 0), "image",
+            Multimodal.grayPixelGif((0 until 72).map(gray), 9, 8), 0, 0, 0)
+        }
+      val index = Multimodal.dhash(media(pert = false)).toDF()
+      Multimodal.dhashPairsDelta(index,
+          Multimodal.dhash(media(pert = true)).toDF(), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "m_video_dedup" -> ((s, d) => {
+      // video near-dup by frame-hash sets: each doc is a 4-frame
+      // per-pixel GIF (md5 grays keyed by (id, frame, pixel)); its
+      // re-edit copy (id + 10000) keeps frames 2-3 and swaps in two
+      // fresh frames — shared 2 of union 6, jaccard 0.333333. The
+      // engine must decode every frame, hash the rasters, bucket on
+      // the 8-byte hashes, and verify exact set jaccard; the oracle
+      // predicts the whole output from the planted structure.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .flatMap { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def frame(key: String): Seq[Int] = (0 until 72).map { p =>
+            md.digest(s"$key:$p".getBytes("UTF-8"))(0) & 0xff
+          }
+          val base = (0 until 4).map(f => frame(s"$id:$f"))
+          val mut = Seq(base(2), base(3),
+            frame(s"${id + 10000}:2"), frame(s"${id + 10000}:3"))
+          Seq(
+            Multimodal.MediaRow(id, "video",
+              Multimodal.grayPixelGifFrames(base, 9, 8), 0, 0, 0),
+            Multimodal.MediaRow(id + 10000, "video",
+              Multimodal.grayPixelGifFrames(mut, 9, 8), 0, 0, 0))
+        }
+      Multimodal.videoNearDups(media, threshold = 0.3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_lttb_downsample" -> ((s, d) =>
       // the range-partitioned (no single-partition stage) variant;
       // spec pins it equal to the window-indexed form. Project down to
@@ -3657,6 +3707,57 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "m_image_dedup_delta" ->
+      // the delta pair set == the one-shot set here (md5 grays: only
+      // cross pairs survive), so the m_image_dedup oracle applies
+      // verbatim
+      """WITH ids AS (
+        |  SELECT doc_id, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 1 FROM documents
+        |), px AS (
+        |  SELECT i.doc_id, y, x,
+        |    (CAST(('0x' || substring(md5(CAST(i.doc_id - 10000*pert AS VARCHAR) || ':' || CAST(y*9 + x AS VARCHAR)), 1, 2)) AS INT) +
+        |     CASE WHEN pert = 1 AND y = 0 AND x = 4 THEN 101 ELSE 0 END) % 256 AS g
+        |  FROM ids i, range(8) t(y), range(9) u(x)
+        |), bits AS (
+        |  SELECT a.doc_id, a.y*8 + a.x AS bi,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |), nib AS (
+        |  SELECT doc_id, bi // 4 AS ni,
+        |    sum(bit * CASE bi % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY doc_id, bi // 4
+        |), hex AS (
+        |  SELECT doc_id,
+        |    string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY ni) AS dhash
+        |  FROM nib GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, b AS band_idx, substring(dhash, CAST(b*4 + 1 AS INT), 4) AS band
+        |  FROM hex, range(4) r(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.bi = ba.bi
+        |  GROUP BY c.doc_a, c.doc_b
+        |)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "m_video_dedup" ->
+      // frame sets are md5-pseudorandom except the two planted
+      // shared frames per (doc, copy) pair: shared 2, union 6 —
+      // the whole decoded/hashed/bucketed/verified output collapses
+      // to planted-structure arithmetic
+      """SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b,
+        |  CAST(2 AS BIGINT) AS n_shared,
+        |  round(2.0 / 6, 6) AS jaccard
+        |FROM documents ORDER BY doc_a""".stripMargin,
     "m_audio_energy" ->
       // the stub decode surfaces payload bytes as the text's code
       // points; the frame RMS math (exact long sum of squares, IEEE

@@ -638,7 +638,7 @@ object Multimodal {
     * perceptual-hash oracles, where the hash bits must be derivable
     * from (doc_id, x, y) arithmetic alone.
     */
-  private[graft] def grayPixelGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+  private def grayPixelImage(grays: Seq[Int], w: Int, h: Int): java.awt.image.BufferedImage = {
     require(grays.length == w * h, s"need ${w * h} grays, got ${grays.length}")
     require(grays.forall(g => g >= 0 && g <= 255), "gray values in [0,255]")
     val ramp = Array.tabulate(256)(_.toByte)
@@ -650,8 +650,34 @@ object Multimodal {
       img.getRaster.setSample(i % w, i / w, 0, grays(i))
       i += 1
     }
+    img
+  }
+
+  private[graft] def grayPixelGif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "gif", baos)
+    javax.imageio.ImageIO.write(grayPixelImage(grays, w, h), "gif", baos)
+    baos.toByteArray
+  }
+
+  /** Multi-frame sibling of [[grayPixelGif]]: an animated GIF whose
+    * every frame carries exact per-pixel grays — feeds the
+    * frame-hash oracles ([[videoNearDups]]).
+    */
+  private[graft] def grayPixelGifFrames(frames: Seq[Seq[Int]], w: Int,
+                                        h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { g =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(grayPixelImage(g, w, h), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     baos.toByteArray
   }
 
@@ -665,34 +691,65 @@ object Multimodal {
     * None when no reader claims the bytes (same contract as
     * [[decodeImage]]).
     */
+  /** The 64-bit dHash of one decoded raster — shared by the
+    * single-image and per-frame paths.
+    */
+  private def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def lumaMilli(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+    }
+    val th = Array.tabulate(8, 9) { (y, x) =>
+      lumaMilli(((2 * x + 1).toLong * w / 18).toInt,
+                ((2 * y + 1).toLong * h / 16).toInt)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (th(y)(x + 1) > th(y)(x)) hash |= 1L << (63 - (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   private[graft] def dhash64(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some((img.getWidth, img.getHeight, dhashOf(img)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame dHashes of a multi-frame payload — [[decodeFrames]]'s
+    * walk with [[dhashOf]] instead of luma facts; only sampled frames
+    * decode. None when no reader claims the bytes.
+    */
+  private[graft] def dhashFrames(payload: Array[Byte],
+                                 step: Int): Option[Seq[(Int, Long)]] = {
+    require(step >= 1, s"step >= 1: $step")
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        def lumaMilli(x: Int, y: Int): Long = {
-          val rgb = img.getRGB(x, y)
-          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-            114L * (rgb & 0xff)
-        }
-        val th = Array.tabulate(8, 9) { (y, x) =>
-          lumaMilli(((2 * x + 1).toLong * w / 18).toInt,
-                    ((2 * y + 1).toLong * h / 16).toInt)
-        }
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (th(y)(x + 1) > th(y)(x)) hash |= 1L << (63 - (y * 8 + x))
-            x += 1
-          }
-          y += 1
-        }
-        Some((w, h, hash))
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n by step).map(i => (i, dhashOf(reader.read(i)))))
+        } finally reader.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
 
   final case class DhashRow(doc_id: Long, width: Int, height: Int,
                             dhash_i64: Long, dhash: String)
@@ -735,20 +792,31 @@ object Multimodal {
     * band key (16-byte rows), verified pairs only after the bucket
     * join; no all-pairs product anywhere.
     */
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
-                 idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.functions._
+  private def bandWidth(maxHamming: Int): Int = {
     val nBands = maxHamming + 1
     require(nBands > 0 && 16 % nBands == 0,
       s"maxHamming + 1 must divide 16, got $maxHamming")
-    val width = 16 / nBands
-    val bands = (0 until nBands).map(i =>
+    16 / nBands
+  }
+
+  /** One (id, h, band_idx, band) row per hash per band slice. */
+  private def meltBands(hashes: DataFrame, idCol: String,
+                        maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val width = bandWidth(maxHamming)
+    val bands = (0 until maxHamming + 1).map(i =>
       struct(lit(i).as("band_idx"),
         substring(col("dhash"), i * width + 1, width).as("band")))
-    val melted = hashes
+    hashes
       .select(col(idCol), col("dhash_i64"), explode(array(bands: _*)).as("b"))
       .select(col(idCol), col("dhash_i64"),
         col("b.band_idx").as("band_idx"), col("b.band").as("band"))
+  }
+
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val melted = meltBands(hashes, idCol, maxHamming)
     val a = melted.select(col("band_idx"), col("band"),
       col(idCol).as("doc_a"), col("dhash_i64").as("h_a"))
     val b = melted.select(col("band_idx"), col("band"),
@@ -760,6 +828,108 @@ object Multimodal {
         expr("bit_count(h_a ^ h_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Incremental image near-dup ingest — the sync engine's
+    * fetch-only-the-delta philosophy applied to image dedup (the
+    * [[graft.dedup.Dedup.minhashNearDupsDelta]] shape): the standing
+    * corpus is a persisted [[dhash]] index ((id, dims, i64, hex)
+    * rows — 8 bytes of hash per image, no payloads); a new batch is
+    * hashed once, and pairs = batch × index ∪ batch × batch. Index
+    * payloads are never re-read or re-decoded; the batch's bands
+    * BROADCAST against the index's (the batch is the small side), so
+    * the index never shuffles. Same pigeonhole + exact-XOR-verify
+    * contract as [[dhashPairs]] — the union of delta results over
+    * any ingest order equals the one-shot pair set.
+    */
+  def dhashPairsDelta(index: DataFrame, newHashes: DataFrame,
+                      maxHamming: Int = 3,
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val newBands = meltBands(newHashes, idCol, maxHamming)
+      .select(col("band_idx"), col("band"),
+        col(idCol).as("__new_id"), col("dhash_i64").as("__new_h"))
+    val cross = meltBands(index, idCol, maxHamming)
+      .join(broadcast(newBands), Seq("band_idx", "band"))
+      .filter(col(idCol) =!= col("__new_id"))
+      .select(least(col(idCol), col("__new_id")).as("doc_a"),
+        greatest(col(idCol), col("__new_id")).as("doc_b"),
+        when(col(idCol) < col("__new_id"), col("dhash_i64"))
+          .otherwise(col("__new_h")).as("h_a"),
+        when(col(idCol) < col("__new_id"), col("__new_h"))
+          .otherwise(col("dhash_i64")).as("h_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    cross.unionByName(dhashPairs(newHashes, maxHamming, idCol)).distinct()
+  }
+
+  final case class FrameHashRow(doc_id: Long, frame_idx: Long, fhash: Long)
+
+  /** Per-frame dHash rows for a video corpus — the frame-level
+    * fingerprints behind [[videoNearDups]]. Only every `step`-th
+    * frame decodes; undecodable payloads drop. Rasters die inside
+    * the decode task — (id, idx, 8-byte hash) rows are all that move.
+    */
+  def frameHashes(media: Dataset[MediaRow], step: Int = 1): Dataset[FrameHashRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dhashFrames(r.payload, step).toSeq.flatMap(_.map { case (i, h) =>
+          FrameHashRow(r.doc_id, i.toLong, h)
+        })
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs by FRAME-HASH SET overlap — the
+    * re-upload / re-edit detector (trimmed intros, appended outros,
+    * re-encodes: the surviving frames hash identically, so overlap
+    * over per-doc frame-hash SETS is the cheap video dedup signal):
+    * candidates = docs sharing at least one frame hash (equi-join on
+    * the 8-byte hash — never rasters), verified by exact set jaccard
+    * >= `threshold`, reported with the shared count. A doc whose
+    * every frame is unique pairs with nothing and never leaves its
+    * bucket.
+    *
+    * Scale shape: the MinHash-LSH accounting again — one exchange on
+    * the frame hash, per-bucket combination generation, verify joins
+    * bounded by candidates. A frame shared by MANY docs (a standard
+    * intro card) makes a hot bucket — that is a parameter problem
+    * (drop top-frequency frame hashes like stopwords) surfaced by
+    * the soak profile, not a plan problem.
+    */
+  def videoNearDups(media: Dataset[MediaRow], threshold: Double,
+                    step: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sets = frameHashes(media, step).toDF()
+      .groupBy("doc_id").agg(collect_set(col("fhash")).as("hs"))
+    val buckets = sets.select(col("doc_id"), explode(col("hs")).as("k"))
+    val pairs = buckets.groupBy("k")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
+    val melted = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    sets.join(melted, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col("doc_id") === col("doc_a"), col("hs"))).as("hs_a"),
+           max(when(col("doc_id") === col("doc_b"), col("hs"))).as("hs_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        size(array_union(col("hs_a"), col("hs_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
   }
 
   final case class VideoFrameRow(doc_id: Long, frame_idx: Long,

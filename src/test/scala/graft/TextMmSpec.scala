@@ -834,6 +834,55 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dhashPairsDelta: cross + in-batch pairs, index never re-hashed, equals one-shot") {
+    def row(id: Long, h: Long) =
+      (id, h, String.format("%016x", java.lang.Long.valueOf(h)))
+    val index = Seq(row(1L, 0L), row(2L, 0x7000000000000000L)).toDF(
+      "doc_id", "dhash_i64", "dhash")
+    val batch = Seq(row(10L, 1L), row(11L, 3L), row(12L, 0x7000000000000001L))
+      .toDF("doc_id", "dhash_i64", "dhash")
+    val got = Multimodal.dhashPairsDelta(index, batch, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cross: 1-10 (h=1), 1-11 (h=2), 2-12 (h=1); in-batch: 10-11 (h=1)
+    // and 10-12 (xor 0x7000000000000000 = exactly 3 bits); 11-12 is
+    // 4 bits out
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1),
+      (10L, 11L, 1), (10L, 12L, 3)))
+    // delta == one-shot restricted to pairs touching the batch
+    val oneShot = Multimodal.dhashPairs(index.unionByName(batch), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val touching = oneShot.filter { case (a, b, _) => a >= 10L || b >= 10L }
+    assert(got == touching)
+  }
+
+  test("videoNearDups: frame-hash set jaccard over really-decoded frames") {
+    // doc 1: frames A B C; doc 2: frames B C D (jaccard 2/4); doc 3 disjoint
+    def f(seed: Int): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 72).map(p => md.digest(s"$seed:$p".getBytes("UTF-8"))(0) & 0xff)
+    }
+    val (a, b, c, dd, e) = (f(1), f(2), f(3), f(4), f(5))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", Multimodal.grayPixelGifFrames(Seq(a, b, c), 9, 8), 0, 0, 0),
+      Multimodal.MediaRow(2L, "video", Multimodal.grayPixelGifFrames(Seq(b, c, dd), 9, 8), 0, 0, 0),
+      Multimodal.MediaRow(3L, "video", Multimodal.grayPixelGifFrames(Seq(e), 9, 8), 0, 0, 0),
+      Multimodal.MediaRow(4L, "video", "not a gif".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val got = Multimodal.videoNearDups(media, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 0.5)))
+    // below threshold: same pair vanishes at 0.6
+    assert(Multimodal.videoNearDups(media, threshold = 0.6).count() == 0)
+    // frameHashes: only decodable payloads, one row per frame
+    val fh = Multimodal.frameHashes(media).collect()
+    assert(fh.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+    assert(fh.count(_.doc_id == 1L) == 3 && fh.count(_.doc_id == 3L) == 1)
+    // identical planted frames hash identically across docs
+    val h1 = fh.filter(_.doc_id == 1L).sortBy(_.frame_idx).map(_.fhash)
+    val h2 = fh.filter(_.doc_id == 2L).sortBy(_.frame_idx).map(_.fhash)
+    assert(h1(1) == h2(0) && h1(2) == h2(1))
+  }
+
   test("vadSegments: active islands, spans + decimal means, silent docs vanish, stable") {
     val frames = Seq(
       (1L, 0L, 60.0), (1L, 1L, 70.0), (1L, 2L, 5.0), (1L, 3L, 80.0),
