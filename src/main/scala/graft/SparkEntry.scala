@@ -960,6 +960,26 @@ object SparkEntry {
           "frac_cjk", "dominant_script")
         .orderBy("doc_id")
     }),
+    "d_sentences" -> ((s, d) => {
+      // sentence segmentation: terminal punctuation planted at every
+      // 7th word ('.') and 17th word ('!', which wins on overlap) by
+      // an INDEXED transform both engines express; the lookbehind-
+      // free sentence regex then replays in RE2
+      val withPunct = Tables.documents(s, d).select(col("doc_id"), expr(
+        """array_join(transform(split(text, ' '), (w, i) ->
+          |  CASE WHEN (i + 1) % 17 = 0 THEN concat(w, '!')
+          |       WHEN (i + 1) % 7 = 0 THEN concat(w, '.')
+          |       ELSE w END), ' ')""".stripMargin).as("text"))
+      graft.text.TextAnalysis.sentences(withPunct)
+        .orderBy("doc_id", "sent_id")
+    }),
+    "d_embed_truncate" -> ((s, d) =>
+      // Matryoshka truncation norm accounting: prefix norm, full
+      // norm, retained fraction — pure array arithmetic, replayed
+      // over DOUBLE-cast lists like the cosine oracles
+      graft.sim.Similarity.truncateDims(Tables.embeddings(s, d), 16)
+        .select("vec_id", "norm_full", "norm_trunc", "frac_norm")
+        .orderBy("vec_id")),
     "d_unicode_normalize" -> ((s, d) => {
       // NFC normalization through the codegen'd kernel: docs not
       // divisible by 3 get a decomposed base+combining-mark pair
@@ -3213,6 +3233,30 @@ object SparkEntry {
         |       WHEN n_arabic = mx THEN 'arabic'
         |       ELSE 'cjk' END AS dominant_script
         |FROM m ORDER BY doc_id""".stripMargin,
+    "d_sentences" ->
+      // indexed-lambda punctuation planting (DuckDB i is 1-based ==
+      // Spark's i+1), then the same lookbehind-free extraction
+      """WITH t AS (
+        |  SELECT doc_id, array_to_string(list_transform(string_split(text, ' '), (w, i) ->
+        |    CASE WHEN i % 17 = 0 THEN w || '!'
+        |         WHEN i % 7 = 0 THEN w || '.'
+        |         ELSE w END), ' ') AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS l
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_id, l[i] AS sentence,
+        |  CAST(len(string_split(l[i], ' ')) AS BIGINT) AS n_words
+        |FROM s, UNNEST(range(1, len(l) + 1)) u(i)
+        |ORDER BY doc_id, sent_id""".stripMargin,
+    "d_embed_truncate" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(v, v)), 6) AS norm_full,
+        |  round(sqrt(list_dot_product(v[1:16], v[1:16])), 6) AS norm_trunc,
+        |  round(sqrt(list_dot_product(v[1:16], v[1:16])) / sqrt(list_dot_product(v, v)), 6) AS frac_norm
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "d_unicode_normalize" ->
       // same planted decomposed pairs via chr() arithmetic; both
       // engines implement UAX#15 NFC (utf8proc vs java.text), so the

@@ -41,6 +41,30 @@ object Similarity {
     * quantized component exactly. Pure codegen'd array expressions —
     * one narrow map, zero shuffle.
     */
+  /** Matryoshka-style dimensionality truncation (MRL: nested prefixes
+    * of a trained embedding remain usable at reduced cost): keep the
+    * first `dims` components, L2-renormalize, and report the norm
+    * accounting — `norm_full`, `norm_trunc`, and `frac_norm` (how
+    * much of the vector's length the prefix retains; the per-corpus
+    * distribution of this is the "can we afford 4× cheaper ANN"
+    * dashboard number). Pure per-row codegen'd array expressions —
+    * zero shuffle, column-prunable; dot products over the truncated
+    * column drop 1 - dims/d of the FLOPs and bytes everywhere
+    * downstream (index build, probe, rerank).
+    */
+  def truncateDims(df: DataFrame, dims: Int,
+                   vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims >= 1: $dims")
+    val t = slice(col(vecCol), 1, dims)
+    def norm(c: Column) = sqrt(aggregate(toDouble(c), lit(0.0), (a, x) => a + x * x))
+    df.withColumn("norm_full", round(norm(col(vecCol)), 6))
+      .withColumn("norm_trunc", round(norm(t), 6))
+      .withColumn("frac_norm",
+        round(norm(t) / norm(col(vecCol)), 6))
+      .withColumn("embedding_trunc",
+        transform(t, x => x.cast("double") / norm(t)))
+  }
+
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol), col(vecCol).as("__v"))

@@ -104,6 +104,30 @@ object TextAnalysis {
           (lit(1.0) - punct.cast("double") / length(t)), 6))
   }
 
+  /** Sentence segmentation — the unit everything between document and
+    * token operates on (per-sentence quality filters, sentence-level
+    * dedup, sliding-window chunk alignment): a sentence is a maximal
+    * run without terminal punctuation plus its trailing `[.!?]` run,
+    * trimmed, empties dropped. Deliberately lookbehind-free — the
+    * pattern is a plain character-class regex that means the same
+    * thing in RE2 as in Java regex (lookbehind would be
+    * JVM-only), which is what puts the segmentation on the oracle
+    * hash path. One posexplode to (doc, sent) rows — the row shape
+    * any per-sentence pass materializes anyway; everything before it
+    * is per-row array expressions, zero shuffle.
+    */
+  def sentences(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val sents = filter(
+      transform(regexp_extract_all(col(textCol),
+        lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => s =!= "")
+    docs.select(col(idCol), posexplode(sents).as(Seq("__i", "sentence")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("sent_id"),
+        col("sentence"),
+        size(split(col("sentence"), " ")).cast("long").as("n_words"))
+  }
+
   /** Whitespace tokens + a BPE-ish regex token count + char count. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

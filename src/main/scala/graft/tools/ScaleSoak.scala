@@ -64,7 +64,8 @@ object ScaleSoak {
     "d_curriculum", "d_shot_detect", "d_vad_segments",
     "d_split_assign", "d_split_leakage", "m_image_dhash", "m_image_dedup",
     "d_dedup_minhash_portable", "d_script_detect", "d_unicode_normalize",
-    "d_audio_clipping", "m_image_dedup_delta", "m_video_dedup")
+    "d_audio_clipping", "m_image_dedup_delta", "m_video_dedup",
+    "d_sentences", "d_embed_truncate")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -742,6 +742,44 @@ class TextMmSpec extends SparkSpec {
     }
   }
 
+  test("sentences: terminal-run grouping, trimming, empties dropped, word counts") {
+    val docs = Seq(
+      (1L, "one two. three four! five"),
+      (2L, "no terminals here"),
+      (3L, "ends hard..."),
+      (4L, "a? b?! c"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, 1L)) == (("one two.", 2L)))
+    assert(got((1L, 2L)) == (("three four!", 2L)))
+    assert(got((1L, 3L)) == (("five", 1L)))
+    assert(got((2L, 1L)) == (("no terminals here", 3L)))
+    assert(got((3L, 1L)) == (("ends hard...", 2L)))   // trailing run sticks
+    assert(got((4L, 1L)) == (("a?", 1L)))
+    assert(got((4L, 2L)) == (("b?!", 1L)))            // mixed terminal run
+    assert(got((4L, 3L)) == (("c", 1L)))
+    assert(got.keys.count(_._1 == 4L) == 3)
+  }
+
+  test("truncateDims: norm accounting and renormalized prefix") {
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f, 12.0f)),   // full norm 13, 2-dim prefix norm 5
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity.truncateDims(emb, 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("norm_full"), r.getAs[Double]("norm_trunc"),
+          r.getAs[Double]("frac_norm"), r.getSeq[Double](r.fieldIndex("embedding_trunc")).toSeq)))
+      .toMap
+    assert(got(1L)._1 == 13.0 && got(1L)._2 == 5.0)
+    assert(got(1L)._3 == BigDecimal(5.0 / 13)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L)._4 == Seq(0.6, 0.8))
+    assert(got(2L)._4 == Seq(1.0, 0.0))
+  }
+
   test("unicode nfc/nfkc columns: composition, compatibility folding, ascii identity") {
     val docs = Seq(
       (1L, "cafe\u0301"),       // decomposed acute -> cafe with U+00E9
