@@ -960,6 +960,27 @@ object SparkEntry {
           "frac_cjk", "dominant_script")
         .orderBy("doc_id")
     }),
+    "q_sync_evolve" -> ((s, d) => {
+      // incremental sync across schema drift: the standing target is
+      // v0 (price stored FLOAT, has priority); the fresh batch is v1
+      // for every third key (price widened to DOUBLE, new status
+      // column, priority dropped from the feed). evolveSchema widens
+      // price, null-fills both directions, and the keep-latest upsert
+      // picks v1 where it exists — every cell is CASE-expressible.
+      val orders = Tables.orders(s, d)
+      val target = orders.select(col("o_orderkey"),
+        col("o_totalprice").cast("float").as("price"),
+        col("o_orderpriority").as("priority"),
+        lit(0).as("ver"))
+      val batch = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          lit("B").as("status"),
+          lit(1).as("ver"))
+      graft.sync.SyncOps.applyIncrementalEvolved(
+          target, batch, Seq("o_orderkey"), "ver", "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
     "d_sentences" -> ((s, d) => {
       // sentence segmentation: terminal punctuation planted at every
       // 7th word ('.') and 17th word ('!', which wins on overlap) by
@@ -3233,6 +3254,17 @@ object SparkEntry {
         |       WHEN n_arabic = mx THEN 'arabic'
         |       ELSE 'cjk' END AS dominant_script
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_sync_evolve" ->
+      // v0 keeps the float round-trip (CAST via FLOAT), v1 keeps the
+      // native double; priority nulls where the v1 feed dropped it,
+      // status nulls where only v0 exists
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+        |       ELSE CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) END AS price,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS priority,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ver,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE NULL END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "d_sentences" ->
       // indexed-lambda punctuation planting (DuckDB i is 1-based ==
       // Spark's i+1), then the same lookbehind-free extraction

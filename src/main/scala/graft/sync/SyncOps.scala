@@ -78,6 +78,75 @@ object SyncOps {
                        timeCol: String, tieBreak: String): DataFrame =
     upsertKeepLatest(target.unionByName(fresh), keys, timeCol, tieBreak)
 
+  /** Schema EVOLUTION for incremental sync — the drift a long-running
+    * sync pipeline meets when the source table changes between runs
+    * (a column added, a numeric widened, an old column dropped from
+    * the feed): reconcile the standing target's schema with an
+    * incoming batch's and return both frames aligned to the merged
+    * schema.
+    *
+    * Rules (the conservative lossless set):
+    *  - column only in target → batch gains it null-filled
+    *  - column only in batch  → target gains it null-filled (new
+    *    column semantics: history has no value)
+    *  - same name, widenable types → both cast to the wider type:
+    *    integral ladder byte→short→int→long, fractional float→double,
+    *    and EXACT integral→fractional promotions (int and below into
+    *    double; long→double would silently lose precision and is
+    *    rejected)
+    *  - anything else → IllegalArgumentException naming the column —
+    *    schema drift a sync run must surface, never paper over
+    *
+    * Column order: target's columns first (stable layout for the
+    * standing table), then new batch columns in batch order. Pure
+    * per-row casts — zero shuffle; the merged schema is computed from
+    * schemas alone, no data scan.
+    */
+  def evolveSchema(target: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val frac: Seq[DataType] = Seq(FloatType, DoubleType)
+    def widened(name: String, a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else {
+        val (ia, ib) = (integral.indexOf(a), integral.indexOf(b))
+        val (fa, fb) = (frac.indexOf(a), frac.indexOf(b))
+        if (ia >= 0 && ib >= 0) integral(math.max(ia, ib))
+        else if (fa >= 0 && fb >= 0) frac(math.max(fa, fb))
+        else if (ia >= 0 && ia <= 2 && fb >= 0) DoubleType
+        else if (ib >= 0 && ib <= 2 && fa >= 0) DoubleType
+        else throw new IllegalArgumentException(
+          s"incompatible schema change on '$name': $a vs $b")
+      }
+    val tTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val order = target.schema.fieldNames ++
+      batch.schema.fieldNames.filterNot(tTypes.contains)
+    val merged = order.map { c =>
+      c -> ((tTypes.get(c), bTypes.get(c)) match {
+        case (Some(a), Some(b)) => widened(c, a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => throw new IllegalStateException(c)
+      })
+    }
+    def align(df: DataFrame, own: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(merged.map { case (c, t) =>
+        (if (own.contains(c)) col(c).cast(t) else lit(null).cast(t)).as(c)
+      }: _*)
+    (align(target, tTypes), align(batch, bTypes))
+  }
+
+  /** [[applyIncremental]] across schema drift: evolve both sides to
+    * the merged schema, then the usual one-shuffle keep-latest upsert.
+    */
+  def applyIncrementalEvolved(target: DataFrame, fresh: DataFrame,
+                              keys: Seq[String], timeCol: String,
+                              tieBreak: String): DataFrame = {
+    val (t, f) = evolveSchema(target, fresh)
+    applyIncremental(t, f, keys, timeCol, tieBreak)
+  }
+
   /** Source↔target RECONCILIATION — the scale form of the reference's
     * post-sync sanity checks (row counts, sync_engine.py:343): per-key
     * row-hash comparison reporting every divergent key as

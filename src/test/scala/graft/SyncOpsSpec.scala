@@ -74,6 +74,48 @@ class SyncOpsSpec extends SparkSpec {
       9L -> "missing_in_source"))
   }
 
+  test("evolveSchema: widening ladder, null fills, column order, incompatible rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val target = Seq((1L, 1.5f, "old", 10), (2L, 2.5f, "keep", 20))
+      .toDF("id", "price", "note", "v")
+    val batch = Seq((2L, 9.5, "B", 21), (3L, 3.5, "C", 30))
+      .toDF("id", "price", "status", "v")
+    val (t2, b2) = SyncOps.evolveSchema(target, batch)
+    // merged layout: target cols first, then the batch's new column
+    assert(t2.columns.toSeq == Seq("id", "price", "note", "v", "status"))
+    assert(t2.schema == b2.schema)
+    assert(t2.schema("price").dataType == DoubleType) // float widened
+    // null fills on both sides
+    assert(t2.select("status").collect().forall(_.isNullAt(0)))
+    assert(b2.select("note").collect().forall(_.isNullAt(0)))
+    // evolved upsert: v1 wins for key 2, key 1 keeps v0, key 3 arrives
+    val up = SyncOps.applyIncrementalEvolved(target, batch, Seq("id"), "v", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.getString(2)), r.getInt(3),
+          Option(r.getString(4))))).toMap
+    assert(up(1L) == ((1.5f.toDouble, Some("old"), 10, None)))
+    assert(up(2L) == ((9.5, None, 21, Some("B"))))
+    assert(up(3L) == ((3.5, None, 30, Some("C"))))
+    // integral ladder: int vs long -> long
+    val (ti, bi) = SyncOps.evolveSchema(
+      Seq((1, 1)).toDF("id", "n"), Seq((1L, 2L)).toDF("id", "n"))
+    assert(ti.schema("n").dataType == LongType &&
+      bi.schema("id").dataType == LongType)
+    // exact int->double promotion allowed; long->double rejected
+    assert(SyncOps.evolveSchema(
+      Seq((1, 1)).toDF("id", "x"),
+      Seq((1, 1.5)).toDF("id", "x"))._1.schema("x").dataType == DoubleType)
+    intercept[IllegalArgumentException] {
+      SyncOps.evolveSchema(
+        Seq((1L, 1L)).toDF("id", "x"), Seq((1L, 1.5)).toDF("id", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      SyncOps.evolveSchema(
+        Seq((1L, "s")).toDF("id", "x"), Seq((1L, 1)).toDF("id", "x"))
+    }
+  }
+
   test("TypeMapper follows the reference precedence") {
     assert(TypeMapper.mapSourceType("NUMBER(10,2)") == "DOUBLE")
     assert(TypeMapper.mapSourceType("VARCHAR2(100)") == "STRING")
