@@ -150,18 +150,28 @@ object Dedup {
     * but the SIGNATURES — not just the verified pairs — can be
     * audited or recomputed outside the JVM, which is what lets the
     * DuckDB oracle hash-match the whole pipeline bit for bit.
+    *
+    * Both steps run as codegen kernels value-identical to the
+    * published expression forms (the DedupSpec JVM reference pins the
+    * arithmetic):
+    *   hs  = array_distinct(transform(shingles, s ->
+    *           CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+    *           % 2147483648))
+    *   sig = transform(sequence(0, numPerm-1), i -> array_min(
+    *           transform(hs, h -> ((2*i + 1) * h
+    *             + (i * 2654435761) % 2147483647) % 2147483647)))
+    * The expression formulation paid an md5 hex string + a radix-conv
+    * string per shingle and numPerm interpreted-lambda passes per doc
+    * (~30× the xxhash64 path in-suite); the kernels hash byte ranges
+    * and take all minima in one pass.
     */
   def minhashIndexPortable(docs: DataFrame, k: Int, numPerm: Int,
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame =
-    shingles(docs, k, textCol)
-      .withColumn("hs", array_distinct(expr(
-        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483648)")))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${numPerm - 1}), i ->
-           |  array_min(transform(hs, h ->
-           |    ((2*i + 1) * h + (i * 2654435761) % 2147483647) % 2147483647)))""".stripMargin))
-      .select(col(idCol), col("hs"), col("sig"))
+    docs.select(col(idCol),
+        graft.functions.Hashes.gram_md5_mod31(col(textCol), k).as("hs"))
+      .withColumn("sig",
+        graft.functions.Hashes.minhash_sig_portable(col("hs"), numPerm))
 
   /** [[lshBuckets]] with PORTABLE band keys: the band value is the
     * '-'-joined decimal signature slice (a string any engine rebuilds

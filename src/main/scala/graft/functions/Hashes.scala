@@ -118,6 +118,93 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Distinct PORTABLE word-k-gram hashes of a text: md5 of each gram's
+    * bytes, first 15 hex digits as a 60-bit integer, mod 2^31 —
+    * value-identical (same SET, same first-occurrence order) to
+    * `array_distinct(transform(shingles,
+    *    s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+    *         % 2147483648))`
+    * over `shingles = array_distinct(gram strings)`, because deduping
+    * by hash value subsumes deduping the strings first. Same byte-range
+    * identity as [[gramHashes]] (a ' '-joined gram IS the byte
+    * substring), so no per-gram string, hex string, or decimal-conv
+    * string is ever materialized — md5 runs straight on the text's
+    * byte ranges. The first 15 hex digits are digest nibbles 0..14 =
+    * (first 8 digest bytes as unsigned big-endian) >>> 4.
+    */
+  def gramMd5Mod31(s: UTF8String, k: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var spaces = new Array[Int](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20.toByte) {
+        if (m == spaces.length) spaces = java.util.Arrays.copyOf(spaces, m * 2)
+        spaces(m) = i
+        m += 1
+      }
+      i += 1
+    }
+    val nGrams = math.max(m + 1 - k, 0) + 1
+    val md = md5Local.get()
+    val dg = new Array[Byte](16)
+    val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+    val out = new java.util.ArrayList[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = if (g == 0) 0 else spaces(g - 1) + 1
+      val last = g + k - 1
+      val end = if (last < m) spaces(last) else len
+      md.reset()
+      md.update(bytes, start, end - start)
+      md.digest(dg, 0, 16)
+      var top = 0L
+      var b = 0
+      while (b < 8) { top = (top << 8) | (dg(b) & 0xffL); b += 1 }
+      val h = (top >>> 4) & 0x7fffffffL // 60-bit value mod 2^31
+      if (seen.add(h)) out.add(h)
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** All `numPerm` PORTABLE MinHash permutation minima in ONE pass —
+    * value-identical to
+    * `transform(sequence(0, numPerm-1), i -> array_min(transform(hs,
+    *    h -> ((2*i + 1) * h + (i * 2654435761) % 2147483647)
+    *         % 2147483647)))`
+    * (odd multipliers, Knuth-constant offsets, p = 2^31 − 1; every
+    * product < 2^38 — exact in any engine's 64-bit integer). Empty
+    * input yields all-null minima (array_min of empty is null).
+    */
+  def minhashSigPortable(hs: ArrayData, numPerm: Int): GenericArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numPerm))
+    val p = 2147483647L
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var e = 0
+    while (e < n) {
+      if (!hs.isNullAt(e)) {
+        val h = hs.getLong(e)
+        var i = 0
+        while (i < numPerm) {
+          val v = ((2 * i + 1) * h + (i * 2654435761L) % p) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(mins.map(Long.box))
+  }
+
   /** Polynomial rolling hash (base 1000003, mod 2^64 by wraparound)
     * over a string's UTF-8 bytes.
     */
@@ -381,6 +468,42 @@ case class GramHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Portable word-k-gram md5-mod-2^31 hash set — see
+  * [[HashKernels.gramMd5Mod31]].
+  */
+case class GramMd5Mod31(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramMd5Mod31(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.gramMd5Mod31($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): GramMd5Mod31 =
+    copy(child = c)
+}
+
+/** One-pass portable MinHash signature — see
+  * [[HashKernels.minhashSigPortable]].
+  */
+case class MinHashSigPortable(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSigPortable(input.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSigPortable($c, $numPerm)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigPortable =
+    copy(child = c)
+}
+
 /** Positional per-gram rolling hashes — see
   * [[HashKernels.gramRollingHashes]].
   */
@@ -486,6 +609,10 @@ object Hashes {
     column(WinnowSelect(expression(hashes), w))
   def minhash_sig(baseHashes: Column, numPerm: Int): Column =
     column(MinHashSig(expression(baseHashes), numPerm))
+  def gram_md5_mod31(text: Column, k: Int): Column =
+    column(GramMd5Mod31(expression(text), k))
+  def minhash_sig_portable(hashes: Column, numPerm: Int): Column =
+    column(MinHashSigPortable(expression(hashes), numPerm))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -93,6 +93,29 @@ class DedupSpec extends SparkSpec {
       rebuilt.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toSet)
   }
 
+  test("portable kernels == published expression forms on corpus docs") {
+    // the codegen kernels (gram_md5_mod31 / minhash_sig_portable) must
+    // be value-identical to the spec's SQL-expression formulation —
+    // the form the DuckDB oracle and any external auditor recompute
+    val sample = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(60)
+    val viaExpr = Dedup.shingles(sample, 3)
+      .withColumn("hs", array_distinct(expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483648)")))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 31), i ->
+          |  array_min(transform(hs, h ->
+          |    ((2*i + 1) * h + (i * 2654435761) % 2147483647) % 2147483647)))""".stripMargin))
+      .select("doc_id", "hs", "sig")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (id, hs, sig) => (id, (hs.toSet, sig)) }.toMap
+    val viaKernel = Dedup.minhashIndexPortable(sample, 3, 32)
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (id, hs, sig) => (id, (hs.toSet, sig)) }.toMap
+    assert(viaKernel.keySet == viaExpr.keySet)
+    viaKernel.foreach { case (id, v) => assert(v == viaExpr(id), s"doc $id") }
+  }
+
   test("delta against an empty index == one-shot on the batch") {
     val empty = Dedup.minhashIndex(docs.filter($"doc_id" < 0), 2, 32)
     val (delta, _) = Dedup.minhashNearDupsDelta(empty, docs, 2, 32, 8, 0.5)
