@@ -981,6 +981,24 @@ object SparkEntry {
           target, batch, Seq("o_orderkey"), "ver", "o_orderkey")
         .orderBy("o_orderkey")
     }),
+    "q_sync_deletes" -> ((s, d) => {
+      // source-side DELETE propagation: the source's current key set
+      // lost the %97 keys and gained alien +5000000 keys the target
+      // has never synced; tombstones = exactly the %97 target rows
+      // (the alien keys must NOT surface — anti-join direction)
+      val orders = Tables.orders(s, d)
+      val sourceNow = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .unionByName(orders.filter(col("o_orderkey") % 41 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 5000000))
+      graft.sync.SyncOps.detectDeletes(orders, sourceNow, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "q_scd2_history" -> ((s, d) =>
+      // Type-2 SCD history: each user's event_type runs become
+      // validity intervals — half-open, tiling, one open current row
+      graft.sync.SyncOps.scd2(Tables.events(s, d), Seq("user_id"),
+          Seq("event_type"), "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_type")),
     "d_sentences" -> ((s, d) => {
       // sentence segmentation: terminal punctuation planted at every
       // 7th word ('.') and 17th word ('!', which wins on overlap) by
@@ -3265,6 +3283,24 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ver,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE NULL END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_sync_deletes" ->
+      // deleted-at-source = %97 keys; the alien +5000000 keys are NEW
+      // at the source and must NOT surface as tombstones
+      """SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2_history" ->
+      // the same two-window gaps-and-islands arithmetic: a version
+      // opens where the null-safe attribute comparison breaks
+      """WITH pts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events) t
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM pts ORDER BY user_id, valid_from, event_type""".stripMargin,
     "d_sentences" ->
       // indexed-lambda punctuation planting (DuckDB i is 1-based ==
       // Spark's i+1), then the same lookbehind-free extraction

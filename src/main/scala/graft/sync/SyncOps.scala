@@ -179,6 +179,78 @@ object SyncOps {
       .orderBy(keyCols.head, keyCols.tail :+ "status": _*)
   }
 
+  /** Source-side DELETE detection — the blind spot of every
+    * watermark-based incremental sync (reference sync_engine.py's
+    * incremental pull only ever sees rows that still EXIST; a row
+    * deleted at the source simply stops arriving and the standing
+    * target keeps it forever). The standard remedy is a periodic
+    * key reconcile: pull the source's CURRENT key set (keys only —
+    * at 100 TB the exchange carries 8-byte keys, never rows) and
+    * anti-join the standing target against it; survivors of the
+    * anti-join are tombstones.
+    *
+    * Direction matters: keys that are NEW at the source (not yet
+    * synced) must not surface here — the anti-join runs target-minus-
+    * source, so unseen source keys are simply absent. Duplicate key
+    * rows in the source snapshot are harmless (anti-join semantics
+    * are set semantics).
+    */
+  def detectDeletes(target: DataFrame, sourceKeys: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "detectDeletes needs at least one key column")
+    target.join(sourceKeys.select(keys.map(col): _*), keys, "left_anti")
+      .select(target.columns.map(col): _*) // using-join hoists keys; keep target layout
+  }
+
+  /** Apply source-side deletes: the standing target restricted to
+    * keys the source still has — [[detectDeletes]]'s complement, as
+    * one left-semi join (same keys-only exchange accounting).
+    */
+  def applyDeletes(target: DataFrame, sourceKeys: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyDeletes needs at least one key column")
+    target.join(sourceKeys.select(keys.map(col): _*), keys, "left_semi")
+      .select(target.columns.map(col): _*)
+  }
+
+  /** Type-2 slowly-changing-dimension history from a versioned change
+    * feed — the OTHER standard answer (besides keep-latest upsert) to
+    * "the same key arrived again with different attributes": instead
+    * of overwriting, keep every attribute VERSION as a validity
+    * interval. One output row per maximal run of consecutive equal
+    * `attrCols` per key, carrying `valid_from` (first arrival of the
+    * run), `valid_to` (the NEXT run's valid_from — half-open
+    * intervals, so versions tile time with no gaps), and `is_current`
+    * (the open interval). Consecutive arrivals with UNCHANGED
+    * attributes extend the current interval rather than opening a new
+    * version — re-delivered identical rows don't fragment history.
+    *
+    * Total order per key is (timeCol, tieBreak); attribute comparison
+    * is null-safe (a null attribute value is a value, not a wildcard).
+    *
+    * Scale shape: ONE key-keyed exchange. The change-point filter and
+    * the valid_to lead both run over the same (key) partitioning and
+    * (time, tieBreak) ordering, so Catalyst plans a single shuffle +
+    * sort and the second window rides the first's output unexchanged;
+    * the lead runs over the (usually much smaller) change-point rows.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], attrCols: Seq[String],
+           timeCol: String, tieBreak: String): DataFrame = {
+    require(keys.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs at least one key and one attribute column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col(tieBreak))
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .withColumn("__new_version", !(lag(attrs, 1).over(w) <=> attrs))
+      .filter(col("__new_version"))
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ attrCols ++
+        Seq("valid_from", "valid_to", "is_current")).map(col): _*)
+  }
+
   /** Concatenate an existing slice with a newly-fetched slice and
     * restore total time order (duplicates preserved — the reference's
     * merge does not dedupe; that is a separate explicit step).

@@ -74,6 +74,55 @@ class SyncOpsSpec extends SparkSpec {
       9L -> "missing_in_source"))
   }
 
+  test("detectDeletes/applyDeletes: vanished keys out, new source keys ignored") {
+    val target = mkEvents // users 1, 2
+    val sourceKeys = Seq( // user 2 gone at source; user 9 is new there
+      (1L, "whatever"), (1L, "dupe row"), (9L, "new"),
+    ).toDF("user_id", "noise")
+    val tomb = SyncOps.detectDeletes(target, sourceKeys, Seq("user_id"))
+    assert(tomb.select("user_id").as[Long].collect().toSet == Set(2L))
+    assert(tomb.columns.toSeq == target.columns.toSeq) // full target rows
+    val kept = SyncOps.applyDeletes(target, sourceKeys, Seq("user_id"))
+    assert(kept.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // tombstones + survivors tile the target exactly
+    assert(tomb.count() + kept.count() == target.count())
+  }
+
+  test("scd2: runs collapse, intervals tile half-open, null-safe attrs") {
+    val feed = Seq(
+      // user 1: A, A (extends), B, A again — three versions
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:05:00", 1L, "A"),
+      (3L, "2024-01-01 10:10:00", 1L, "B"),
+      (4L, "2024-01-01 10:20:00", 1L, "A"),
+      // user 2: null attr is a VALUE — null, null extends, then C
+      (5L, "2024-01-01 09:00:00", 2L, null.asInstanceOf[String]),
+      (6L, "2024-01-01 09:30:00", 2L, null.asInstanceOf[String]),
+      (7L, "2024-01-01 09:45:00", 2L, "C"),
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = SyncOps.scd2(feed, Seq("user_id"), Seq("event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+      .as[(Long, String, String, String, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", "2024-01-01 10:00:00", "2024-01-01 10:10:00", false),
+      (1L, "B", "2024-01-01 10:10:00", "2024-01-01 10:20:00", false),
+      (1L, "A", "2024-01-01 10:20:00", null, true),
+      (2L, null, "2024-01-01 09:00:00", "2024-01-01 09:45:00", false),
+      (2L, "C", "2024-01-01 09:45:00", null, true)))
+    // exactly one open interval per key; intervals tile (valid_to of
+    // each closed version == valid_from of the next)
+    assert(got.count(_._5) == 2 && got.count(r => r._4 == null) == 2)
+  }
+
+  test("scd2 plans ONE exchange: both windows share the key partitioning") {
+    val plan = SyncOps.scd2(mkEvents, Seq("user_id"), Seq("event_type"),
+      "ts", "event_id").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("evolveSchema: widening ladder, null fills, column order, incompatible rejected") {
     import spark.implicits._
     import org.apache.spark.sql.types._
