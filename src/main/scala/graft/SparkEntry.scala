@@ -839,6 +839,25 @@ object SparkEntry {
             md5(concat(col("text"), lit(" p2"))).as("fingerprint")))
       graft.pipeline.Crawl.snapshotDiff(prev, curr).orderBy("url")
     }),
+    "d_recrawl_rate" -> ((s, d) => {
+      // change-rate estimation over a synthesized 5-wave fetch
+      // history: wave v (1..4) of a doc changes iff
+      // md5(doc|v) % 100 < doc_id % 100, so the fingerprint is the
+      // cumulative change count — per-doc change propensity varies
+      // 0..99% and the oracle rebuilds X per url from arithmetic
+      val docs = Tables.documents(s, d)
+      val fetches = docs.select(
+          concat(lit("https://site-"), col("doc_id") % 20,
+            lit(".example/p/"), col("doc_id")).as("url"),
+          col("doc_id"),
+          explode(sequence(lit(0), lit(4))).as("wave"))
+        .withColumn("fingerprint", expr(
+          """CASE WHEN wave = 0 THEN 0 ELSE size(filter(sequence(1, wave),
+            |  v -> CAST(conv(substring(md5(concat(doc_id, '|', v)), 1, 12), 16, 10) AS BIGINT)
+            |       % 100 < doc_id % 100)) END""".stripMargin).cast("string"))
+        .drop("doc_id")
+      graft.pipeline.Crawl.recrawlRate(fetches, 7.0, 365.0).orderBy("url")
+    }),
     "d_anchor_text" -> ((s, d) => {
       // anchor-text aggregation over the d_link_graph edge synthesis:
       // the nofollow /tos links must contribute NO signal, the shared
@@ -980,6 +999,15 @@ object SparkEntry {
       graft.sync.SyncOps.applyIncrementalEvolved(
           target, batch, Seq("o_orderkey"), "ver", "o_orderkey")
         .orderBy("o_orderkey")
+    }),
+    "d_weighted_sample" -> ((s, d) => {
+      // A-ES weighted sample without replacement, weight = word count
+      // (longer docs proportionally likelier) — the whole draw
+      // re-derivable from (salt, doc_id, weight) in any engine
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("weight"))
+      graft.ops.Sampling.weightedSamplePortable(docs, 200, "weight", "doc_id")
+        .orderBy("doc_id")
     }),
     "q_sync_deletes" -> ((s, d) => {
       // source-side DELETE propagation: the source's current key set
@@ -3160,6 +3188,24 @@ object SparkEntry {
         |SELECT url || '/p2', 'added', NULL, md5(text || ' p2')
         |FROM base WHERE doc_id % 7 = 0
         |ORDER BY url""".stripMargin,
+    "d_recrawl_rate" ->
+      // X rebuilt per url straight from the planted rule (each marked
+      // wave bumps the cumulative-count fingerprint exactly once),
+      // then the same Cho/Garcia-Molina arithmetic: m = 4 comparisons,
+      // rate = ln(4.5/(4.5 - X))/7 at 9 dp, next = 7/ln-part at 6 dp
+      // capped at 365
+      """WITH x AS (
+        |  SELECT 'https://site-' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+        |           || CAST(doc_id AS VARCHAR) AS url,
+        |    len(list_filter(range(1, 5), v ->
+        |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 12)) AS UBIGINT)
+        |      % 100 < doc_id % 100)) AS n_chg
+        |  FROM documents)
+        |SELECT url, CAST(5 AS BIGINT) AS n_fetches, CAST(n_chg AS BIGINT) AS n_changes,
+        |  round(ln(4.5 / (4.5 - n_chg)) / 7.0, 9) AS change_rate,
+        |  CASE WHEN n_chg = 0 THEN 365.0
+        |       ELSE least(365.0, round(7.0 / ln(4.5 / (4.5 - n_chg)), 6)) END AS next_fetch
+        |FROM x ORDER BY url""".stripMargin,
     "d_anchor_text" ->
       // per-target aggregates rebuilt by arithmetic: three unique
       // per-doc targets with one anchor each, one corpus-wide cdn
@@ -3283,6 +3329,21 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ver,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE NULL END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d_weighted_sample" ->
+      // the same A-ES arithmetic: u from the first 12 md5 hex digits
+      // (48-bit integer — exact in a double), key = ln(u)/w at 12 dp,
+      // top-k by (key desc, id)
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, weight,
+        |    round(ln((CAST(('0x' || substring(md5('ws0|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 0.5)
+        |             / 281474976710656.0) / weight, 12) AS key
+        |  FROM w)
+        |SELECT doc_id, weight FROM (
+        |  SELECT doc_id, weight FROM k ORDER BY key DESC, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
     "q_sync_deletes" ->
       // deleted-at-source = %97 keys; the alien +5000000 keys are NEW
       // at the source and must NOT surface as tombstones

@@ -219,6 +219,37 @@ object Sampling {
     when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test"))
   }
 
+  /** PORTABLE weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis 2006 (A-ES): each row draws a deterministic uniform
+    * u ∈ (0,1) from the md5 convention and the sample is the top-k by
+    * u^(1/w) — provably equivalent to sequential weighted draws
+    * without replacement, but embarrassingly parallel and (here)
+    * fully re-derivable in any engine from (salt, id, weight) alone.
+    * The ranking key is the monotone-equivalent ln(u)/w (larger =
+    * better; heavier weights pull keys toward 0), rounded to 12 dp
+    * with an id tie-break so the one transcendental (ln) sits on the
+    * pow-ulp-safe convention [[temperatureWeights]] established.
+    * u = (first-12-hex-digits of md5("salt|id") + 0.5) / 2^48 — a
+    * 48-bit integer is EXACT in a double, and the +0.5 keeps u off
+    * both endpoints.
+    *
+    * Scale shape: pure per-row key arithmetic + one global top-k —
+    * Catalyst plans TakeOrderedAndProject (per-partition heaps, k
+    * rows to the driver-side merge), never a global sort; zero
+    * shuffles, column-prunable, stable on any partitioning.
+    */
+  def weightedSamplePortable(df: DataFrame, k: Int, weightCol: String,
+                             idCol: String, salt: String = "ws0"): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    val v = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val key = round(log((v + 0.5) / math.pow(2, 48)) / col(weightCol), 12)
+    df.withColumn("__aes_key", key)
+      .orderBy(col("__aes_key").desc, col(idCol))
+      .limit(k)
+      .drop("__aes_key")
+  }
+
   /** Split-leakage audit — near-dup pairs whose endpoints landed in
     * DIFFERENT splits (a test doc that is a near-duplicate of a train
     * doc silently inflates eval scores; this is the check a dataset

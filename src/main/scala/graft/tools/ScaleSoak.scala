@@ -66,7 +66,8 @@ object ScaleSoak {
     "d_dedup_minhash_portable", "d_script_detect", "d_unicode_normalize",
     "d_audio_clipping", "m_image_dedup_delta", "m_video_dedup",
     "d_sentences", "d_embed_truncate", "q_sync_evolve",
-    "q_sync_deletes", "q_scd2_history")
+    "q_sync_deletes", "q_scd2_history", "d_weighted_sample",
+    "d_recrawl_rate")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -310,4 +310,37 @@ class CrawlSpec extends SparkSpec {
     assert(got("u3") == (("gone", "fc", null)))
     assert(got("u4") == (("added", null, "fd")))
   }
+
+  test("recrawlRate: CGM estimator, caps, null-safe change detection, one exchange") {
+    val fetches = Seq(
+      // u1: never changes -> rate 0, next capped at max
+      ("u1", 0, "a"), ("u1", 1, "a"), ("u1", 2, "a"),
+      // u2: changes every wave (X = m = 2)
+      ("u2", 0, "a"), ("u2", 1, "b"), ("u2", 2, "c"),
+      // u3: one change in two comparisons; null fp is a VALUE
+      ("u3", 0, null.asInstanceOf[String]), ("u3", 1, null.asInstanceOf[String]),
+      ("u3", 2, "x"),
+      // u4: single fetch -> m = 0, rate 0
+      ("u4", 0, "z"),
+    ).toDF("url", "wave", "fingerprint")
+    val got = Crawl.recrawlRate(fetches, interval = 7.0, maxInterval = 100.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def rate(m: Int, x: Int) =
+      BigDecimal(math.log((m + 0.5) / (m - x + 0.5)) / 7.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def next(m: Int, x: Int) =
+      BigDecimal(7.0 / math.log((m + 0.5) / (m - x + 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u1") == ((3L, 0L, 0.0, 100.0)))
+    assert(got("u2") == ((3L, 2L, rate(2, 2), next(2, 2))))
+    assert(got("u3") == ((3L, 1L, rate(2, 1), next(2, 1))))
+    assert(got("u4") == ((1L, 0L, 0.0, 100.0)))
+    // a frequently-changing page is revisited sooner
+    assert(got("u2")._4 < got("u3")._4 && got("u3")._4 < got("u1")._4)
+    // window + agg share the url partitioning: one exchange total
+    val plan = Crawl.recrawlRate(fetches, 7.0, 100.0)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }

@@ -288,4 +288,34 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
     assert(again == got)
   }
+
+  test("weightedSamplePortable: JVM A-ES reference, weight bias, repartition-stable") {
+    // bimodal weights: ids 0..99 weight 1, ids 100..199 weight 20
+    val rows = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 20.0))
+    val df = rows.toDF("doc_id", "weight")
+    val got = Sampling.weightedSamplePortable(df, 50, "weight", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 50)
+    // JVM reference: the exact same arithmetic outside Spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(s"ws0|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 48)
+      BigDecimal(math.log(u) / w).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = rows.sortBy { case (i, w) => (-key(i, w), i) }.take(50).map(_._1).toSet
+    assert(got == ref)
+    // the heavy-weight half dominates the sample (E[heavy] ~ 45/50)
+    assert(got.count(_ >= 100L) > 35, s"heavy picked ${got.count(_ >= 100L)}")
+    // stable under any partitioning; k > n passes everything through
+    val again = Sampling.weightedSamplePortable(df.repartition(7), 50, "weight", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    assert(Sampling.weightedSamplePortable(df, 1000, "weight", "doc_id").count() == 200)
+    // top-k plans as TakeOrdered, never a global sort
+    val plan = Sampling.weightedSamplePortable(df, 50, "weight", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
