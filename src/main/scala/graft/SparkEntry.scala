@@ -22,6 +22,15 @@ object SparkEntry {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** d_bpe_encode's fixed merge table (rank order). Chained merges
+    * (th+e</w>, an+d</w>) deliberately consume EARLIER outputs — the
+    * in-order oracle replay stays equivalent to greedy inference
+    * because chained outputs only ever feed later-ranked merges.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "d" -> "</w>",
+    "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r", "an" -> "d</w>")
+
   /** Group (blob_id, doc_id, record-bytes) rows into multi-record WARC
     * blobs: byte layout deterministic (records sorted by id within a
     * blob), blob COUNT scales with the corpus (callers shard by
@@ -999,6 +1008,39 @@ object SparkEntry {
       graft.sync.SyncOps.applyIncrementalEvolved(
           target, batch, Seq("o_orderkey"), "ver", "o_orderkey")
         .orderBy("o_orderkey")
+    }),
+    "d_bpe_encode" -> ((s, d) => {
+      // BPE INFERENCE on the hash path: a fixed 8-merge table (two
+      // chained merges exercise rank order) applied by the JVM greedy
+      // lowest-rank-first encoder; the oracle replays the merges as
+      // sequential non-overlapping replace() passes over a
+      // '|'-decorated symbol string — equivalent by the classic
+      // in-order == greedy BPE property (chained outputs only feed
+      // LATER-ranked merges; the spec cross-checks on corpus words)
+      graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id")
+    }),
+    "d_markdown_strip" -> ((s, d) => {
+      // markdown synthesized from the corpus by indexed arithmetic
+      // (every 23rd word becomes a link, 29th bold, 31st a code span;
+      // header/quote/fence/list/rule/image furniture around it), then
+      // the fixed RE2-compatible strip chain — the SAME chain replays
+      // in DuckDB, so the stripped text itself is on the hash path
+      val body = expr(
+        """array_join(transform(split(text, ' '), (w, i) ->
+          |  CASE WHEN (i + 1) % 23 = 0 THEN concat('[', w, '](https://x.example/', i + 1, ')')
+          |       WHEN (i + 1) % 29 = 0 THEN concat('**', w, '**')
+          |       WHEN (i + 1) % 31 = 0 THEN concat('`', w, '`')
+          |       ELSE w END), ' ')""".stripMargin)
+      val md = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("# Doc "), col("doc_id"), lit("\n\n> intro quote\n\n"),
+          body,
+          lit("\n\n```\nlet x = 1;\n```\n\n- alpha\n- beta\n\n---\n" +
+            "![logo](https://x.example/logo.png)")).as("text"))
+      graft.text.Markdown.strip(md).orderBy("doc_id")
     }),
     "d_weighted_sample" -> ((s, d) => {
       // A-ES weighted sample without replacement, weight = word count
@@ -3329,6 +3371,70 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ver,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE NULL END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d_bpe_encode" ->
+      // symbols ride a '|'-decorated string ('||' between symbols and
+      // at both ends — each replace consumes one '|' per side, so
+      // adjacent merge sites never steal each other's boundary); the
+      // 8 merges replay IN RANK ORDER as plain non-overlapping
+      // replace() passes, then boundaries become spaces
+      """SELECT doc_id,
+        |  CAST(len(string_split(tokens_str, ' ')) AS BIGINT) AS n_tokens,
+        |  tokens_str
+        |FROM (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(string_split(text, ' '), w -> w <> ''),
+        |    w -> replace(trim(
+        |      replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |        '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||',
+        |        '|e||</w>|', '|e</w>|'),
+        |        '|t||h|', '|th|'),
+        |        '|th||e</w>|', '|the</w>|'),
+        |        '|d||</w>|', '|d</w>|'),
+        |        '|i||n|', '|in|'),
+        |        '|a||n|', '|an|'),
+        |        '|o||n|', '|on|'),
+        |        '|e||r|', '|er|'),
+        |        '|an||d</w>|', '|and</w>|'),
+        |      '|'), '||', ' ')), ' ') AS tokens_str
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "d_markdown_strip" ->
+      // same synthesis (DuckDB 1-based i == Spark i+1; newlines via
+      // chr(10) — DuckDB string literals don't interpret \n), then the
+      // same nine-pass RE2 chain with \1 backrefs and 'g'
+      """WITH md AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    '> intro quote' || chr(10) || chr(10) ||
+        |    array_to_string(list_transform(string_split(text, ' '), (w, i) ->
+        |      CASE WHEN i % 23 = 0 THEN '[' || w || '](https://x.example/' || CAST(i AS VARCHAR) || ')'
+        |           WHEN i % 29 = 0 THEN '**' || w || '**'
+        |           WHEN i % 31 = 0 THEN '`' || w || '`'
+        |           ELSE w END), ' ') ||
+        |    chr(10) || chr(10) || '```' || chr(10) || 'let x = 1;' || chr(10) || '```' ||
+        |    chr(10) || chr(10) || '- alpha' || chr(10) || '- beta' || chr(10) || chr(10) ||
+        |    '---' || chr(10) || '![logo](https://x.example/logo.png)' AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '(?s)```.*?```', '', 'g') AS s1
+        |  FROM md),
+        |s2 AS (SELECT doc_id, text, regexp_replace(s1, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS s FROM s),
+        |s3 AS (SELECT doc_id, text, regexp_replace(s, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS s FROM s2),
+        |s4 AS (SELECT doc_id, text, regexp_replace(s, '`([^`]*)`', '\1', 'g') AS s FROM s3),
+        |s5 AS (SELECT doc_id, text, regexp_replace(s, '(?m)^#{1,6} +', '', 'g') AS s FROM s4),
+        |s6 AS (SELECT doc_id, text, regexp_replace(s, '(?m)^> ?', '', 'g') AS s FROM s5),
+        |s7 AS (SELECT doc_id, text, regexp_replace(regexp_replace(s, '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'), '__([^_\n]+)__', '\1', 'g') AS s FROM s6),
+        |s8 AS (SELECT doc_id, text, regexp_replace(s, '(?m)^[ \t]*([-*+]|\d+\.) +', '', 'g') AS s FROM s7),
+        |s9 AS (SELECT doc_id, text, regexp_replace(s, '(?m)^ *(-{3,}|\*{3,}) *$', '', 'g') AS s FROM s8)
+        |SELECT doc_id,
+        |  trim(regexp_replace(s, '\n{3,}', chr(10) || chr(10), 'g')) AS md_text,
+        |  CAST(len(regexp_extract_all(text, '(?s)```.*?```')) AS BIGINT) AS n_code_blocks,
+        |  CAST(len(regexp_extract_all(text, '!\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_images,
+        |  CAST(len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)'))
+        |       - len(regexp_extract_all(text, '!\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
+        |  CAST(len(regexp_extract_all(text, '(?m)^#{1,6} ')) AS BIGINT) AS n_headers
+        |FROM s9 ORDER BY doc_id""".stripMargin,
     "d_weighted_sample" ->
       // the same A-ES arithmetic: u from the first 12 md5 hex digits
       // (48-bit integer — exact in a double), key = ln(u)/w at 12 dp,

@@ -66,4 +66,31 @@ class BpeSpec extends SparkSpec {
     assert(toks.forall(_._2.nonEmpty))
     assert(toks.forall(_._2.last.endsWith("</w>")))
   }
+
+  test("greedy encodeWord == in-rank-order replace replay on corpus words") {
+    // the d_bpe_encode oracle replays the fixed merge table as
+    // sequential non-overlapping string replaces; pin the classic
+    // in-order == greedy equivalence on real corpus words
+    val merges = SparkEntry.bpeMerges
+    val ranks = merges.zipWithIndex.toMap
+    def replay(w: String): Seq[String] = {
+      var s = "||" + w.map(c => s"$c||").mkString + "</w>||"
+      merges.foreach { case (a, b) =>
+        s = s.replace(s"|$a||$b|", s"|$a$b|") }
+      s.stripPrefix("||").stripSuffix("||").split("\\|\\|").toSeq
+    }
+    val words = (graft.core.Tables.documents(spark, sfDir)
+      .select("text").limit(200).as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      ++ Seq("the", "and", "then", "thine", "onion", "banana", "error"))
+      .distinct
+    assert(words.length > 30)
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, ranks).toSeq == replay(w), s"word '$w'") }
+    // the chained merges actually fire somewhere
+    assert(words.exists(w => Bpe.encodeWord(w, ranks).contains("the</w>")))
+    assert(Bpe.encodeWord("the", ranks).toSeq == Seq("the</w>"))
+    assert(Bpe.encodeWord("and", ranks).toSeq == Seq("and</w>"))
+    assert(Bpe.encodeWord("thin", ranks).toSeq == Seq("th", "in", "</w>"))
+  }
 }
