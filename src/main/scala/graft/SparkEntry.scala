@@ -125,6 +125,11 @@ object SparkEntry {
         Tables.events(s, d)
           .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss")),
         "ts_str", "1 hour", Seq("value"))),
+    "q_time_weighted_avg" -> ((s, d) =>
+      // LOCF time-weighted mean per user over the irregular event
+      // series — plain AVG over-weights bursts; tieBreak = event_id
+      TimeBucketAgg.timeWeightedAvg(Tables.events(s, d),
+        "user_id", "ts", "value", "event_id").orderBy("user_id")),
     "q_time_fill" -> ((s, d) => {
       // sparse per-type hourly series (rare high-value events) made
       // chart-dense: missing hours appear with 0 count and the last
@@ -1062,6 +1067,27 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + 5000000))
       graft.sync.SyncOps.detectDeletes(orders, sourceNow, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+    "q_cdc_apply" -> ((s, d) => {
+      // a synthesized change feed over orders: %7 updated (ver 1),
+      // %11 deleted (ver 2), %13 re-updated (ver 3 — overrides the
+      // delete where both apply), %17 inserted as new +6000000 keys;
+      // keep-latest per key, final deletes drop, untouched pass
+      val o = Tables.orders(s, d)
+      def entry(df: org.apache.spark.sql.DataFrame,
+                prio: org.apache.spark.sql.Column,
+                op: String, ver: Int, shift: Long) =
+        df.select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), prio.as("o_orderpriority"),
+          lit(op).as("op"), lit(ver).as("ver"))
+      val log = entry(o.filter(col("o_orderkey") % 7 === 0), lit("CDC-UPD"), "update", 1, 0)
+        .unionByName(entry(o.filter(col("o_orderkey") % 11 === 0),
+          lit(null).cast("string"), "delete", 2, 0))
+        .unionByName(entry(o.filter(col("o_orderkey") % 13 === 0), lit("CDC-UPD2"), "update", 3, 0))
+        .unionByName(entry(o.filter(col("o_orderkey") % 17 === 0), lit("CDC-NEW"), "insert", 1, 6000000L))
+      graft.sync.SyncOps.applyChangeLog(o, log, Seq("o_orderkey"),
+        "op", "ver", "o_orderkey").orderBy("o_orderkey")
     }),
     "q_scd2_history" -> ((s, d) =>
       // Type-2 SCD history: each user's event_type runs become
@@ -3454,6 +3480,39 @@ object SparkEntry {
       // deleted-at-source = %97 keys; the alien +5000000 keys are NEW
       // at the source and must NOT surface as tombstones
       """SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_time_weighted_avg" ->
+      // the same LOCF step weighting: exact microsecond durations,
+      // IEEE products summed by an ORDERED fold (list ORDER BY ts,
+      // event_id + list_sum — the d_domain_mix_temp convention;
+      // distributed partial-agg double sums are not engine-stable),
+      // unrounded final quotient
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |             - epoch_us(ts), 0) AS dur
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(dur) AS DOUBLE) / 1000000.0 AS span_seconds,
+        |  CASE WHEN sum(dur) > 0
+        |       THEN list_sum(list(value * dur ORDER BY ts, event_id))
+        |            / CAST(sum(dur) AS DOUBLE)
+        |       ELSE list_sum(list(value ORDER BY ts, event_id)) / count(*) END AS twa
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cdc_apply" ->
+      // final state per key from the planted op arithmetic: ver-3
+      // re-update beats the ver-2 delete, deletes drop, inserts add
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'CDC-UPD2'
+        |         WHEN o_orderkey % 7 = 0 THEN 'CDC-UPD'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey % 13 = 0 OR o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 6000000, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, 'CDC-NEW'
+        |  FROM orders WHERE o_orderkey % 17 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "q_scd2_history" ->
       // the same two-window gaps-and-islands arithmetic: a version

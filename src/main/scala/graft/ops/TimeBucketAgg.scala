@@ -106,4 +106,58 @@ object TimeBucketAgg {
     filled.select(((groupCols :+ bucketCol) ++ dataCols).map(col): _*)
       .orderBy((groupCols :+ bucketCol).map(col): _*)
   }
+
+  /** TIME-WEIGHTED average over an irregular sample series — the
+    * number a dashboard must show when samples arrive unevenly (a
+    * plain AVG over-weights bursts: ten readings in one busy minute
+    * should not drown an hour at a steady value). Semantics: per key,
+    * samples order by (timeCol, tieBreak); each sample's value holds
+    * until the next sample (last-observation-carried-forward step
+    * function; the final sample spans zero time), and the average is
+    * weighted by each step's duration. A zero-span series (single
+    * sample, or all samples at one instant) degrades to the plain
+    * mean.
+    *
+    * Determinism contract: durations are exact microsecond longs
+    * (`unix_micros`); the per-row value·duration product is one IEEE
+    * double multiply (identical in any engine), and the weighted sum
+    * FOLDS the products in (timeCol, tieBreak) order — the
+    * d_domain_mix_temp ordered-fold convention — because neither a
+    * distributed partial-agg double sum nor a double→decimal cast is
+    * engine-stable (the decimal cast was tried and diverged in the
+    * last ulp: Spark rounds the double's shortest decimal rendering,
+    * DuckDB the exact binary value). The final quotient is a double
+    * division of identical inputs, left UNROUNDED (the [[bucketed]]
+    * convention). Per-key fold state is bounded by samples-per-key.
+    *
+    * Scale shape: ONE key exchange — the lead window and the per-key
+    * aggregate share the key partitioning; only (key, value, dur)
+    * survive into the agg.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, timeCol: String,
+                      valueCol: String, tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieBreak))
+    val dur = coalesce(
+      unix_micros(lead(col(timeCol), 1).over(w)) - unix_micros(col(timeCol)),
+      lit(0L))
+    df.withColumn("__dur", dur)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("__dur")).as("__span"),
+        expr(s"""aggregate(
+          |  array_sort(collect_list(named_struct(
+          |    't', $timeCol, 'tb', $tieBreak,
+          |    'p', $valueCol * __dur, 'v', CAST($valueCol AS DOUBLE)))),
+          |  named_struct('ws', CAST(0 AS DOUBLE), 'vs', CAST(0 AS DOUBLE)),
+          |  (a, x) -> named_struct('ws', a.ws + x.p, 'vs', a.vs + x.v))"""
+          .stripMargin).as("__f"))
+      .select(col(keyCol), col("n_samples"),
+        (col("__span").cast("double") / 1000000.0).as("span_seconds"),
+        when(col("__span") > 0,
+          col("__f.ws") / col("__span").cast("double"))
+          .otherwise(col("__f.vs") / col("n_samples"))
+          .as("twa"))
+  }
 }

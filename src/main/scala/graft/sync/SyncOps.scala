@@ -213,6 +213,33 @@ object SyncOps {
       .select(target.columns.map(col): _*)
   }
 
+  /** CDC changelog materialization — apply an ordered stream of
+    * insert/update/delete operations to a standing snapshot, the way
+    * a warehouse consumes a database's change feed (Debezium-style
+    * envelopes reduce to exactly this): per key, the LAST log entry
+    * in (orderCol, tieBreak) order wins; a final `delete` removes the
+    * key, anything else (insert and update are deliberately the same
+    * — upsert semantics absorb replays and out-of-sync snapshots)
+    * replaces the target row; keys the log never touches pass
+    * through. Output keeps the target's exact layout.
+    *
+    * Scale shape: the log (typically a small fraction of the target)
+    * pays one key exchange for its keep-latest; the target pays the
+    * untouched-keys anti-join ([[detectDeletes]] against the log's
+    * key set — keys-only exchange, AQE broadcasts a small log). The
+    * target is never windowed and never carries op/version columns.
+    */
+  def applyChangeLog(target: DataFrame, log: DataFrame, keys: Seq[String],
+                     opCol: String, orderCol: String,
+                     tieBreak: String): DataFrame = {
+    require(keys.nonEmpty, "applyChangeLog needs at least one key column")
+    val untouched = detectDeletes(target, log, keys)
+    val applied = upsertKeepLatest(log, keys, orderCol, tieBreak)
+      .filter(col(opCol) =!= "delete")
+      .select(target.columns.map(col): _*)
+    untouched.unionByName(applied)
+  }
+
   /** Type-2 slowly-changing-dimension history from a versioned change
     * feed — the OTHER standard answer (besides keep-latest upsert) to
     * "the same key arrived again with different attributes": instead

@@ -67,7 +67,8 @@ object ScaleSoak {
     "d_audio_clipping", "m_image_dedup_delta", "m_video_dedup",
     "d_sentences", "d_embed_truncate", "q_sync_evolve",
     "q_sync_deletes", "q_scd2_history", "d_weighted_sample",
-    "d_recrawl_rate", "d_markdown_strip", "d_bpe_encode")
+    "d_recrawl_rate", "d_markdown_strip", "d_bpe_encode",
+    "q_cdc_apply", "q_time_weighted_avg")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -45,6 +45,33 @@ class OpsSpec extends SparkSpec {
         groupCols = Seq("g"), zeroFill = Seq("nope")))
   }
 
+  test("timeWeightedAvg: LOCF weighting, zero-span fallback, tie-break, one exchange") {
+    val df = Seq(
+      // key a: 10.0 for 60s, then 20.0 for 30s, last sample weightless
+      // -> (10*60 + 20*30) / 90 = 13.333...
+      ("a", "2024-01-01 00:00:00", 1L, 10.0),
+      ("a", "2024-01-01 00:01:00", 2L, 20.0),
+      ("a", "2024-01-01 00:01:30", 3L, 99.0),
+      // key b: burst of three at one instant then nothing -> plain mean
+      ("b", "2024-01-01 00:00:00", 4L, 1.0),
+      ("b", "2024-01-01 00:00:00", 5L, 2.0),
+      ("b", "2024-01-01 00:00:00", 6L, 6.0),
+      // key c: single sample
+      ("c", "2024-01-01 05:00:00", 7L, 42.0),
+    ).toDF("k", "ts_s", "event_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = TimeBucketAgg.timeWeightedAvg(df, "k", "ts", "value", "event_id")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 90.0, (10.0 * 60 + 20.0 * 30) / 90.0)))
+    assert(got("b") == ((3L, 0.0, 3.0)))
+    assert(got("c") == ((1L, 0.0, 42.0)))
+    // plain AVG for key a would be 43.0 — the burst-resistance point
+    val plan = TimeBucketAgg.timeWeightedAvg(df, "k", "ts", "value", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("numericStats computes one row of min/max/avg") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val row = TableStats.numericStats(df, Seq("x")).head()

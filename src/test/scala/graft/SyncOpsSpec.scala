@@ -88,6 +88,26 @@ class SyncOpsSpec extends SparkSpec {
     assert(tomb.count() + kept.count() == target.count())
   }
 
+  test("applyChangeLog: last op wins, deletes drop, inserts add, untouched pass") {
+    val target = mkEvents // events 1,2 (user 1), 3,4 (user 2), keyed by event_id
+    val log = Seq(
+      // event 1: update then delete -> gone
+      (1L, "update", 1, 9.0), (1L, "delete", 2, 0.0),
+      // event 2: delete then RE-insert -> present with the new value
+      (2L, "delete", 1, 0.0), (2L, "insert", 2, 7.5),
+      // event 99: brand-new insert
+      (99L, "insert", 1, 5.0),
+    ).toDF("event_id", "op", "ver", "value")
+      .withColumn("ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+      .withColumn("user_id", lit(42L))
+      .withColumn("event_type", lit("cdc"))
+    val got = SyncOps.applyChangeLog(target, log, Seq("event_id"),
+      "op", "ver", "event_id")
+    assert(got.columns.toSeq == target.columns.toSeq)
+    val byId = got.select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(byId == Map(2L -> 7.5, 3L -> 3.0, 4L -> 4.0, 99L -> 5.0))
+  }
+
   test("scd2: runs collapse, intervals tile half-open, null-safe attrs") {
     val feed = Seq(
       // user 1: A, A (extends), B, A again — three versions
