@@ -853,6 +853,32 @@ object SparkEntry {
             md5(concat(col("text"), lit(" p2"))).as("fingerprint")))
       graft.pipeline.Crawl.snapshotDiff(prev, curr).orderBy("url")
     }),
+    "d_fetch_delay" -> ((s, d) => {
+      // politeness TIMING: per-host robots.txt synthesized by source
+      // suffix arithmetic — n%3==0 hosts give graftbot a specific
+      // 2.5s group (beating the * group's 9), n%3==1 declare 7s for
+      // everyone, the rest declare none (default 5.0 applies); waves
+      // of 2 per host, fetch_at = wave * delay
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val frontier = docs.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          col("doc_id")).as("url"),
+        (col("doc_id") % 7).as("n_inlinks"))
+      val robots = docs.select("source").distinct()
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .withColumn("n", expr("CAST(substring(source, 4) AS INT)"))
+        .withColumn("robots_txt",
+          when(col("n") % 3 === 0, lit(
+            "User-agent: graftbot\nCrawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 9"))
+          .when(col("n") % 3 === 1, lit(
+            "User-agent: *\nCrawl-delay: 7\nDisallow: /tmp"))
+          .otherwise(lit("User-agent: *\nDisallow: /private")))
+      val delays = robots.select(col("host"),
+        graft.ops.Robots.crawl_delay(col("robots_txt"), "graftbot")
+          .as("crawl_delay"))
+      graft.pipeline.Crawl.fetchScheduleWithDelay(
+        frontier, delays, 5.0, perHostPerWave = 2).orderBy("url")
+    }),
     "d_recrawl_rate" -> ((s, d) => {
       // change-rate estimation over a synthesized 5-wave fetch
       // history: wave v (1..4) of a doc changes iff
@@ -1028,6 +1054,17 @@ object SparkEntry {
           concat_ws(" ", col("tokens")).as("tokens_str"))
         .orderBy("doc_id")
     }),
+    "d_bpe_fertility" -> ((s, d) =>
+      // tokens-per-word from the encode output ALONE: word counts
+      // recovered from the </w> markers, no corpus join
+      graft.text.Bpe.fertility(
+        graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges))
+        .orderBy("doc_id")),
+    "q_event_transitions" -> ((s, d) =>
+      // first-order Markov transitions over each user's event stream
+      Analytics.eventTransitions(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
     "d_markdown_strip" -> ((s, d) => {
       // markdown synthesized from the corpus by indexed arithmetic
       // (every 23rd word becomes a link, 29th bold, 31st a code span;
@@ -3256,6 +3293,25 @@ object SparkEntry {
         |SELECT url || '/p2', 'added', NULL, md5(text || ' p2')
         |FROM base WHERE doc_id % 7 = 0
         |ORDER BY url""".stripMargin,
+    "d_fetch_delay" ->
+      // the per-host window replay + the delay CASE from the same
+      // source-suffix arithmetic (group selection resolved by hand:
+      // specific beats *, * delay applies, absent -> default 5.0)
+      """WITH f AS (
+        |  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |    source || '.example.com' AS host, doc_id % 7 AS n_inlinks,
+        |    CAST(substring(source, 4) AS INT) % 3 AS m
+        |  FROM documents),
+        |rn AS (
+        |  SELECT url, host, n_inlinks, m,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_inlinks DESC, url) - 1 AS r
+        |  FROM f)
+        |SELECT url, n_inlinks, host,
+        |  CAST(floor(r / 2.0) AS BIGINT) AS wave, CAST(r % 2 AS BIGINT) AS slot,
+        |  CASE WHEN m = 0 THEN 2.5 WHEN m = 1 THEN 7.0 ELSE 5.0 END AS crawl_delay,
+        |  CAST(floor(r / 2.0) AS DOUBLE) *
+        |    CASE WHEN m = 0 THEN 2.5 WHEN m = 1 THEN 7.0 ELSE 5.0 END AS fetch_at_sec
+        |FROM rn ORDER BY url""".stripMargin,
     "d_recrawl_rate" ->
       // X rebuilt per url straight from the planted rule (each marked
       // wave bumps the cumulative-count fingerprint exactly once),
@@ -3424,6 +3480,43 @@ object SparkEntry {
         |      '|'), '||', ' ')), ' ') AS tokens_str
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "d_bpe_fertility" ->
+      // n_tokens via the d_bpe_encode replay; n_words directly from
+      // the word split (== the engine's marker count by construction)
+      """WITH enc AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(text, ' '), w -> w <> ''),
+        |    w -> replace(trim(
+        |      replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |        '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||',
+        |        '|e||</w>|', '|e</w>|'),
+        |        '|t||h|', '|th|'),
+        |        '|th||e</w>|', '|the</w>|'),
+        |        '|d||</w>|', '|d</w>|'),
+        |        '|i||n|', '|in|'),
+        |        '|a||n|', '|an|'),
+        |        '|o||n|', '|on|'),
+        |        '|e||r|', '|er|'),
+        |        '|an||d</w>|', '|and</w>|'),
+        |      '|'), '||', ' ')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(string_split(array_to_string(toks, ' '), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(array_to_string(toks, ' '), ' ')) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS fertility
+        |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "d_markdown_strip" ->
       // same synthesis (DuckDB 1-based i == Spark i+1; newlines via
       // chr(10) — DuckDB string literals don't interpret \n), then the

@@ -91,6 +91,55 @@ object RobotsKernels {
     }.toArray[Any])
   }
 
+  /** The `Crawl-delay` (seconds) of the group matching `agent` — the
+    * same group-selection walk as [[rules]] (longest prefixing token,
+    * `*` fallback, same-specificity groups merged in file order with
+    * the LAST declared delay winning — the rule-merge convention
+    * applied to a scalar). Crawl-delay is a de-facto extension, not
+    * RFC 9309, but real schedulers honor it; unparseable or absent →
+    * null (caller supplies the politeness default). Returned boxed so
+    * absence is representable.
+    */
+  def crawlDelay(robots: UTF8String, agent: UTF8String): java.lang.Double = {
+    val agentLc = agent.toString.toLowerCase
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Array[java.lang.Double])]
+    var lastWasAgent = false
+    robots.toString.split("\r?\n").foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        name match {
+          case "user-agent" =>
+            if (!lastWasAgent || groups.isEmpty)
+              groups += ((scala.collection.mutable.ArrayBuffer.empty,
+                Array[java.lang.Double](null)))
+            groups.last._1 += value.toLowerCase
+            lastWasAgent = true
+          case "crawl-delay" =>
+            lastWasAgent = false
+            if (groups.nonEmpty) {
+              try { groups.last._2(0) = java.lang.Double.parseDouble(value) }
+              catch { case _: NumberFormatException => () }
+            }
+          case _ => lastWasAgent = false
+        }
+      } else if (line.nonEmpty) lastWasAgent = false
+    }
+    def score(tokens: Seq[String]): Int = tokens.foldLeft(-1) { (best, t) =>
+      if (t == "*") math.max(best, 0)
+      else if (agentLc.startsWith(t)) math.max(best, t.length)
+      else best
+    }
+    val scored = groups.map { case (ts, d) => (score(ts.toSeq), d(0)) }
+    val best = if (scored.isEmpty) -1 else scored.map(_._1).max
+    if (best < 0) null
+    else scored.filter(_._1 == best).map(_._2) // last non-null wins
+      .foldLeft(null: java.lang.Double)((acc, d) => if (d != null) d else acc)
+  }
+
   // compiled-pattern cache: robots patterns are low-cardinality across
   // a crawl (the charset-cache pattern)
   private val patternCache =
@@ -151,6 +200,34 @@ case class RobotsRules(child: Expression, agent: String)
     copy(child = c)
 }
 
+/** Codegen'd crawl-delay extraction — see [[RobotsKernels.crawlDelay]]. */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private val agentU = UTF8String.fromString(agent)
+
+  override def nullSafeEval(input: Any): Any =
+    RobotsKernels.crawlDelay(input.asInstanceOf[UTF8String], agentU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("agent", agentU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("delay")
+      s"""
+        |java.lang.Double $boxed = graft.ops.RobotsKernels.crawlDelay($c, $ref);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.doubleValue(); }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): RobotsCrawlDelay =
+    copy(child = c)
+}
+
 /** Codegen'd per-path robots verdict — see [[RobotsKernels.allowed]]. */
 case class RobotsAllowed(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -179,6 +256,13 @@ object Robots {
   /** Verdict of a rule list against a path (+query) column. */
   def robots_allowed(rules: Column, path: Column): Column =
     column(RobotsAllowed(expression(rules), expression(path)))
+
+  /** `Crawl-delay` seconds for `agent` from a robots.txt column
+    * (null when the matched group declares none) — feeds
+    * [[graft.pipeline.Crawl.fetchScheduleWithDelay]].
+    */
+  def crawl_delay(robotsTxt: Column, agent: String): Column =
+    column(RobotsCrawlDelay(expression(robotsTxt), agent))
 
   /** `Sitemap:` directives from a robots.txt blob (standalone lines
     * per RFC 9309 §2.3 / sitemaps.org, case-insensitive, outside any

@@ -296,6 +296,32 @@ object Crawl {
       .withColumn("slot", (rn % perHostPerWave).cast("long"))
   }
 
+  /** [[fetchSchedule]] with per-host POLITENESS TIMING: each host's
+    * waves are `crawl_delay` seconds apart (the site's own robots.txt
+    * `Crawl-delay`, extracted by [[graft.ops.Robots.crawl_delay]];
+    * hosts that declare none get `defaultDelaySeconds`), so
+    * `fetch_at_sec` = wave × delay is the earliest offset a polite
+    * fetcher may dispatch the slot. `delays` is (hostCol, delayCol)
+    * — host-bounded, the blocklist class, hence the explicit
+    * broadcast: the frontier never shuffles for it.
+    */
+  def fetchScheduleWithDelay(frontier: DataFrame, delays: DataFrame,
+                             defaultDelaySeconds: Double,
+                             perHostPerWave: Int = 4,
+                             urlCol: String = "url",
+                             priorityCol: String = "n_inlinks",
+                             hostCol: String = "host",
+                             delayCol: String = "crawl_delay"): DataFrame = {
+    require(defaultDelaySeconds > 0,
+      s"defaultDelaySeconds must be positive, got $defaultDelaySeconds")
+    fetchSchedule(frontier, perHostPerWave, urlCol, priorityCol)
+      .join(broadcast(delays.select(col(hostCol).as("host"),
+        col(delayCol).as("__delay"))), Seq("host"), "left")
+      .withColumn("crawl_delay", coalesce(col("__delay"), lit(defaultDelaySeconds)))
+      .withColumn("fetch_at_sec", col("wave").cast("double") * col("crawl_delay"))
+      .drop("__delay")
+  }
+
   /** Snapshot diff — the incremental-recrawl primitive: classify every
     * canonical url across two crawl snapshots as `added` (new only),
     * `gone` (prev only), `changed` (both, fingerprints differ) or

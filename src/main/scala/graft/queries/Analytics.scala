@@ -419,4 +419,30 @@ object Analytics {
       .groupBy("cohort_date", "week_offset")
       .agg(count(lit(1)).as("users"))
       .orderBy("cohort_date", "week_offset")
+
+  /** Event TRANSITION MATRIX — the first-order Markov view of user
+    * behavior (what follows what?): per key, order events by
+    * (timeCol, tieBreak), pair each event with its successor, count
+    * (from, to) pairs and normalize per `from` into transition
+    * probabilities. The row-normalized matrix feeds journey
+    * dashboards, anomaly baselines ("this path never happens"), and
+    * synthetic-session generators.
+    *
+    * Scale shape: one key exchange for the lead window; the pair
+    * count is a map-side-combining groupBy to a TYPE²-bounded frame,
+    * and the per-from normalization windows over that tiny frame.
+    * Probabilities are unrounded quotients of exact longs — engine-
+    * stable by construction.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String, typeCol: String,
+                       timeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieBreak))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", col("n").cast("double") /
+        sum("n").over(Window.partitionBy(col("from_type"))).cast("double"))
+  }
 }

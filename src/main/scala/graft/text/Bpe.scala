@@ -171,4 +171,22 @@ object Bpe {
       }
       .toDF(idCol, "tokens")
   }
+
+  /** Per-doc tokenizer FERTILITY (tokens per word — the standard
+    * "how well does this vocabulary fit this corpus/language" number;
+    * high fertility = the tokenizer fragments, costing context budget)
+    * from [[encode]] output alone: the word count is recovered from
+    * the `</w>` markers — every word contributes exactly one
+    * terminal-bearing token, and the terminal can only sit at a
+    * token's end — so no join back to the corpus is ever paid. The
+    * quotient of two exact longs is left unrounded (the engine-stable
+    * convention).
+    */
+  def fertility(encoded: DataFrame, idCol: String = "doc_id"): DataFrame =
+    encoded.select(col(idCol),
+        expr("size(filter(tokens, t -> endswith(t, '</w>')))")
+          .cast("long").as("n_words"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
 }

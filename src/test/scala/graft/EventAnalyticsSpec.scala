@@ -199,4 +199,35 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(digest === expected, s"doc $id digest")
     }
   }
+
+  test("eventTransitions: pairs per user in time order, rows normalize to 1") {
+    val ev = Seq(
+      // user 1: A -> B -> A ; user 2: A -> C ; user 3: lone A (no pair)
+      (1L, "2024-01-01 00:00:00", 1L, "A"), (2L, "2024-01-01 00:01:00", 1L, "B"),
+      (3L, "2024-01-01 00:02:00", 1L, "A"), (4L, "2024-01-01 00:00:00", 2L, "A"),
+      (5L, "2024-01-01 00:05:00", 2L, "C"), (6L, "2024-01-01 00:00:00", 3L, "A"),
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Analytics.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((1L, 1.0))))
+    // per-from probabilities sum to 1
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12) }
+  }
+
+  test("Bpe.fertility: words from </w> markers, no corpus join in the plan") {
+    val docs = Seq((1L, "the and thin"), (2L, "a")).toDF("doc_id", "text")
+    val enc = graft.text.Bpe.encode(docs, SparkEntry.bpeMerges)
+    val got = graft.text.Bpe.fertility(enc)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // "the"->1 tok, "and"->1, "thin"->[th,in,</w>]=3 => 5 tokens / 3 words
+    assert(got(1L) == ((1L, 3L, 5L, 5.0 / 3.0)))
+    assert(got(2L) == ((2L, 1L, 2L, 2.0))) // "a" -> [a, </w>]
+    assert(!graft.text.Bpe.fertility(enc).queryExecution.executedPlan
+      .toString.contains("Join"))
+  }
 }

@@ -130,4 +130,49 @@ class RobotsSpec extends SparkSpec {
       "https://a.example/maps/s2.xml"))
     assert(got(2) == Nil)
   }
+
+  test("crawl_delay: group selection, last-wins merge, junk ignored, absent null") {
+    def delay(robots: String, agent: String): Option[Double] = {
+      val r = Seq(Tuple1(robots)).toDF("txt")
+        .select(Robots.crawl_delay(col("txt"), agent)).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val specific = "User-agent: graftbot\nCrawl-delay: 2.5\n\n" +
+      "User-agent: *\nCrawl-delay: 9\n"
+    assert(delay(specific, "graftbot") == Some(2.5))
+    assert(delay(specific, "otherbot") == Some(9.0))
+    // same-specificity groups merge with the LAST declared delay winning
+    val split = "User-agent: graftbot\nCrawl-delay: 1\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 4\nDisallow: /x\n"
+    assert(delay(split, "graftbot") == Some(4.0))
+    // unparseable value ignored (earlier good value survives)
+    assert(delay("User-agent: *\nCrawl-delay: fast\n", "g") == None)
+    assert(delay("User-agent: *\nCrawl-delay: 3\nCrawl-delay: soon\n", "g") == Some(3.0))
+    // no delay declared, or no robots group at all
+    assert(delay("User-agent: *\nDisallow: /p\n", "g") == None)
+    assert(delay("# just comments\n", "g") == None)
+  }
+
+  test("fetchScheduleWithDelay: wave spacing by host delay, default for silent hosts") {
+    val frontier = Seq(
+      ("https://a.example/1", 5L), ("https://a.example/2", 4L),
+      ("https://a.example/3", 3L), ("https://b.example/1", 9L),
+      ("https://b.example/2", 1L), ("https://b.example/3", 0L),
+    ).toDF("url", "n_inlinks")
+    val delays = Seq(("a.example", 2.5)).toDF("host", "crawl_delay")
+    val got = graft.pipeline.Crawl
+      .fetchScheduleWithDelay(frontier, delays, 10.0, perHostPerWave = 2)
+      .select("url", "wave", "crawl_delay", "fetch_at_sec")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("https://a.example/1") == ((0L, 2.5, 0.0)))
+    assert(got("https://a.example/3") == ((1L, 2.5, 2.5)))
+    assert(got("https://b.example/2") == ((0L, 10.0, 0.0)))
+    assert(got("https://b.example/3") == ((1L, 10.0, 10.0)))
+    // the delay table rides a broadcast join — the frontier never shuffles for it
+    val plan = graft.pipeline.Crawl
+      .fetchScheduleWithDelay(frontier, delays, 10.0, perHostPerWave = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
