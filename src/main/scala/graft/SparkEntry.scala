@@ -1132,6 +1132,21 @@ object SparkEntry {
       graft.sync.SyncOps.scd2(Tables.events(s, d), Seq("user_id"),
           Seq("event_type"), "ts", "event_id")
         .orderBy("user_id", "valid_from", "event_type")),
+    "q_scd2_delta" -> ((s, d) => {
+      // incremental dimension history: the standing history is built
+      // from events before the cutoff; the strictly-later tail
+      // arrives as a batch and merges without reprocessing the past.
+      // The oracle is the ONE-SHOT q_scd2_history SQL — delta ==
+      // one-shot is the contract, checked bit-for-bit.
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+      val history = graft.sync.SyncOps.scd2(
+        ev.filter(col("ts") <= cut), Seq("user_id"), Seq("event_type"),
+        "ts", "event_id")
+      graft.sync.SyncOps.scd2Delta(history, ev.filter(col("ts") > cut),
+          Seq("user_id"), Seq("event_type"), "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
     "d_sentences" -> ((s, d) => {
       // sentence segmentation: terminal punctuation planted at every
       // 7th word ('.') and 17th word ('!', which wins on overlap) by
@@ -3610,6 +3625,18 @@ object SparkEntry {
     "q_scd2_history" ->
       // the same two-window gaps-and-islands arithmetic: a version
       // opens where the null-safe attribute comparison breaks
+      """WITH pts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events) t
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM pts ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_scd2_delta" ->
+      // delta == one-shot: the q_scd2_history oracle verbatim
       """WITH pts AS (
         |  SELECT user_id, event_type, ts, event_id FROM (
         |    SELECT user_id, event_type, ts, event_id,

@@ -209,6 +209,49 @@ object IncrementalStream {
   def readUpsertTarget(spark: SparkSession, targetDir: String): Option[DataFrame] =
     new SnapshotStore(spark, targetDir).read()
 
+  /** One SCD2 history micro-batch merge — the streaming form of
+    * [[graft.sync.SyncOps.scd2Delta]], exposed for replay testing.
+    * An SCD2 merge is NOT idempotent (re-merging a batch would
+    * violate the strictly-later contract against its own effects), so
+    * the batch-id skip is load-bearing, not an optimization: replay
+    * of a committed batch is a no-op, and `scd2Delta`'s delta ==
+    * one-shot property makes the maintained history row-identical to
+    * running [[graft.sync.SyncOps.scd2]] over everything at once, for
+    * any micro-batching.
+    */
+  def mergeScd2Batch(batch: DataFrame, batchId: Long, historyDir: String,
+                     keys: Seq[String], attrCols: Seq[String],
+                     timeCol: String, tieBreak: String): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, historyDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
+    val merged = store.read() match {
+      case Some(h) => graft.sync.SyncOps
+        .scd2Delta(h, batch, keys, attrCols, timeCol, tieBreak)
+      case None => graft.sync.SyncOps
+        .scd2(batch, keys, attrCols, timeCol, tieBreak)
+    }
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming SCD2 sink (foreachBatch): the dimension-history twin
+    * of [[sinkUpsert]] — instead of overwriting each key's row, every
+    * change opens/extends validity intervals. Read back with
+    * [[readUpsertTarget]] over `historyDir`. Caller contract
+    * (inherited from scd2Delta): batches arrive in event-time order
+    * per key — true of a real change feed; a file-backed test source
+    * must write its waves time-sliced.
+    */
+  def sinkScd2(df: DataFrame, historyDir: String, checkpointDir: String,
+               keys: Seq[String], attrCols: Seq[String], timeCol: String,
+               tieBreak: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeScd2Batch(batch, batchId, historyDir, keys, attrCols,
+          timeCol, tieBreak)
+      }
+
   /** One aggregate-state micro-batch merge — exposed for direct replay
     * testing. foreachBatch is at-least-once and a state MERGE is NOT
     * idempotent: after a failure between the state write and the

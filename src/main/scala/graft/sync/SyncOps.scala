@@ -278,6 +278,49 @@ object SyncOps {
         Seq("valid_from", "valid_to", "is_current")).map(col): _*)
   }
 
+  /** INCREMENTAL [[scd2]] — merge a batch of strictly-LATER changes
+    * into an existing history table without reprocessing the past:
+    * the sync engine's fetch-only-the-delta philosophy applied to
+    * dimension history. Per key:
+    *
+    *  - keys the batch never touches: history rows pass through;
+    *  - touched keys: CLOSED intervals pass through untouched (the
+    *    past is immutable), and the OPEN interval re-enters [[scd2]]
+    *    as a seed row carrying the current attributes at their
+    *    valid_from — so a batch whose first change matches the
+    *    current attributes extends the open interval (no fragment),
+    *    and a differing change closes it at exactly the right
+    *    boundary. `scd2Delta(scd2(changes ≤ T), changes > T)` is
+    *    row-identical to `scd2(all changes)` — the spec pins it.
+    *
+    * Contract: every batch row is strictly later (timeCol) than the
+    * touched key's current valid_from — the append-only arrival
+    * order a change feed delivers; the seed's tie-break is null
+    * (sorts first, and ties with real rows are impossible under the
+    * contract).
+    *
+    * Scale shape: the closed/open split is a per-row filter; only
+    * touched keys' open rows and the batch enter the window, so the
+    * exchange is batch-sized, not history-sized; untouched history
+    * rides an anti-join against the batch's key set (keys-only).
+    */
+  def scd2Delta(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                attrCols: Seq[String], timeCol: String,
+                tieBreak: String): DataFrame = {
+    val untouched = detectDeletes(history, batch, keys)
+    val touchedOpen = applyDeletes(history.filter(col("is_current")), batch, keys)
+    val touchedClosed = applyDeletes(history.filter(!col("is_current")), batch, keys)
+    val tbType = batch.schema(tieBreak).dataType
+    val seeds = touchedOpen.select(
+      (keys ++ attrCols).map(col) :+
+        col("valid_from").as(timeCol) :+
+        lit(null).cast(tbType).as(tieBreak): _*)
+    val reopened = scd2(
+      seeds.unionByName(batch.select((keys ++ attrCols :+ timeCol :+ tieBreak).map(col): _*)),
+      keys, attrCols, timeCol, tieBreak)
+    untouched.unionByName(touchedClosed).unionByName(reopened)
+  }
+
   /** Concatenate an existing slice with a newly-fetched slice and
     * restore total time order (duplicates preserved — the reference's
     * merge does not dedupe; that is a separate explicit step).

@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 micro-batch merges converge to one-shot scd2; replay is a no-op") {
+    val all = graft.core.Tables.events(spark, sfDir)
+    val hist = tempDir("graft_scd2_hist") + "/h"
+    val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+      "2024-01-25 00:00:00", "2099-01-01 00:00:00")
+    var lo = "1970-01-01 00:00:00"
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val wave = all.filter(col("ts") > lit(lo).cast("timestamp") &&
+        col("ts") <= lit(hi).cast("timestamp"))
+      IncrementalStream.mergeScd2Batch(wave, i.toLong, hist,
+        Seq("user_id"), Seq("event_type"), "ts", "event_id")
+      lo = hi
+    }
+    // at-least-once replay of an already-committed batch: no-op
+    IncrementalStream.mergeScd2Batch(
+      all.filter(col("ts") <= lit(cuts.head).cast("timestamp")),
+      0L, hist, Seq("user_id"), Seq("event_type"), "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+        .as[(Long, String, String, String, Boolean)].collect().toSet
+    val got = canon(IncrementalStream.readUpsertTarget(spark, hist).get)
+    val want = canon(graft.sync.SyncOps.scd2(all,
+      Seq("user_id"), Seq("event_type"), "ts", "event_id"))
+    assert(got == want)
+  }
+
   test("foreachBatch agg-state sink == batch bucketState, bit-identical across micro-batching") {
     val batch = graft.core.Tables.events(spark, sfDir)
     val in = tempDir("graft_aggsink_in")

@@ -143,6 +143,50 @@ class SyncOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("scd2Delta == one-shot scd2 across any cutoff; extend, split, new key") {
+    val feed = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:05:00", 1L, "A"),  // extends
+      (3L, "2024-01-01 10:10:00", 1L, "B"),
+      (4L, "2024-01-01 10:20:00", 1L, "A"),
+      (5L, "2024-01-01 09:00:00", 2L, "C"),
+      (6L, "2024-01-01 11:00:00", 2L, "C"),  // post-cut extend of the open interval
+      (7L, "2024-01-01 12:00:00", 3L, "X"),  // brand-new key after the cut
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+        .as[(Long, String, String, String, Boolean)].collect().toSet
+    val oneShot = canon(SyncOps.scd2(feed, Seq("user_id"), Seq("event_type"),
+      "ts", "event_id"))
+    // every cutoff between events must reconstruct the same history
+    Seq("10:04:00", "10:10:00", "10:30:00", "08:00:00").foreach { hm =>
+      val cut = lit(s"2024-01-01 $hm").cast("timestamp")
+      val hist = SyncOps.scd2(feed.filter(col("ts") <= cut),
+        Seq("user_id"), Seq("event_type"), "ts", "event_id")
+      val got = canon(SyncOps.scd2Delta(hist, feed.filter(col("ts") > cut),
+        Seq("user_id"), Seq("event_type"), "ts", "event_id"))
+      assert(got == oneShot, s"cutoff $hm")
+    }
+    // folding wave by wave also converges
+    val waves = Seq("10:05:00", "10:20:00", "23:59:59")
+    var hist = SyncOps.scd2(
+      feed.filter(col("ts") <= lit("2024-01-01 10:00:00").cast("timestamp")),
+      Seq("user_id"), Seq("event_type"), "ts", "event_id")
+    var lo = "2024-01-01 10:00:00"
+    waves.foreach { hm =>
+      val hi = s"2024-01-01 $hm"
+      hist = SyncOps.scd2Delta(hist,
+        feed.filter(col("ts") > lit(lo).cast("timestamp") &&
+          col("ts") <= lit(hi).cast("timestamp")),
+        Seq("user_id"), Seq("event_type"), "ts", "event_id")
+      lo = hi
+    }
+    assert(canon(hist) == oneShot)
+  }
+
   test("evolveSchema: widening ladder, null fills, column order, incompatible rejected") {
     import spark.implicits._
     import org.apache.spark.sql.types._
