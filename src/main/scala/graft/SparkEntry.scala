@@ -125,6 +125,18 @@ object SparkEntry {
         Tables.events(s, d)
           .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss")),
         "ts_str", "1 hour", Seq("value"))),
+    "q_json_extract" -> ((s, d) => {
+      // typed fields out of the JSON property bag: $.k as BIGINT
+      // (present everywhere), a missing path proving null-totality,
+      // then the usual dashboard aggregate over the extraction
+      val ev = graft.ops.JsonOps.flatten(Tables.events(s, d), "props",
+        Seq(("k", "k", "BIGINT"), ("absent", "nope", "STRING")))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+          count(col("absent")).as("n_absent_nonnull"))
+        .orderBy("event_type")
+    }),
     "q_time_weighted_avg" -> ((s, d) =>
       // LOCF time-weighted mean per user over the irregular event
       // series — plain AVG over-weights bursts; tieBreak = event_id
@@ -3589,6 +3601,19 @@ object SparkEntry {
       // at the source and must NOT surface as tombstones
       """SELECT * FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      // json_valid guard mirrors get_json_object's null-on-malformed
+      // totality (DuckDB's raw extraction throws instead)
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN json_valid(props)
+        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
+        |  min(CASE WHEN json_valid(props)
+        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS min_k,
+        |  max(CASE WHEN json_valid(props)
+        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS max_k,
+        |  CAST(count(CASE WHEN json_valid(props)
+        |             THEN json_extract_string(props, '$.nope') END) AS BIGINT) AS n_absent_nonnull
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_time_weighted_avg" ->
       // the same LOCF step weighting: exact microsecond durations,
       // IEEE products summed by an ORDERED fold (list ORDER BY ts,

@@ -69,7 +69,8 @@ object ScaleSoak {
     "q_sync_deletes", "q_scd2_history", "d_weighted_sample",
     "d_recrawl_rate", "d_markdown_strip", "d_bpe_encode",
     "q_cdc_apply", "q_time_weighted_avg", "d_fetch_delay",
-    "d_bpe_fertility", "q_event_transitions", "q_scd2_delta")
+    "d_bpe_fertility", "q_event_transitions", "q_scd2_delta",
+    "q_json_extract")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

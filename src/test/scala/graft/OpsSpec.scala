@@ -72,6 +72,29 @@ class OpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("JsonOps.field/flatten: typed extraction, total on malformed/missing/untypeable") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a", "nested": {"x": 1.5}}"""),
+      (2L, """{"k": "not-a-number"}"""),
+      (3L, """not json at all"""),
+      (4L, null.asInstanceOf[String]),
+    ).toDF("id", "props")
+    val got = graft.ops.JsonOps.flatten(df, "props", Seq(
+        ("k", "k", "BIGINT"), ("tag", "tag", "STRING"),
+        ("x", "nested.x", "DOUBLE"), ("gone", "nope", "STRING")))
+      .select("id", "k", "tag", "x", "gone")
+      .as[(Long, Option[Long], Option[String], Option[Double], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some(7L), Some("a"), Some(1.5), None)))
+    assert(got(2L) == ((None, None, None, None))) // untypeable k -> null, not throw
+    assert(got(3L) == ((None, None, None, None))) // malformed -> null, not throw
+    assert(got(4L) == ((None, None, None, None)))
+    // per-row scalar: no shuffle in the plan
+    val plan = graft.ops.JsonOps.flatten(df, "props", Seq(("k", "k", "BIGINT")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("numericStats computes one row of min/max/avg") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val row = TableStats.numericStats(df, Seq("x")).head()
