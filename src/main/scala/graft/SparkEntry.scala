@@ -279,6 +279,20 @@ object SparkEntry {
       Dedup.minhashNearDupsPortable(
         docs.select("doc_id", "text").unionByName(mutated), 3, 32, 8, 0.5)
     }),
+    "d_dedup_containment" -> ((s, d) => {
+      // the excerpt detector: a 12-word excerpt of every doc
+      // (id + 20000) has near-zero Jaccard against its source but
+      // containment ~1.0 — candidates from the shingle inverted
+      // index (df-capped), exact two-direction containment verify,
+      // all on the portable md5-mod-2^31 hash path
+      val docs = Tables.documents(s, d)
+      val excerpts = docs.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 12), ' ')").as("text"))
+      Dedup.containmentPairs(
+        docs.select("doc_id", "text").unionByName(excerpts),
+        3, 0.9, maxShingleDf = 20)
+    }),
     "d_dedup_minhash_delta" -> ((s, d) => {
       // incremental ingest: the corpus is the standing index; the new
       // batch is every doc's near-dup copy (first 3 words dropped,
@@ -1072,6 +1086,11 @@ object SparkEntry {
       graft.text.Bpe.fertility(
         graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges))
         .orderBy("doc_id")),
+    "q_anomaly_zscore" -> ((s, d) =>
+      // per-type hourly volume scored against the series' own mean/σ
+      Analytics.anomalyZscore(Tables.events(s, d),
+        "event_type", "ts", "1 hour", 2.5)
+        .orderBy("event_type", "bucket_ts")),
     "q_event_transitions" -> ((s, d) =>
       // first-order Markov transitions over each user's event stream
       Analytics.eventTransitions(Tables.events(s, d),
@@ -2684,6 +2703,38 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, jaccard FROM ver
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_dedup_containment" ->
+      // candidates (shared low-df shingle, self-join form), then both
+      // containment directions over the full distinct hash sets; the
+      // df cap gates candidates only
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string((string_split(text, ' '))[1:12], ' ') FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2),
+        |    i -> CAST(CAST(('0x' || substring(md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')), 1, 15)) AS UBIGINT) % 2147483648 AS BIGINT))) AS h
+        |  FROM corpus
+        |), inv AS (
+        |  SELECT doc_id, unnest(h) AS v FROM hs
+        |), ok AS (
+        |  SELECT v FROM inv GROUP BY v HAVING count(*) BETWEEN 2 AND 20
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN ok ON a.v = ok.v
+        |  JOIN inv b ON a.v = b.v AND a.doc_id < b.doc_id
+        |), ver AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) / len(ha.h), 6) AS c_a_in_b,
+        |    round(CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) / len(hb.h), 6) AS c_b_in_a
+        |  FROM cand
+        |  JOIN hs ha ON ha.doc_id = cand.doc_a
+        |  JOIN hs hb ON hb.doc_id = cand.doc_b
+        |)
+        |SELECT doc_a, doc_b, c_a_in_b, c_b_in_a FROM ver
+        |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_clusters_sql" ->
       """WITH RECURSIVE copies AS (
         |  SELECT doc_id, text FROM documents
@@ -3533,6 +3584,27 @@ object SparkEntry {
         |  CAST(len(string_split(array_to_string(toks, ' '), ' ')) AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS fertility
         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_anomaly_zscore" ->
+      // identical fixed-order arithmetic: mean = sum/n,
+      // var = sumsq/n - mean*mean, single sqrt and quotient
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, bucket_ts, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mean,
+        |    CAST(sum(n * n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS ssq
+        |  FROM b)
+        |SELECT event_type, bucket_ts, n,
+        |  CASE WHEN ssq - mean * mean <= 0 THEN 0.0
+        |       ELSE (CAST(n AS DOUBLE) - mean) / sqrt(ssq - mean * mean) END AS z,
+        |  CASE WHEN ssq - mean * mean <= 0 THEN FALSE
+        |       ELSE abs((CAST(n AS DOUBLE) - mean) / sqrt(ssq - mean * mean)) >= 2.5
+        |       END AS is_anomaly
+        |FROM s ORDER BY event_type, bucket_ts""".stripMargin,
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,

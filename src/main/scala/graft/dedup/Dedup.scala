@@ -233,10 +233,11 @@ object Dedup {
     * either way — degenerate bands are a parameter problem, not a
     * plan problem; the soak profile tracks max occupancy).
     */
-  private def bucketPairs(buckets: DataFrame, idCol: String): DataFrame =
+  private def bucketPairs(buckets: DataFrame, idCol: String,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
     buckets.groupBy("band_id", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .withColumn("ids", array_sort(col("ids")))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -244,6 +245,58 @@ object Dedup {
           |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
         .as("p"))
       .select("p.doc_a", "p.doc_b")
+
+  /** CONTAINMENT pairs — Broder's asymmetric near-dup measure
+    * (c(A→B) = |A∩B| / |A| over distinct shingle sets): the
+    * excerpt/quote detector. A 12-word excerpt of a 500-word page has
+    * near-zero JACCARD (the union is huge) but containment ≈ 1.0 —
+    * symmetric MinHash dedup is structurally blind to it, which is
+    * why dedup recipes run a containment pass for boilerplate quotes,
+    * syndicated ledes, and copy-pasted passages.
+    *
+    * Candidates come from a shingle INVERTED INDEX (docs sharing ≥ 1
+    * shingle hash), with a document-frequency cap on the shingle —
+    * stopword-grade shingles shared by half the corpus generate
+    * quadratic candidates while signaling nothing (the dedupLines
+    * hot-line convention); the cap gates CANDIDATES only, the verify
+    * counts full intersections. Verification reuses the melted
+    * one-pass rehydrate of [[verifyJaccard]]; a pair survives when
+    * its LARGER containment direction clears `threshold`, and both
+    * directions are reported (which side is the excerpt matters).
+    *
+    * Portable contract: shingle hashes are the md5-mod-2^31 family
+    * ([[minhashIndexPortable]]), so candidates, both containments,
+    * and the survivors all recompute in any engine.
+    *
+    * Scale shape: one (hash, id) exchange for the inverted index
+    * (8-byte rows), per-hash combination generation under the df cap,
+    * candidate-bounded verify — the MinHash-LSH accounting with the
+    * inverted index playing the band table's role.
+    */
+  def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
+                       maxShingleDf: Int = 100, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    require(maxShingleDf >= 2, s"maxShingleDf must be >= 2: $maxShingleDf")
+    val sh = docs.select(col(idCol),
+      graft.functions.Hashes.gram_md5_mod31(col(textCol), k).as("hs"))
+    val buckets = sh.select(col(idCol), lit(0).as("band_id"),
+      explode(col("hs")).as("band_hash"))
+    val pairs = bucketPairs(buckets, idCol, maxShingleDf).distinct()
+    val melted = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    sh.join(melted, idCol)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col(idCol) === col("doc_a"), col("hs"))).as("sh_a"),
+           max(when(col(idCol) === col("doc_b"), col("hs"))).as("sh_b"))
+      .withColumn("__common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("c_a_in_b", round(col("__common") / size(col("sh_a")), 6))
+      .withColumn("c_b_in_a", round(col("__common") / size(col("sh_b")), 6))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact hashed-shingle Jaccard over candidate (doc_a, doc_b) pairs:
     * rehydrates shingle SETS by id with ONE pass over `sh` ((id, hs)

@@ -420,6 +420,44 @@ object Analytics {
       .agg(count(lit(1)).as("users"))
       .orderBy("cohort_date", "week_offset")
 
+  /** Z-SCORE anomaly detection over a bucketed event series — the
+    * dashboard alerting primitive ("this hour's click volume is 4σ
+    * off"): per series (typeCol), events bucket to `interval` counts,
+    * and each bucket's count is scored against the series' own
+    * population mean/σ. A constant series (σ = 0) scores 0 — no
+    * division blowup, no NaN on the hash path.
+    *
+    * Determinism contract: bucket counts are exact longs; mean and
+    * variance derive from exact integer sums in one FIXED operation
+    * order (mean = sum/n; var = sumsq/n − mean²), sqrt and the final
+    * quotient are single IEEE ops — identical in any engine, left
+    * unrounded (the [[graft.ops.TimeBucketAgg.bucketed]] convention).
+    *
+    * Scale shape: one map-side-combining groupBy to the bucket frame
+    * (buckets × types — small at any corpus size), then series stats
+    * as windows over that frame; the raw events are touched exactly
+    * once.
+    */
+  def anomalyZscore(events: DataFrame, typeCol: String, timeCol: String,
+                    interval: String, zFlag: Double): DataFrame = {
+    require(zFlag > 0, s"zFlag must be positive, got $zFlag")
+    val buckets = events
+      .groupBy(col(typeCol), window(col(timeCol), interval).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_ts", col("w.start")).drop("w")
+    val w = Window.partitionBy(col(typeCol))
+    val cnt = count(lit(1)).over(w).cast("double")
+    val mean = sum(col("n")).over(w).cast("double") / cnt
+    val variance = sum(col("n") * col("n")).over(w).cast("double") / cnt -
+      mean * mean
+    buckets
+      .withColumn("z", when(variance <= 0, lit(0.0))
+        .otherwise((col("n").cast("double") - mean) / sqrt(variance)))
+      .withColumn("is_anomaly", abs(col("z")) >= zFlag)
+      .select(col(typeCol), col("bucket_ts"), col("n"), col("z"),
+        col("is_anomaly"))
+  }
+
   /** Event TRANSITION MATRIX — the first-order Markov view of user
     * behavior (what follows what?): per key, order events by
     * (timeCol, tieBreak), pair each event with its successor, count

@@ -116,6 +116,28 @@ class DedupSpec extends SparkSpec {
     viaKernel.foreach { case (id, v) => assert(v == viaExpr(id), s"doc $id") }
   }
 
+  test("containmentPairs: excerpt ~1.0 one-way, jaccard-blind pair found, df cap gates") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")   // strict prefix
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, 3, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, cAinB, cBinA) = got.head
+    // doc 2's 8 distinct shingles are all in doc 1's 58 — containment
+    // is 1.0 excerpt-side, tiny source-side (the jaccard-blind case)
+    assert(cBinA == 1.0)
+    assert(cAinB < 0.2)
+    // a stopword-grade shingle shared by everyone generates no
+    // candidates once its df exceeds the cap
+    val common = Seq.tabulate(5)(i => (10L + i, s"the same lede y$i z$i q$i")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(common, 3, 0.1, maxShingleDf = 4)
+    val uncapped = Dedup.containmentPairs(common, 3, 0.1, maxShingleDf = 100)
+    assert(capped.count() < uncapped.count())
+    assert(uncapped.count() == 10) // all C(5,2) pairs share 'the same lede'
+  }
+
   test("delta against an empty index == one-shot on the batch") {
     val empty = Dedup.minhashIndex(docs.filter($"doc_id" < 0), 2, 32)
     val (delta, _) = Dedup.minhashNearDupsDelta(empty, docs, 2, 32, 8, 0.5)

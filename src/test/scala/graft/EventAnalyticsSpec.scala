@@ -219,6 +219,28 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12) }
   }
 
+  test("anomalyZscore: planted spike flagged, constant series scores 0") {
+    // type A: 1 event/hour for 9 hours + a 13-event spike in hour 10;
+    // type B: exactly 2 events every hour (sigma = 0)
+    val rows = (0 until 9).map(h => (f"2024-01-01 $h%02d:15:00", "A")) ++
+      (1 to 13).map(m => (f"2024-01-01 09:${m}%02d:00", "A")) ++
+      (0 until 6).flatMap(h => Seq((f"2024-01-02 $h%02d:05:00", "B"),
+        (f"2024-01-02 $h%02d:35:00", "B")))
+    val ev = rows.zipWithIndex
+      .map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Analytics.anomalyZscore(ev, "event_type", "ts", "1 hour", 2.5)
+      .as[(String, java.sql.Timestamp, Long, Double, Boolean)].collect()
+    val a = got.filter(_._1 == "A")
+    // mean 2.2, var (9*1 + 169)/10 - 4.84 = 12.96, sigma 3.6
+    val spike = a.filter(_._3 == 13L)
+    assert(spike.length == 1 && spike.head._5 && math.abs(spike.head._4 - 3.0) < 1e-9)
+    assert(a.count(_._5) == 1) // only the spike flags
+    val b = got.filter(_._1 == "B")
+    assert(b.forall(r => r._4 == 0.0 && !r._5)) // sigma = 0 -> z 0, never NaN
+  }
+
   test("Bpe.fertility: words from </w> markers, no corpus join in the plan") {
     val docs = Seq((1L, "the and thin"), (2L, "a")).toDF("doc_id", "text")
     val enc = graft.text.Bpe.encode(docs, SparkEntry.bpeMerges)
