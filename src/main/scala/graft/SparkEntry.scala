@@ -125,6 +125,23 @@ object SparkEntry {
         Tables.events(s, d)
           .withColumn("ts_str", date_format(col("ts"), "yyyyMMddHHmmss")),
         "ts_str", "1 hour", Seq("value"))),
+    "q_data_quality" -> ((s, d) => {
+      // the post-load validation report: five row assertions (two
+      // designed to fail on real data) + two uniqueness rules, all
+      // in ONE aggregate pass
+      graft.ops.QualityRules.check(Tables.orders(s, d),
+        rowRules = Seq(
+          "orderkey_not_null" -> col("o_orderkey").isNotNull,
+          "price_positive" -> (col("o_totalprice") > 0),
+          "price_above_1000" -> (col("o_totalprice") > 1000),
+          "status_accepted" -> col("o_orderstatus").isin("O", "F", "P"),
+          "date_in_range" -> col("o_orderdate").between(
+            lit("1992-01-01 00:00:00").cast("timestamp"),
+            lit("1998-12-31 23:59:59").cast("timestamp"))),
+        uniqueRules = Seq(
+          "orderkey_unique" -> Seq("o_orderkey"),
+          "custkey_unique" -> Seq("o_custkey")))
+    }),
     "q_json_extract" -> ((s, d) => {
       // typed fields out of the JSON property bag: $.k as BIGINT
       // (present everywhere), a missing path proving null-totality,
@@ -3673,6 +3690,29 @@ object SparkEntry {
       // at the source and must NOT surface as tombstones
       """SELECT * FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_data_quality" ->
+      // every rule replayed: NULL assertions count as violations
+      // (NOT coalesce(p, FALSE)), uniqueness = rows minus distinct
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'orderkey_not_null' AS rule,
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+        |  UNION ALL SELECT 'price_positive',
+        |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'price_above_1000',
+        |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 1000, FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'status_accepted',
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'date_in_range',
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59', FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'custkey_unique',
+        |    CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |SELECT rule, n_rows, n_violations,
+        |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate,
+        |  n_violations = 0 AS pass
+        |FROM v CROSS JOIN n ORDER BY rule""".stripMargin,
     "q_json_extract" ->
       // json_valid guard mirrors get_json_object's null-on-malformed
       // totality (DuckDB's raw extraction throws instead)

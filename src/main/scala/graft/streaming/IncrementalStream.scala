@@ -476,6 +476,54 @@ object IncrementalStream {
           StoreMaintenance.compactStore(batch.sparkSession, indexDir): Unit
       }
 
+  /** One IMAGE-dedup ingest micro-batch — [[nearDupBatch]]'s shape
+    * applied to the perceptual-hash index
+    * ([[graft.mm.Multimodal.dhashPairsDelta]]): the batch's payloads
+    * decode and hash ONCE (rasters die inside the decode task), the
+    * standing index contributes 8-byte hashes only — payloads are
+    * never re-read or re-decoded — and the batch's bands broadcast
+    * against the index's. Replay-idempotent the same way: the index
+    * read excludes the replayed batch's own partition.
+    */
+  def imageDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                      pairsDir: String, maxHamming: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val newHashes = graft.mm.Multimodal.dhash(
+      batch.as[graft.mm.Multimodal.MediaRow]).toDF()
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (!fs.exists(idxPath)) newHashes.limit(0)
+      else spark.read.parquet(indexDir)
+        .filter(col("batch") =!= batchId) // replay: own hashes are not history
+        .select(newHashes.columns.map(col): _*)
+    val pairs = graft.mm.Multimodal.dhashPairsDelta(index, newHashes, maxHamming)
+    pairs.persist()
+    try {
+      if (pairs.count() > 0)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      newHashes.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally pairs.unpersist(blocking = true)
+  }
+
+  /** Streaming image-dedup sink (foreachBatch over [[imageDedupBatch]])
+    * — completes multimodal parity with the text near-dup sink: image
+    * batches arrive as MediaRow-shaped frames, the dhash index
+    * accumulates per batch, pairs land under `pairsDir` (read with
+    * [[readDeduped]]).
+    */
+  def sinkImageDedup(df: DataFrame, indexDir: String, pairsDir: String,
+                     checkpointDir: String, maxHamming: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageDedupBatch(batch, batchId, indexDir, pairsDir, maxHamming)
+      }
+
   /** Streaming CURATION sink: foreachBatch over
     * [[graft.pipeline.Curation.curateDelta]] — each micro-batch is
     * exact-deduped against the seen-hash store, near-dup-pruned

@@ -70,7 +70,8 @@ object ScaleSoak {
     "d_recrawl_rate", "d_markdown_strip", "d_bpe_encode",
     "q_cdc_apply", "q_time_weighted_avg", "d_fetch_delay",
     "d_bpe_fertility", "q_event_transitions", "q_scd2_delta",
-    "q_json_extract", "d_dedup_containment", "q_anomaly_zscore")
+    "q_json_extract", "d_dedup_containment", "q_anomaly_zscore",
+    "q_data_quality")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

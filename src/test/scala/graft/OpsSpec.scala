@@ -72,6 +72,37 @@ class OpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("QualityRules: null assertions violate, uniqueness counts extras, one scan") {
+    val df = Seq(
+      (1L, Some(10.0), "O"), (2L, Some(-5.0), "O"),
+      (3L, None, "F"), (4L, Some(3.0), "X"), (1L, Some(7.0), "O"),
+    ).toDF("k", "price", "status")
+    val got = graft.ops.QualityRules.check(df,
+      rowRules = Seq(
+        "price_positive" -> (col("price") > 0), // null price MUST violate
+        "status_ok" -> col("status").isin("O", "F")),
+      uniqueRules = Seq("k_unique" -> Seq("k")))
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("price_positive") == ((5L, 2L, 0.4, false))) // -5 AND the null
+    assert(got("status_ok") == ((5L, 1L, 0.2, false)))
+    assert(got("k_unique") == ((5L, 1L, 0.2, false)))       // duplicate k=1
+    // all-pass rule reports pass
+    val ok = graft.ops.QualityRules.check(df,
+      rowRules = Seq("k_not_null" -> col("k").isNotNull))
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(ok == (("k_not_null", 5L, 0L, 0.0, true)))
+    // ONE scan regardless of rule count
+    val plan = graft.ops.QualityRules.check(df,
+      rowRules = Seq("a" -> (col("price") > 0), "b" -> col("k").isNotNull),
+      uniqueRules = Seq("u" -> Seq("k")))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1, plan)
+    intercept[IllegalArgumentException](
+      graft.ops.QualityRules.check(df, rowRules = Seq(
+        "dup" -> col("k").isNotNull, "dup" -> (col("price") > 0))))
+  }
+
   test("JsonOps.field/flatten: typed extraction, total on malformed/missing/untypeable") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a", "nested": {"x": 1.5}}"""),

@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("image-dedup micro-batches: cross-wave pairs found, replay no-op, == one-shot") {
+    import graft.mm.Multimodal
+    def img(id: Long, seed: Long, flip: Boolean): Multimodal.MediaRow = {
+      // pseudorandom 9x8 raster (a gradient would give every image
+      // the SAME dhash — adjacent-pixel differences are constant);
+      // flip perturbs one pixel strongly enough to flip a bit
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grays = for (y <- 0 until 8; x <- 0 until 9) yield {
+        val g = md.digest(s"$seed|${y * 9 + x}".getBytes("UTF-8"))(0) & 0xff
+        if (flip && y == 0 && x == 0) (g + 101) % 256 else g
+      }
+      Multimodal.MediaRow(id, "image", Multimodal.grayPixelGif(grays, 9, 8), 0, 0, 0)
+    }
+    // wave 1: originals 1..4; wave 2: near-copies 11..14 (+ one unrelated)
+    val w1 = (1L to 4L).map(i => img(i, i, flip = false))
+    val w2 = (1L to 4L).map(i => img(i + 10, i, flip = true)) :+
+      img(99L, 7777L, flip = false)
+    val idx = tempDir("graft_imgdedup") + "/idx"
+    val pairs = tempDir("graft_imgdedup") + "/pairs"
+    IncrementalStream.imageDedupBatch(w1.toDF(), 0L, idx, pairs, maxHamming = 3)
+    IncrementalStream.imageDedupBatch(w2.toDF(), 1L, idx, pairs, maxHamming = 3)
+    // replay of wave 1: must not pair wave-1 docs against their own
+    // leftover hashes or duplicate anything
+    IncrementalStream.imageDedupBatch(w1.toDF(), 0L, idx, pairs, maxHamming = 3)
+    val got = IncrementalStream.readDeduped(spark, pairs).get
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oneShot = Multimodal.dhashPairs(
+      Multimodal.dhash((w1 ++ w2).toDS()).toDF(), 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == oneShot)
+    assert((1L to 4L).forall(i => got.contains((i, i + 10)))) // each copy found
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("foreachBatch agg-state sink == batch bucketState, bit-identical across micro-batching") {
     val batch = graft.core.Tables.events(spark, sfDir)
     val in = tempDir("graft_aggsink_in")
