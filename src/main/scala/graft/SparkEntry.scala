@@ -22,6 +22,27 @@ object SparkEntry {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** The mixed code/prose corpus behind d_license_detect and
+    * d_code_detect: every third doc rewrites into source-like lines
+    * (`  let vI = "word";`) under a license header rotating by
+    * doc_id % 4; the rest stay prose.
+    */
+  private[graft] def mixedCodeCorpus(docs: DataFrame): DataFrame = {
+    val header =
+      when(col("doc_id") % 4 === 0, lit("// SPDX-License-Identifier: MIT\n"))
+        .when(col("doc_id") % 4 === 1,
+          lit("// GNU GENERAL PUBLIC LICENSE Version 3\n"))
+        .when(col("doc_id") % 4 === 2, lit(
+          "// This is free and unencumbered software released into the public domain\n"))
+        .otherwise(lit("// internal tool\n"))
+    val codeBody = expr(
+      """array_join(transform(split(text, ' '),
+        |  (w, i) -> concat('  let v', i, ' = "', w, '";')), '\n')""".stripMargin)
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(header, codeBody))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** d_bpe_encode's fixed merge table (rank order). Chained merges
     * (th+e</w>, an+d</w>) deliberately consume EARLIER outputs — the
     * in-order oracle replay stays equivalent to greedy inference
@@ -1103,6 +1124,10 @@ object SparkEntry {
       graft.text.Bpe.fertility(
         graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges))
         .orderBy("doc_id")),
+    "q_funnel_windowed" -> ((s, d) =>
+      // the funnel with a 2-hour per-step conversion window — a
+      // chain spread over a month is not a conversion
+      Analytics.funnelWindowed(s, d, maxGapSeconds = 7200)),
     "q_anomaly_zscore" -> ((s, d) =>
       // per-type hourly volume scored against the series' own mean/σ
       Analytics.anomalyZscore(Tables.events(s, d),
@@ -1113,6 +1138,21 @@ object SparkEntry {
       Analytics.eventTransitions(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id")
         .orderBy("from_type", "to_type")),
+    "d_license_detect" -> ((s, d) => {
+      // a mixed corpus: every third doc becomes source code with a
+      // planted license header rotating by doc_id % 4 (SPDX MIT /
+      // GPL phrase / public-domain phrase / none); the oracle replays
+      // the same RE2-compatible markers, so even an accidental prose
+      // match stays hash-identical
+      graft.text.CodeText.detectLicense(
+        SparkEntry.mixedCodeCorpus(Tables.documents(s, d))).orderBy("doc_id")
+    }),
+    "d_code_detect" -> ((s, d) =>
+      // code-vs-prose over the same mixed corpus: symbol density,
+      // indentation, and end-of-line structure — a disjunction
+      // because Python-style and minified-style each defeat one signal
+      graft.text.CodeText.detectCode(
+        SparkEntry.mixedCodeCorpus(Tables.documents(s, d))).orderBy("doc_id")),
     "d_markdown_strip" -> ((s, d) => {
       // markdown synthesized from the corpus by indexed arithmetic
       // (every 23rd word becomes a link, 29th bold, 31st a code span;
@@ -3601,6 +3641,25 @@ object SparkEntry {
         |  CAST(len(string_split(array_to_string(toks, ' '), ' ')) AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS fertility
         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_funnel_windowed" ->
+      // greedy earliest-reach == sequential correlated minima:
+      // t0 = min(view); t1 = min(click) in (t0, t0+2h];
+      // t2 = min(purchase) in (t1, t1+2h]
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE event_type = 'click' AND ts > t0 AND ts <= t0 + INTERVAL 2 HOUR
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'purchase' AND ts > t1 AND ts <= t1 + INTERVAL 2 HOUR
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2))
+        |ORDER BY step""".stripMargin,
     "q_anomaly_zscore" ->
       // identical fixed-order arithmetic: mean = sum/n,
       // var = sumsq/n - mean*mean, single sqrt and quotient
@@ -3633,6 +3692,54 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "d_license_detect" ->
+      // same synthesis, same RE2 markers in priority order
+      """WITH mixed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      (CASE WHEN doc_id % 4 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+        |            WHEN doc_id % 4 = 1 THEN '// GNU GENERAL PUBLIC LICENSE Version 3' || chr(10)
+        |            WHEN doc_id % 4 = 2 THEN '// This is free and unencumbered software released into the public domain' || chr(10)
+        |            ELSE '// internal tool' || chr(10) END)
+        |      || array_to_string(list_transform(string_split(text, ' '),
+        |           (w, i) -> '  let v' || CAST(i - 1 AS VARCHAR) || ' = "' || w || '";'), chr(10))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(text, '(?i)(SPDX-License-Identifier:\s*(GPL|AGPL|LGPL)|GNU (GENERAL|LESSER|AFFERO) PUBLIC LICENSE|GPL-[23]\.0)') THEN 'copyleft'
+        |         WHEN regexp_matches(text, '(?i)(SPDX-License-Identifier:\s*(MIT|Apache|BSD|ISC)|Permission is hereby granted, free of charge|Licensed under the Apache License|Redistribution and use in source and binary forms)') THEN 'permissive'
+        |         WHEN regexp_matches(text, '(?i)(SPDX-License-Identifier:\s*(CC0|Unlicense)|This is free and unencumbered software released into the public domain)') THEN 'public_domain'
+        |         ELSE 'none' END AS license_class
+        |  FROM mixed)
+        |SELECT doc_id, license_class,
+        |  license_class IN ('permissive', 'public_domain') AS redistributable
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "d_code_detect" ->
+      // same synthesis; ratios from the same regexp arithmetic, the
+      // verdict disjunction over the ROUNDED values
+      """WITH mixed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      (CASE WHEN doc_id % 4 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+        |            WHEN doc_id % 4 = 1 THEN '// GNU GENERAL PUBLIC LICENSE Version 3' || chr(10)
+        |            WHEN doc_id % 4 = 2 THEN '// This is free and unencumbered software released into the public domain' || chr(10)
+        |            ELSE '// internal tool' || chr(10) END)
+        |      || array_to_string(list_transform(string_split(text, ' '),
+        |           (w, i) -> '  let v' || CAST(i - 1 AS VARCHAR) || ' = "' || w || '";'), chr(10))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    round((length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))) / length(text), 6) AS symbol_ratio,
+        |    round(len(regexp_extract_all(text, '(?m)^(  |\t)'))
+        |          / (length(text) - length(replace(text, chr(10), '')) + 1), 6) AS indent_ratio,
+        |    round(len(regexp_extract_all(text, '(?m)[;{}]$'))
+        |          / (length(text) - length(replace(text, chr(10), '')) + 1), 6) AS eol_ratio
+        |  FROM mixed)
+        |SELECT doc_id, symbol_ratio, indent_ratio, eol_ratio,
+        |  symbol_ratio >= 0.04 OR (indent_ratio >= 0.3 AND eol_ratio >= 0.15) AS is_code
+        |FROM r ORDER BY doc_id""".stripMargin,
     "d_markdown_strip" ->
       // same synthesis (DuckDB 1-based i == Spark i+1; newlines via
       // chr(10) — DuckDB string literals don't interpret \n), then the

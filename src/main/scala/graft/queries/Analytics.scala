@@ -393,6 +393,53 @@ object Analytics {
       .orderBy("step")
   }
 
+  /** TIME-CONSTRAINED funnel — [[funnel]] with a per-step conversion
+    * window: step i+1 counts only if it happens within `maxGapSeconds`
+    * of step i's reach time (a view→click→purchase chain spread over
+    * a month is not a funnel conversion). Semantics are the same
+    * GREEDY earliest-reach fold as [[funnel]] with the gap bound on
+    * the advance condition; because events fold in time order, the
+    * reach times are exactly the sequential correlated minima
+    *   t0 = min ts(step0);  t_{i+1} = min ts(step_{i+1}) in
+    *   (t_i, t_i + gap]
+    * — which is what the oracle replays as chained aggregates. (A
+    * later, slower step-i occurrence that would have converted is NOT
+    * retried — the greedy contract, explicit and deterministic.)
+    *
+    * Scale shape: identical to [[funnel]] — one wide groupBy(user)
+    * shuffle, codegen'd fold, stack of a single counts row.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String,
+                     maxGapSeconds: Long,
+                     steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct: $steps")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
+    val n = steps.length
+    val stepsSql = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val reach = Tables.events(spark, dir)
+      .filter(col("event_type").isInCollection(steps))
+      .select(col("user_id"), col("ts"), col("event_type").as("et"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("et")))).as("evs"))
+      .withColumn("reach", expr(
+        s"""aggregate(evs,
+           |  array_repeat(CAST(NULL AS TIMESTAMP), $n),
+           |  (acc, e) -> transform(acc, (t, i) ->
+           |    CASE WHEN t IS NULL AND e.et = element_at($stepsSql, i + 1)
+           |              AND (i = 0 OR (acc[i - 1] IS NOT NULL AND acc[i - 1] < e.ts
+           |                             AND e.ts <= acc[i - 1] + INTERVAL '$maxGapSeconds' SECOND))
+           |         THEN e.ts ELSE t END))""".stripMargin))
+    val counts = reach.select(
+      (0 until n).map(i =>
+        coalesce(sum(when(col("reach")(i).isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"u$i")): _*)
+    counts.select(expr(
+      s"stack($n, ${(0 until n).map(i => s"${i + 1}, '${steps(i)}', u$i").mkString(", ")})" +
+        " AS (step, step_name, users)"))
+      .orderBy("step")
+  }
+
   /** Weekly cohort retention: users grouped by their first-activity
     * date (the cohort), counted once per week-offset they were active
     * in — the standard retention triangle behind every growth

@@ -71,7 +71,8 @@ object ScaleSoak {
     "q_cdc_apply", "q_time_weighted_avg", "d_fetch_delay",
     "d_bpe_fertility", "q_event_transitions", "q_scd2_delta",
     "q_json_extract", "d_dedup_containment", "q_anomaly_zscore",
-    "q_data_quality")
+    "q_data_quality", "d_license_detect", "d_code_detect",
+    "q_funnel_windowed")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

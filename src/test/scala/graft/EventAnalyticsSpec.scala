@@ -52,6 +52,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Seq((1, "view", 3L), (2, "click", 3L), (3, "purchase", 2L)))
   }
 
+  test("funnelWindowed: gap bound prunes slow steps, boundary inclusive, greedy") {
+    val dir = writeEvents(Seq(
+      // u1 converts with every gap exactly AT the 1h bound (inclusive)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      // u2: click 61 minutes after view -> funnel stops at step 1
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 11:01:00"), 2L, "click"),
+      (6L, ts("2024-01-01 11:02:00"), 2L, "purchase"),
+      // u3: greedy contract — the EARLIEST view starts the clock; the
+      // later view that would have converted is not retried
+      (7L, ts("2024-01-02 08:00:00"), 3L, "view"),
+      (8L, ts("2024-01-02 10:00:00"), 3L, "view"),
+      (9L, ts("2024-01-02 10:30:00"), 3L, "click"),
+      (10L, ts("2024-01-02 11:00:00"), 3L, "purchase"),
+    ))
+    val got = Analytics.funnelWindowed(spark, dir, maxGapSeconds = 3600)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    // with a wide-open window it degrades to the plain funnel
+    val wide = Analytics.funnelWindowed(spark, dir, maxGapSeconds = 86400L * 365)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val plain = Analytics.funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(wide === plain)
+  }
+
   test("funnel: same-timestamp step does NOT count (strictly after)") {
     val t = ts("2024-01-01 10:00:00")
     val dir = writeEvents(Seq(
