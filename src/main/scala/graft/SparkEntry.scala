@@ -1001,6 +1001,25 @@ object SparkEntry {
           ring.unionByName(toHub), iters = 5)
         .orderBy(desc("rank"), asc("n"))
     }),
+    "d_domain_rank_dangling" -> ((s, d) => {
+      // same ring-plus-hub graph as d_domain_rank, standard
+      // formulation: each iteration's dangling mass (the hub links
+      // nowhere) is redistributed uniformly, so ranks stay a
+      // probability distribution — the mode for thresholding on
+      // absolute rank or mixing ranks across graphs. The oracle
+      // unrolls the identical arithmetic (dangling sum as exact
+      // decimal over the 9dp ranks).
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      graft.ops.LinkGraph.pageRank(
+          ring.unionByName(toHub), iters = 5, redistributeDangling = true)
+        .orderBy(desc("rank"), asc("n"))
+    }),
     "d_harmonic" -> ((s, d) => {
       // harmonic centrality (exact ball-expansion mode) over the same
       // ring-plus-hub graph as d_domain_rank, truncated at distance 4:
@@ -3518,6 +3537,55 @@ object SparkEntry {
         |    FROM ed JOIN i3 ON ed.src = i3.n GROUP BY ed.dst) t ON nodes.n = t.n),
         |i5 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
         |  FROM nodes CROSS JOIN c LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
+        |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_domain_rank_dangling" ->
+      // d_domain_rank's unrolled iterations plus the standard
+      // dangling-mass redistribution: dK = exact DECIMAL(30,12) sum of
+      // the 9dp ranks of no-out-edge nodes, added back uniformly
+      // (CAST(dK AS DOUBLE) / nn) inside the damped term — the same
+      // order of double operations as the engine
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.deg FROM edges e JOIN od USING (src)),
+        |r0 AS (SELECT n, round(1.0 / c.nn, 9) AS r FROM nodes CROSS JOIN c),
+        |d0 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM r0
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i1 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d0.ds AS DOUBLE) / c.nn), 9) AS r
+        |  FROM nodes CROSS JOIN c CROSS JOIN d0 LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(r0.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN r0 ON ed.src = r0.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d1 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i1
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i2 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d1.ds AS DOUBLE) / c.nn), 9) AS r
+        |  FROM nodes CROSS JOIN c CROSS JOIN d1 LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i1.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i1 ON ed.src = i1.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d2 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i2
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i3 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d2.ds AS DOUBLE) / c.nn), 9) AS r
+        |  FROM nodes CROSS JOIN c CROSS JOIN d2 LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i2.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i2 ON ed.src = i2.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d3 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i3
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i4 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d3.ds AS DOUBLE) / c.nn), 9) AS r
+        |  FROM nodes CROSS JOIN c CROSS JOIN d3 LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i3.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i3 ON ed.src = i3.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d4 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i4
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i5 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d4.ds AS DOUBLE) / c.nn), 9) AS r
+        |  FROM nodes CROSS JOIN c CROSS JOIN d4 LEFT JOIN (
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,

@@ -813,10 +813,26 @@ object Multimodal {
         col("b.band_idx").as("band_idx"), col("b.band").as("band"))
   }
 
+  /** `maxBandDf` (default unlimited, oracle-stable) drops band
+    * buckets hotter than the cap before the self-join — the
+    * videoNearDups/containmentPairs stopword convention for corpora
+    * where one band value (e.g. an all-black stripe) is shared by
+    * thousands of images and would mint quadratic candidates.
+    */
   def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id",
+                 maxBandDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
-    val melted = meltBands(hashes, idCol, maxHamming)
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2: $maxBandDf")
+    val melted0 = meltBands(hashes, idCol, maxHamming)
+    val melted =
+      if (maxBandDf == Int.MaxValue) melted0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band")
+        melted0.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxBandDf).drop("__df")
+      }
     val a = melted.select(col("band_idx"), col("band"),
       col(idCol).as("doc_a"), col("dhash_i64").as("h_a"))
     val b = melted.select(col("band_idx"), col("band"),
@@ -897,20 +913,25 @@ object Multimodal {
     * Scale shape: the MinHash-LSH accounting again — one exchange on
     * the frame hash, per-bucket combination generation, verify joins
     * bounded by candidates. A frame shared by MANY docs (a standard
-    * intro card) makes a hot bucket — that is a parameter problem
-    * (drop top-frequency frame hashes like stopwords) surfaced by
-    * the soak profile, not a plan problem.
+    * intro card, a black frame) is a stopword, not a signal:
+    * `maxFrameDf` caps the bucket size for CANDIDATE generation
+    * (the containmentPairs `maxShingleDf` convention — same default),
+    * so a frame hash shared by N docs can never mint N²/2 candidates;
+    * the verify step stays exact over the FULL frame-hash sets, so
+    * any pair that also shares a sub-cap frame is still found with
+    * its true jaccard.
     */
   def videoNearDups(media: Dataset[MediaRow], threshold: Double,
-                    step: Int = 1): DataFrame = {
+                    step: Int = 1, maxFrameDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.functions._
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxFrameDf >= 2, s"maxFrameDf must be >= 2: $maxFrameDf")
     val sets = frameHashes(media, step).toDF()
       .groupBy("doc_id").agg(collect_set(col("fhash")).as("hs"))
     val buckets = sets.select(col("doc_id"), explode(col("hs")).as("k"))
     val pairs = buckets.groupBy("k")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxFrameDf)
       .withColumn("ids", array_sort(col("ids")))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

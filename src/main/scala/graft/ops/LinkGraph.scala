@@ -23,38 +23,96 @@ import org.apache.spark.sql.functions._
   * contributions round to 9dp and sum as DECIMAL(30,12), each
   * iteration's rank rounds to 9dp, the final emit to 6dp — bit-equal
   * on any partitioning AND reproducible in any SQL engine (the oracle
-  * unrolls the same iterations). Parallel edges collapse (`distinct`);
-  * dangling-node mass is dropped, not redistributed (ranks then sum
-  * to < 1; the consumed signal — the ordering — is unaffected), the
-  * (1−d)/N floor keeps every node ranked.
+  * unrolls the same iterations). Parallel edges collapse (`distinct`).
+  * Dangling-node mass is DROPPED by default (ranks then sum to < 1;
+  * the consumed signal — the ordering — is unaffected);
+  * `redistributeDangling = true` switches to the standard
+  * formulation, adding each iteration's dangling mass back uniformly
+  * so ranks stay a probability distribution (mix ranks across graphs,
+  * threshold on absolute rank).
+  *
+  * Iteration hygiene (the Clusters.scala pattern): every iteration's
+  * state is `localCheckpoint(false)` — lineage cut per round — and
+  * the SINGLE per-round job is the convergence aggregation that both
+  * materializes the lazy checkpoint and measures the L1 rank delta;
+  * `tol` early-stops the loop (default 0.0 = stop only at the exact
+  * 9dp fixpoint, where further iterations provably reproduce the
+  * same output), `iters` stays the hard budget. Superseded rounds
+  * hold no persisted handle, so memory stays one-state-sized no
+  * matter the iteration count. (localCheckpoint trades re-derivation
+  * on executor loss for the lineage cut — the same trade the dedup
+  * CC loop makes.)
   */
 object LinkGraph {
 
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               redistributeDangling: Boolean = false,
+               tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    require(tol >= 0.0, s"tol >= 0: $tol")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = e.select(col("src").as("n"))
+    val nodes0 = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct().persist()
-    val n = nodes.count().toDouble // one node-shaped action, reused below
+    val n = nodes0.count().toDouble // one node-shaped action, reused below
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
       .persist()
-    var ranks = nodes.select(col("n"), round(lit(1.0 / n), 9).as("r"))
-    (1 to iters).foreach { _ =>
+    // dangling flag rides the node frame only when the mode needs it,
+    // so the default path's arithmetic (and oracle) is untouched
+    val nodes =
+      if (!redistributeDangling) nodes0
+      else nodes0.join(
+          eDeg.select(col("src").as("n"), lit(true).as("__out")).distinct(),
+          Seq("n"), "left")
+        .select(col("n"), coalesce(col("__out"), lit(false)).as("__out"))
+    var ranks: DataFrame = nodes.withColumn("r", round(lit(1.0 / n), 9))
+    // current dangling mass (exact decimal sum of 9dp ranks); driver
+    // scalar so the iteration formula takes it as a literal — one
+    // init job in redistribute mode, then it rides the fused action
+    var dang: java.math.BigDecimal =
+      if (!redistributeDangling) java.math.BigDecimal.ZERO
+      else ranks.agg(coalesce(
+          sum(when(!col("__out"), col("r")).cast("decimal(30,12)")),
+          lit(0).cast("decimal(30,12)"))).first().getDecimal(0)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val contribs = eDeg
-        .join(ranks, eDeg("src") === ranks("n"))
-        .select(col("dst").as("n"),
+        .join(ranks.select(col("n").as("__rn"), col("r")),
+          eDeg("src") === col("__rn"))
+        .select(col("dst").as("__dst"),
           round(col("r") / col("deg"), 9).cast("decimal(30,12)").as("c"))
-        .groupBy("n").agg(sum("c").as("sc"))
-      ranks = nodes.join(contribs, Seq("n"), "left")
-        .select(col("n"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("sc").cast("double"), lit(0.0)), 9).as("r"))
+        .groupBy(col("__dst").as("n")).agg(sum("c").as("sc"))
+      val dangTerm = // redistributed uniformly, 0 in drop mode
+        if (redistributeDangling) dang.doubleValue() / n else 0.0
+      val next = nodes.join(contribs, Seq("n"), "left")
+        .join(ranks.select(col("n"), col("r").as("__prev")), Seq("n"))
+        .select(col("n") +:
+          round(lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("sc").cast("double"), lit(0.0)) + lit(dangTerm)),
+            9).as("r") +: col("__prev") +:
+          (if (redistributeDangling) Seq(col("__out")) else Nil): _*)
+        .localCheckpoint(false)
+      // the round's single job: materializes the lazy checkpoint and
+      // measures convergence (plus the next round's dangling mass)
+      val probe = next.agg(
+        sum(abs(col("r") - col("__prev"))).as("__delta"),
+        coalesce(
+          sum(when(if (redistributeDangling) !col("__out") else lit(false),
+            col("r")).cast("decimal(30,12)")),
+          lit(0).cast("decimal(30,12)")).as("__dang")).first()
+      dang = probe.getDecimal(1)
+      converged = probe.getDouble(0) <= tol
+      ranks = next.drop("__prev")
+      it += 1
     }
-    ranks.select(col("n"), round(col("r"), 6).as("rank"))
+    val out = ranks.select(col("n"), round(col("r"), 6).as("rank"))
+    nodes0.unpersist(blocking = false)
+    eDeg.unpersist(blocking = false)
+    out
   }
 
   /** Harmonic centrality — the signal Common Crawl actually ranks its
@@ -102,8 +160,18 @@ object LinkGraph {
           .select(col("n"), col("ball"),
             expr("hll_sketch_estimate(ball)").as("c"),
             lit(0).cast("decimal(30,12)").as("h"))
-    state = state.persist()
-    (1 to maxDist).foreach { t =>
+    state = state.localCheckpoint() // eager: iteration 1 scans it twice
+    // Iteration hygiene: each round's state is localCheckpoint(false)
+    // — lineage cut, no CacheManager pin to leak — and the round's
+    // SINGLE job is the ball-growth aggregation that materializes the
+    // lazy checkpoint. In exact mode zero total growth is a proven
+    // fixpoint (balls only grow; unchanged balls reproduce themselves),
+    // so the loop early-stops with output identical to running the
+    // full maxDist budget; sketch estimates can't certify "unchanged",
+    // so the sketch path keeps the fixed budget.
+    var t = 1
+    var converged = false
+    while (t <= maxDist && !converged) {
       val nbr = e
         .join(state.select(col("n").as("src"), col("ball").as("nball")), "src")
         .groupBy(col("dst").as("n"))
@@ -115,7 +183,7 @@ object LinkGraph {
         if (exact) when(col("inc").isNull, col("ball"))
           .otherwise(array_distinct(concat(col("ball"), col("inc"))))
         else coalesce(expr("hll_union(ball, inc)"), col("ball"))
-      state = merged
+      val next = merged
         .withColumn("__ball", newBall)
         .withColumn("__c",
           if (exact) size(col("__ball")).cast("long")
@@ -126,11 +194,18 @@ object LinkGraph {
         // term's 9 decimals and silently truncate vs the oracle
         .select(col("n"), col("__ball").as("ball"), col("__c").as("c"),
           (col("h") + term * greatest(col("__c") - col("c"), lit(0L))
-            .cast("decimal(10,0)")).as("h"))
-        .persist()
+            .cast("decimal(10,0)")).as("h"),
+          (col("__c").cast("double") - col("c").cast("double")).as("__g"))
+        .localCheckpoint(false)
+      val grown = next.agg(sum(col("__g"))).first().getDouble(0)
+      state = next.drop("__g")
+      converged = exact && grown == 0.0
+      t += 1
     }
-    state.select(col("n"), (col("c") - 1).as("n_reachable"),
+    val out = state.select(col("n"), (col("c") - 1).as("n_reachable"),
       round(col("h").cast("double"), 6).as("harmonic"))
+    e.unpersist(blocking = false)
+    out
   }
 
   /** HITS hubs and authorities (Kleinberg 1999) — the third
@@ -154,8 +229,10 @@ object LinkGraph {
     * hold authority 0, no out-edges hub 0; parallel edges collapse.
     */
   def hits(edges: DataFrame, srcCol: String = "src",
-           dstCol: String = "dst", iters: Int = 3): DataFrame = {
+           dstCol: String = "dst", iters: Int = 3,
+           tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
+    require(tol >= 0.0, s"tol >= 0: $tol")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("n"))
@@ -168,20 +245,40 @@ object LinkGraph {
           round(coalesce(col("r").cast("double"), lit(0.0)) / col("__t"), 9)
             .as("x"))
     }
+    // Iteration hygiene: a and h localCheckpoint(false) per round —
+    // without it the final h.join(a) doubles the unpersisted subtree
+    // per iteration (~2^iters evaluations). The round's SINGLE job is
+    // the hub-delta aggregation: it materializes h's lazy checkpoint
+    // (and a's, which h scans). delta == 0 is a proven fixpoint — the
+    // next round's a = f(h) and h = g(a) reproduce themselves — so
+    // tol = 0.0 early-stops with output identical to the full budget.
     var h = nodes.select(col("n"), lit(1.0).as("x"))
     var a = h // overwritten on the first iteration (iters >= 1)
-    (1 to iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       a = normalize(e
         .join(h.select(col("n").as("src"), col("x")), "src")
         .groupBy(col("dst").as("n"))
         .agg(sum(round(col("x"), 9).cast("decimal(30,12)")).as("r")))
-      h = normalize(e
+        .localCheckpoint(false)
+      val hNext = normalize(e
         .join(a.select(col("n").as("dst"), col("x")), "dst")
         .groupBy(col("src").as("n"))
         .agg(sum(round(col("x"), 9).cast("decimal(30,12)")).as("r")))
+        .join(h.select(col("n"), col("x").as("__prev")), Seq("n"))
+        .localCheckpoint(false)
+      val delta = hNext.agg(sum(abs(col("x") - col("__prev"))))
+        .first().getDouble(0)
+      h = hNext.drop("__prev")
+      converged = delta <= tol
+      it += 1
     }
-    h.select(col("n"), round(col("x"), 6).as("hub"))
+    val out = h.select(col("n"), round(col("x"), 6).as("hub"))
       .join(a.select(col("n"), round(col("x"), 6).as("authority")), Seq("n"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Connected components over the link graph — host/domain clusters

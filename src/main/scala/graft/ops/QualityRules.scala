@@ -33,16 +33,26 @@ object QualityRules {
     require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no rules given")
     val names = (rowRules.map(_._1) ++ uniqueRules.map(_._1))
     require(names.distinct.size == names.size, s"duplicate rule names: $names")
-    val rowAggs = rowRules.map { case (n, assertion) =>
-      sum(when(coalesce(assertion, lit(false)), 0L).otherwise(1L)).as(s"__v_$n")
+    // aggregate aliases are INDEX-based and rule names enter the plan
+    // only as lit() values — a name containing quotes, backticks, or
+    // dots can neither break parsing nor inject into an expression
+    val rowAggs = rowRules.map(_._2).map { assertion =>
+      sum(when(coalesce(assertion, lit(false)), 0L).otherwise(1L))
     }
-    val uniqAggs = uniqueRules.map { case (n, cols) =>
-      (count(lit(1)) - countDistinct(struct(cols.map(col): _*))).as(s"__v_$n")
+    val uniqAggs = uniqueRules.map(_._2).map { cols =>
+      count(lit(1)) - countDistinct(struct(cols.map(col): _*))
     }
-    val one = df.agg(count(lit(1)).as("__n"), (rowAggs ++ uniqAggs): _*)
-    val stacked = names.map(n => s"'$n', __n, `__v_$n`").mkString(", ")
-    one.select(expr(
-        s"stack(${names.size}, $stacked) AS (rule, n_rows, n_violations)"))
+    val aggs = (rowAggs ++ uniqAggs).zipWithIndex.map { case (a, i) =>
+      a.as(s"__v_$i")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$i").as("n_violations"))
+    }
+    one.select(explode(array(stacked: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.n_rows").as("n_rows"),
+        col("__r.n_violations").as("n_violations"))
       .withColumn("violation_rate",
         col("n_violations").cast("double") / col("n_rows").cast("double"))
       .withColumn("pass", col("n_violations") === 0)

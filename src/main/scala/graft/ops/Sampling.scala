@@ -237,6 +237,14 @@ object Sampling {
     * Catalyst plans TakeOrderedAndProject (per-partition heaps, k
     * rows to the driver-side merge), never a global sort; zero
     * shuffles, column-prunable, stable on any partitioning.
+    *
+    * Weight domain: A-ES is defined for w > 0 only — a zero weight
+    * would divide ln(u) to ±Infinity/NULL and a negative one would
+    * FLIP the key sign, silently ranking the row first. Rows with
+    * NULL or non-positive weight carry zero sampling mass and are
+    * excluded up front (the documented-and-filtered contract; callers
+    * that consider w <= 0 a data error should gate with
+    * [[QualityRules.check]] before sampling).
     */
   def weightedSamplePortable(df: DataFrame, k: Int, weightCol: String,
                              idCol: String, salt: String = "ws0"): DataFrame = {
@@ -244,7 +252,8 @@ object Sampling {
     val v = conv(substring(md5(concat_ws("|", lit(salt),
       col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
     val key = round(log((v + 0.5) / math.pow(2, 48)) / col(weightCol), 12)
-    df.withColumn("__aes_key", key)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__aes_key", key)
       .orderBy(col("__aes_key").desc, col(idCol))
       .limit(k)
       .drop("__aes_key")

@@ -58,9 +58,16 @@ object Crawl {
     // BYTES, then decode the body with the page's own charset: the
     // HTTP Content-Type header wins, a <meta charset> / http-equiv
     // tag is the fallback, UTF-8 (with U+FFFD replacement) the
-    // default. The header block is ASCII, so its char length in the
-    // raw pseudo-UTF-8 view IS its byte length, and the ASCII meta
-    // tag is findable in that view even when the body bytes are
+    // default. The header block is ASCII in the common case, where
+    // its char length in the raw pseudo-UTF-8 view IS its byte
+    // length; a header carrying bytes >= 0x80 (UTF-8 filenames,
+    // legacy-charset Content-Disposition values) undercounts in
+    // chars, so those rows recompute the slice point in BYTES — the
+    // first CRLFCRLF located in the hex view with byte-aligned
+    // ((?:..)*?) pairs. Decode is order-preserving and ASCII bytes
+    // survive any replacement, so the decoded-view match guarantees
+    // the byte-level match exists. The ASCII meta tag stays findable
+    // in the pseudo-UTF-8 view even when the body bytes are
     // legacy-charset (every supported legacy charset is
     // ASCII-compatible; UTF-16 pages are out of scope).
     val payloadStr = col("payload").cast("string")
@@ -71,8 +78,13 @@ object Crawl {
       "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-.:]+)", 1)
     val charset = lower(when(headerCs =!= "", headerCs)
       .when(metaCs =!= "", metaCs).otherwise(lit("utf-8")))
+    val headerByteLen =
+      when(octet_length(headerBlock) === length(headerBlock),
+        length(headerBlock)) // pure-ASCII header (or none): chars == bytes
+      .otherwise((length(regexp_extract(lower(hex(col("payload"))),
+        "^((?:..)*?)0d0a0d0a", 1)) / 2).cast("int") + 4)
     val bodyBytes = col("payload").substr(
-      length(headerBlock) + 1, lit(Int.MaxValue))
+      headerByteLen + 1, lit(Int.MaxValue))
     val noindexGate =
       if (!dropNoindex) lit(true)
       else !graft.ops.Robots.headerNoindex(payloadStr)

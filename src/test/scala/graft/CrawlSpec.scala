@@ -119,6 +119,39 @@ class CrawlSpec extends SparkSpec {
       "body after a bare-LF header block stays intact")
   }
 
+  test("curate: non-ASCII header bytes don't shift the body slice") {
+    // a UTF-8 'café.html' filename in the header: 0xC3 0xA9 is TWO
+    // bytes but ONE char in the pseudo-UTF-8 view — a char-length
+    // slice would start the body one byte early (corrupting the
+    // first tag); the byte-exact slice point keeps it intact. Same
+    // for a legacy-charset header where a malformed 2-byte prefix
+    // collapses to one U+FFFD.
+    val utf8Hdr = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Disposition: inline; filename=\"café.html\"\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n").getBytes("UTF-8")
+    val latin1Body =
+      "<html><body><p>le café est ouvert toute la journée ici</p></body></html>"
+        .getBytes("ISO-8859-1")
+    // 0xE9 0xA9: a truncated 3-byte UTF-8 sequence -> ONE U+FFFD for
+    // two bytes in the decoded view
+    val malformedHdr = "HTTP/1.1 200 OK\r\nX-Raw: ab".getBytes("US-ASCII") ++
+      Array(0xE9.toByte, 0xA9.toByte) ++ "\r\n\r\n".getBytes("US-ASCII")
+    val utf8Body =
+      "<html><body><p>body bytes survive a malformed header intact</p></body></html>"
+        .getBytes("UTF-8")
+    val records = Seq(
+      ("response", "http://hd.example/a", utf8Hdr ++ latin1Body),
+      ("response", "http://hd.example/b", malformedHdr ++ utf8Body),
+    ).toDF("warc_type", "target_uri", "payload")
+    val got = Crawl.curate(records, Seq.empty[String].toDF("domain"),
+        minChars = 10)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got("http://hd.example/a") ==
+      "le café est ouvert toute la journée ici")
+    assert(got("http://hd.example/b") ==
+      "body bytes survive a malformed header intact")
+  }
+
   test("curate: unknown charset falls back to utf-8; malformed bytes become U+FFFD, never throw") {
     val body = "<p>unknown charset page still extracts this sentence</p>".getBytes("UTF-8")
     val bad = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-nonsense\r\n\r\n")

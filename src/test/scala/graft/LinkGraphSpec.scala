@@ -212,6 +212,77 @@ class LinkGraphSpec extends SparkSpec {
     assert(b == got)
   }
 
+  test("pageRank redistributeDangling: sequential reference, mass conserved") {
+    // a -> b, a -> c, b -> c, c -> a, d -> c: d AND no-out nodes none;
+    // add a sink s (c -> s) so real dangling mass exists.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("c", "s"))
+    def reference(iters: Int): Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toDouble
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toDouble }
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      var r = nodes.map(_ -> r9(1.0 / n)).toMap
+      (1 to iters).foreach { _ =>
+        // dangling mass: exact decimal sum of the 9dp ranks of no-out
+        // nodes, redistributed uniformly (mirrors the engine contract)
+        val dang = nodes.filterNot(deg.contains).map(r).sum
+        val contrib = edges
+          .map { case (s, d) => d -> r9(r(s).toDouble / deg(s)) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        r = nodes.map(v => v -> r9(
+          (1.0 - 0.85) / n + 0.85 *
+            (contrib.getOrElse(v, BigDecimal(0)).toDouble + dang.toDouble / n))).toMap
+      }
+      r.map { case (k, v) =>
+        k -> BigDecimal(v.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 5,
+      redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == reference(5))
+    // probability mass is conserved (up to 9dp rounding residue)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    // drop-mode on the same graph loses the sink's mass
+    val drop = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(_.getDouble(1)).sum
+    assert(drop < got.values.sum - 1e-4)
+    // deterministic under repartitioning
+    val b = LinkGraph.pageRank(edges.toDF("src", "dst").repartition(13),
+      iters = 5, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b == got)
+  }
+
+  test("convergence early-stop: fixpoint output == full-budget output, large budgets stay cheap") {
+    // symmetric directed ring: uniform rank is the exact 9dp fixpoint
+    // after iteration 1, so a 60-iteration budget early-stops — with
+    // the old unpersisted lineage this would be minutes, not seconds
+    val ring = (0 until 20).map(i => (s"n$i", s"n${(i + 1) % 20}"))
+    val a = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // complete symmetric bipartite graph: HITS hits its fixpoint at
+    // iteration 2 (scores are uniform per side from iteration 1 on)
+    val bip = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    val h2 = graft.ops.LinkGraph.hits(bip.toDF("src", "dst"), iters = 2)
+      .collect().map(_.toSeq).toSet
+    val h40 = graft.ops.LinkGraph.hits(bip.toDF("src", "dst"), iters = 40)
+      .collect().map(_.toSeq).toSet
+    assert(h2 == h40)
+    // harmonic: balls stop growing at the graph diameter; a huge
+    // maxDist budget early-stops at the same output
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val hm6 = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst"), maxDist = 6).collect().map(_.toSeq).toSet
+    val hm50 = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst"), maxDist = 50).collect().map(_.toSeq).toSet
+    assert(hm6 == hm50)
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))

@@ -101,6 +101,12 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.QualityRules.check(df, rowRules = Seq(
         "dup" -> col("k").isNotNull, "dup" -> (col("price") > 0))))
+    // rule names are data, not syntax: quotes/backticks/dots can't
+    // break the plan or inject an expression
+    val hostile = graft.ops.QualityRules.check(df,
+      rowRules = Seq("o'brien's `rule`, x.y" -> col("k").isNotNull))
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(hostile == (("o'brien's `rule`, x.y", 5L, 0L, 0.0, true)))
   }
 
   test("JsonOps.field/flatten: typed extraction, total on malformed/missing/untypeable") {

@@ -317,5 +317,14 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.weightedSamplePortable(df, 50, "weight", "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // zero/negative/null weights carry no sampling mass: they can
+    // never rank first (the A-ES key is undefined there) — they are
+    // excluded, not promoted
+    val tainted = (Seq((900L, 0.0), (901L, -5.0)) ++ rows)
+      .toDF("doc_id", "weight")
+      .withColumn("weight", when(col("doc_id") === 902L, lit(null)).otherwise(col("weight")))
+    val cleaned = Sampling.weightedSamplePortable(tainted, 50, "weight", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned == got)
   }
 }

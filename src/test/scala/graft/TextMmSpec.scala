@@ -893,6 +893,53 @@ class TextMmSpec extends SparkSpec {
     assert(got == touching)
   }
 
+  test("videoNearDups maxFrameDf: a shared intro card cannot mint quadratic candidates") {
+    // 60 docs all open with the same intro-card frame plus one unique
+    // frame each; docs 100/101 are a true near-dup pair (intro + X +
+    // Y + one unique frame each). The intro bucket holds 62 docs —
+    // over the cap, so it generates NO candidates; the true pair
+    // rides its cold X/Y buckets and verifies over the FULL sets
+    // (intro included): shared {intro, X, Y} = 3 of union 5 -> 0.6.
+    def f(seed: Int): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 72).map(p => md.digest(s"hot:$seed:$p".getBytes("UTF-8"))(0) & 0xff)
+    }
+    val intro = f(0); val x = f(-1); val y = f(-2)
+    val media = ((1 to 60).map(i =>
+      Multimodal.MediaRow(i.toLong, "video",
+        Multimodal.grayPixelGifFrames(Seq(intro, f(i)), 9, 8), 0, 0, 0)) ++ Seq(
+      Multimodal.MediaRow(100L, "video",
+        Multimodal.grayPixelGifFrames(Seq(intro, x, y, f(100)), 9, 8), 0, 0, 0),
+      Multimodal.MediaRow(101L, "video",
+        Multimodal.grayPixelGifFrames(Seq(intro, x, y, f(101)), 9, 8), 0, 0, 0))
+    ).toDS()
+    val capped = Multimodal.videoNearDups(media, threshold = 0.3, maxFrameDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq((100L, 101L, 3L, 0.6)))
+    // uncapped, the stopword frame pairs every intro doc with every
+    // other (jaccard 1/3 over {intro, u_a, u_b}) — the quadratic blowup
+    val uncapped = Multimodal.videoNearDups(media, threshold = 0.3,
+      maxFrameDf = 1000000).count()
+    assert(uncapped == 60L * 59 / 2 + 1)
+  }
+
+  test("dhashPairs maxBandDf: hot band buckets drop, cold-band pairs survive") {
+    def row(id: Long, h: Long) =
+      (id, h, String.format("%016x", java.lang.Long.valueOf(h)))
+    // ten identical all-zero hashes make every "0000" band bucket hot;
+    // 20/21 share the cold leading band "ab00" (true hamming 1)
+    val hashes = ((1 to 10).map(i => row(i.toLong, 0L)) ++ Seq(
+      row(20L, 0xAB00000000000000L), row(21L, 0xAB00000000000001L))
+    ).toDF("doc_id", "dhash_i64", "dhash")
+    val capped = Multimodal.dhashPairs(hashes, maxHamming = 3, maxBandDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == Set((20L, 21L, 1)))
+    // default is unlimited: the 45 zero-hash pairs come back
+    val full = Multimodal.dhashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full.size == 46 && full((20L, 21L, 1)))
+  }
+
   test("videoNearDups: frame-hash set jaccard over really-decoded frames") {
     // doc 1: frames A B C; doc 2: frames B C D (jaccard 2/4); doc 3 disjoint
     def f(seed: Int): Seq[Int] = {
