@@ -104,6 +104,38 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // CONTENDED mode (SPARK_GRAFT_BENCH_CONTEND=N): N daemon threads of
+    // pure-JVM CPU churn + allocation pressure run for the WHOLE bench
+    // (calibration included, so the calib block reflects the load the
+    // numbers were taken under) — the regression harness for the
+    // busy-box failure mode the round-12 driver rerun exposed, where
+    // unpersisted iterative lineage inflated 9-27x while everything
+    // else tracked the calibration. Detail goes to BENCH_CONTENDED.json
+    // so a contended run can never masquerade as (or clobber) the
+    // canonical quiet-box BENCH_DETAIL.json artifact.
+    val contend = sys.env.get("SPARK_GRAFT_BENCH_CONTEND")
+      .map(_.trim.toInt).getOrElse(0)
+    require(contend >= 0, s"SPARK_GRAFT_BENCH_CONTEND must be >= 0, got $contend")
+    @volatile var stopLoad = false
+    val loadSink = new java.util.concurrent.atomic.AtomicLong
+    val loadThreads = (0 until contend).map { i =>
+      val t = new Thread(() => {
+        val rnd = new java.util.Random(i)
+        while (!stopLoad) {
+          val arr = new Array[Long](1 << 20) // 8 MiB of fresh garbage
+          var j = 0
+          while (j < arr.length) {
+            arr(j) = rnd.nextLong() ^ (arr((j * 31) % arr.length) * 0x9E3779B97F4A7C15L)
+            j += 1
+          }
+          loadSink.addAndGet(arr(rnd.nextInt(arr.length)))
+        }
+      })
+      t.setDaemon(true)
+      t.setName(s"graft-contend-$i")
+      t.start()
+      t
+    }
     val traceOn = sys.env.get("SPARK_GRAFT_BENCH_TRACE").exists(v => v == "1" || v == "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -253,11 +285,14 @@ object Bench {
       .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit)))
       .getOrElse(-1)
     val calibEnd = try calibrate() catch { case NonFatal(_) => -1.0 }
+    stopLoad = true
+    loadThreads.foreach(_.join(2000))
     val host =
-      s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs,"calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)}}"""
+      s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs,"contend":$contend,"calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)}}"""
     val detail =
       s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir",$host,"total":${f6(total)},"spread":$spread,"failures":$fails}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    val detailPath = java.nio.file.Paths.get(
+      if (contend > 0) "BENCH_CONTENDED.json" else "BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"BENCH_DETAIL -> ${detailPath.toAbsolutePath}")
     System.err.println(detail)

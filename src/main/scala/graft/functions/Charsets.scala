@@ -71,6 +71,48 @@ case class DecodeCharset(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object HttpKernels {
+  /** Byte length of the leading HTTP header block (status line +
+    * header lines + the terminating CRLFCRLF), 0 when the payload is
+    * not an HTTP message or carries no blank line —
+    * [[graft.sources.Warc.httpBody]]'s split contract as a codegen
+    * kernel. Exact in BYTES regardless of what the header bytes
+    * decode to (a regex over the pseudo-UTF-8 cast undercounts
+    * multibyte/malformed header bytes and costs a full-payload regex
+    * pass; this is one linear byte scan that stops at the blank
+    * line).
+    */
+  def headerLen(p: Array[Byte]): Int = {
+    if (p.length < 5 || p(0) != 'H' || p(1) != 'T' || p(2) != 'T' ||
+      p(3) != 'P' || p(4) != '/') return 0
+    var i = 0
+    while (i + 3 < p.length) {
+      if (p(i) == '\r' && p(i + 1) == '\n' &&
+        p(i + 2) == '\r' && p(i + 3) == '\n') return i + 4
+      i += 1
+    }
+    0
+  }
+}
+
+/** Codegen'd byte-exact HTTP header-block length — see
+  * [[HttpKernels.headerLen]].
+  */
+case class HttpHeaderLen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(bin: Any): Any =
+    HttpKernels.headerLen(bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.HttpKernels.headerLen($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HttpHeaderLen = copy(child = newChild)
+}
+
 object Charsets {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -80,4 +122,10 @@ object Charsets {
     */
   def decode_charset(bin: Column, charset: Column): Column =
     column(DecodeCharset(expression(bin), expression(charset)))
+
+  /** Byte length of `bin`'s leading HTTP header block incl. the
+    * CRLFCRLF terminator; 0 when not an HTTP message.
+    */
+  def http_header_len(bin: Column): Column =
+    column(HttpHeaderLen(expression(bin)))
 }

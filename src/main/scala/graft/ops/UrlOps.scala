@@ -294,12 +294,27 @@ object UrlOps {
     * (UT1-class lists are a few MB); for larger lists the same
     * [[BloomPrune]] two-phase pattern applies upstream. The corpus
     * never shuffles.
+    *
+    * `psl` (optional): a public-suffix snapshot
+    * ([[registeredDomainWithPsl]]'s one-`suffix`-column shape) makes
+    * the gate key PSL-EXACT — `a.github.io` and `b.github.io` stop
+    * collapsing into one blockable "github.io" domain, `bbc.co.uk`
+    * resolves by rule instead of heuristic. Same broadcast class (the
+    * PSL is a few hundred KB); the corpus still never shuffles.
     */
   def urlFilter(docs: DataFrame, blockedDomains: DataFrame,
-                urlCol: String = "url"): DataFrame = {
+                urlCol: String = "url",
+                psl: Option[DataFrame] = None): DataFrame = {
     val canon = docs.withColumn(urlCol, canonicalizeUrl(col(urlCol)))
-      .withColumn("domain", registeredDomain(hostOf(col(urlCol))))
-    canon.join(broadcast(blockedDomains.select(col("domain")).distinct()),
+    val annotated = psl match {
+      case Some(p) => registeredDomainWithPsl(
+          canon.withColumn("__rd_host", hostOf(col(urlCol))), p,
+          hostCol = "__rd_host", out = "domain")
+        .drop("__rd_host")
+      case None =>
+        canon.withColumn("domain", registeredDomain(hostOf(col(urlCol))))
+    }
+    annotated.join(broadcast(blockedDomains.select(col("domain")).distinct()),
       Seq("domain"), "left_anti")
   }
 

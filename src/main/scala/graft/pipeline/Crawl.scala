@@ -40,6 +40,12 @@ object Crawl {
     * extraction so opted-out pages cost nothing); percent-encoding
     * normalization runs before canonicalization so `%61`-class URL
     * variants collapse ([[UrlOps.normalizePercentEncoding]]).
+    *
+    * `psl` = an optional public-suffix snapshot (one `suffix` column,
+    * [[UrlOps.registeredDomainWithPsl]]'s shape): when supplied, BOTH
+    * the blocklist gate key and the emitted `domain` column are
+    * PSL-exact (github.io user sites stay distinct domains, co.uk
+    * resolves by rule) — broadcast-class, zero extra corpus shuffles.
     */
   def curate(records: DataFrame, blockedDomains: DataFrame,
              maxLinkDensity: Double = 0.2, minChars: Int = 20,
@@ -48,7 +54,8 @@ object Crawl {
              passthrough: Seq[String] = Nil,
              robots: Option[DataFrame] = None,
              agent: String = "graftbot",
-             dropNoindex: Boolean = false): DataFrame = {
+             dropNoindex: Boolean = false,
+             psl: Option[DataFrame] = None): DataFrame = {
     // response records capture the full HTTP message — split the
     // status line + header block (everything up to the FIRST CRLF
     // CRLF, the codegen'd mirror of Warc.httpBody: empty when the
@@ -58,31 +65,29 @@ object Crawl {
     // BYTES, then decode the body with the page's own charset: the
     // HTTP Content-Type header wins, a <meta charset> / http-equiv
     // tag is the fallback, UTF-8 (with U+FFFD replacement) the
-    // default. The header block is ASCII in the common case, where
-    // its char length in the raw pseudo-UTF-8 view IS its byte
-    // length; a header carrying bytes >= 0x80 (UTF-8 filenames,
-    // legacy-charset Content-Disposition values) undercounts in
-    // chars, so those rows recompute the slice point in BYTES — the
-    // first CRLFCRLF located in the hex view with byte-aligned
-    // ((?:..)*?) pairs. Decode is order-preserving and ASCII bytes
-    // survive any replacement, so the decoded-view match guarantees
-    // the byte-level match exists. The ASCII meta tag stays findable
-    // in the pseudo-UTF-8 view even when the body bytes are
-    // legacy-charset (every supported legacy charset is
-    // ASCII-compatible; UTF-16 pages are out of scope).
+    // default. The split point is computed in BYTES
+    // (functions.HttpHeaderLen — httpBody's first-CRLFCRLF scan as a
+    // codegen kernel), so a header carrying bytes >= 0x80 (UTF-8
+    // filenames, legacy-charset Content-Disposition values) can never
+    // shift the body slice the way a char-length regex on the
+    // pseudo-UTF-8 cast did. The ASCII meta tag stays findable in the
+    // pseudo-UTF-8 view even when the body bytes are legacy-charset
+    // (every supported legacy charset is ASCII-compatible; UTF-16
+    // pages are out of scope).
     val payloadStr = col("payload").cast("string")
-    val headerBlock = regexp_extract(payloadStr, "(?s)^(HTTP/.*?\r\n\r\n)", 1)
-    val headerCs = regexp_extract(headerBlock,
+    // header split point computed in BYTES by a codegen kernel (one
+    // linear scan to the blank line — byte-exact whatever the header
+    // bytes decode to, and cheaper than the full-payload regex this
+    // replaces); the charset regex then runs over the SMALL header
+    // slice only
+    val headerByteLen = graft.functions.Charsets.http_header_len(col("payload"))
+    val headerStr = col("payload").substr(lit(1), headerByteLen).cast("string")
+    val headerCs = regexp_extract(headerStr,
       "(?i)content-type:[^\r\n]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-.:]+)", 1)
     val metaCs = regexp_extract(payloadStr,
       "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-.:]+)", 1)
     val charset = lower(when(headerCs =!= "", headerCs)
       .when(metaCs =!= "", metaCs).otherwise(lit("utf-8")))
-    val headerByteLen =
-      when(octet_length(headerBlock) === length(headerBlock),
-        length(headerBlock)) // pure-ASCII header (or none): chars == bytes
-      .otherwise((length(regexp_extract(lower(hex(col("payload"))),
-        "^((?:..)*?)0d0a0d0a", 1)) / 2).cast("int") + 4)
     val bodyBytes = col("payload").substr(
       headerByteLen + 1, lit(Int.MaxValue))
     val noindexGate =
@@ -96,7 +101,7 @@ object Crawl {
     val indexable =
       if (!dropNoindex) pages
       else pages.filter(!graft.ops.Robots.metaNoindex(col("html")))
-    val preGate = UrlOps.urlFilter(indexable, blockedDomains)
+    val preGate = UrlOps.urlFilter(indexable, blockedDomains, psl = psl)
     val gated = robots match {
       case Some(r) => graft.ops.Robots.applyRobots(preGate, r, agent)
       case None => preGate
@@ -105,13 +110,25 @@ object Crawl {
       idCol = "url", maxLinkDensity = maxLinkDensity, minChars = minChars,
       stopwords = stopwords, minStopwordFrac = minStopwordFrac)
     // domain recomputed from the canonical url — zero-shuffle, no join
-    // back against the gated frame
-    extracted.select(Seq(
-      col("url"),
-      UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("domain"),
-      col("text"), col("n_blocks_kept"), col("n_blocks_dropped"),
+    // back against the gated frame (heuristic path); with a PSL
+    // snapshot the same broadcast-join annotation runs on the
+    // extracted frame, still corpus-shuffle-free
+    val core = extracted.select(Seq(
+      col("url"), col("text"), col("n_blocks_kept"), col("n_blocks_dropped"),
       when(col("text") === "", lit(0L))
         .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+      ++ passthrough.map(col): _*)
+    val annotated = psl match {
+      case Some(p) => UrlOps.registeredDomainWithPsl(
+          core.withColumn("__rd_host", UrlOps.hostOf(col("url"))), p,
+          hostCol = "__rd_host", out = "domain")
+        .drop("__rd_host")
+      case None => core.withColumn("domain",
+        UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
+    }
+    annotated.select(Seq(
+      col("url"), col("domain"), col("text"),
+      col("n_blocks_kept"), col("n_blocks_dropped"), col("n_tokens"))
       ++ passthrough.map(col): _*)
   }
 
@@ -257,7 +274,8 @@ object Crawl {
                hrefCol: String = "href",
                fetchedUrlCol: String = "url",
                followNofollow: Boolean = false,
-               ranks: Option[DataFrame] = None): DataFrame = {
+               ranks: Option[DataFrame] = None,
+               psl: Option[DataFrame] = None): DataFrame = {
     val followed =
       if (!followNofollow && edges.columns.contains("nofollow"))
         edges.filter(!col("nofollow"))
@@ -269,8 +287,18 @@ object Crawl {
     // multiplicity, so pre-deduping would only add an exchange
     val seen = fetched.select(
       UrlOps.canonicalizeUrl(col(fetchedUrlCol)).as("url"))
-    val unseen = candidates.join(seen, Seq("url"), "left_anti")
-      .withColumn("domain", UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
+    val anti = candidates.join(seen, Seq("url"), "left_anti")
+    // frontier grouping/politeness keys are PSL-exact when a snapshot
+    // is supplied (github.io user sites are separate sites; co.uk
+    // resolves by rule) — still a broadcast-class annotation
+    val unseen = psl match {
+      case Some(p) => UrlOps.registeredDomainWithPsl(
+          anti.withColumn("__rd_host", UrlOps.hostOf(col("url"))), p,
+          hostCol = "__rd_host", out = "domain")
+        .drop("__rd_host")
+      case None => anti.withColumn("domain",
+        UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
+    }
     ranks match {
       case Some(r) =>
         unseen.join(broadcast(r.select(col("n").as("domain"), col("rank"))),

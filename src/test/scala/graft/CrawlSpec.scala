@@ -119,6 +119,38 @@ class CrawlSpec extends SparkSpec {
       "body after a bare-LF header block stays intact")
   }
 
+  test("curate/frontier: a PSL snapshot makes gate and grouping keys PSL-exact") {
+    val psl = Some(Seq("com", "io", "uk", "co.uk", "github.io").toDF("suffix"))
+    def page(url: String) = ("response", url,
+      ("HTTP/1.1 200 OK\r\n\r\n<html><body><p>a page with enough prose " +
+        "to clear the minimum character gate</p></body></html>").getBytes("UTF-8"))
+    val records = Seq(
+      page("http://alice.github.io/site"),
+      page("http://bob.github.io/site"),
+      page("http://news.bbc.co.uk/story"),
+    ).toDF("warc_type", "target_uri", "payload")
+    // PSL-exact: github.io user sites are SEPARATE registrable
+    // domains — blocking bob's site cannot take alice's down with it
+    val blocked = Seq("bob.github.io").toDF("domain")
+    val got = Crawl.curate(records, blocked, minChars = 10, psl = psl)
+      .select("url", "domain").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "http://alice.github.io/site" -> "alice.github.io",
+      "http://news.bbc.co.uk/story" -> "bbc.co.uk"))
+    // the heuristic path collapses both user sites into one
+    // "github.io" key, so the same blocklist entry blocks NEITHER
+    val heur = Crawl.curate(records, blocked, minChars = 10)
+      .select("domain").as[String].collect().toSet
+    assert(heur == Set("github.io", "bbc.co.uk"))
+    // frontier grouping keys ride the same snapshot
+    val edges = Seq(
+      ("http://a.github.io/p1", false), ("http://a.github.io/p2", false),
+      ("http://b.github.io/p", false)).toDF("href", "nofollow")
+    val fr = Crawl.frontier(edges, Seq.empty[String].toDF("url"), psl = psl)
+      .select("domain").as[String].collect()
+    assert(fr.toSet == Set("a.github.io", "b.github.io"))
+  }
+
   test("curate: non-ASCII header bytes don't shift the body slice") {
     // a UTF-8 'café.html' filename in the header: 0xC3 0xA9 is TWO
     // bytes but ONE char in the pseudo-UTF-8 view — a char-length

@@ -103,6 +103,52 @@ class WarcSpec extends SparkSpec {
     assert(got.forall(_._3 == -1L))
   }
 
+  test("memberSplits/readSplit: one archive fans across tasks, bit-equal to the single walker") {
+    val dir = Files.createTempDirectory("graft_warc_split").toString
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // 40 member-per-record pages in ONE archive; a tiny
+    // targetSplitBytes forces many intra-file splits
+    val members = (1 to 40).map(i =>
+      gz(rec(s"http://s.example/$i", s"page body number $i " + ("x" * 50))))
+    Files.write(Paths.get(dir, "one.warc.gz"), members.flatten.toArray)
+    val splits = Warc.memberSplits(spark, dir, targetSplitBytes = 400)
+      .orderBy("start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(splits.length > 4, s"expected many splits, got ${splits.toSeq}")
+    // contiguous coverage: starts at 0, each end == the next start,
+    // last runs to EOF, and every boundary is a true member offset
+    assert(splits.head._1 == 0L && splits.last._2 == -1L)
+    assert(splits.sliding(2).forall {
+      case Array((_, e), (s2, _)) => e == s2
+      case _ => true
+    })
+    val memberOffsets = members.map(_.length.toLong).scanLeft(0L)(_ + _).toSet
+    assert(splits.forall { case (s, _) => memberOffsets(s) })
+    // record multiset identical to the one-task walker, offsets aside
+    def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+        "target_uri", "warc_type", "cast(payload as string)", "quarantined_at")
+      .collect().map(_.toSeq).toSet
+    assert(key(Warc.readSplit(spark, dir, targetSplitBytes = 400)) ==
+      key(Warc.read(spark, dir)))
+    // single-member archive and plain .warc: one whole-file split each,
+    // even when a payload embeds the gzip magic bytes
+    val dir2 = Files.createTempDirectory("graft_warc_split1").toString
+    Files.write(Paths.get(dir2, "single.warc.gz"),
+      gz((1 to 10).map(i => rec(s"http://m.example/$i", "b" * 200)).flatten.toArray))
+    Files.write(Paths.get(dir2, "trap.warc"),
+      Warc.writeRecord("resource", "http://m.example/trap", "application/octet-stream",
+        Array.fill(300)(Seq(0x1f, 0x8b, 0x08, 0x00).map(_.toByte)).flatten.toArray))
+    val s2 = Warc.memberSplits(spark, dir2, targetSplitBytes = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s2.length == 2 && s2.forall(t => t._2 == 0L && t._3 == -1L), s2.toSeq)
+    assert(key(Warc.readSplit(spark, dir2, targetSplitBytes = 100)) ==
+      key(Warc.read(spark, dir2)))
+  }
+
   test("write(): distributed export round-trips through read, one gzip member per record") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_warc_w").toString + "/out"
