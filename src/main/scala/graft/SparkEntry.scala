@@ -1020,6 +1020,27 @@ object SparkEntry {
           ring.unionByName(toHub), iters = 5, redistributeDangling = true)
         .orderBy(desc("rank"), asc("n"))
     }),
+    "d_domain_rank_seeded" -> ((s, d) => {
+      // personalized PageRank (the TrustRank shape) on the same
+      // ring-plus-hub graph: teleport restricted to the five
+      // lexicographically-first sources, dangling mass re-entering
+      // through the same seed teleport — rank becomes proximity to
+      // the trusted set. The oracle unrolls the identical arithmetic
+      // with per-node seed CASE terms.
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      val seeds = srcs.orderBy("source").limit(5)
+        .select(col("source").as("n"))
+      graft.ops.LinkGraph.pageRank(
+          ring.unionByName(toHub), iters = 5, redistributeDangling = true,
+          seeds = Some(seeds))
+        .orderBy(desc("rank"), asc("n"))
+    }),
     "d_harmonic" -> ((s, d) => {
       // harmonic centrality (exact ball-expansion mode) over the same
       // ring-plus-hub graph as d_domain_rank, truncated at distance 4:
@@ -3586,6 +3607,56 @@ object SparkEntry {
         |  WHERE n NOT IN (SELECT src FROM edges)),
         |i5 AS (SELECT nodes.n, round((1 - 0.85) / c.nn + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CAST(d4.ds AS DOUBLE) / c.nn), 9) AS r
         |  FROM nodes CROSS JOIN c CROSS JOIN d4 LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
+        |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,
+    "d_domain_rank_seeded" ->
+      // personalized PageRank unrolled: teleport (the (1-d) restart,
+      // the initial mass, and each iteration's dangling sum) goes to
+      // the 5-seed set only — per-node CASE terms with the same
+      // double-op order as the engine
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.deg FROM edges e JOIN od USING (src)),
+        |sd AS (SELECT source AS n FROM s ORDER BY source LIMIT 5),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM sd),
+        |r0 AS (SELECT nodes.n, CASE WHEN sd.n IS NOT NULL THEN round(1.0 / k.kk, 9) ELSE 0.0 END AS r
+        |  FROM nodes CROSS JOIN k LEFT JOIN sd ON nodes.n = sd.n),
+        |d0 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM r0
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i1 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CASE WHEN sd.n IS NOT NULL THEN CAST(d0.ds AS DOUBLE) / k.kk ELSE 0.0 END), 9) AS r
+        |  FROM nodes CROSS JOIN k CROSS JOIN d0 LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(r0.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN r0 ON ed.src = r0.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d1 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i1
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i2 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CASE WHEN sd.n IS NOT NULL THEN CAST(d1.ds AS DOUBLE) / k.kk ELSE 0.0 END), 9) AS r
+        |  FROM nodes CROSS JOIN k CROSS JOIN d1 LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i1.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i1 ON ed.src = i1.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d2 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i2
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i3 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CASE WHEN sd.n IS NOT NULL THEN CAST(d2.ds AS DOUBLE) / k.kk ELSE 0.0 END), 9) AS r
+        |  FROM nodes CROSS JOIN k CROSS JOIN d2 LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i2.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i2 ON ed.src = i2.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d3 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i3
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i4 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CASE WHEN sd.n IS NOT NULL THEN CAST(d3.ds AS DOUBLE) / k.kk ELSE 0.0 END), 9) AS r
+        |  FROM nodes CROSS JOIN k CROSS JOIN d3 LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i3.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i3 ON ed.src = i3.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |d4 AS (SELECT COALESCE(sum(CAST(r AS DECIMAL(30,12))), 0) AS ds FROM i4
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |i5 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * (COALESCE(CAST(t.sc AS DOUBLE), 0.0) + CASE WHEN sd.n IS NOT NULL THEN CAST(d4.ds AS DOUBLE) / k.kk ELSE 0.0 END), 9) AS r
+        |  FROM nodes CROSS JOIN k CROSS JOIN d4 LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
         |    SELECT ed.dst AS n, sum(CAST(round(i4.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
         |    FROM ed JOIN i4 ON ed.src = i4.n GROUP BY ed.dst) t ON nodes.n = t.n)
         |SELECT n, round(r, 6) AS rank FROM i5 ORDER BY rank DESC, n""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality over crawl edges — the Common-Crawl-class
@@ -45,14 +45,27 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** `seeds` switches to PERSONALIZED PageRank (topic-sensitive /
+    * TrustRank): the teleport vector is uniform over the seed set
+    * instead of all nodes — initial mass, the (1−d) restart, and (in
+    * redistribute mode) dangling mass all go to seeds only, so rank
+    * becomes proximity-to-the-trusted-set, the classic spam-demotion
+    * and topical-crawl-prioritization signal. Seeds not present in
+    * the graph are ignored; at least one must remain. Same decimal
+    * contract and iteration hygiene; nodes unreachable from the seed
+    * set hold rank 0 in drop mode.
+    */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
                damping: Double = 0.85,
                redistributeDangling: Boolean = false,
-               tol: Double = 0.0): DataFrame = {
+               tol: Double = 0.0,
+               seeds: Option[DataFrame] = None,
+               seedCol: String = "n"): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0.0, s"tol >= 0: $tol")
+    val seeded = seeds.nonEmpty
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val nodes0 = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct().persist()
@@ -60,15 +73,33 @@ object LinkGraph {
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
       .persist()
-    // dangling flag rides the node frame only when the mode needs it,
-    // so the default path's arithmetic (and oracle) is untouched
-    val nodes =
+    // dangling/seed flags ride the node frame only when a mode needs
+    // them, so the default path's arithmetic (and oracle) is untouched
+    val withOut =
       if (!redistributeDangling) nodes0
       else nodes0.join(
           eDeg.select(col("src").as("n"), lit(true).as("__out")).distinct(),
           Seq("n"), "left")
-        .select(col("n"), coalesce(col("__out"), lit(false)).as("__out"))
-    var ranks: DataFrame = nodes.withColumn("r", round(lit(1.0 / n), 9))
+        .select(col("n") +: col("__out") +: Nil: _*)
+        .withColumn("__out", coalesce(col("__out"), lit(false)))
+    val nodes = seeds match {
+      case Some(sd) => withOut.join(
+          broadcast(sd.select(col(seedCol).as("n"), lit(true).as("__seed"))
+            .distinct()), Seq("n"), "left")
+        .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+      case None => withOut
+    }
+    val flagCols =
+      (if (redistributeDangling) Seq(col("__out")) else Nil) ++
+        (if (seeded) Seq(col("__seed")) else Nil)
+    // teleport population: the whole graph, or the seed set
+    val s =
+      if (!seeded) n
+      else nodes.filter(col("__seed")).count().toDouble
+    require(!seeded || s >= 1, "no seed is present in the graph")
+    var ranks: DataFrame = nodes.withColumn("r",
+      if (seeded) when(col("__seed"), round(lit(1.0 / s), 9)).otherwise(lit(0.0))
+      else round(lit(1.0 / n), 9))
     // current dangling mass (exact decimal sum of 9dp ranks); driver
     // scalar so the iteration formula takes it as a literal — one
     // init job in redistribute mode, then it rides the fused action
@@ -86,15 +117,23 @@ object LinkGraph {
         .select(col("dst").as("__dst"),
           round(col("r") / col("deg"), 9).cast("decimal(30,12)").as("c"))
         .groupBy(col("__dst").as("n")).agg(sum("c").as("sc"))
-      val dangTerm = // redistributed uniformly, 0 in drop mode
-        if (redistributeDangling) dang.doubleValue() / n else 0.0
+      // restart mass: uniform over all nodes, or over the seed set
+      val tele =
+        if (seeded) when(col("__seed"), lit((1.0 - damping) / s))
+          .otherwise(lit(0.0))
+        else lit((1.0 - damping) / n)
+      // dangling mass re-enters through the teleport vector
+      val dangTerm: Column =
+        if (!redistributeDangling) lit(0.0)
+        else if (seeded) when(col("__seed"), lit(dang.doubleValue() / s))
+          .otherwise(lit(0.0))
+        else lit(dang.doubleValue() / n)
       val next = nodes.join(contribs, Seq("n"), "left")
         .join(ranks.select(col("n"), col("r").as("__prev")), Seq("n"))
         .select(col("n") +:
-          round(lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("sc").cast("double"), lit(0.0)) + lit(dangTerm)),
-            9).as("r") +: col("__prev") +:
-          (if (redistributeDangling) Seq(col("__out")) else Nil): _*)
+          round(tele + lit(damping) *
+            (coalesce(col("sc").cast("double"), lit(0.0)) + dangTerm),
+            9).as("r") +: col("__prev") +: flagCols: _*)
         .localCheckpoint(false)
       // the round's single job: materializes the lazy checkpoint and
       // measures convergence (plus the next round's dangling mass)

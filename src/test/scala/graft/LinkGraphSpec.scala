@@ -255,6 +255,65 @@ class LinkGraphSpec extends SparkSpec {
     assert(b == got)
   }
 
+  test("pageRank seeded (personalized): sequential reference, unreachable nodes zero, dangling to seeds") {
+    // a -> b, b -> c, c -> a cycle; d -> a points INTO the component
+    // but nothing reaches d from the seed; c -> s adds a sink
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "s"))
+    def reference(iters: Int, seeds: Set[String],
+                  redistribute: Boolean): Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val ss = seeds.size.toDouble
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toDouble }
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      var r = nodes.map(v => v ->
+        (if (seeds(v)) r9(1.0 / ss) else BigDecimal(0.0))).toMap
+      (1 to iters).foreach { _ =>
+        val dang =
+          if (redistribute) nodes.filterNot(deg.contains).map(r).sum
+          else BigDecimal(0)
+        val contrib = edges
+          .map { case (s, d) => d -> r9(r(s).toDouble / deg(s)) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        r = nodes.map(v => v -> r9(
+          (if (seeds(v)) (1.0 - 0.85) / ss else 0.0) + 0.85 *
+            (contrib.getOrElse(v, BigDecimal(0)).toDouble +
+              (if (seeds(v) && redistribute) dang.toDouble / ss else 0.0)))).toMap
+      }
+      r.map { case (k, v) =>
+        k -> BigDecimal(v.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val seedDf = Some(Seq("a").toDF("n"))
+    val drop = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 4,
+      seeds = seedDf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drop == reference(4, Set("a"), redistribute = false))
+    // nothing teleports to d and nothing walks to it: exactly zero
+    assert(drop("d") == 0.0)
+    // the seed always holds at least its own (1-d) restart mass
+    assert(drop("a") >= 0.15 && drop("b") > 0)
+    // redistribute mode conserves mass through the sink, back to seeds
+    val red = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 4,
+      redistributeDangling = true, seeds = seedDf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(red == reference(4, Set("a"), redistribute = true))
+    assert(math.abs(red.values.sum - 1.0) < 1e-5)
+    // seeds not in the graph are ignored; an all-absent seed set throws
+    val two = LinkGraph.pageRank(edges.toDF("src", "dst"), iters = 4,
+      seeds = Some(Seq("a", "zzz-not-in-graph").toDF("n")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(two == drop)
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(edges.toDF("src", "dst"),
+        seeds = Some(Seq("nope").toDF("n")))
+    }
+    // deterministic under repartitioning
+    val again = LinkGraph.pageRank(edges.toDF("src", "dst").repartition(13),
+      iters = 4, redistributeDangling = true, seeds = seedDf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == red)
+  }
+
   test("convergence early-stop: fixpoint output == full-budget output, large budgets stay cheap") {
     // symmetric directed ring: uniform rank is the exact 9dp fixpoint
     // after iteration 1, so a 60-iteration budget early-stops — with
