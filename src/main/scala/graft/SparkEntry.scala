@@ -1547,6 +1547,27 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "d_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.spread(Tables.documents(s, d)))),
+    "d_kneser_ney" -> ((s, d) =>
+      // KenLM's own smoothing on the same shared pair stream:
+      // absolute discounting + continuation-probability backoff
+      TextAnalysis.kneserNeyLogProb(Tables.spread(Tables.documents(s, d)))),
+    "d_graph_stats" -> ((s, d) => {
+      // structural sanity panel over a ring+hub graph with every
+      // even-length source's ring edge ALSO reversed — plants a known
+      // reciprocated subset; the oracle recomputes each statistic
+      // from the same edge construction
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val ring = srcs.select(col("source").as("src"),
+        coalesce(lead(col("source"), 1).over(w),
+          first(col("source")).over(w)).as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      val rev = ring.filter(length(col("src")) % 2 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      graft.ops.LinkGraph.stats(
+        ring.unionByName(toHub).unionByName(rev))
+    }),
     "d_bm25_search" -> ((s, d) => {
       // lexical retrieval-for-curation: the first 5 docs' 8-word
       // prefixes as queries over the whole corpus, top-10 per query
@@ -4382,6 +4403,53 @@ object SparkEntry {
         |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM pairs JOIN model USING (a, b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_kneser_ney" ->
+      // interpolated Kneser-Ney replayed: absolute discount D = 0.75
+      // (exact in binary — no ulp hazard), continuation counts =
+      // distinct bigram TYPES per word (count(*) over the bigram
+      // table), same IEEE op order as the engine
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT doc_id,
+        |  unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM toks),
+        |big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1a FROM big GROUP BY 1),
+        |nxt AS (SELECT b, count(*) AS n1b FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM big),
+        |model AS (SELECT a, b,
+        |  CAST(round(ln(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / c_a +
+        |    0.75 * (CAST(n1a AS DOUBLE) / c_a) * (CAST(n1b AS DOUBLE) / np)), 9) AS DECIMAL(30,12)) AS logp
+        |  FROM big JOIN ctx USING (a) JOIN nxt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM pairs JOIN model USING (a, b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_graph_stats" ->
+      // every statistic recomputed from the same ring+hub+reversed
+      // edge construction; count(*) is BIGINT in DuckDB, the CASE
+      // sum casts explicitly
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |ring AS (SELECT source AS src,
+        |    COALESCE(LEAD(source) OVER (ORDER BY source),
+        |             (SELECT min(source) FROM s)) AS dst FROM s),
+        |rev AS (SELECT dst AS src, src AS dst FROM ring WHERE length(src) % 2 = 0),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT source, 'hub.example' FROM s
+        |  UNION SELECT src, dst FROM rev),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |ec AS (SELECT count(*) AS n_edges,
+        |  CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self_loops
+        |  FROM edges),
+        |nc AS (SELECT count(*) AS n_nodes FROM nodes),
+        |dc AS (SELECT count(*) AS n_dangling FROM nodes
+        |  WHERE n NOT IN (SELECT src FROM edges)),
+        |rc AS (SELECT count(*) AS recip FROM edges e
+        |  WHERE e.src <> e.dst AND EXISTS (
+        |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src))
+        |SELECT n_nodes, n_edges, n_self_loops, n_dangling,
+        |  round(CAST(recip AS DOUBLE) / CAST(greatest(n_edges - n_self_loops, 1) AS DOUBLE), 6) AS reciprocity,
+        |  round(CAST(n_edges AS DOUBLE) / greatest(n_nodes, 1), 6) AS avg_out_degree
+        |FROM ec, nc, dc, rc""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -202,12 +202,18 @@ object LinkGraph {
     state = state.localCheckpoint() // eager: iteration 1 scans it twice
     // Iteration hygiene: each round's state is localCheckpoint(false)
     // — lineage cut, no CacheManager pin to leak — and the round's
-    // SINGLE job is the ball-growth aggregation that materializes the
-    // lazy checkpoint. In exact mode zero total growth is a proven
-    // fixpoint (balls only grow; unchanged balls reproduce themselves),
-    // so the loop early-stops with output identical to running the
-    // full maxDist budget; sketch estimates can't certify "unchanged",
-    // so the sketch path keeps the fixed budget.
+    // SINGLE job is the ball-change aggregation that materializes the
+    // lazy checkpoint. Convergence is BALL EQUALITY, valid in both
+    // modes: unchanged balls mean unchanged counts mean unchanged h,
+    // and the iteration map is a pure function of the state, so an
+    // unchanged round is a proven fixpoint — the loop early-stops
+    // with output identical to running the full maxDist budget.
+    // (Exact balls preserve element order under a no-op merge —
+    // concat keeps the old ball's prefix and array_distinct keeps
+    // first occurrences — and a no-op hll_union reproduces the same
+    // sketch state, so equality is well-defined; a spurious byte
+    // inequality would only forgo the early exit, never change the
+    // answer.)
     var t = 1
     var converged = false
     while (t <= maxDist && !converged) {
@@ -234,11 +240,12 @@ object LinkGraph {
         .select(col("n"), col("__ball").as("ball"), col("__c").as("c"),
           (col("h") + term * greatest(col("__c") - col("c"), lit(0L))
             .cast("decimal(10,0)")).as("h"),
-          (col("__c").cast("double") - col("c").cast("double")).as("__g"))
+          when(col("__ball") === col("ball"), lit(0L)).otherwise(lit(1L))
+            .as("__g"))
         .localCheckpoint(false)
-      val grown = next.agg(sum(col("__g"))).first().getDouble(0)
+      val changed = next.agg(sum(col("__g"))).first().getLong(0)
       state = next.drop("__g")
-      converged = exact && grown == 0.0
+      converged = changed == 0L
       t += 1
     }
     val out = state.select(col("n"), (col("c") - 1).as("n_reachable"),
@@ -317,6 +324,53 @@ object LinkGraph {
       .join(a.select(col("n"), round(col("x"), 6).as("authority")), Seq("n"))
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** One-row structural summary of a link graph — the sanity panel a
+    * crawl/graph pipeline checks before spending iterations on it:
+    * node and distinct-directed-edge counts, self-loops, dangling
+    * nodes (no out-edges — the mass pageRank's modes argue about),
+    * reciprocity (fraction of non-loop edges whose reverse exists —
+    * link-exchange/mirror-farm graphs run high, editorial link
+    * graphs low), and mean out-degree. All exact longs + 6dp
+    * doubles, bit-stable on any partitioning.
+    *
+    * Scale shape: two node/edge-shaped aggregations, one anti-join,
+    * and one edge-keyed left-semi self-join (the reciprocity probe —
+    * the same exchange class as one pageRank iteration); the 1-row
+    * pieces assemble by broadcast cross-join (the benign stat-frame
+    * pattern).
+    */
+  def stats(edges: DataFrame, srcCol: String = "src",
+            dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    val ecnt = e.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self_loops"))
+    val ncnt = nodes.agg(count(lit(1)).as("n_nodes"))
+    val dang = nodes
+      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+      .agg(count(lit(1)).as("n_dangling"))
+    val recip = e.filter(col("src") =!= col("dst"))
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("__recip"))
+    // the answer is ONE row: materialize it eagerly (localCheckpoint)
+    // so the persisted edge frame can be released before returning —
+    // no cache pin outlives the call
+    val out = ecnt.crossJoin(ncnt).crossJoin(dang).crossJoin(recip)
+      .select(col("n_nodes"), col("n_edges"), col("n_self_loops"),
+        col("n_dangling"),
+        round(col("__recip").cast("double") /
+          greatest(col("n_edges") - col("n_self_loops"), lit(1L))
+            .cast("double"), 6).as("reciprocity"),
+        round(col("n_edges").cast("double") /
+          greatest(col("n_nodes"), lit(1L)), 6).as("avg_out_degree"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
     out
   }
 

@@ -560,6 +560,70 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Per-doc mean log-probability under an interpolated KNESER-NEY
+    * bigram model — the smoothing KenLM actually ships (and the one
+    * CCNet-class perplexity gates are calibrated against), one rung
+    * up from [[bigramLogProb]]'s count-interpolation: the backoff
+    * distribution is the CONTINUATION probability (how many distinct
+    * contexts a word follows — "francisco" is frequent but follows
+    * almost nothing, so its KN backoff mass is tiny where a raw
+    * unigram model overrates it), and probability mass moves by
+    * absolute discounting:
+    *
+    *   p(b|a) = max(C(ab) − D, 0)/C(a·)
+    *            + D · N1+(a·)/C(a·) · N1+(·b)/N1+(··)
+    *
+    * with N1+ the distinct-bigram-type counts. All four count tables
+    * derive from ONE groupBy of the same pair stream
+    * [[bigramLogProb]] shares (the single honest exchange — model
+    * build and scoring join reuse its shuffle files); the type
+    * counts are plain `count(*)` over the bigram-count table, no
+    * extra corpus pass. Every scored bigram is in-model by
+    * construction (trained on the stream it scores), so the
+    * discounted term is always ≥ (1 − D)/C(a·) > 0 and the log is
+    * total.
+    *
+    * Determinism: D = 0.75 is exact in binary, per-bigram log-probs
+    * round to 9 dp and sum as exact decimals, the per-doc mean
+    * rounds to 6 — identical IEEE op order to the SQL oracle. Docs
+    * with fewer than two words have no bigrams and are absent.
+    */
+  def kneserNeyLogProb(docs: DataFrame, discount: Double = 0.75,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1): $discount")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    val pairs = toks
+      .select(col(idCol), col("__w"),
+        posexplode(slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))))
+          .as(Seq("i", "a")))
+      .select(col(idCol), col("a"),
+        element_at(col("__w"), col("i") + lit(2)).as("b"))
+      .filter(col("b").isNotNull)
+      .repartition(col("a"), col("b"))
+    // the idCol when-guard: same exchange-reuse contract as
+    // bigramLogProb (column pruning would split the shared shuffle)
+    val big = pairs.groupBy("a", "b")
+      .agg(count(when(col(idCol).isNotNull, 1)).as("c_ab"))
+    // N1+(a.) = distinct bigram types per context = rows of big per a
+    val ctx = big.groupBy("a")
+      .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1a"))
+    val nxt = big.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val tot = big.agg(count(lit(1)).cast("double").as("np"))
+    val model = big.join(ctx, "a").join(nxt, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), round(log(
+        greatest(col("c_ab").cast("double") - lit(discount), lit(0.0)) / col("c_a") +
+          lit(discount) * (col("n1a").cast("double") / col("c_a")) *
+            (col("n1b").cast("double") / col("np"))), 9)
+        .cast("decimal(30,12)").as("logp"))
+    pairs.join(model, Seq("a", "b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

@@ -340,6 +340,15 @@ class LinkGraphSpec extends SparkSpec {
     val hm50 = graft.ops.LinkGraph.harmonicCentrality(
       edges.toDF("src", "dst"), maxDist = 50).collect().map(_.toSeq).toSet
     assert(hm6 == hm50)
+    // sketch mode converges by state equality too (a no-op hll_union
+    // reproduces the same sketch bytes)
+    val sk6 = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst"), maxDist = 6, exact = false)
+      .collect().map(_.toSeq).toSet
+    val sk40 = graft.ops.LinkGraph.harmonicCentrality(
+      edges.toDF("src", "dst"), maxDist = 40, exact = false)
+      .collect().map(_.toSeq).toSet
+    assert(sk6 == sk40)
   }
 
   test("pageRank is deterministic under repartitioning and drops parallel edges") {

@@ -522,6 +522,58 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("kneserNeyLogProb: hand-computed KN model, continuation counts, partition-invariant") {
+    // corpus bigrams: doc1 "a b a" -> (a,b),(b,a); doc2 "a b" -> (a,b);
+    // doc3 "x" -> none (absent)
+    // big: (a,b)=2, (b,a)=1; C(a.)=2, C(b.)=1
+    // type counts: N1+(a.)=1 (only b follows a), N1+(b.)=1;
+    // N1+(.b)=1 (b follows only a), N1+(.a)=1; N1+(..)=2
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    def lp(p: Double) = BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val d = 0.75
+    val pAB = (2.0 - d) / 2 + d * (1.0 / 2) * (1.0 / 2) // p(b|a)
+    val pBA = (1.0 - d) / 1 + d * (1.0 / 1) * (1.0 / 2) // p(a|b)
+    val exp1 = ((lp(pAB) + lp(pBA)) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = lp(pAB).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.kneserNeyLogProb(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - exp1.toDouble) < 2e-6)
+    assert(math.abs(got(1)._3 - exp2.toDouble) < 2e-6)
+    // the continuation signal: a word frequent ONLY after one context
+    // ("francisco") scores below an equally-frequent word with many
+    // contexts when both are scored in a fresh context
+    val kn = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "san francisco"),
+      (4L, "red door"), (5L, "blue door"), (6L, "old door"),
+      (7L, "new francisco"), (8L, "new door")).toDF("doc_id", "text")
+    val scores = TextAnalysis.kneserNeyLogProb(kn)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(8L) > scores(7L)) // "new door" beats "new francisco"
+    val again = TextAnalysis.kneserNeyLogProb(docs.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("LinkGraph.stats: hand graph counts, reciprocity, dangling, self-loops") {
+    import graft.ops.LinkGraph
+    // a<->b reciprocal pair, b->c, c->c self-loop, c->d (d dangling),
+    // plus a duplicate a->b that must collapse
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+      ("c", "c"), ("c", "d")).toDF("src", "dst")
+    val r = LinkGraph.stats(edges).collect().head
+    assert(r.getLong(0) == 4L) // nodes a b c d
+    assert(r.getLong(1) == 5L) // distinct edges
+    assert(r.getLong(2) == 1L) // c->c
+    assert(r.getLong(3) == 1L) // d has no out-edges
+    // reciprocated: a->b and b->a, of 4 non-loop edges -> 0.5
+    assert(r.getDouble(4) == 0.5)
+    assert(r.getDouble(5) == 1.25) // 5 edges / 4 nodes
+    // partition-invariant
+    val r2 = LinkGraph.stats(edges.repartition(7)).collect().head
+    assert(r2.toSeq == r.toSeq)
+  }
+
   test("dedupLines strips corpus-frequent lines, keeps order, drops all-boilerplate docs") {
     val docs = Seq(
       (1L, "BANNER\nalpha beta\nBANNER\ngamma"),
