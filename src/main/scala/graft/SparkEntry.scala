@@ -73,6 +73,31 @@ object SparkEntry {
     }
   }
 
+  /** One-time-per-(JVM, corpus) on-disk WARC fixture for the
+    * split-read query: ONE `.warc.gz` with one gzip member per doc
+    * (the Common Crawl layout), written DISTRIBUTED through
+    * [[graft.sources.Warc.write]] — no driver-side collect. Built
+    * outside the timed path (the keep_best lesson: setup actions
+    * inside a timed entry masquerade as query cost); member order is
+    * whatever the writer partition produced, which the split reader
+    * must not care about.
+    */
+  private val warcSplitFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcSplitFixture(s: SparkSession, d: String): String =
+    warcSplitFixtureCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_warc_split_fx").toString
+      val rows = Tables.documents(s, d).select(
+        lit("resource").as("warc_type"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id"))
+          .as("target_uri"),
+        lit("text/plain").as("content_type"),
+        col("text").cast("binary").as("payload"))
+      graft.sources.Warc.write(rows.repartition(1), dir).count()
+      dir
+    })
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Agg(spark, "/root/testdata/sf0.001")
@@ -1533,6 +1558,22 @@ object SparkEntry {
           p.records.map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
             new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
         }.toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "d_warc_split_read" -> ((s, d) => {
+      // the intra-file-split WARC reader on the oracle hash path: the
+      // timed work is the real thing — one compressed-byte member
+      // scan with validated split points, then seek + bounded walk
+      // per split across tasks. Lossless by construction (every
+      // member is a resource record built from the corpus), so the
+      // oracle is a plain projection; a missed/duplicated member or
+      // a bad boundary breaks the hash.
+      val dir = warcSplitFixture(s, d)
+      graft.sources.Warc.readSplit(s, dir, targetSplitBytes = 256 * 1024)
+        .filter(col("warc_type") === "resource")
+        .select(substring_index(col("target_uri"), "/", -1).cast("long")
+          .as("doc_id"),
+          col("payload").cast("string").as("text"))
         .orderBy("doc_id")
     }),
     "d_compression_ratio" -> ((s, d) =>
@@ -3315,6 +3356,12 @@ object SparkEntry {
     "d_warc_roundtrip" ->
       // WARC serialize -> multi-record byte walk -> recover: lossless
       // by construction, so the oracle is the plain projection
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "d_warc_split_read" ->
+      // write one member-per-doc .warc.gz, read it back through the
+      // validated-member-boundary split reader: lossless, so the
+      // oracle is the same plain projection — a missed or duplicated
+      // member at any split boundary breaks the hash
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "d_url_filter" ->
       // expected canonical urls + registered domains reconstructed
