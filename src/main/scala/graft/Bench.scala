@@ -170,18 +170,18 @@ object Bench {
     // times by the calibration time turns cross-session comparisons
     // back into code comparisons. Median of 3 so one GC pause can't
     // skew the normalizer.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000L)
+        .selectExpr("xxhash64(id) AS h", "id % 1024 AS k")
+        .repartition(cpus.toInt, org.apache.spark.sql.functions.col("k"))
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
     def calibrate(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(8000000L)
-          .selectExpr("xxhash64(id) AS h", "id % 1024 AS k")
-          .repartition(cpus.toInt, org.apache.spark.sql.functions.col("k"))
-          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
-          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
-          .head()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val ts = Seq.fill(3)(once()).sorted
+      val ts = Seq.fill(3)(calibOnce()).sorted
       ts(1)
     }
     val calibStart = try calibrate() catch { case NonFatal(_) => -1.0 }
@@ -208,10 +208,37 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
       .sorted // pinned order: hash-layout changes must not reshuffle JIT/GC history
+    // CALIBRATION INTERLEAVE: the fixed probe re-runs every
+    // `calibEvery` queries (one pass, ~0.7 s — wall-clock only, never
+    // on a query's clock), so a mid-suite external burst lands in the
+    // calib TRACK instead of silently poisoning whichever medians it
+    // overlapped. Each query records the most recent probe as its
+    // window's calibration (calib_win); adjudication rule: a query
+    // whose calib_win reads >=1.5x calib_start ran in a contaminated
+    // window — judge it from the committed quiet artifact, not this
+    // run. 0 disables the interleave.
+    val calibEvery = sys.env.get("SPARK_GRAFT_BENCH_CALIB_EVERY")
+      .map(_.trim.toInt).getOrElse(8)
+    require(calibEvery >= 0, s"SPARK_GRAFT_BENCH_CALIB_EVERY must be >= 0, got $calibEvery")
+    val calibTrack = Seq.newBuilder[(String, Double)]
+    calibTrack += (("_start", calibStart))
+    var curWinCalib = calibStart
+    val winCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     warmupFailure.foreach(msg => failures("_warmup_entry") = msg)
-    names.foreach { name =>
+    names.zipWithIndex.foreach { case (name, qi) =>
+      if (calibEvery > 0 && qi > 0 && qi % calibEvery == 0) {
+        tracer.foreach { t =>
+          spark.sparkContext.setLocalProperty(
+            graft.tools.BenchTrace.LabelProp, s"_calib_before_$name")
+          t.setLabel(s"_calib_before_$name")
+        }
+        val c = try calibOnce() catch { case NonFatal(_) => -1.0 }
+        calibTrack += ((s"before:$name", c))
+        if (c > 0) curWinCalib = c
+      }
+      winCalib(name) = curWinCalib
       val fn = SparkEntry.queries(name)
       // one DISCARDED warm pass per query before the measured runs: the
       // driver's full-suite runs showed 1.5-2x first-run modes on
@@ -271,7 +298,8 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = timings.map { case (k, ts) =>
       val runsJson = ts.map(f6).mkString("[", ",", "]")
-      s"""\"$k\":{"min":${f6(ts.min)},"median":${f6(median(ts))},"max":${f6(ts.max)},"runs":$runsJson}"""
+      val cw = winCalib.getOrElse(k, -1.0)
+      s"""\"$k\":{"min":${f6(ts.min)},"median":${f6(median(ts))},"max":${f6(ts.max)},"calib_win":${f3(cw)},"runs":$runsJson}"""
     }.mkString("{", ",", "}")
     val fails = failures.map { case (k, msg) => s"\"$k\":\"${jsonEscape(msg)}\"" }
       .mkString("{", ",", "}")
@@ -285,12 +313,16 @@ object Bench {
       .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit)))
       .getOrElse(-1)
     val calibEnd = try calibrate() catch { case NonFatal(_) => -1.0 }
+    calibTrack += (("_end", calibEnd))
+    val track = calibTrack.result().map { case (at, c) =>
+      s"""["${jsonEscape(at)}",${f3(c)}]"""
+    }.mkString("[", ",", "]")
     stopLoad = true
     loadThreads.foreach(_.join(2000))
     val host =
       s""""host":{"cores":${osBean.getAvailableProcessors},"load_avg_end":${f3(loadEnd)},"proc_count":$nProcs,"contend":$contend,"calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)}}"""
     val detail =
-      s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir",$host,"total":${f6(total)},"spread":$spread,"failures":$fails}"""
+      s"""{"runs":$runs,"cpus":$cpus,"sf":"$sfDir",$host,"calib_track":$track,"total":${f6(total)},"spread":$spread,"failures":$fails}"""
     val detailPath = java.nio.file.Paths.get(
       if (contend > 0) "BENCH_CONTENDED.json" else "BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

@@ -877,6 +877,44 @@ object SparkEntry {
       graft.pipeline.Crawl.frontier(edges, docs.select(base.as("url")))
         .orderBy(desc("n_inlinks"), asc("url"))
     }),
+    "d_crawl_frontier_ranked" -> ((s, d) => {
+      // the TrustRank crawl loop end-to-end: seeded (personalized)
+      // PageRank over the domain ring+hub graph feeds
+      // frontier(ranks=...), so unfetched urls order by
+      // proximity-to-the-trusted-set (the 5 lexicographically-first
+      // domains). A PSL snapshot keeps the frontier's domain key
+      // equal to the graph's node key (src0.example.com stays a
+      // distinct registered domain); off-graph domains (ext/cdn)
+      // coalesce to rank 0. The oracle unrolls the 3 seeded
+      // iterations and rebuilds the candidate set by arithmetic.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val dom = concat(col("source"), lit(".example.com"))
+      val base = concat(lit("https://"), dom,
+        lit("/a/"), col("doc_id"), lit("/index.html"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ext.example/d/"), col("doc_id"),
+        lit("\">external "), col("doc_id"), lit("</a>"),
+        lit("<a href='/doc/"), col("doc_id") + 1, lit("'>next doc</a>"),
+        lit("<a href=sub/page.html>sub page</a>"),
+        lit("<a href=\"//cdn.example/lib.js\">cdn asset</a>"))
+      val edges = graft.text.HtmlExtract.extractLinks(
+        docs.select(col("doc_id"), base.as("url"), html.as("html")))
+      val doms = docs.select(dom.as("domain")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("domain")
+      val ring = doms.select(col("domain").as("src"),
+        coalesce(lead(col("domain"), 1).over(w),
+          first(col("domain")).over(w)).as("dst"))
+      val toHub = doms.select(col("domain").as("src"),
+        lit("hub.example").as("dst"))
+      val seeds = doms.orderBy("domain").limit(5).select(col("domain").as("n"))
+      val pr = graft.ops.LinkGraph.pageRank(ring.unionByName(toHub),
+        iters = 3, seeds = Some(seeds), probeEvery = 3)
+      val psl = Seq("com", "example.com").toDF("suffix")
+      graft.pipeline.Crawl.frontier(edges, docs.select(base.as("url")),
+          ranks = Some(pr), psl = Some(psl))
+        .orderBy(desc("rank"), desc("n_inlinks"), asc("url"))
+    }),
     "d_sitemap" -> ((s, d) => {
       // one sitemap blob per doc: three <url> entries (full hints;
       // an XML-escaped loc that must decode; a malformed priority
@@ -1014,7 +1052,11 @@ object SparkEntry {
       // from the distinct sources: every source links to its
       // lexicographic successor (wrapping) and to a hub that links
       // nowhere (dangling). 5 synchronous iterations; the oracle
-      // unrolls the identical arithmetic in SQL.
+      // unrolls the identical arithmetic in SQL. probeEvery = iters:
+      // on a tiny graph the per-round probe job is pure scheduling
+      // latency, so the rounds chain lazily into ONE job + checkpoint
+      // on the final round (bit-identical output — the probe knob
+      // never touches the arithmetic; LinkGraphSpec pins it).
       val srcs = Tables.documents(s, d).select("source").distinct()
       val w = org.apache.spark.sql.expressions.Window.orderBy("source")
       val ring = srcs.select(col("source").as("src"),
@@ -1023,7 +1065,7 @@ object SparkEntry {
       val toHub = srcs.select(col("source").as("src"),
         lit("hub.example").as("dst"))
       graft.ops.LinkGraph.pageRank(
-          ring.unionByName(toHub), iters = 5)
+          ring.unionByName(toHub), iters = 5, probeEvery = 5)
         .orderBy(desc("rank"), asc("n"))
     }),
     "d_domain_rank_dangling" -> ((s, d) => {
@@ -1592,6 +1634,38 @@ object SparkEntry {
       // KenLM's own smoothing on the same shared pair stream:
       // absolute discounting + continuation-probability backoff
       TextAnalysis.kneserNeyLogProb(Tables.spread(Tables.documents(s, d)))),
+    "d_kneser_ney3" -> ((s, d) =>
+      // order-3 KN with recursive backoff (KenLM's standard order):
+      // trigram discounting -> bigram continuation -> unigram
+      // continuation, all counts from one trigram-type table
+      TextAnalysis.kneserNeyTrigramLogProb(
+        Tables.spread(Tables.documents(s, d)))),
+    "d_scc" -> ((s, d) => {
+      // strongly-connected components over a pairs-chained graph
+      // built from the distinct sources: consecutive source pairs
+      // (by lexicographic rank) form 2-cycles (the SCCs), chain
+      // edges run from the LEX-LARGER pair down to the smaller one
+      // (so every pair roots its own color class and all SCCs peel
+      // in one round), and every source links to a dangling hub
+      // (trimmed singleton). The oracle recomputes SCCs from the
+      // transitive closure (recursive CTE) — mutual reachability,
+      // min member as label.
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val nxt = srcs.select(col("source"),
+        row_number().over(w).as("rn"),
+        lead(col("source"), 1).over(w).as("nxt"))
+      val pairFwd = nxt.filter(col("rn") % 2 === 1 && col("nxt").isNotNull)
+        .select(col("source").as("src"), col("nxt").as("dst"))
+      val pairBack = pairFwd.select(col("dst").as("src"), col("src").as("dst"))
+      val chain = nxt.filter(col("rn") % 2 === 0 && col("nxt").isNotNull)
+        .select(col("nxt").as("src"), col("source").as("dst"))
+      val toHub = srcs.select(col("source").as("src"),
+        lit("hub.example").as("dst"))
+      graft.ops.LinkGraph.stronglyConnectedComponents(
+          pairFwd.unionByName(pairBack).unionByName(chain).unionByName(toHub))
+        .orderBy("scc", "n")
+    }),
     "d_graph_stats" -> ((s, d) => {
       // structural sanity panel over a ring+hub graph with every
       // even-length source's ring edge ALSO reversed — plants a known
@@ -3470,6 +3544,55 @@ object SparkEntry {
         |       ELSE 'example.com' END AS domain,
         |  n_inlinks
         |FROM agg ORDER BY n_inlinks DESC, url""".stripMargin,
+    "d_crawl_frontier_ranked" ->
+      // 3 seeded-PageRank iterations unrolled (drop mode: no dangling
+      // CTEs) over the domain ring+hub graph, joined onto the
+      // arithmetic-rebuilt candidate set; PSL-exact domains =
+      // source || '.example.com', off-graph domains rank 0
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |doms AS (SELECT source || '.example.com' AS dmn FROM s),
+        |ring AS (SELECT dmn AS src,
+        |    COALESCE(LEAD(dmn) OVER (ORDER BY dmn),
+        |             (SELECT min(dmn) FROM doms)) AS dst FROM doms),
+        |edges AS (SELECT src, dst FROM ring
+        |  UNION SELECT dmn, 'hub.example' FROM doms),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.deg FROM edges e JOIN od USING (src)),
+        |sd AS (SELECT dmn AS n FROM doms ORDER BY dmn LIMIT 5),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM sd),
+        |r0 AS (SELECT nodes.n, CASE WHEN sd.n IS NOT NULL THEN round(1.0 / k.kk, 9) ELSE 0.0 END AS r
+        |  FROM nodes CROSS JOIN k LEFT JOIN sd ON nodes.n = sd.n),
+        |i1 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN k LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(r0.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN r0 ON ed.src = r0.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i2 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN k LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i1.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i1 ON ed.src = i1.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |i3 AS (SELECT nodes.n, round(CASE WHEN sd.n IS NOT NULL THEN (1 - 0.85) / k.kk ELSE 0.0 END + 0.85 * COALESCE(CAST(t.sc AS DOUBLE), 0.0), 9) AS r
+        |  FROM nodes CROSS JOIN k LEFT JOIN sd ON nodes.n = sd.n LEFT JOIN (
+        |    SELECT ed.dst AS n, sum(CAST(round(i2.r / ed.deg, 9) AS DECIMAL(30,12))) AS sc
+        |    FROM ed JOIN i2 ON ed.src = i2.n GROUP BY ed.dst) t ON nodes.n = t.n),
+        |pr AS (SELECT n, round(r, 6) AS rank FROM i3),
+        |cand AS (
+        |  SELECT 'https://ext.example/d/' || doc_id AS url,
+        |    'ext.example' AS domain FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/doc/' || (doc_id + 1),
+        |    source || '.example.com' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/a/' || doc_id || '/sub/page.html',
+        |    source || '.example.com' FROM documents
+        |  UNION ALL
+        |  SELECT 'https://cdn.example/lib.js', 'cdn.example' FROM documents),
+        |agg AS (SELECT url, domain, CAST(count(*) AS BIGINT) AS n_inlinks
+        |  FROM cand GROUP BY url, domain)
+        |SELECT url, domain, n_inlinks, COALESCE(pr.rank, 0.0) AS rank
+        |FROM agg LEFT JOIN pr ON agg.domain = pr.n
+        |ORDER BY rank DESC, n_inlinks DESC, url""".stripMargin,
     "d_sitemap" ->
       // four entries per doc rebuilt by arithmetic: the full-hint
       // url, the escaped loc (&amp; decoded), the malformed-priority
@@ -4470,6 +4593,61 @@ object SparkEntry {
         |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM pairs JOIN model USING (a, b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_kneser_ney3" ->
+      // order-3 interpolated KN replayed level by level: trigram
+      // absolute discounting, bigram CONTINUATION counts (distinct
+      // left contexts per (b,c) = rows of the trigram-type table),
+      // unigram continuation over bigram types — same IEEE op order
+      // and 9dp/exact-decimal/6dp ladder as the engine
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tris AS (SELECT doc_id,
+        |  unnest(w[1:greatest(len(w)-2, 0)]) AS a,
+        |  unnest(w[2:greatest(len(w)-1, 0)]) AS b,
+        |  unnest(w[3:len(w)]) AS c FROM toks),
+        |tri AS (SELECT a, b, c, count(*) AS c_abc FROM tris GROUP BY 1, 2, 3),
+        |ctx AS (SELECT a, b, sum(c_abc) AS c_ab, count(*) AS n1_ab FROM tri GROUP BY 1, 2),
+        |bt AS (SELECT b, c, count(*) AS n1_bc FROM tri GROUP BY 1, 2),
+        |mid AS (SELECT b, sum(n1_bc) AS n1_mb, count(*) AS nt_b FROM bt GROUP BY 1),
+        |uni AS (SELECT c, count(*) AS n1_c FROM bt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bt),
+        |model AS (SELECT a, b, c,
+        |  CAST(round(ln(greatest(CAST(c_abc AS DOUBLE) - 0.75, 0.0) / c_ab +
+        |    0.75 * (CAST(n1_ab AS DOUBLE) / c_ab) *
+        |      (greatest(CAST(n1_bc AS DOUBLE) - 0.75, 0.0) / n1_mb +
+        |        0.75 * (CAST(nt_b AS DOUBLE) / n1_mb) * (CAST(n1_c AS DOUBLE) / nb))), 9) AS DECIMAL(30,12)) AS logp
+        |  FROM tri JOIN ctx USING (a, b) JOIN bt USING (b, c)
+        |  JOIN mid USING (b) JOIN uni USING (c) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM tris JOIN model USING (a, b, c)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_scc" ->
+      // SCCs recomputed from first principles: recursive-CTE
+      // transitive closure over the same pairs-chained construction,
+      // SCC = mutual-reachability class, label = min member — fully
+      // independent of the engine's FW-BW coloring algebra
+      """WITH RECURSIVE s AS (SELECT DISTINCT source FROM documents),
+        |r AS (SELECT source, row_number() OVER (ORDER BY source) AS rn FROM s),
+        |nx AS (SELECT a.source AS src, a.rn, b.source AS nxt
+        |  FROM r a LEFT JOIN r b ON b.rn = a.rn + 1),
+        |pe AS (
+        |  SELECT src, nxt AS dst FROM nx WHERE rn % 2 = 1 AND nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT nxt, src FROM nx WHERE rn % 2 = 1 AND nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT nxt, src FROM nx WHERE rn % 2 = 0 AND nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT source, 'hub.example' FROM s),
+        |edges AS (SELECT DISTINCT src, dst FROM pe),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |  UNION SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+        |mutual AS (SELECT n AS a, n AS b FROM nodes
+        |  UNION SELECT r1.a, r1.b FROM reach r1
+        |    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT a AS n, min(b) AS scc FROM mutual GROUP BY a
+        |ORDER BY scc, n""".stripMargin,
     "d_graph_stats" ->
       // every statistic recomputed from the same ring+hub+reversed
       // edge construction; count(*) is BIGINT in DuckDB, the CASE

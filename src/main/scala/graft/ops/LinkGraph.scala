@@ -54,6 +54,19 @@ object LinkGraph {
     * the graph are ignored; at least one must remain. Same decimal
     * contract and iteration hygiene; nodes unreachable from the seed
     * set hold rank 0 in drop mode.
+    *
+    * `probeEvery` amortizes the per-round probe job on SMALL graphs
+    * (where job-scheduling latency, not data, dominates): checkpoint +
+    * convergence probe fire every K rounds (and always on the last),
+    * intermediate rounds chain lazily. Between probes the plan scans
+    * the prior state exactly ONCE (the `__prev` join exists only on
+    * probe rounds), so lineage grows as a K-bounded CHAIN — none of
+    * the tree-shaped re-evaluation the per-round checkpoints were
+    * introduced to kill. Early-stop granularity coarsens to every K
+    * rounds (output unchanged — tol=0 stops only at a proven
+    * fixpoint, which reproduces itself). Redistribute mode needs each
+    * round's dangling mass as a driver scalar before the NEXT round
+    * can be planned, so it requires probeEvery = 1.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
@@ -61,10 +74,15 @@ object LinkGraph {
                redistributeDangling: Boolean = false,
                tol: Double = 0.0,
                seeds: Option[DataFrame] = None,
-               seedCol: String = "n"): DataFrame = {
+               seedCol: String = "n",
+               probeEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0.0, s"tol >= 0: $tol")
+    require(probeEvery >= 1, s"probeEvery >= 1: $probeEvery")
+    require(probeEvery == 1 || !redistributeDangling,
+      "redistributeDangling needs the per-round dangling mass on the " +
+        "driver: probeEvery must be 1")
     val seeded = seeds.nonEmpty
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val nodes0 = e.select(col("src").as("n"))
@@ -128,24 +146,32 @@ object LinkGraph {
         else if (seeded) when(col("__seed"), lit(dang.doubleValue() / s))
           .otherwise(lit(0.0))
         else lit(dang.doubleValue() / n)
-      val next = nodes.join(contribs, Seq("n"), "left")
-        .join(ranks.select(col("n"), col("r").as("__prev")), Seq("n"))
-        .select(col("n") +:
-          round(tele + lit(damping) *
-            (coalesce(col("sc").cast("double"), lit(0.0)) + dangTerm),
-            9).as("r") +: col("__prev") +: flagCols: _*)
-        .localCheckpoint(false)
-      // the round's single job: materializes the lazy checkpoint and
-      // measures convergence (plus the next round's dangling mass)
-      val probe = next.agg(
-        sum(abs(col("r") - col("__prev"))).as("__delta"),
-        coalesce(
-          sum(when(if (redistributeDangling) !col("__out") else lit(false),
-            col("r")).cast("decimal(30,12)")),
-          lit(0).cast("decimal(30,12)")).as("__dang")).first()
-      dang = probe.getDecimal(1)
-      converged = probe.getDouble(0) <= tol
-      ranks = next.drop("__prev")
+      val newRank = round(tele + lit(damping) *
+        (coalesce(col("sc").cast("double"), lit(0.0)) + dangTerm), 9).as("r")
+      val base = nodes.join(contribs, Seq("n"), "left")
+      if ((it + 1) % probeEvery == 0 || it + 1 == iters) {
+        val next = base
+          .join(ranks.select(col("n"), col("r").as("__prev")), Seq("n"))
+          .select(col("n") +: newRank +: col("__prev") +: flagCols: _*)
+          .localCheckpoint(false)
+        // the probe round's single job: materializes the lazy
+        // checkpoint and measures convergence (plus the next round's
+        // dangling mass); sums coalesce so an EMPTY graph probes to
+        // (0, 0) instead of NULL
+        val probe = next.agg(
+          coalesce(sum(abs(col("r") - col("__prev"))), lit(0.0)).as("__delta"),
+          coalesce(
+            sum(when(if (redistributeDangling) !col("__out") else lit(false),
+              col("r")).cast("decimal(30,12)")),
+            lit(0).cast("decimal(30,12)")).as("__dang")).first()
+        dang = probe.getDecimal(1)
+        converged = probe.getDouble(0) <= tol
+        ranks = next.drop("__prev")
+      } else
+        // chained round: no job, no checkpoint — the next round (and
+        // ultimately the probe round, at most K-1 links away) scans
+        // this plan exactly once
+        ranks = base.select(col("n") +: newRank +: flagCols: _*)
       it += 1
     }
     val out = ranks.select(col("n"), round(col("r"), 6).as("rank"))
@@ -243,7 +269,9 @@ object LinkGraph {
           when(col("__ball") === col("ball"), lit(0L)).otherwise(lit(1L))
             .as("__g"))
         .localCheckpoint(false)
-      val changed = next.agg(sum(col("__g"))).first().getLong(0)
+      // coalesce: an empty graph sums to NULL, which must read as 0
+      val changed = next.agg(coalesce(sum(col("__g")), lit(0L)))
+        .first().getLong(0)
       state = next.drop("__g")
       converged = changed == 0L
       t += 1
@@ -314,8 +342,9 @@ object LinkGraph {
         .agg(sum(round(col("x"), 9).cast("decimal(30,12)")).as("r")))
         .join(h.select(col("n"), col("x").as("__prev")), Seq("n"))
         .localCheckpoint(false)
-      val delta = hNext.agg(sum(abs(col("x") - col("__prev"))))
-        .first().getDouble(0)
+      // coalesce: an empty graph sums to NULL, which must read as 0
+      val delta = hNext.agg(coalesce(sum(abs(col("x") - col("__prev"))),
+        lit(0.0))).first().getDouble(0)
       h = hNext.drop("__prev")
       converged = delta <= tol
       it += 1
@@ -408,6 +437,144 @@ object LinkGraph {
       .select(col("n"), col("comp").as("__c"))
       .join(ids.select(col("__id").as("__c"), col("n").as("component")), "__c")
       .select("n", "component")
+  }
+
+  /** Strongly-connected components — the directed-cycle structure
+    * [[components]] (weak/undirected) can't see, and the signal
+    * link-spam and crawl-trap analysis actually wants: link farms are
+    * dense DIRECTED cycles, redirect loops are small SCCs, and the
+    * web's bow-tie core is one giant one. Every node labels with its
+    * SCC's lexicographically smallest member (the [[components]]
+    * contract).
+    *
+    * Algorithm: forward-backward reachability with multi-pivot
+    * COLORING (the distributed SCC shape — Fleischer/Hendrickson/
+    * Pinar FW-BW generalized by Orzan-style coloring; Tarjan is
+    * inherently sequential), on the ball-expansion machinery
+    * [[harmonicCentrality]] uses:
+    *   1. TRIM — nodes with no in- or no out-edges in the active
+    *      subgraph are singleton SCCs; peel iteratively (kills the
+    *      DAG periphery, the bulk of a web graph).
+    *   2. COLOR — propagate the min node id FORWARD to fixpoint:
+    *      color(v) = min id that reaches v. Each color class has
+    *      exactly one root r (color(r) = r).
+    *   3. MARK — BACKWARD reachability from every root, restricted
+    *      to its own color class (provably closed: any v→…→r path
+    *      stays in class r). Marked nodes form SCC(r) — one SCC
+    *      peels PER COLOR CLASS per round, all simultaneously.
+    *   4. Remove peeled nodes and their edges; repeat.
+    *
+    * Scale shape: every step is a node/edge-shaped join + partial-agg
+    * exchange (the pageRank class); no transitive-closure pair
+    * explosion, driver state is counters. Iteration hygiene is
+    * LinkGraph-standard: every evolving frame is
+    * `localCheckpoint(false)` and each inner round's SINGLE job is
+    * the fused change-probe that materializes it. Outer rounds peel
+    * ≥ 1 SCC per color class; `maxIter` bounds them (a chain of k
+    * SCCs colored into one class peels O(k) rounds — trimming
+    * removes the acyclic part of such chains first).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
+                                  dstCol: String = "dst",
+                                  maxIter: Int = 100): DataFrame = {
+    require(maxIter >= 1, s"maxIter >= 1: $maxIter")
+    val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // self-loops never change membership ({v} is an SCC with or
+    // without one) — drop them from the working edge set, keep the
+    // node
+    val e0 = eAll.filter(col("src") =!= col("dst")).distinct()
+    val all = eAll.select(col("src").as("n"))
+      .unionByName(eAll.select(col("dst").as("n"))).distinct()
+    var active = all.localCheckpoint(false)
+    var aEdges = e0.localCheckpoint(false)
+    var activeCount = active.count() // materializes both checkpoints below
+    val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var outer = 0
+    while (activeCount > 0 && outer < maxIter) {
+      // ---- 1. trim: no-in or no-out nodes are singleton SCCs; each
+      // pass strictly shrinks the node set, so the loop terminates
+      var trimming = true
+      while (trimming && activeCount > 0) {
+        val core = active
+          .join(aEdges.select(col("dst").as("n")).distinct(), Seq("n"), "left_semi")
+          .join(aEdges.select(col("src").as("n")).distinct(), Seq("n"), "left_semi")
+          .localCheckpoint(false)
+        val coreCount = core.count()
+        if (coreCount == activeCount) trimming = false
+        else {
+          done += active.join(core, Seq("n"), "left_anti")
+            .select(col("n"), col("n").as("scc"))
+          active = core
+          aEdges = aEdges
+            .join(active.select(col("n").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("n").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(false)
+          activeCount = coreCount
+          aEdges.count() // one edge-shaped job; keeps trim rounds bounded-lineage
+        }
+      }
+      if (activeCount > 0) {
+        // ---- 2. forward min-label coloring to fixpoint
+        var color = active.select(col("n"), col("n").as("c"))
+          .localCheckpoint(false)
+        var changed = 1L
+        while (changed > 0) {
+          val inc = aEdges
+            .join(color.select(col("n").as("src"), col("c").as("cs")), "src")
+            .groupBy(col("dst").as("n")).agg(min("cs").as("ci"))
+          val next = color.join(inc, Seq("n"), "left")
+            .select(col("n"),
+              least(col("c"), coalesce(col("ci"), col("c"))).as("c"),
+              when(col("ci").isNotNull && col("ci") < col("c"), 1L)
+                .otherwise(0L).as("__g"))
+            .localCheckpoint(false)
+          changed = next.agg(coalesce(sum(col("__g")), lit(0L)))
+            .first().getLong(0)
+          color = next.drop("__g")
+        }
+        // ---- 3. backward mark from every class root, within-class
+        var mark = color
+          .select(col("n"), col("c"), (col("n") === col("c")).as("m"))
+          .localCheckpoint(false)
+        changed = 1L
+        while (changed > 0) {
+          val cand = aEdges
+            .join(mark.select(col("n").as("dst"), col("c").as("cu"),
+              col("m").as("mu")), "dst")
+            .filter(col("mu"))
+            .select(col("src").as("__n2"), col("cu"))
+            .distinct()
+          val next = mark.join(cand,
+              mark("n") === cand("__n2") && mark("c") === cand("cu"), "left")
+            .select(mark("n"), mark("c"),
+              (mark("m") || col("__n2").isNotNull).as("m"),
+              when(!mark("m") && col("__n2").isNotNull, 1L)
+                .otherwise(0L).as("__g"))
+            .localCheckpoint(false)
+          changed = next.agg(coalesce(sum(col("__g")), lit(0L)))
+            .first().getLong(0)
+          mark = next.drop("__g")
+        }
+        // ---- 4. peel every class's SCC at once
+        val peeled = mark.filter(col("m")).select(col("n"), col("c").as("scc"))
+        done += peeled
+        active = active.join(peeled.select("n"), Seq("n"), "left_anti")
+          .localCheckpoint(false)
+        aEdges = aEdges
+          .join(active.select(col("n").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("n").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint(false)
+        activeCount = active.count()
+      }
+      outer += 1
+    }
+    require(activeCount == 0,
+      s"SCC peeling did not converge in $maxIter outer rounds " +
+        s"($activeCount nodes left) — raise maxIter")
+    if (done.isEmpty) all.select(col("n"), col("n").as("scc"))
+    else done.reduce(_.unionByName(_))
   }
 
   /** Anchor-text aggregation per link target — the classic off-page

@@ -190,16 +190,52 @@ object Crawl {
     * capture per canonical url. At-least-once safe: committed batch
     * ids replay as no-ops. The collect is of PATHS only — bounded by
     * files-per-trigger, never corpus-shaped.
+    *
+    * Oversized archives fan out: a file larger than
+    * `targetSplitBytes` routes through
+    * [[graft.sources.Warc.readSplit]] — its gzip-member runs
+    * decompress on MANY tasks instead of straggling the whole batch
+    * behind one core (the record multiset is bit-identical to
+    * [[graft.sources.Warc.read]]'s; specs pin it). Files at or under
+    * the threshold keep the one-task-per-file walker with no extra
+    * scan pass; 0 disables routing entirely. File sizes come from the
+    * frame's `length` column when present (the streaming binaryFile
+    * source ships it) and a driver-side status probe of the bounded
+    * path list otherwise.
     */
   def crawlWarcBatch(files: DataFrame, batchId: Long, targetDir: String,
-                     blockedDomains: DataFrame): Unit = {
+                     blockedDomains: DataFrame,
+                     targetSplitBytes: Long = 128L << 20): Unit = {
     val spark = files.sparkSession
     val store = new graft.streaming.SnapshotStore(spark, targetDir)
     if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
-    val paths = files.select(col("path")).distinct()
-      .collect().map(_.getString(0))
-    if (paths.isEmpty) return
-    val records = graft.sources.Warc.read(spark, paths.mkString(","))
+    val hasLen = files.columns.contains("length")
+    val pathCols: Seq[org.apache.spark.sql.Column] =
+      if (hasLen) Seq(col("path"), col("length")) else Seq(col("path"))
+    val listed = files.select(pathCols: _*).distinct().collect()
+    if (listed.isEmpty) return
+    val sized: Array[(String, Long)] =
+      if (targetSplitBytes <= 0) listed.map(r => (r.getString(0), 0L))
+      else if (hasLen) listed.map(r => (r.getString(0), r.getLong(1)))
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        listed.map { r =>
+          val p = new org.apache.hadoop.fs.Path(r.getString(0))
+          (r.getString(0), p.getFileSystem(conf).getFileStatus(p).getLen)
+        }
+      }
+    val (big, small) = sized.partition(
+      f => targetSplitBytes > 0 && f._2 > targetSplitBytes)
+    val parts = Seq(
+      if (small.isEmpty) None
+      else Some(graft.sources.Warc.read(
+        spark, small.map(_._1).mkString(","))),
+      if (big.isEmpty) None
+      else Some(graft.sources.Warc.readSplit(
+          spark, big.map(_._1).mkString(","),
+          targetSplitBytes = targetSplitBytes)
+        .drop("split_start"))).flatten
+    val records = parts.reduce(_.unionByName(_))
     val curated = curate(records, blockedDomains,
         passthrough = Seq("warc_date"))
       .select("url", "domain", "text", "n_tokens", "warc_date")
@@ -218,14 +254,19 @@ object Crawl {
     * produces) and accumulate the curated latest-capture-per-url
     * corpus in `targetDir`. The file listing rides Structured
     * Streaming's file source (checkpointed, exactly-once file
-    * discovery); only PATHS flow through the stream — the bytes
-    * stream through [[graft.sources.Warc.read]] inside each batch,
-    * so a multi-GiB member never materializes as a row.
+    * discovery); only PATHS (+ sizes) flow through the stream — the
+    * bytes stream through [[graft.sources.Warc.read]] inside each
+    * batch, so a multi-GiB member never materializes as a row.
+    * Archives larger than `targetSplitBytes` fan out across tasks via
+    * [[graft.sources.Warc.readSplit]] (see [[crawlWarcBatch]]); the
+    * source's own `length` column feeds the routing, so no extra
+    * filesystem probe runs per trigger.
     */
   def sinkCrawlWarc(spark: org.apache.spark.sql.SparkSession,
                     warcDir: String, targetDir: String,
                     checkpointDir: String, blockedDomains: DataFrame,
-                    maxFilesPerTrigger: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                    maxFilesPerTrigger: Int = 16,
+                    targetSplitBytes: Long = 128L << 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.format("binaryFile")
       // the binaryFile source's FIXED schema (streaming sources
       // require it stated up front); only `path` is selected below,
@@ -238,12 +279,13 @@ object Crawl {
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(warcDir)
-      .select(col("path"))
+      .select(col("path"), col("length"))
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        crawlWarcBatch(batch, batchId, targetDir, blockedDomains)
+        crawlWarcBatch(batch, batchId, targetDir, blockedDomains,
+          targetSplitBytes)
       }
 
   /** The committed crawl corpus (None until the first batch commits). */

@@ -354,8 +354,10 @@ object Warc {
   }
 
   // bounded view of a seekable stream: exactly `limit` bytes then EOF
-  // (the split reader hands each task its member-run slice)
-  private final class LimitedInputStream(in: InputStream, limit: Long)
+  // (the split reader hands each task its member-run slice);
+  // package-visible so the spec can pin the available()-dependent
+  // member-concatenation window without a 64 KiB-aligned file fixture
+  private[graft] final class LimitedInputStream(in: InputStream, limit: Long)
       extends InputStream {
     private var remaining = limit
     override def read(): Int =
@@ -367,6 +369,18 @@ object Warc {
       if (n > 0) remaining -= n
       n
     }
+    // MUST mirror the underlying stream (capped at the limit):
+    // stock-JDK GZIPInputStream.readTrailer only continues to the
+    // NEXT gzip member when in.available() > 0 or the inflater holds
+    // > 26 leftover bytes — InputStream's default (always 0) made a
+    // member boundary landing within ~26 bytes of a buffer-fill
+    // boundary look like EOF, silently dropping the rest of the
+    // split. (Some current JDK builds carry the upstream fix that
+    // removes the gate; the override keeps splits byte-complete on
+    // the many that don't.)
+    override def available(): Int =
+      if (remaining <= 0) 0
+      else math.min(in.available().toLong, remaining).toInt
     override def close(): Unit = in.close()
   }
 
@@ -487,9 +501,14 @@ object Warc {
     // file-shaped x splits-per-file, tiny next to the data it describes
     val spread = desc.repartition(
       math.max(spark.sparkContext.defaultParallelism, 1))
+    // the session's Hadoop conf (spark.hadoop.* — object-store creds,
+    // endpoints, timeouts), same view binaryFiles/memberSplits get
+    val hadoopConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spread.flatMap { case (file, start, end) =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(file))
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hadoopConf.value.value)
       val raw = fs.open(p)
       raw.seek(start)
       val sliced: InputStream =

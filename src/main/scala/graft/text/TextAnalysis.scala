@@ -624,6 +624,87 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Per-doc mean log-probability under an interpolated TRIGRAM
+    * Kneser-Ney model with RECURSIVE backoff — KenLM's standard order
+    * extended from [[kneserNeyLogProb]]'s order-2 special case (Chen
+    * & Goodman 1999 interpolated form, single discount D per level):
+    *
+    *   p₃(c|ab) = max(C(abc)−D, 0)/C(ab·)
+    *              + D·N1+(ab·)/C(ab·) · p₂(c|b)
+    *   p₂(c|b)  = max(N1+(·bc)−D, 0)/N1+(·b·)
+    *              + D·N1+(b·)/N1+(·b·) · p₁(c)
+    *   p₁(c)    = N1+(·c)/N1+(··)
+    *
+    * where the lower-level "counts" are CONTINUATION type counts
+    * derived from the trigram type table (the KenLM convention: each
+    * level's counts come from the order above it, so "francisco"
+    * backs off small however often it follows "san"). Every count
+    * table is a re-aggregation of the ONE trigram-type groupBy, which
+    * itself sits on the single honest (a,b,c) exchange of the trigram
+    * stream — the scoring join reuses the same shuffle files
+    * (bigramLogProb's ReuseExchange contract, one order up). Every
+    * scored trigram is in-model (trained on the stream it scores), so
+    * p₃ ≥ (1−D)·D·(stuff > 0) … strictly positive and the log total.
+    *
+    * Determinism: D = 0.75 exact in binary, per-trigram log-probs
+    * round to 9 dp and sum as exact decimals, per-doc mean rounds to
+    * 6 — the oracle replays the identical IEEE op order. Docs with
+    * fewer than three words have no trigrams and are absent.
+    *
+    * Scale shape: one (a,b,c)-keyed exchange of the trigram stream +
+    * bounded type-table re-aggregations — trigram-TYPE growth is
+    * super-bigram (the d_kneser_ney soak lesson, one order worse) and
+    * inherent to the model; everything else is node-shaped joins on
+    * the type tables.
+    */
+  def kneserNeyTrigramLogProb(docs: DataFrame, discount: Double = 0.75,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1): $discount")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    val tris = toks
+      .select(col(idCol), col("__w"),
+        posexplode(slice(col("__w"), lit(1), greatest(size(col("__w")) - 2, lit(0))))
+          .as(Seq("i", "a")))
+      .select(col(idCol), col("a"),
+        element_at(col("__w"), col("i") + lit(2)).as("b"),
+        element_at(col("__w"), col("i") + lit(3)).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .repartition(col("a"), col("b"), col("c"))
+    // the idCol when-guard: same exchange-reuse contract as
+    // bigramLogProb (column pruning would split the shared shuffle)
+    val tri = tris.groupBy("a", "b", "c")
+      .agg(count(when(col(idCol).isNotNull, 1)).as("c_abc"))
+    // highest level: context totals + distinct-continuation types per (a,b)
+    val ctx = tri.groupBy("a", "b")
+      .agg(sum("c_abc").as("c_ab"), count(lit(1)).as("n1_ab"))
+    // bigram-type table with continuation counts: rows of tri per
+    // (b,c) = N1+(·bc) (tri is distinct on (a,b,c))
+    val bt = tri.groupBy("b", "c").agg(count(lit(1)).as("n1_bc"))
+    // middle-level context: N1+(·b·) = Σ_c N1+(·bc); N1+(b·) = rows per b
+    val mid = bt.groupBy("b")
+      .agg(sum("n1_bc").as("n1_mb"), count(lit(1)).as("nt_b"))
+    // lowest level: N1+(·c) over bigram types; N1+(··) = |bt|
+    val uni = bt.groupBy("c").agg(count(lit(1)).as("n1_c"))
+    val tot = bt.agg(count(lit(1)).cast("double").as("nb"))
+    val d = lit(discount)
+    val model = tri.join(ctx, Seq("a", "b")).join(bt, Seq("b", "c"))
+      .join(mid, Seq("b")).join(uni, Seq("c")).crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c"), round(log(
+        greatest(col("c_abc").cast("double") - d, lit(0.0)) / col("c_ab") +
+          d * (col("n1_ab").cast("double") / col("c_ab")) *
+            (greatest(col("n1_bc").cast("double") - d, lit(0.0)) / col("n1_mb") +
+              d * (col("nt_b").cast("double") / col("n1_mb")) *
+                (col("n1_c").cast("double") / col("nb")))), 9)
+        .cast("decimal(30,12)").as("logp"))
+    tris.join(model, Seq("a", "b", "c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus roll-up: the pipeline-health dashboard over a
     * corpus — doc counts, token volume, duplicate fingerprints, mean
     * quality. One narrow map (all of the above) + one partial-agg

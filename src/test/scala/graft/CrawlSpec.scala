@@ -263,6 +263,64 @@ class CrawlSpec extends SparkSpec {
     assert(oneShot == got.map(r => (r._1, r._2, r._5)))
   }
 
+  test("crawlWarcBatch: oversized archive fans through readSplit, corpus identical") {
+    import org.apache.spark.sql.functions._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def page(body: String) =
+      s"<html><body><p>$body content long enough to clear the minimum</p></body></html>"
+    def rec(url: String, date: String, body: String): Array[Byte] =
+      graft.sources.Warc.writeRecord("response", url, "text/html",
+        ("HTTP/1.1 200 OK\r\n\r\n" + page(body)).getBytes("UTF-8"),
+        extraHeaders = Seq("WARC-Date" -> date))
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val in = tmp("graft_warcsplit_in")
+    // one member-per-record archive well past the 4 KiB threshold…
+    val bigPath = java.nio.file.Paths.get(in, "big.warc.gz")
+    java.nio.file.Files.write(bigPath, (1 to 40).flatMap(i =>
+      gz(rec(s"http://big.example/$i", f"2026-02-$i%02dT00:00:00Z",
+        s"big page $i"))).toArray)
+    // …and one under it (stays on the one-task walker)
+    val smallPath = java.nio.file.Paths.get(in, "small.warc.gz")
+    java.nio.file.Files.write(smallPath,
+      gz(rec("http://small.example/1", "2026-02-01T00:00:00Z", "small page")))
+    val block = Seq("blocked.net").toDF("domain")
+    val split = 4096L
+    assert(java.nio.file.Files.size(bigPath) > split)
+    assert(java.nio.file.Files.size(smallPath) <= split)
+    // the routed reader genuinely fans the big archive out
+    assert(graft.sources.Warc.memberSplits(spark, bigPath.toString,
+      targetSplitBytes = split).count() > 1)
+
+    def corpus(target: String) = Crawl.readCrawlTarget(spark, target).get
+      .select("url", "domain", "text", "n_tokens", "warc_date")
+      .as[(String, String, String, Long, String)].collect().toSet
+    // routed via the stream's length column
+    val tA = tmp("graft_warcsplit_a") + "/t"
+    Crawl.crawlWarcBatch(
+      Seq((bigPath.toString, java.nio.file.Files.size(bigPath)),
+        (smallPath.toString, java.nio.file.Files.size(smallPath)))
+        .toDF("path", "length"),
+      0L, tA, block, targetSplitBytes = split)
+    // routed via the driver-side status probe (path-only frame)
+    val tB = tmp("graft_warcsplit_b") + "/t"
+    Crawl.crawlWarcBatch(
+      Seq(bigPath.toString, smallPath.toString).toDF("path"),
+      0L, tB, block, targetSplitBytes = split)
+    // routing disabled: the single-walker reference
+    val tC = tmp("graft_warcsplit_c") + "/t"
+    Crawl.crawlWarcBatch(
+      Seq(bigPath.toString, smallPath.toString).toDF("path"),
+      0L, tC, block, targetSplitBytes = 0L)
+    val ref = corpus(tC)
+    assert(ref.size == 41)
+    assert(corpus(tA) == ref)
+    assert(corpus(tB) == ref)
+  }
+
   test("curate: robots + noindex + percent gates compose in one call") {
     def http(html: String) =
       ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
@@ -337,6 +395,45 @@ class CrawlSpec extends SparkSpec {
     assert(ranked.head.getString(0) == "https://other.org/b" &&
       ranked.head.getDouble(3) == 0.9)
     assert(ranked.map(_.getDouble(3)).min == 0.2)
+  }
+
+  test("frontier(ranks = seeded pageRank): trust flows to reachable domains, zero elsewhere") {
+    import org.apache.spark.sql.functions._
+    // seeded component t1 <-> t2 -> mid -> t1 (all reachable from the
+    // seed) plus an isolated 2-cycle iso1 <-> iso2 the seed can't
+    // reach: in drop mode unreachable nodes hold rank EXACTLY 0 — the
+    // TrustRank property a crawl frontier keys on
+    val domEdges = Seq(
+      ("t1.com", "t2.com"), ("t2.com", "t1.com"),
+      ("t2.com", "mid.com"), ("mid.com", "t1.com"),
+      ("iso1.com", "iso2.com"), ("iso2.com", "iso1.com")).toDF("src", "dst")
+    val pr = graft.ops.LinkGraph.pageRank(domEdges, iters = 6,
+      seeds = Some(Seq("t1.com").toDF("n")))
+    val prMap = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // one unfetched candidate per domain, plus one on an off-graph host
+    val edges = Seq(
+      "https://t1.com/new", "https://t2.com/new", "https://mid.com/new",
+      "https://iso1.com/new", "https://offgraph.org/new")
+      .toDF("href")
+    val got = Crawl.frontier(edges, Seq.empty[String].toDF("url"),
+        ranks = Some(pr))
+      .select("url", "domain", "n_inlinks", "rank")
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toMap
+    // seed-reachable domains carry their exact pageRank; unreachable
+    // and off-graph domains are 0 (drop mode / coalesce respectively)
+    assert(got("t1.com") == prMap("t1.com") && got("t1.com") > 0.0)
+    assert(got("t2.com") == prMap("t2.com") && got("t2.com") > 0.0)
+    assert(got("mid.com") == prMap("mid.com") && got("mid.com") > 0.0)
+    assert(got("iso1.com") == 0.0)
+    assert(got("offgraph.org") == 0.0)
+    // the queue a fetcher drains: rank desc puts trusted-reachable
+    // pages ahead of unranked ones
+    val order = Crawl.frontier(edges, Seq.empty[String].toDF("url"),
+        ranks = Some(pr))
+      .orderBy(desc("rank"), asc("url")).select("domain")
+      .collect().map(_.getString(0)).toSeq
+    assert(order.takeRight(2).toSet == Set("iso1.com", "offgraph.org"))
+    assert(order.take(3).toSet == Set("t1.com", "t2.com", "mid.com"))
   }
 
   test("fetchSchedule: per-host waves by priority, slots bounded, single-url hosts at wave 0") {

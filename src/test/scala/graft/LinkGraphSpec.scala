@@ -351,6 +351,96 @@ class LinkGraphSpec extends SparkSpec {
     assert(sk6 == sk40)
   }
 
+  test("pageRank probeEvery: chained rounds reproduce per-round probes bit-for-bit") {
+    // asymmetric graph (non-trivial per-iteration dynamics): the
+    // K-chained plan must emit the exact 9dp sequence the per-round
+    // checkpoint path computes, for K dividing iters, K > iters, and
+    // K ragged against iters (the forced last-round probe)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("d", "b"), ("e", "d"))
+    def run(iters: Int, k: Int, seeded: Boolean = false) = {
+      val seeds = if (seeded) Some(Seq("a", "e").toDF("n")) else None
+      LinkGraph.pageRank(edges.toDF("src", "dst"), iters = iters,
+          probeEvery = k, seeds = seeds)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    }
+    for (iters <- Seq(1, 4, 5); k <- Seq(2, 3, 5, 7)) {
+      assert(run(iters, k) == run(iters, 1), s"iters=$iters probeEvery=$k")
+      assert(run(iters, k, seeded = true) == run(iters, 1, seeded = true),
+        s"seeded iters=$iters probeEvery=$k")
+    }
+    // tol early-stop still fires on probe rounds: the 20-ring hits its
+    // fixpoint at round 1, so a 60-round budget with K=4 stays cheap
+    val ring = (0 until 20).map(i => (s"n$i", s"n${(i + 1) % 20}"))
+    val r4 = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 60,
+      probeEvery = 4).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val r1 = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(r4 == r1)
+    // redistribute mode needs per-round dangling mass on the driver
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(edges.toDF("src", "dst"),
+        redistributeDangling = true, probeEvery = 2)
+    }
+  }
+
+  test("empty edge frame: centralities return empty, not NPE") {
+    val none = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(LinkGraph.pageRank(none).collect().isEmpty)
+    assert(LinkGraph.pageRank(none, redistributeDangling = true)
+      .collect().isEmpty)
+    assert(LinkGraph.hits(none).collect().isEmpty)
+    assert(LinkGraph.harmonicCentrality(none).collect().isEmpty)
+    assert(LinkGraph.harmonicCentrality(none, exact = false).collect().isEmpty)
+    assert(LinkGraph.stronglyConnectedComponents(none).collect().isEmpty)
+  }
+
+  test("stronglyConnectedComponents matches brute-force mutual reachability") {
+    // reference: full reachability closure, SCC = mutual-reach class,
+    // label = lexicographic min member (the components contract)
+    def brute(edges: Seq[(String, String)]): Map[String, String] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def reach(s: String): Set[String] = {
+        var seen = Set(s); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val nx = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+            .filterNot(seen).distinct
+          seen ++= nx; frontier = nx
+        }
+        seen
+      }
+      val r = nodes.map(n => n -> reach(n)).toMap
+      nodes.map(n => n -> nodes.filter(m => r(n)(m) && r(m)(n)).min).toMap
+    }
+    def run(edges: Seq[(String, String)]) =
+      LinkGraph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val graphs = Seq(
+      // figure-eight: two cycles sharing b collapse to one SCC
+      Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")),
+      // DAG chain: all singletons (the trim path)
+      Seq(("a", "b"), ("b", "c"), ("c", "d")),
+      // self-loop stays a singleton; isolated 2-cycle; cross edge
+      Seq(("s", "s"), ("x", "y"), ("y", "x"), ("s", "x")),
+      // two 3-cycles bridged one way stay separate SCCs
+      Seq(("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")),
+      // cycle with a chord plus a dangling tail
+      Seq(("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"),
+        ("q", "s"), ("s", "t")))
+    graphs.foreach(g => assert(run(g) == brute(g), s"graph $g"))
+    // deterministic pseudo-random graph with mixed SCC sizes
+    val rnd = new scala.util.Random(7)
+    val rg = Seq.fill(60)((s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+    assert(run(rg) == brute(rg))
+    // partition-invariant
+    val a = LinkGraph.stronglyConnectedComponents(
+      rg.toDF("src", "dst").repartition(13))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == brute(rg))
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))

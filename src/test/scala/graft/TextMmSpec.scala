@@ -555,6 +555,38 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("kneserNeyTrigramLogProb: hand-computed recursive backoff, short docs absent, partition-invariant") {
+    // doc1 "a b c a b d" -> trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d);
+    // doc2 "a b c" -> (a,b,c); doc3 "x y" -> none (absent)
+    // tri types: (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    // ctx: C(ab.)=3 N1+(ab.)=2; C(bc.)=1 N1+=1; C(ca.)=1 N1+=1
+    // bt (continuation): (b,c):1 (c,a):1 (a,b):1 (b,d):1
+    // mid: b: N1+(.b.)=2 N1+(b.)=2; c: 1,1; a: 1,1
+    // uni: N1+(.c)=N1+(.a)=N1+(.b)=N1+(.d)=1; N1+(..)=4
+    val docs = Seq((1L, "a b c a b d"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val d = 0.75
+    def lp9(p: Double) = BigDecimal(math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val p2cb = (1 - d) / 2 + d * (2.0 / 2) * (1.0 / 4)  // p2(c|b) = p2(d|b)
+    val p2one = (1 - d) / 1 + d * (1.0 / 1) * (1.0 / 4) // p2 over 1-type contexts
+    val pABC = (2 - d) / 3 + d * (2.0 / 3) * p2cb
+    val pBCA = (1 - d) / 1 + d * (1.0 / 1) * p2one
+    val pCAB = pBCA
+    val pABD = (1 - d) / 3 + d * (2.0 / 3) * p2cb
+    val exp1 = ((lp9(pABC) + lp9(pBCA) + lp9(pCAB) + lp9(pABD)) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = lp9(pABC).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.kneserNeyTrigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 4L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - exp1.toDouble) < 2e-6)
+    assert(math.abs(got(1)._3 - exp2.toDouble) < 2e-6)
+    val again = TextAnalysis.kneserNeyTrigramLogProb(docs.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("LinkGraph.stats: hand graph counts, reciprocity, dangling, self-loops") {
     import graft.ops.LinkGraph
     // a<->b reciprocal pair, b->c, c->c self-loop, c->d (d dangling),

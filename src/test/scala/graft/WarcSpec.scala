@@ -149,6 +149,96 @@ class WarcSpec extends SparkSpec {
       key(Warc.read(spark, dir2)))
   }
 
+  test("LimitedInputStream: available() mirrors the underlying stream, capped at the limit") {
+    // Stock-JDK GZIPInputStream.readTrailer only advances to the NEXT
+    // gzip member when in.available() > 0 or the inflater retains
+    // > 26 leftover bytes (this box's Debian 17.0.20 carries the
+    // upstream fix that drops the gate, so the record loss can't
+    // reproduce here — but Spark commonly runs on JDKs that still
+    // have it). InputStream's default available() (always 0) made a
+    // member boundary landing within ~26 bytes of a 64 KiB fill look
+    // like EOF on such JDKs — pin the override's contract directly.
+    val data = new Array[Byte](1000)
+    val bais = new java.io.ByteArrayInputStream(data)
+    val lim = new Warc.LimitedInputStream(bais, 600L)
+    assert(lim.available() == 600) // capped at the limit, not 1000
+    val buf = new Array[Byte](250)
+    assert(lim.read(buf) == 250)
+    assert(lim.available() == 350) // tracks consumption
+    assert(lim.read(buf) == 250)
+    assert(lim.read(buf) == 100)   // limit reached mid-request
+    assert(lim.available() == 0)   // exhausted view reports 0
+    assert(lim.read() == -1)
+    // limit wider than the stream: available() is the stream's own
+    val lim2 = new Warc.LimitedInputStream(
+      new java.io.ByteArrayInputStream(data), 5000L)
+    assert(lim2.available() == 1000)
+    // a fill-aligned multi-member decode through the readSplit stack
+    // stays complete (belt-and-suspenders on any JDK: sizes sweep the
+    // stock-JDK trailer window [65518, 65536] compressed bytes)
+    val rnd = new scala.util.Random(42)
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    (65330 to 65360).foreach { p =>
+      val body = new Array[Byte](p)
+      rnd.nextBytes(body)
+      val m1 = gz(Warc.writeRecord("resource", "http://lim.example/big",
+        "application/octet-stream", body))
+      val m2 = gz(rec("http://lim.example/tail", "the record after the boundary"))
+      val blob = m1 ++ m2
+      val w = new Warc.StreamWalker(new java.util.zip.GZIPInputStream(
+        new java.io.BufferedInputStream(
+          new Warc.LimitedInputStream(
+            new java.io.ByteArrayInputStream(blob), blob.length.toLong),
+          64 * 1024), 64 * 1024))
+      val uris = w.map(_.targetUri).toVector
+      assert(uris == Vector("http://lim.example/big", "http://lim.example/tail"),
+        s"payload $p (member ${m1.length}): got $uris")
+      assert(w.quarantinedAt == -1L)
+    }
+  }
+
+  test("readSplit: split with a ~64 KiB member keeps every record (file path)") {
+    val dir = Files.createTempDirectory("graft_warc_win").toString
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    // per file: one big (~64 KiB compressed, swept) member, a small
+    // member and an incompressible filler inside split 1 (the filler
+    // pushes the LAST member's start past targetSplitBytes, so split 1
+    // is a BOUNDED slice ending after the small member) — a dropped
+    // small member breaks the multiset equality with the single walker
+    (0 until 24).foreach { i =>
+      val body = new Array[Byte](65280 + i * 8)
+      rnd.nextBytes(body)
+      val fill = new Array[Byte](2000)
+      rnd.nextBytes(fill)
+      val last = new Array[Byte](800)
+      rnd.nextBytes(last)
+      val bytes = gz(Warc.writeRecord("resource", s"http://w.example/$i/big",
+          "application/octet-stream", body)) ++
+        gz(rec(s"http://w.example/$i/tail", "record after the big member")) ++
+        gz(Warc.writeRecord("resource", s"http://w.example/$i/fill",
+          "application/octet-stream", fill)) ++
+        gz(Warc.writeRecord("resource", s"http://w.example/$i/next",
+          "application/octet-stream", last))
+      Files.write(Paths.get(dir, f"f$i%02d.warc.gz"), bytes)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+        "target_uri", "warc_type", "cast(payload as string)", "quarantined_at")
+      .collect().map(_.toSeq).toSet
+    val split = Warc.readSplit(spark, dir, targetSplitBytes = 66000)
+    assert(split.selectExpr("count(distinct file, split_start)")
+      .collect().head.getLong(0) == 48L) // two splits per file
+    assert(key(split) == key(Warc.read(spark, dir)))
+  }
+
   test("write(): distributed export round-trips through read, one gzip member per record") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_warc_w").toString + "/out"
