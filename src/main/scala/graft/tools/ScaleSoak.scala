@@ -262,6 +262,34 @@ object ScaleSoak {
     try SparkEntry.queries("q1_agg")(spark, s"$work/x1").count()
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_SOAK_CONTEND=N: Bench's churn threads for the whole
+    // timed section — probes volume x contention interactions (an
+    // operator can be flat at 8x quiet AND flat at 1x contended yet
+    // blow up when both pressures stack). 0 = quiet (default).
+    val contend = sys.env.get("SPARK_GRAFT_SOAK_CONTEND")
+      .map(_.trim.toInt).getOrElse(0)
+    require(contend >= 0, s"SPARK_GRAFT_SOAK_CONTEND must be >= 0, got $contend")
+    @volatile var stopLoad = false
+    val loadSink = new java.util.concurrent.atomic.AtomicLong
+    val loadThreads = (0 until contend).map { i =>
+      val t = new Thread(() => {
+        val rnd = new java.util.Random(i)
+        while (!stopLoad) {
+          val arr = new Array[Long](1 << 20)
+          var j = 0
+          while (j < arr.length) {
+            arr(j) = rnd.nextLong() ^ (arr((j * 31) % arr.length) * 0x9E3779B97F4A7C15L)
+            j += 1
+          }
+          loadSink.addAndGet(arr(rnd.nextInt(arr.length)))
+        }
+      })
+      t.setDaemon(true)
+      t.setName(s"graft-soak-contend-$i")
+      t.start()
+      t
+    }
+
     val selected = only.fold(queries)(s => queries.filter(s))
     val times: Map[(String, Int), Double] = (for {
       f <- factors
@@ -277,11 +305,16 @@ object ScaleSoak {
       Console.out.flush()
       (q, f) -> t
     }).toMap
+    stopLoad = true
+    loadThreads.foreach(_.join(2000))
 
     val sb = new StringBuilder
     val fs = factors
     val ratio = fs.last.toDouble / fs.head
     sb.append("# SCALE soak — wall time vs data volume\n\n")
+    if (contend > 0)
+      sb.append(s"**CONTENDED run: $contend churn threads active for the " +
+        "whole timed section (not the canonical quiet table).**\n\n")
     sb.append(s"Fact tables replicated ${fs.mkString("×/")}× from `$base` (disjoint key\n")
     sb.append("ranges, fixed dims, per-copy-perturbed embeddings); per-query\n")
     sb.append(s"median of $runs on local[" + cpus + s"]. A time ratio near the $ratio×\n")
