@@ -148,6 +148,14 @@ object Bench {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS) — session-scoped, set at build
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-class cache defaults to 100 entries; one
+      // iterative-graph query alone compiles ~100 distinct codegen
+      // units (per-round plans), so at the default every run of the
+      // PageRank family recompiles its whole plan set (BENCH_TRACE
+      // measured 101 Janino compiles on a WARM d_domain_rank run) and
+      // adjacent family members evict each other. Any long-running
+      // app with this many distinct plans would raise it.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
