@@ -1666,6 +1666,47 @@ object SparkEntry {
           pairFwd.unionByName(pairBack).unionByName(chain).unionByName(toHub))
         .orderBy("scc", "n")
     }),
+    "d_graph_bowtie" -> ((s, d) => {
+      // Broder bow-tie macro-map over a graph planting every class:
+      // the 3 lexicographically-first sources form the CORE triangle,
+      // every other source STARS directly into it (IN — a star, not a
+      // chain, keeps trim depth and reach diameter at ~2 instead of
+      // O(sources) rounds of pure job latency), a hub hangs off the
+      // core (OUT), plus a tendril off IN, a tube IN->x->OUT
+      // bypassing the core, and an isolated 2-cycle (DISCONNECTED,
+      // and — at size 2 — also the tie the size-3 core must beat).
+      // The oracle reclassifies from the recursive-CTE closure.
+      import s.implicits._
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("source")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val r = srcs.select(col("source"),
+          row_number().over(w).as("rn"),
+          lead(col("source"), 1).over(w).as("nxt"),
+          first(col("source")).over(w).as("s1"))
+        .withColumn("s3",
+          max(when(col("rn") === 3, col("source"))).over(wAll))
+      val tri = r.filter(col("rn").isin(1, 2) && col("nxt").isNotNull)
+        .select(col("source").as("src"), col("nxt").as("dst"))
+        .unionByName(r.filter(col("rn") === 3)
+          .select(col("source").as("src"), col("s1").as("dst")))
+      val star = r.filter(col("rn") >= 4)
+        .select(col("source").as("src"), col("s3").as("dst"))
+      val taps = r.filter(col("rn") === 1)
+        .select(col("source").as("src"), lit("hub.example").as("dst"))
+        .unionByName(r.filter(col("rn") === 5)
+          .select(col("source").as("src"), lit("tendril.example").as("dst")))
+        .unionByName(r.filter(col("rn") === 6)
+          .select(col("source").as("src"), lit("tube.example").as("dst")))
+      val lits = Seq(("tube.example", "hub.example"),
+        ("iso1.example", "iso2.example"), ("iso2.example", "iso1.example"))
+        .toDF("src", "dst")
+      graft.ops.LinkGraph.bowTie(
+          tri.unionByName(star).unionByName(taps).unionByName(lits))
+        .orderBy("cls", "n")
+    }),
     "d_graph_stats" -> ((s, d) => {
       // structural sanity panel over a ring+hub graph with every
       // even-length source's ring edge ALSO reversed — plants a known
@@ -4648,6 +4689,52 @@ object SparkEntry {
         |    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
         |SELECT a AS n, min(b) AS scc FROM mutual GROUP BY a
         |ORDER BY scc, n""".stripMargin,
+    "d_graph_bowtie" ->
+      // bow-tie classes recomputed from first principles over the
+      // recursive-CTE closure: core = largest SCC (min label ties),
+      // in/out = closure to/from core, tube/tendril = closure
+      // from-IN / to-OUT over the residue — CASE order mirrors the
+      // engine's precedence
+      """WITH RECURSIVE s AS (SELECT DISTINCT source FROM documents),
+        |r AS (SELECT source, row_number() OVER (ORDER BY source) AS rn,
+        |  LEAD(source) OVER (ORDER BY source) AS nxt,
+        |  (SELECT min(source) FROM s) AS s1 FROM s),
+        |pe AS (
+        |  SELECT source AS src, nxt AS dst FROM r WHERE rn IN (1, 2) AND nxt IS NOT NULL
+        |  UNION ALL SELECT source, s1 FROM r WHERE rn = 3
+        |  UNION ALL SELECT source, (SELECT source FROM r WHERE rn = 3) FROM r WHERE rn >= 4
+        |  UNION ALL SELECT source, 'hub.example' FROM r WHERE rn = 1
+        |  UNION ALL SELECT source, 'tendril.example' FROM r WHERE rn = 5
+        |  UNION ALL SELECT source, 'tube.example' FROM r WHERE rn = 6
+        |  UNION ALL SELECT 'tube.example', 'hub.example'
+        |  UNION ALL SELECT 'iso1.example', 'iso2.example'
+        |  UNION ALL SELECT 'iso2.example', 'iso1.example'),
+        |edges AS (SELECT DISTINCT src, dst FROM pe WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |  UNION SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+        |mutual AS (SELECT n AS a, n AS b FROM nodes
+        |  UNION SELECT r1.a, r1.b FROM reach r1
+        |    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |sccs AS (SELECT a AS n, min(b) AS scc FROM mutual GROUP BY a),
+        |core AS (SELECT n FROM sccs WHERE scc = (
+        |  SELECT scc FROM (SELECT scc, count(*) AS sz FROM sccs GROUP BY scc)
+        |  ORDER BY sz DESC, scc LIMIT 1)),
+        |ins AS (SELECT DISTINCT r1.a AS n FROM reach r1 JOIN core c ON r1.b = c.n
+        |  WHERE r1.a NOT IN (SELECT n FROM core)),
+        |outs AS (SELECT DISTINCT r1.b AS n FROM reach r1 JOIN core c ON r1.a = c.n
+        |  WHERE r1.b NOT IN (SELECT n FROM core)),
+        |iff AS (SELECT DISTINCT r1.b AS n FROM reach r1 JOIN ins i ON r1.a = i.n),
+        |obb AS (SELECT DISTINCT r1.a AS n FROM reach r1 JOIN outs o ON r1.b = o.n)
+        |SELECT n,
+        |  CASE WHEN n IN (SELECT n FROM core) THEN 'core'
+        |       WHEN n IN (SELECT n FROM ins) THEN 'in'
+        |       WHEN n IN (SELECT n FROM outs) THEN 'out'
+        |       WHEN n IN (SELECT n FROM iff) AND n IN (SELECT n FROM obb) THEN 'tube'
+        |       WHEN n IN (SELECT n FROM iff) OR n IN (SELECT n FROM obb) THEN 'tendril'
+        |       ELSE 'disconnected' END AS cls
+        |FROM nodes ORDER BY cls, n""".stripMargin,
     "d_graph_stats" ->
       // every statistic recomputed from the same ring+hub+reversed
       // edge construction; count(*) is BIGINT in DuckDB, the CASE

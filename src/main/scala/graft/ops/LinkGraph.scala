@@ -577,6 +577,98 @@ object LinkGraph {
     else done.reduce(_.unionByName(_))
   }
 
+  /** Bow-tie decomposition of a directed graph (Broder et al. 2000,
+    * "Graph structure in the Web") — the macro-map every web-graph
+    * study draws: the giant strongly-connected CORE, the IN set that
+    * can reach it, the OUT set it reaches, TUBEs (IN→OUT paths that
+    * bypass the core), TENDRILs (hang forward off IN or backward
+    * into OUT without touching the core), and DISCONNECTED debris.
+    * Crawl diagnostics read it directly: a crawl seeded in IN
+    * eventually covers CORE+OUT; one seeded in OUT never escapes;
+    * oversized TENDRIL/TUBE mass flags spider-trap farms.
+    *
+    * Built from [[stronglyConnectedComponents]] (core = the largest
+    * SCC, ties to the lexicographically smallest label) plus four
+    * frontier-expansion reachability passes (forward/backward from
+    * the core, forward from IN, backward from OUT — the
+    * harmonicCentrality ball shape with visited-set dedup). A
+    * correctness subtlety the classifier leans on: for a node
+    * outside CORE∪IN∪OUT, any path from IN to it provably avoids
+    * the core (a through-core path would have put it in OUT), so
+    * tube/tendril tests need no core-exclusion in the traversal.
+    *
+    * Scale shape: SCC's (node/edge-shaped rounds, fused probes,
+    * localCheckpoint per round) plus O(diameter) frontier-join
+    * rounds per reachability pass; per round ONE edge-keyed join +
+    * anti-join dedup, frontier-sized not corpus-sized. Returns
+    * (n, cls) with cls in {core, in, out, tube, tendril,
+    * disconnected}.
+    */
+  def bowTie(edges: DataFrame, srcCol: String = "src",
+             dstCol: String = "dst", maxIter: Int = 100): DataFrame = {
+    val scc = stronglyConnectedComponents(edges, srcCol, dstCol, maxIter)
+      .localCheckpoint()
+    val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = eAll.filter(col("src") =!= col("dst")).distinct().persist()
+    val out = {
+      // the giant SCC: size desc, label asc — a 1-row broadcast
+      val coreLabel = scc.groupBy("scc").agg(count(lit(1)).as("__sz"))
+        .orderBy(desc("__sz"), asc("scc")).limit(1).select("scc")
+      val core = scc.join(broadcast(coreLabel), Seq("scc"), "left_semi")
+        .select("n").localCheckpoint()
+      // frontier-expansion reachability: seed ∪ everything reachable
+      // along `forward` edges; visited-set anti-join dedup, one
+      // checkpointed round per hop
+      def reach(seed: DataFrame, forward: Boolean): DataFrame = {
+        var visited = seed.localCheckpoint(false)
+        var frontier = visited
+        var growing = visited.count() > 0
+        while (growing) {
+          val step =
+            if (forward)
+              e.join(frontier.select(col("n").as("src")), Seq("src"), "left_semi")
+                .select(col("dst").as("n")).distinct()
+            else
+              e.join(frontier.select(col("n").as("dst")), Seq("dst"), "left_semi")
+                .select(col("src").as("n")).distinct()
+          val fresh = step.join(visited, Seq("n"), "left_anti")
+            .localCheckpoint(false)
+          if (fresh.count() == 0) growing = false
+          else {
+            visited = visited.unionByName(fresh).localCheckpoint(false)
+            visited.count()
+            frontier = fresh
+          }
+        }
+        visited
+      }
+      val fwdCore = reach(core, forward = true)
+      val bwdCore = reach(core, forward = false)
+      val inSet = bwdCore.join(core, Seq("n"), "left_anti").localCheckpoint()
+      val outSet = fwdCore.join(core, Seq("n"), "left_anti").localCheckpoint()
+      val inFwd = reach(inSet, forward = true)
+      val outBwd = reach(outSet, forward = false)
+      def tag(df: DataFrame, name: String) =
+        df.select(col("n"), lit(true).as(name))
+      scc.select("n")
+        .join(tag(core, "__core"), Seq("n"), "left")
+        .join(tag(inSet, "__in"), Seq("n"), "left")
+        .join(tag(outSet, "__out"), Seq("n"), "left")
+        .join(tag(inFwd, "__if"), Seq("n"), "left")
+        .join(tag(outBwd, "__ob"), Seq("n"), "left")
+        .select(col("n"),
+          when(col("__core"), "core")
+            .when(col("__in"), "in")
+            .when(col("__out"), "out")
+            .when(col("__if").isNotNull && col("__ob").isNotNull, "tube")
+            .when(col("__if").isNotNull || col("__ob").isNotNull, "tendril")
+            .otherwise("disconnected").as("cls"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Anchor-text aggregation per link target — the classic off-page
     * description signal (incoming anchor texts describe the TARGET
     * page better than its own boilerplate; search and quality

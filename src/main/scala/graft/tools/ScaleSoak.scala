@@ -74,7 +74,7 @@ object ScaleSoak {
     "q_data_quality", "d_license_detect", "d_code_detect",
     "q_funnel_windowed", "d_domain_rank_dangling", "d_domain_rank_seeded",
     "d_kneser_ney", "d_graph_stats", "d_warc_split_read",
-    "d_kneser_ney3", "d_crawl_frontier_ranked", "d_scc")
+    "d_kneser_ney3", "d_crawl_frontier_ranked", "d_scc", "d_graph_bowtie")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

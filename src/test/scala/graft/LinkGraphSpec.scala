@@ -441,6 +441,75 @@ class LinkGraphSpec extends SparkSpec {
     assert(a == brute(rg))
   }
 
+  test("bowTie matches brute-force Broder classification") {
+    def brute(edges: Seq[(String, String)]): Map[String, String] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def reach(s: String): Set[String] = {
+        var seen = Set(s); var fr = List(s)
+        while (fr.nonEmpty) {
+          val nx = fr.flatMap(v => adj.getOrElse(v, Set.empty))
+            .filterNot(seen).distinct
+          seen ++= nx; fr = nx
+        }
+        seen
+      }
+      val r = nodes.map(n => n -> reach(n)).toMap
+      val sccOf = nodes.map(n =>
+        n -> nodes.filter(m => r(n)(m) && r(m)(n)).min).toMap
+      val bySize = sccOf.groupBy(_._2).view.mapValues(_.size).toMap
+      val coreLabel = bySize.toSeq.sortBy { case (l, sz) => (-sz, l) }.head._1
+      val core = nodes.filter(sccOf(_) == coreLabel).toSet
+      val ins = nodes.filterNot(core)
+        .filter(n => core.exists(c => r(n)(c))).toSet
+      val outs = nodes.filterNot(core)
+        .filter(n => core.exists(c => r(c)(n))).toSet
+      nodes.map { n =>
+        n -> (if (core(n)) "core"
+        else if (ins(n)) "in"
+        else if (outs(n)) "out"
+        else {
+          val fromIn = ins.exists(i => r(i)(n))
+          val toOut = outs.exists(o => r(n)(o))
+          if (fromIn && toOut) "tube"
+          else if (fromIn || toOut) "tendril"
+          else "disconnected"
+        })
+      }.toMap
+    }
+    def run(edges: Seq[(String, String)]) =
+      LinkGraph.bowTie(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the textbook bow-tie: core triangle, 2-hop IN chain, 2-hop OUT
+    // chain, a tube bypassing the core, tendrils off IN and into OUT,
+    // and a disconnected 2-cycle
+    val broder = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),           // core
+      ("i1", "i2"), ("i2", "a"),                    // in
+      ("c", "o1"), ("o1", "o2"),                    // out
+      ("i1", "t"), ("t", "o1"),                     // tube
+      ("i2", "td"),                                 // tendril off IN
+      ("tb", "o1"),                                 // tendril into OUT
+      ("x", "y"), ("y", "x"))                       // disconnected
+    val got = run(broder)
+    assert(got == brute(broder))
+    assert(got("a") == "core" && got("i1") == "in" && got("o2") == "out")
+    assert(got("t") == "tube" && got("td") == "tendril" &&
+      got("tb") == "tendril" && got("x") == "disconnected")
+    // pure cycle: everything core, no periphery
+    val cyc = Seq(("p", "q"), ("q", "r"), ("r", "p"))
+    assert(run(cyc) == brute(cyc))
+    assert(run(cyc).values.toSet == Set("core"))
+    // DAG: every SCC is a singleton — the min node becomes the "core"
+    // by the tie rule, downstream is OUT, the rest classify off it
+    val dag = Seq(("a", "b"), ("b", "c"), ("d", "c"))
+    assert(run(dag) == brute(dag))
+    // seeded random graph
+    val rnd = new scala.util.Random(11)
+    val rg = Seq.fill(50)((s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}"))
+    assert(run(rg) == brute(rg))
+  }
+
   test("pageRank is deterministic under repartitioning and drops parallel edges") {
     val edges = (0 until 40).flatMap(i =>
       Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", "hub"), (s"n$i", "hub")))
