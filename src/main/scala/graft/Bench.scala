@@ -137,25 +137,19 @@ object Bench {
       t
     }
     val traceOn = sys.env.get("SPARK_GRAFT_BENCH_TRACE").exists(v => v == "1" || v == "true")
-    val spark = SparkSession.builder()
+    // GraftSession carries the bench-proven perf confs (codegen-class
+    // cache sized for iterative plan families, parquet footer-stat
+    // pushdown) — the library surface and this harness share one
+    // source of truth. The confs below are harness/testdata-specific.
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // UTC like Verify/ScaleSoak: a MICROS-generation events file read
       // as TIMESTAMP_NTZ would otherwise bucket by host timezone here
       // and by UTC in the oracle run (ADVICE r9)
       .config("spark.sql.session.timeZone", "UTC")
-      // footer-stat COUNT/MIN/MAX: metadata-only scans where eligible
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS) — session-scoped, set at build
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the generated-class cache defaults to 100 entries; one
-      // iterative-graph query alone compiles ~100 distinct codegen
-      // units (per-round plans), so at the default every run of the
-      // PageRank family recompiles its whole plan set (BENCH_TRACE
-      // measured 101 Janino compiles on a WARM d_domain_rank run) and
-      // adjacent family members evict each other. Any long-running
-      // app with this many distinct plans would raise it.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -63,8 +63,13 @@ object LinkGraph {
     * probe rounds), so lineage grows as a K-bounded CHAIN — none of
     * the tree-shaped re-evaluation the per-round checkpoints were
     * introduced to kill. Early-stop granularity coarsens to every K
-    * rounds (output unchanged — tol=0 stops only at a proven
-    * fixpoint, which reproduces itself). Redistribute mode needs each
+    * rounds. Output is bit-identical to probeEvery = 1 only for
+    * tol = 0 (the default): a 9dp fixpoint reproduces itself, so the
+    * extra chained rounds before the probe are no-ops. With tol > 0
+    * the stop can land up to K−1 rounds later than a per-round probe
+    * would have stopped, and the returned ranks reflect those extra
+    * rounds of convergence (closer to the fixpoint, not equal to the
+    * probeEvery = 1 result). Redistribute mode needs each
     * round's dangling mass as a driver scalar before the NEXT round
     * can be planned, so it requires probeEvery = 1.
     */
@@ -455,28 +460,59 @@ object LinkGraph {
     *   1. TRIM — nodes with no in- or no out-edges in the active
     *      subgraph are singleton SCCs; peel iteratively (kills the
     *      DAG periphery, the bulk of a web graph).
-    *   2. COLOR — propagate the min node id FORWARD to fixpoint:
-    *      color(v) = min id that reaches v. Each color class has
-    *      exactly one root r (color(r) = r).
+    *   2. COLOR — assign each node the pivot key
+    *      `struct(xxhash64(n, outerRound), n)` (a fresh pseudo-random
+    *      total order every outer round, deterministic across runs)
+    *      and propagate the min key FORWARD to fixpoint: color(v) =
+    *      min key that reaches v. Each color class has exactly one
+    *      root r (color(r) = key(r)).
     *   3. MARK — BACKWARD reachability from every root, restricted
     *      to its own color class (provably closed: any v→…→r path
     *      stays in class r). Marked nodes form SCC(r) — one SCC
     *      peels PER COLOR CLASS per round, all simultaneously.
-    *   4. Remove peeled nodes and their edges; repeat.
+    *   4. Peel, re-label each peeled SCC with its lexicographically
+    *      smallest MEMBER (the [[components]] contract — the random
+    *      root need not be the min member), drop peeled nodes and
+    *      their edges; repeat.
+    *
+    * Why RANDOM priorities, not min node ids (the r14 adversarial-
+    * depth fix): under min-id coloring a CHAIN of k SCCs — a
+    * crawl-trap ring-of-rings, a long redirect chain of loops — is
+    * ONE color class (the global-min node reaches the whole chain),
+    * so exactly one SCC peels per outer round: O(k) rounds, O(k²)
+    * inner jobs, and a hard `require` failure past maxIter. With a
+    * per-round random order the class roots are the prefix-minima
+    * records of the priority sequence along the chain (~ln k of
+    * them), every record's SCC peels simultaneously, and the
+    * surviving segments recurse — O(log k) EXPECTED outer rounds on
+    * any SCC-chain, O(k) total inner jobs. Keys are hash-derived
+    * (salted by the outer-round index), so iteration counts and
+    * output are both deterministic across runs and partitionings.
     *
     * Scale shape: every step is a node/edge-shaped join + partial-agg
     * exchange (the pageRank class); no transitive-closure pair
     * explosion, driver state is counters. Iteration hygiene is
     * LinkGraph-standard: every evolving frame is
     * `localCheckpoint(false)` and each inner round's SINGLE job is
-    * the fused change-probe that materializes it. Outer rounds peel
-    * ≥ 1 SCC per color class; `maxIter` bounds them (a chain of k
-    * SCCs colored into one class peels O(k) rounds — trimming
-    * removes the acyclic part of such chains first).
+    * the fused change-probe that materializes it. `maxIter` bounds
+    * OUTER rounds only; with randomized pivots the expected need is
+    * O(log longest-SCC-chain), so the default 100 is comfortable even
+    * for adversarially deep graphs (spec'd at a 150-SCC chain) — but
+    * the bound remains contractual: non-convergence throws rather
+    * than returning a partial labeling.
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
                                   dstCol: String = "dst",
-                                  maxIter: Int = 100): DataFrame = {
+                                  maxIter: Int = 100): DataFrame =
+    sccWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[stronglyConnectedComponents]] plus the outer-round count it
+    * took — exposed for the adversarial-depth spec (a k-SCC chain
+    * must peel in o(k) outer rounds, which only the count can prove).
+    */
+  private[graft] def sccWithRounds(edges: DataFrame, srcCol: String = "src",
+                                   dstCol: String = "dst",
+                                   maxIter: Int = 100): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter >= 1: $maxIter")
     val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // self-loops never change membership ({v} is an SCC with or
@@ -515,8 +551,12 @@ object LinkGraph {
         }
       }
       if (activeCount > 0) {
-        // ---- 2. forward min-label coloring to fixpoint
-        var color = active.select(col("n"), col("n").as("c"))
+        // ---- 2. forward min-PRIORITY coloring to fixpoint (see the
+        // scaladoc: random per-round pivot order collapses SCC-chain
+        // depth from O(k) to O(log k) expected outer rounds)
+        val key = struct(xxhash64(col("n"), lit(outer)).as("p"),
+          col("n").as("id"))
+        var color = active.select(col("n"), key.as("c"))
           .localCheckpoint(false)
         var changed = 1L
         while (changed > 0) {
@@ -533,9 +573,11 @@ object LinkGraph {
             .first().getLong(0)
           color = next.drop("__g")
         }
-        // ---- 3. backward mark from every class root, within-class
+        // ---- 3. backward mark from every class root (the node whose
+        // own key IS the class color), within-class
         var mark = color
-          .select(col("n"), col("c"), (col("n") === col("c")).as("m"))
+          .select(col("n"), col("c"),
+            (col("c").getField("id") === col("n")).as("m"))
           .localCheckpoint(false)
         changed = 1L
         while (changed > 0) {
@@ -556,8 +598,13 @@ object LinkGraph {
             .first().getLong(0)
           mark = next.drop("__g")
         }
-        // ---- 4. peel every class's SCC at once
-        val peeled = mark.filter(col("m")).select(col("n"), col("c").as("scc"))
+        // ---- 4. peel every class's SCC at once; label = smallest
+        // MEMBER (the components contract), re-derived per class
+        // because the random-priority root need not be the min member
+        val marked = mark.filter(col("m")).select(col("n"), col("c"))
+        val peeled = marked
+          .join(marked.groupBy("c").agg(min(col("n")).as("scc")), "c")
+          .select("n", "scc")
         done += peeled
         active = active.join(peeled.select("n"), Seq("n"), "left_anti")
           .localCheckpoint(false)
@@ -573,8 +620,10 @@ object LinkGraph {
     require(activeCount == 0,
       s"SCC peeling did not converge in $maxIter outer rounds " +
         s"($activeCount nodes left) — raise maxIter")
-    if (done.isEmpty) all.select(col("n"), col("n").as("scc"))
-    else done.reduce(_.unionByName(_))
+    val out =
+      if (done.isEmpty) all.select(col("n"), col("n").as("scc"))
+      else done.reduce(_.unionByName(_))
+    (out, outer)
   }
 
   /** Bow-tie decomposition of a directed graph (Broder et al. 2000,

@@ -242,35 +242,155 @@ object ScaleSoak {
       "|---|---|---|---|---|---|---|\n" + rows.mkString
   }
 
+  // ---- graph-sized soak (SPARK_GRAFT_SOAK_GRAPH=only to run just this
+  // section): the corpus-volume soak above replicates DOCUMENTS, so the
+  // LinkGraph family keeps seeing the ~21-node bench graph and its
+  // "8x ratios" of 0.8-0.9x measure nothing but fixed per-stage
+  // overhead. This axis scales the GRAPH: synthetic power-law digraphs
+  // at 1e4/1e5/1e6 nodes (SPARK_GRAFT_GRAPH_NODES), fixed avg
+  // out-degree 8 — so SCC's peeling depth, bow-tie's reachability
+  // passes, and the iterative centralities are finally measured on
+  // graph-shaped growth, not corpus-shaped.
+
+  private def graphSizes = sys.env
+    .getOrElse("SPARK_GRAFT_GRAPH_NODES", "10000,100000,1000000")
+    .split(',').map(_.trim.toLong).toSeq
+  private def graphRuns = sys.env.getOrElse("SPARK_GRAFT_SOAK_GRAPH_RUNS", "1").toInt
+
+  /** Deterministic Chung-Lu power-law digraph: m = n·avgDeg candidate
+    * edges whose endpoints are drawn with P(node i) ∝ i^(−a),
+    * a = 1/(γ−1) with γ = 2.2 (the web-graph degree exponent), via
+    * inverse-CDF over xxhash64-derived uniforms — id = ⌈n·u^(1/(1−a))⌉.
+    * Expected max degree ~ m/(6·n^(1/6)) (a real hub), ~90 % of ids
+    * appear, a giant SCC emerges at this density. Fully deterministic
+    * (hash-derived), self-loops dropped here, parallel edges left for
+    * the operators' own `distinct` (they all collapse them).
+    */
+  private[tools] def powerLawGraph(spark: SparkSession, n: Long,
+                                   avgDeg: Int = 8): DataFrame = {
+    val a = 1.0 / (2.2 - 1.0)
+    val q = 1.0 / (1.0 - a)
+    def pick(seed: Int) =
+      s"greatest(1L, least(${n}L, CAST(ceil($n * pow(" +
+        s"(xxhash64(id, $seed) & 9223372036854775807) / 9.223372036854776e18," +
+        s" $q)) AS LONG)))"
+    spark.range(n * avgDeg)
+      .selectExpr(s"${pick(1)} AS src", s"${pick(2)} AS dst")
+      .filter(col("src") =!= col("dst"))
+  }
+
+  private def graphSoakSection(spark: SparkSession): String = {
+    import graft.ops.LinkGraph
+    val sizes = graphSizes
+    val structRows = new StringBuilder
+    val opNames = Seq("pagerank", "pagerank_dangling", "pagerank_seeded",
+      "hits", "harmonic_hll", "components", "scc", "bowtie")
+    val times = scala.collection.mutable.Map[(String, Long), Double]()
+    sizes.foreach { n =>
+      val e = powerLawGraph(spark, n).localCheckpoint()
+      val nEdges = e.distinct().count()
+      val nNodes = e.select(col("src").as("n"))
+        .unionByName(e.select(col("dst").as("n"))).distinct().count()
+      def t(name: String)(body: => DataFrame): Unit = {
+        val sec = median((1 to graphRuns).map(_ => timed(body.count())._2))
+        times((name, n)) = sec
+        println(f"GRAPHSOAK n=$n%-8d $name%-18s $sec%8.2fs")
+        Console.out.flush()
+      }
+      // a fixed small seed set (ids 1-16 are the heavy hubs by
+      // construction, so the personalized ranks actually spread)
+      val seeds = spark.range(1, 17).select(col("id").as("n"))
+      t("pagerank")(LinkGraph.pageRank(e))
+      t("pagerank_dangling")(LinkGraph.pageRank(e, redistributeDangling = true))
+      t("pagerank_seeded")(LinkGraph.pageRank(e, seeds = Some(seeds),
+        probeEvery = 5))
+      t("hits")(LinkGraph.hits(e))
+      // lgK 9 (~0.5 KB/sketch): 1e6-node state stays sub-GB per round;
+      // exact id-array balls would be reach-sized — the documented
+      // non-scale path, deliberately not soaked at 1e6
+      t("harmonic_hll")(LinkGraph.harmonicCentrality(e, exact = false, lgK = 9))
+      t("components")(LinkGraph.components(e))
+      var sccRounds = 0
+      var giantPct = 0.0
+      t("scc") {
+        val (scc, r) = LinkGraph.sccWithRounds(e)
+        sccRounds = r
+        val g = scc.groupBy("scc").count()
+          .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
+        giantPct = 100.0 * g / math.max(nNodes, 1L)
+        scc
+      }
+      t("bowtie")(LinkGraph.bowTie(e))
+      structRows.append(f"| ${n}%d | $nNodes | $nEdges | $giantPct%.1f%% " +
+        f"| $sccRounds |\n")
+    }
+    val ratio = sizes.last.toDouble / sizes.head
+    val sb = new StringBuilder
+    sb.append("\n## Graph-sized soak: LinkGraph family vs node count\n\n")
+    sb.append("Synthetic Chung-Lu power-law digraphs (degree exponent 2.2, avg\n")
+    sb.append(s"out-degree 8, hash-deterministic), per-op median of $graphRuns.\n")
+    sb.append("Edges grow linearly with nodes, so a time ratio near the\n")
+    sb.append(f"$ratio%.0fx node ratio = linear (scale-sane); well above = a\n")
+    sb.append("super-linear intermediate or round blow-up. The corpus soak\n")
+    sb.append("never exercised these operators beyond the ~21-node bench graph.\n\n")
+    sb.append("| nodes (target) | nodes (actual) | distinct edges | giant SCC | scc outer rounds |\n")
+    sb.append("|---|---|---|---|---|\n")
+    sb.append(structRows)
+    sb.append("\n| operator |" + sizes.map(n => s" n=$n (s) |").mkString + " ratio |\n")
+    sb.append("|---|" + sizes.map(_ => "---|").mkString + "---|\n")
+    opNames.foreach { op =>
+      val r = sizes.map(n => times((op, n)))
+      sb.append("| " + op + " |" + r.map(t => f" $t%.2f |").mkString +
+        f" ${r.last / r.head}%.1f |\n")
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_scale")
-    val outMd = args.lift(2).getOrElse("SCALE.md")
+    // parsed before the output path: a contended run must never default
+    // onto the canonical quiet SCALE.md (the BENCH_CONTENDED.json split,
+    // mirrored — ADVICE r14). An explicit 3rd arg still wins.
+    val contend = sys.env.get("SPARK_GRAFT_SOAK_CONTEND")
+      .map(_.trim.toInt).getOrElse(0)
+    require(contend >= 0, s"SPARK_GRAFT_SOAK_CONTEND must be >= 0, got $contend")
+    val outMd = args.lift(2).getOrElse(
+      if (contend > 0) "SCALE_CONTENDED.md" else "SCALE.md")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // perf confs (codegen-class cache, footer-stat pushdown) come from
+    // the GraftSession library surface — one source of truth with Bench
+    val spark = graft.GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // avoid recompiling whole plan families per run (see Bench.scala)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // SPARK_GRAFT_SOAK_GRAPH=only: run just the graph-sized axis (no
+    // corpus scaling, no churn) and write to its own file so a
+    // targeted run can never clobber the committed corpus table
+    if (sys.env.get("SPARK_GRAFT_SOAK_GRAPH").contains("only")) {
+      val gOut = args.lift(2).getOrElse("SCALE_GRAPH.md")
+      val s = "# SCALE soak — graph axis (standalone run)\n" +
+        graphSoakSection(spark)
+      Files.write(Paths.get(gOut), s.getBytes(StandardCharsets.UTF_8))
+      println(s"wrote $gOut")
+      spark.stop()
+      return
+    }
 
     factors.foreach(f => buildScaled(spark, base, s"$work/x$f", f))
     // warmup
     try SparkEntry.queries("q1_agg")(spark, s"$work/x1").count()
     catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_SOAK_CONTEND=N: Bench's churn threads for the whole
-    // timed section — probes volume x contention interactions (an
-    // operator can be flat at 8x quiet AND flat at 1x contended yet
-    // blow up when both pressures stack). 0 = quiet (default).
-    val contend = sys.env.get("SPARK_GRAFT_SOAK_CONTEND")
-      .map(_.trim.toInt).getOrElse(0)
-    require(contend >= 0, s"SPARK_GRAFT_SOAK_CONTEND must be >= 0, got $contend")
+    // SPARK_GRAFT_SOAK_CONTEND=N (parsed above): Bench's churn threads
+    // for the whole timed section — probes volume x contention
+    // interactions (an operator can be flat at 8x quiet AND flat at 1x
+    // contended yet blow up when both pressures stack). 0 = quiet.
     @volatile var stopLoad = false
     val loadSink = new java.util.concurrent.atomic.AtomicLong
     val loadThreads = (0 until contend).map { i =>
@@ -338,6 +458,7 @@ object ScaleSoak {
     if (only.isEmpty) {
       sb.append(cacheSoakSection(spark, work))
       sb.append(minhashProfileSection(spark, work))
+      sb.append(graphSoakSection(spark))
     }
     if (only.isEmpty || args.length > 2) {
       Files.write(Paths.get(outMd), sb.toString.getBytes(StandardCharsets.UTF_8))

@@ -441,6 +441,34 @@ class LinkGraphSpec extends SparkSpec {
     assert(a == brute(rg))
   }
 
+  test("SCC peels an adversarial 150-SCC chain in o(k) outer rounds") {
+    // The r14 adversarial-depth case: a CHAIN of k 2-cycles ordered so
+    // that under min-ID coloring the global-min node colors the WHOLE
+    // chain into one class — one SCC peeled per outer round, O(k)
+    // rounds, hard maxIter=100 failure for k > 100 (a crawl-trap
+    // ring-of-rings is exactly this shape). Randomized per-round pivot
+    // priorities peel every prefix-minimum record's SCC simultaneously,
+    // so the chain must now finish WELL inside the default budget.
+    val k = 150
+    val edges = (0 until k).flatMap { i =>
+      val a = f"c$i%03da"; val b = f"c$i%03db"
+      val chain =
+        if (i < k - 1) Seq((a, f"c${i + 1}%03da")) else Seq.empty
+      Seq((a, b), (b, a)) ++ chain
+    }
+    val (df, rounds) = LinkGraph.sccWithRounds(edges.toDF("src", "dst"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = (0 until k).flatMap { i =>
+      val a = f"c$i%03da"; val b = f"c$i%03db"
+      Seq(a -> a, b -> a) // label = lexicographic min member
+    }.toMap
+    assert(got == want)
+    // o(k): expected O(log k) ≈ 10-20; 40 is a generous determinism-
+    // safe ceiling (priorities are hash-derived, so `rounds` is a
+    // constant for this graph — the assert can never flake)
+    assert(rounds <= 40, s"took $rounds outer rounds for a $k-SCC chain")
+  }
+
   test("bowTie matches brute-force Broder classification") {
     def brute(edges: Seq[(String, String)]): Map[String, String] = {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
