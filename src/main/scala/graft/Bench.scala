@@ -86,6 +86,30 @@ object Bench {
       m.METRIC_GENERATED_METHOD_BYTECODE_SIZE.getCount)
   }
 
+  /** Total JIT compilation milliseconds so far in this JVM. Paired
+    * with the GC and process-CPU deltas per run, it attributes
+    * cross-session drift: a run whose wall grew but whose cpu_sec
+    * tracked wall is thermal/contention; cpu_sec flat + jit_ms high is
+    * warm-up; gc_ms high is allocation pressure.
+    */
+  private def jvmJitMs(): Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime
+    else -1L
+  }
+
+  /** Cumulative process CPU seconds (all threads — in local mode the
+    * executors live here, so this is the whole compute bill).
+    */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
   /** Median with the even-n midpoint averaged (not the biased upper-middle). */
   private def median(xs: Seq[Double]): Double = {
     require(xs.nonEmpty, "median of empty seq")
@@ -186,7 +210,37 @@ object Bench {
       val ts = Seq.fill(3)(calibOnce()).sorted
       ts(1)
     }
+    // fixed-work DECODE microprobe, tracked alongside the shuffle calib:
+    // a pure-JVM loop of real GIF + WAV decodes over constant payloads
+    // (no Spark scheduling, no allocation churn beyond the decoders'
+    // own) — pins whether media/decode-family drift is decoder-side
+    // (probe moves with the family: JIT/thermal/cpu-clock) or
+    // plan-side (probe flat while the family drifts). r14 watched
+    // m_image_dedup/d_shot_detect drift across sessions with untouched
+    // code; this makes the attribution mechanical.
+    val probeGif = graft.mm.Multimodal.grayPixelGif(
+      (0 until 72).map(p => (p * 37) % 256), 9, 8)
+    val probeWav = graft.mm.Multimodal.pcmWavU8(
+      (0 until 512).map(i => (i * 73) % 256))
+    def decodeProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var sink = 0L
+      while (i < 400) {
+        sink ^= graft.mm.Multimodal.dhash64(probeGif).map(_._3).getOrElse(0L)
+        sink ^= graft.mm.Multimodal.decodeAudio(probeWav)
+          .map(_.nFrames).getOrElse(0L)
+        i += 1
+      }
+      if (sink == 42L) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def decodeProbe(): Double = {
+      val ts = Seq.fill(3)(decodeProbeOnce()).sorted
+      ts(1)
+    }
     val calibStart = try calibrate() catch { case NonFatal(_) => -1.0 }
+    val decodeStart = try decodeProbe() catch { case NonFatal(_) => -1.0 }
     // also warm the parquet WRITE path: staging operators (Lttb) are the
     // only writers in the suite, and without this their first 2-3 timed
     // runs absorb the whole FileFormatWriter/compression JIT bill —
@@ -224,8 +278,15 @@ object Bench {
     require(calibEvery >= 0, s"SPARK_GRAFT_BENCH_CALIB_EVERY must be >= 0, got $calibEvery")
     val calibTrack = Seq.newBuilder[(String, Double)]
     calibTrack += (("_start", calibStart))
+    calibTrack += (("decode:_start", decodeStart))
     var curWinCalib = calibStart
     val winCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-run process counters (gc ms, jit ms, process-cpu sec, codegen
+    // compiles), emitted with each query's spread block — the drift
+    // attribution the r14 media/decode watch item asked for: wall up
+    // with cpu flat = contention/thermal; jit/gc up = JVM-side
+    val runCounters = scala.collection.mutable.LinkedHashMap[
+      String, (Seq[Long], Seq[Long], Seq[Double], Seq[Long])]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     warmupFailure.foreach(msg => failures("_warmup_entry") = msg)
@@ -238,6 +299,8 @@ object Bench {
         }
         val c = try calibOnce() catch { case NonFatal(_) => -1.0 }
         calibTrack += ((s"before:$name", c))
+        val dp = try decodeProbeOnce() catch { case NonFatal(_) => -1.0 }
+        calibTrack += ((s"decode:before:$name", dp))
         if (c > 0) curWinCalib = c
       }
       winCalib(name) = curWinCalib
@@ -256,6 +319,8 @@ object Bench {
       }
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
       val perRunGc = Seq.newBuilder[Long]
+      val perRunJit = Seq.newBuilder[Long]
+      val perRunCpu = Seq.newBuilder[Double]
       val perRunCompiles = Seq.newBuilder[Long]
       val (ts, fail) = timeRuns(runs,
         i => tracer.foreach { t =>
@@ -266,15 +331,22 @@ object Bench {
           t.setLabel(s"$name#$i")
         }) {
         val g0 = jvmGcMs()
+        val j0 = jvmJitMs()
+        val p0 = processCpuSec()
         val (c0, _) = codegenStats()
         fn(spark, sfDir).count()
         perRunGc += jvmGcMs() - g0
+        perRunJit += jvmJitMs() - j0
+        perRunCpu += processCpuSec() - p0
         perRunCompiles += codegenStats()._1 - c0
       }
       if (ts.nonEmpty) timings(name) = ts
+      val (gcs, jits, cpus_, compiles) = (perRunGc.result(),
+        perRunJit.result(), perRunCpu.result(), perRunCompiles.result())
+      runCounters(name) = (gcs, jits, cpus_, compiles)
       fail.foreach(msg => failures(name) = msg)
       if (tracer.nonEmpty)
-        runMeta ++= ts.zip(perRunGc.result()).zip(perRunCompiles.result()).zipWithIndex.map {
+        runMeta ++= ts.zip(gcs).zip(compiles).zipWithIndex.map {
           case (((w, g), c), i) => (s"$name#$i", w, g, c)
         }
       tracer.foreach { t =>
@@ -301,7 +373,13 @@ object Bench {
     val spread = timings.map { case (k, ts) =>
       val runsJson = ts.map(f6).mkString("[", ",", "]")
       val cw = winCalib.getOrElse(k, -1.0)
-      s"""\"$k\":{"min":${f6(ts.min)},"median":${f6(median(ts))},"max":${f6(ts.max)},"calib_win":${f3(cw)},"runs":$runsJson}"""
+      val counters = runCounters.get(k).map { case (g, j, c, n) =>
+        s""","gc_ms":${g.mkString("[", ",", "]")}""" +
+          s""","jit_ms":${j.mkString("[", ",", "]")}""" +
+          s""","cpu_sec":${c.map(f3).mkString("[", ",", "]")}""" +
+          s""","codegen_compiles":${n.mkString("[", ",", "]")}"""
+      }.getOrElse("")
+      s"""\"$k\":{"min":${f6(ts.min)},"median":${f6(median(ts))},"max":${f6(ts.max)},"calib_win":${f3(cw)},"runs":$runsJson$counters}"""
     }.mkString("{", ",", "}")
     val fails = failures.map { case (k, msg) => s"\"$k\":\"${jsonEscape(msg)}\"" }
       .mkString("{", ",", "}")
@@ -316,6 +394,8 @@ object Bench {
       .getOrElse(-1)
     val calibEnd = try calibrate() catch { case NonFatal(_) => -1.0 }
     calibTrack += (("_end", calibEnd))
+    val decodeEnd = try decodeProbe() catch { case NonFatal(_) => -1.0 }
+    calibTrack += (("decode:_end", decodeEnd))
     val track = calibTrack.result().map { case (at, c) =>
       s"""["${jsonEscape(at)}",${f3(c)}]"""
     }.mkString("[", ",", "]")

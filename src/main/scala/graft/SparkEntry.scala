@@ -52,6 +52,22 @@ object SparkEntry {
     "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "d" -> "</w>",
     "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r", "an" -> "d</w>")
 
+  /** d_unigram_encode's frozen model: integer costs as exactly-
+    * representable log-probs (pieces −7, any single character −5 via
+    * the unk fallback), so every Viterbi value is an exact integer in
+    * double and the DuckDB oracle can replay the DP over reachable
+    * (pos, cost, pieces) states. The piece set deliberately overlaps
+    * ('and' vs 'an'+'d' vs 'a'+'nd'; 'the' vs 'te'/'he') so the
+    * lattice carries genuine shortest-path decisions, not greedy
+    * longest-match.
+    */
+  private[graft] val unigramFrozen: graft.text.Unigram.Model =
+    graft.text.Unigram.Model(
+      Seq("the", "and", "ing", "ion", "ent", "er", "in", "on", "at",
+        "es", "en", "ed", "te", "al", "re", "st", "ar", "nd", "he",
+        "an").map(_ -> -7.0).toMap,
+      unkScore = -5.0)
+
   /** Group (blob_id, doc_id, record-bytes) rows into multi-record WARC
     * blobs: byte layout deterministic (records sorted by id within a
     * blob), blob COUNT scales with the corpus (callers shard by
@@ -1231,6 +1247,31 @@ object SparkEntry {
       graft.text.Bpe.fertility(
         graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges))
         .orderBy("doc_id")),
+    "d_unigram_tok_train" -> ((s, d) => {
+      // unigram-LM (SentencePiece) vocabulary training: substring
+      // seeding, distributed soft-EM over the word-freq table (counts
+      // aggregate as exact decimals — partition-invariant), 0.75-
+      // shrink pruning to the target size. Float EM class: rows-only
+      // + the hand-EM spec (UnigramSpec)
+      import s.implicits._
+      val m = graft.text.Unigram.train(Tables.documents(s, d),
+        vocabSize = 300, seedSize = 800, maxPieceLen = 6, emRounds = 2)
+      m.pieces.toSeq.toDF("piece", "logp")
+        .select(col("piece"), round(col("logp"), 6).as("logp"))
+        .orderBy("piece")
+    }),
+    "d_unigram_encode" -> ((s, d) =>
+      // Viterbi INFERENCE on the hash path under the frozen integer-
+      // cost model: the oracle re-derives each distinct word's
+      // optimal (cost, token-count) by recursive-CTE enumeration of
+      // reachable DP states — algebraically independent of the
+      // engine's left-to-right Viterbi array
+      graft.text.Unigram.encode(Tables.documents(s, d),
+          SparkEntry.unigramFrozen)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          (col("total_logp") * lit(-1.0)).cast("long").as("total_cost"))
+        .orderBy("doc_id")),
     "q_funnel_windowed" -> ((s, d) =>
       // the funnel with a 2-hour per-step conversion window — a
       // chain spread over a month is not a conversion
@@ -2137,6 +2178,56 @@ object SparkEntry {
           Multimodal.dhash(media(pert = true)).toDF(), maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+    "m_audio_dedup" -> ((s, d) => {
+      // audio near-dup pairs by fingerprint hamming <= 3 over REALLY-
+      // decoded WAVs: each doc is 512 md5-derived u8 samples (16 per
+      // digest — pseudorandom, so unrelated clips sit ~32 bits
+      // apart); its planted copy (id + 10000) is the same clip
+      // re-leveled to 90% ((u*9)/10 — the classic re-encode
+      // transform the sign-delta bits are built to survive; integer
+      // rounding flips only near-tie band comparisons). Band join +
+      // exact XOR-popcount verification; the oracle rebuilds every
+      // sample from the same md5 and replays the lag-difference
+      // energies, banding AND verification.
+      import s.implicits._
+      val media = Tables.documents(s, d).select("doc_id").as[Long]
+        .flatMap { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = (0 until 32).flatMap(blk =>
+            md.digest(s"$id:$blk".getBytes("UTF-8")).map(_ & 0xff).toSeq)
+          Seq(
+            Multimodal.MediaRow(id, "audio",
+              Multimodal.pcmWavU8(base), 0, 0, 0),
+            Multimodal.MediaRow(id + 10000, "audio",
+              Multimodal.pcmWavU8(base.map(u => u * 9 / 10)), 0, 0, 0))
+        }
+      Multimodal.audioNearDups(media, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "m_audio_dedup_delta" -> ((s, d) => {
+      // incremental audio ingest: the base corpus is a standing
+      // fingerprint INDEX (decoded once, payloads never re-read);
+      // the batch is every clip's re-leveled copy. With md5-
+      // pseudorandom samples the one-shot pair set is exactly the
+      // cross pairs (base x base and batch x batch find nothing), so
+      // the delta result hash-matches the same oracle as
+      // m_audio_dedup.
+      import s.implicits._
+      def media(pert: Boolean) = Tables.documents(s, d).select("doc_id").as[Long]
+        .map { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = (0 until 32).flatMap(blk =>
+            md.digest(s"$id:$blk".getBytes("UTF-8")).map(_ & 0xff).toSeq)
+          Multimodal.MediaRow(id + (if (pert) 10000 else 0), "audio",
+            Multimodal.pcmWavU8(
+              if (pert) base.map(u => u * 9 / 10) else base), 0, 0, 0)
+        }
+      val index = Multimodal.audioFingerprint(media(pert = false)).toDF()
+      Multimodal.audioNearDupsDelta(index,
+          Multimodal.audioFingerprint(media(pert = true)).toDF(),
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "m_video_dedup" -> ((s, d) => {
       // video near-dup by frame-hash sets: each doc is a 4-frame
       // per-pixel GIF (md5 grays keyed by (id, frame, pixel)); its
@@ -2183,6 +2274,67 @@ object SparkEntry {
         "ts_d", "value", 200, Seq("event_type"))
         .select("event_type", "ts", "value").orderBy("event_type", "ts")),
   )
+
+  // Shared by m_audio_dedup and m_audio_dedup_delta (delta == one-shot
+  // for md5-pseudorandom clips): rebuild all 512 u8 samples per clip
+  // from the same md5 blocks the engine encoded into WAV (byte j of
+  // digest(id ':' blk) = hex pair j of DuckDB's md5 string), apply the
+  // 90% re-level to the perturbed copy ((u*9)//10 — non-negative, so
+  // floor == Java's trunc), replay the lag-difference band energies
+  // over 8 frames of 64 (signed-vs-unsigned cancels in differences),
+  // the sign-delta bits MSB-first, then the engine's own pigeonhole
+  // scheme: 4 bands of 4 hex chars for candidates, exact bit-diff
+  // count as verification.
+  private val audioDedupOracle: String =
+    """WITH ids AS (
+      |  SELECT doc_id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 1 FROM documents
+      |), smp AS (
+      |  SELECT i.doc_id, t.s,
+      |    CASE WHEN i.pert = 1 THEN
+      |      (CAST(('0x' || substring(md5(CAST(i.doc_id - 10000 AS VARCHAR) || ':' || CAST(t.s // 16 AS VARCHAR)), CAST((t.s % 16) * 2 + 1 AS INT), 2)) AS BIGINT) * 9) // 10
+      |    ELSE
+      |      CAST(('0x' || substring(md5(CAST(i.doc_id AS VARCHAR) || ':' || CAST(t.s // 16 AS VARCHAR)), CAST((t.s % 16) * 2 + 1 AS INT), 2)) AS BIGINT)
+      |    END AS u
+      |  FROM ids i CROSS JOIN range(512) t(s)
+      |), eng AS (
+      |  SELECT a.doc_id, a.s // 64 AS f, r.b AS band,
+      |    sum((b.u - a.u) * (b.u - a.u)) AS e
+      |  FROM smp a CROSS JOIN range(9) r(b)
+      |  JOIN smp b ON b.doc_id = a.doc_id AND b.s = a.s + r.b + 1
+      |    AND b.s // 64 = a.s // 64
+      |  GROUP BY a.doc_id, a.s // 64, r.b
+      |), bits AS (
+      |  SELECT a.doc_id, a.f * 8 + a.band AS bi,
+      |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f
+      |    AND b.band = a.band + 1
+      |), nib AS (
+      |  SELECT doc_id, bi // 4 AS ni,
+      |    sum(bit * CASE bi % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS v
+      |  FROM bits GROUP BY doc_id, bi // 4
+      |), hex AS (
+      |  SELECT doc_id,
+      |    string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY ni) AS fp
+      |  FROM nib GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, b AS band_idx, substring(fp, CAST(b*4 + 1 AS INT), 4) AS band
+      |  FROM hex, range(4) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+      |), ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM cand c
+      |  JOIN bits ba ON ba.doc_id = c.doc_a
+      |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.bi = ba.bi
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Parallel LTTB (avg-anchor variant): buckets and anchors are
@@ -3986,6 +4138,59 @@ object SparkEntry {
         |      '|'), '||', ' ')), ' ') AS tokens_str
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "d_unigram_encode" ->
+      // Viterbi value under the frozen model, re-derived per DISTINCT
+      // word by recursive-CTE enumeration of reachable DP states
+      // (pos, cost, pieces): edges are any single char at cost 5 plus
+      // the frozen pieces at cost 7; UNION dedup bounds the state
+      // space, the optimum is min cost then min piece count — exactly
+      // the engine's tie-break — and docs recover their totals by
+      // occurrence-count join
+      """WITH RECURSIVE wordcounts AS (
+        |  SELECT doc_id, w, count(*) AS n
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w
+        |), dwords AS (
+        |  SELECT DISTINCT w FROM wordcounts
+        |), pieces AS (
+        |  SELECT * FROM (VALUES ('the',7),('and',7),('ing',7),('ion',7),
+        |    ('ent',7),('er',7),('in',7),('on',7),('at',7),('es',7),('en',7),
+        |    ('ed',7),('te',7),('al',7),('re',7),('st',7),('ar',7),('nd',7),
+        |    ('he',7),('an',7)) t(p, c)
+        |), positions AS (
+        |  SELECT w, CAST(t.i AS INT) AS i
+        |  FROM dwords, UNNEST(range(0, len(w))) t(i)
+        |), edges AS (
+        |  SELECT w, i, i + 1 AS j, 5 AS c FROM positions
+        |  UNION ALL
+        |  SELECT p0.w, p0.i, p0.i + len(pc.p) AS j, pc.c
+        |  FROM positions p0 JOIN pieces pc
+        |    ON substring(p0.w, p0.i + 1, CAST(len(pc.p) AS INT)) = pc.p
+        |), reach(w, pos, cost, np) AS (
+        |  SELECT w, CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM dwords
+        |  UNION
+        |  SELECT e.w, CAST(e.j AS INT), r.cost + e.c, r.np + 1
+        |  FROM reach r JOIN edges e ON e.w = r.w AND e.i = r.pos
+        |), final AS (
+        |  SELECT w, cost, np FROM reach WHERE pos = len(w)
+        |), bestc AS (
+        |  SELECT w, min(cost) AS cost FROM final GROUP BY w
+        |), best AS (
+        |  SELECT f.w, f.cost, min(f.np) AS np
+        |  FROM final f JOIN bestc b ON b.w = f.w AND b.cost = f.cost
+        |  GROUP BY f.w, f.cost
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(wc.n * b.np), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(wc.n * b.cost), 0) AS BIGINT) AS total_cost
+        |FROM documents d
+        |LEFT JOIN wordcounts wc ON wc.doc_id = d.doc_id
+        |LEFT JOIN best b ON b.w = wc.w
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d_bpe_fertility" ->
       // n_tokens via the d_bpe_encode replay; n_words directly from
       // the word split (== the engine's marker count by construction)
@@ -4970,6 +5175,12 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "m_audio_dedup" -> audioDedupOracle,
+    "m_audio_dedup_delta" ->
+      // the delta pair set == the one-shot set here (md5 samples:
+      // only cross pairs survive), so the m_audio_dedup oracle
+      // applies verbatim
+      audioDedupOracle,
     "m_video_dedup" ->
       // frame sets are md5-pseudorandom except the two planted
       // shared frames per (doc, copy) pair: shared 2, union 6 —

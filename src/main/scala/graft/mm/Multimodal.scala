@@ -881,6 +881,151 @@ object Multimodal {
     cross.unionByName(dhashPairs(newHashes, maxHamming, idCol)).distinct()
   }
 
+  final case class AudioFpRow(doc_id: Long, n_samples: Long, fp_i64: Long,
+                              fp: String)
+
+  /** 64-bit acoustic fingerprint of an integer PCM stream — the
+    * chromaprint SHAPE (per-window band energies → sign-delta bits)
+    * in exact integer DSP, so every bit is bit-reproducible on any
+    * JVM and replayable by a SQL oracle (the [[dhashOf]] convention):
+    * the clip splits into `nFrames` equal frames (tail remainder
+    * dropped); per frame, band b ∈ [0, nBands) carries the
+    * lag-difference energy E[b] = Σᵢ (x[i] − x[i−(b+1)])² over the
+    * frame — a comb filterbank whose small lags pass the
+    * high-frequency end and large lags the low end, i.e. a coarse
+    * spectral-energy profile without an FFT; bit(f, b) = E[f][b+1] >
+    * E[f][b], MSB-first (bit index f·(nBands−1) + b), exactly dHash's
+    * adjacent-comparison rule over an nFrames×nBands "energy image".
+    *
+    * The invariances are the audio-meaningful ones: EXACT under DC
+    * offset (differences cancel the bias — re-centered transfers
+    * hash identically), order-preserving under amplitude scaling
+    * (every E scales by c², so bits survive re-leveled/re-encoded
+    * copies up to rounding near energy ties), and local edits
+    * perturb only their own frame's 7 bits. `nFrames·(nBands−1)`
+    * must equal 64.
+    *
+    * Overflow-safe by construction: |diff| < 2¹⁷ for 16-bit PCM, so
+    * a frame of < 2²⁹ samples keeps Σ diff² below 2⁶³.
+    */
+  private[graft] def audioFp64(samples: Array[Long], nFrames: Int = 8,
+                               nBands: Int = 9): Option[Long] = {
+    require(nFrames * (nBands - 1) == 64,
+      s"nFrames*(nBands-1) must be 64: $nFrames x ($nBands-1)")
+    val frameLen = samples.length / nFrames
+    if (frameLen <= nBands) None
+    else {
+      var fp = 0L
+      var f = 0
+      while (f < nFrames) {
+        val from = f * frameLen
+        val e = new Array[Long](nBands)
+        var b = 0
+        while (b < nBands) {
+          val lag = b + 1
+          var s = 0L
+          var i = from + lag
+          val until = from + frameLen
+          while (i < until) {
+            val d = samples(i) - samples(i - lag)
+            s += d * d
+            i += 1
+          }
+          e(b) = s
+          b += 1
+        }
+        var c = 0
+        while (c < nBands - 1) {
+          if (e(c + 1) > e(c)) fp |= 1L << (63 - (f * (nBands - 1) + c))
+          c += 1
+        }
+        f += 1
+      }
+      Some(fp)
+    }
+  }
+
+  /** Acoustic fingerprints for an audio corpus — the audio-side
+    * analogue of [[dhash]]: one 64-bit [[audioFp64]] per REALLY-
+    * decoded payload (undecodable or too-short clips drop), as raw
+    * i64 + zero-padded 16-hex. Scale shape identical to dhash: PCM
+    * arrays die inside the decode task; only (id, count, 8-byte
+    * fingerprint) rows ever move.
+    */
+  def audioFingerprint(media: Dataset[MediaRow], nFrames: Int = 8,
+                       nBands: Int = 9): Dataset[AudioFpRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        pcmSamples(r.payload).flatMap { p =>
+          audioFp64(p.samples, nFrames, nBands).map { fp =>
+            AudioFpRow(r.doc_id, p.samples.length.toLong, fp,
+              String.format("%016x", java.lang.Long.valueOf(fp)))
+          }
+        }
+      }
+    }
+  }
+
+  private def asDhashFrame(fps: DataFrame, idCol: String): DataFrame =
+    fps.select(col(idCol), col("fp_i64").as("dhash_i64"),
+      col("fp").as("dhash"))
+
+  /** Near-duplicate audio pairs by fingerprint hamming distance —
+    * completes the multimodal near-dup matrix (text MinHash, image
+    * dHash, video frame-hash sets, AUDIO [[audioFp64]]): re-leveled /
+    * DC-shifted / lightly-edited copies land within a few bits, and
+    * candidates come from the exact [[dhashPairs]] pigeonhole banding
+    * + XOR-popcount verification over the 64-bit fingerprints — the
+    * machinery is hash-agnostic, so the banding proof and the
+    * one-exchange scale shape carry verbatim.
+    */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    nFrames: Int = 8, nBands: Int = 9,
+                    maxBandDf: Int = Int.MaxValue): DataFrame =
+    dhashPairs(asDhashFrame(audioFingerprint(media, nFrames, nBands).toDF(),
+      "doc_id"), maxHamming, "doc_id", maxBandDf)
+
+  /** Incremental audio near-dup ingest — [[dhashPairsDelta]] over
+    * [[audioFingerprint]] rows: the standing index is (id, count,
+    * fingerprint) rows (8 bytes of hash per clip, payloads never
+    * re-decoded); a new batch fingerprints once; pairs = batch×index
+    * ∪ batch×batch with the batch's bands broadcast. Union of delta
+    * results over any ingest order == the one-shot pair set.
+    */
+  def audioNearDupsDelta(index: DataFrame, newFps: DataFrame,
+                         maxHamming: Int = 3,
+                         idCol: String = "doc_id"): DataFrame =
+    dhashPairsDelta(asDhashFrame(index, idCol),
+      asDhashFrame(newFps, idCol), maxHamming, idCol)
+
+  /** Minimal RIFF/WAVE encode of unsigned 8-bit mono PCM — the audio
+    * twin of [[grayPixelGif]]: a REAL container the JDK audio stack
+    * decodes back byte-exactly, so specs and oracle queries can plant
+    * arithmetic-derived sample streams behind a genuine decode step.
+    */
+  private[graft] def pcmWavU8(samples: Seq[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val n = samples.length
+    val out = new java.io.ByteArrayOutputStream(44 + n)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); u32(36L + n); ascii("WAVE")
+    ascii("fmt "); u32(16L); u16(1); u16(1) // PCM, mono
+    u32(sampleRate.toLong); u32(sampleRate.toLong) // byte rate = rate (8-bit mono)
+    u16(1); u16(8) // block align, bits
+    ascii("data"); u32(n.toLong)
+    samples.foreach { s =>
+      require(s >= 0 && s <= 255, s"u8 sample out of range: $s")
+      out.write(s)
+    }
+    out.toByteArray
+  }
+
   final case class FrameHashRow(doc_id: Long, frame_idx: Long, fhash: Long)
 
   /** Per-frame dHash rows for a video corpus — the frame-level

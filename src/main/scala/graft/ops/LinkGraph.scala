@@ -553,8 +553,20 @@ object LinkGraph {
       if (activeCount > 0) {
         // ---- 2. forward min-PRIORITY coloring to fixpoint (see the
         // scaladoc: random per-round pivot order collapses SCC-chain
-        // depth from O(k) to O(log k) expected outer rounds)
-        val key = struct(xxhash64(col("n"), lit(outer)).as("p"),
+        // depth from O(k) to O(log k) expected outer rounds). Round 0
+        // uses the PLAIN ID order (constant p): on id-friendly graphs
+        // — the common case, and any construction where chain edges
+        // descend toward class minima — every SCC roots its own class
+        // and the whole graph peels in ONE round, where a random
+        // order would leave only the ~ln k priority records rooted
+        // and spend O(log k) rounds on work round 0 could finish.
+        // Rounds >= 1 switch to per-round hash priorities, which is
+        // what bounds the ADVERSARIAL chain (id-hostile alignments)
+        // at O(log k) expected — one possibly-wasted min-id round
+        // costs +1, randomization keeps the guarantee.
+        val key = struct(
+          (if (outer == 0) lit(0L) else xxhash64(col("n"), lit(outer)))
+            .as("p"),
           col("n").as("id"))
         var color = active.select(col("n"), key.as("c"))
           .localCheckpoint(false)

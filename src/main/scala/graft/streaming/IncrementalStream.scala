@@ -524,6 +524,53 @@ object IncrementalStream {
         imageDedupBatch(batch, batchId, indexDir, pairsDir, maxHamming)
       }
 
+  /** One micro-batch of incremental AUDIO near-dup ingest — the
+    * [[imageDedupBatch]] contract over [[graft.mm.Multimodal.audioFingerprint]]
+    * rows: the standing index holds (id, count, 8-byte fingerprint)
+    * rows only — payloads are never re-read or re-decoded — and the
+    * batch's bands broadcast against the index's. Replay-idempotent
+    * the same way: the index read excludes the replayed batch's own
+    * partition.
+    */
+  def audioDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                      pairsDir: String, maxHamming: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val newFps = graft.mm.Multimodal.audioFingerprint(
+      batch.as[graft.mm.Multimodal.MediaRow]).toDF()
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (!fs.exists(idxPath)) newFps.limit(0)
+      else spark.read.parquet(indexDir)
+        .filter(col("batch") =!= batchId) // replay: own hashes are not history
+        .select(newFps.columns.map(col): _*)
+    val pairs = graft.mm.Multimodal.audioNearDupsDelta(index, newFps, maxHamming)
+    pairs.persist()
+    try {
+      if (pairs.count() > 0)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      newFps.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally pairs.unpersist(blocking = true)
+  }
+
+  /** Streaming audio-dedup sink (foreachBatch over [[audioDedupBatch]])
+    * — closes the multimodal streaming-dedup matrix (text/image/AUDIO):
+    * audio batches arrive as MediaRow-shaped frames, the fingerprint
+    * index accumulates per batch, pairs land under `pairsDir` (read
+    * with [[readDeduped]]).
+    */
+  def sinkAudioDedup(df: DataFrame, indexDir: String, pairsDir: String,
+                     checkpointDir: String, maxHamming: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioDedupBatch(batch, batchId, indexDir, pairsDir, maxHamming)
+      }
+
   /** Streaming CURATION sink: foreachBatch over
     * [[graft.pipeline.Curation.curateDelta]] — each micro-batch is
     * exact-deduped against the seen-hash store, near-dup-pruned

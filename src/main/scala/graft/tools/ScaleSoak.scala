@@ -74,7 +74,9 @@ object ScaleSoak {
     "q_data_quality", "d_license_detect", "d_code_detect",
     "q_funnel_windowed", "d_domain_rank_dangling", "d_domain_rank_seeded",
     "d_kneser_ney", "d_graph_stats", "d_warc_split_read",
-    "d_kneser_ney3", "d_crawl_frontier_ranked", "d_scc", "d_graph_bowtie")
+    "d_kneser_ney3", "d_crawl_frontier_ranked", "d_scc", "d_graph_bowtie",
+    "m_audio_dedup", "m_audio_dedup_delta", "d_unigram_tok_train",
+    "d_unigram_encode")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
@@ -286,6 +288,22 @@ object ScaleSoak {
     val opNames = Seq("pagerank", "pagerank_dangling", "pagerank_seeded",
       "hits", "harmonic_hll", "components", "scc", "bowtie")
     val times = scala.collection.mutable.Map[(String, Long), Double]()
+    // Untimed warm-up over every operator on a small graph: the first
+    // timed size otherwise absorbs all JIT/codegen warm-up (measured:
+    // pagerank 16.0 s at n=1e4 vs 8.6 s at n=1e5 on a cold JVM) and
+    // the node-scaling ratios read upside down.
+    locally {
+      val w = powerLawGraph(spark, 2000L).localCheckpoint()
+      val wSeeds = spark.range(1, 17).select(col("id").as("n"))
+      LinkGraph.pageRank(w).count()
+      LinkGraph.pageRank(w, redistributeDangling = true).count()
+      LinkGraph.pageRank(w, seeds = Some(wSeeds), probeEvery = 5).count()
+      LinkGraph.hits(w).count()
+      LinkGraph.harmonicCentrality(w, exact = false, lgK = 9).count()
+      LinkGraph.components(w).count()
+      LinkGraph.stronglyConnectedComponents(w).count()
+      LinkGraph.bowTie(w).count(): Unit
+    }
     sizes.foreach { n =>
       val e = powerLawGraph(spark, n).localCheckpoint()
       val nEdges = e.distinct().count()

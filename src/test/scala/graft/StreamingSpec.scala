@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("audio-dedup micro-batches: cross-wave pairs found, replay no-op, == one-shot") {
+    import graft.mm.Multimodal
+    def clip(id: Long, seed: String, relevel: Boolean): Multimodal.MediaRow = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val u = (0 until 32).flatMap(blk =>
+        md.digest(s"$seed:$blk".getBytes("UTF-8")).map(_ & 0xff).toSeq)
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.pcmWavU8(if (relevel) u.map(_ * 9 / 10) else u), 0, 0, 0)
+    }
+    // wave 1: originals 1..4; wave 2: re-leveled copies 11..14 + one stranger
+    val w1 = (1L to 4L).map(i => clip(i, s"c$i", relevel = false))
+    val w2 = (1L to 4L).map(i => clip(i + 10, s"c$i", relevel = true)) :+
+      clip(99L, "stranger", relevel = false)
+    val idx = tempDir("graft_auddedup") + "/idx"
+    val pairs = tempDir("graft_auddedup") + "/pairs"
+    IncrementalStream.audioDedupBatch(w1.toDF(), 0L, idx, pairs, maxHamming = 3)
+    IncrementalStream.audioDedupBatch(w2.toDF(), 1L, idx, pairs, maxHamming = 3)
+    // replay of wave 1: own leftover fingerprints are not history
+    IncrementalStream.audioDedupBatch(w1.toDF(), 0L, idx, pairs, maxHamming = 3)
+    val got = IncrementalStream.readDeduped(spark, pairs).get
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oneShot = Multimodal.audioNearDups((w1 ++ w2).toDS(), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == oneShot)
+    assert((1L to 4L).forall(i => got.contains((i, i + 10)))) // each copy found
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("foreachBatch agg-state sink == batch bucketState, bit-identical across micro-batching") {
     val batch = graft.core.Tables.events(spark, sfDir)
     val in = tempDir("graft_aggsink_in")

@@ -1070,4 +1070,104 @@ class TextMmSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(b == Multimodal.vadSegments(frames, 50.0).collect().map(_.toSeq).toSet)
   }
+
+  // Independent replay of audioFp64 for the specs: functional style,
+  // separate bit order derivation — a shared bug would have to be
+  // conceptual, not transcribed.
+  private def fpBrute(samples: Seq[Long]): Option[Long] = {
+    val frameLen = samples.length / 8
+    if (frameLen <= 9) None
+    else Some((0 until 8).flatMap { f =>
+      val fr = samples.slice(f * frameLen, (f + 1) * frameLen)
+      val e = (1 to 9).map(lag =>
+        fr.drop(lag).zip(fr.dropRight(lag)).map { case (a, b) =>
+          (a - b) * (a - b)
+        }.sum)
+      (0 until 8).map(c => e(c + 1) > e(c))
+    }.zipWithIndex.collect { case (true, i) => 1L << (63 - i) }
+      .foldLeft(0L)(_ | _))
+  }
+
+  private def rndSamples(seed: String, n: Int = 512): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until (n + 15) / 16).flatMap(blk =>
+      md.digest(s"$seed:$blk".getBytes("UTF-8")).map(b => (b & 0xff).toLong))
+      .take(n).toArray
+  }
+
+  test("audioFp64: planted patterns, brute-force replay, DC/scale invariance, short drop") {
+    // constant signal: every band energy 0, no strict rise -> fp 0
+    assert(Multimodal.audioFp64(Array.fill(512)(100L)) == Some(0L))
+    // pure alternation +A/-A: odd lags carry all the energy, even lags
+    // none -> per frame bits 01010101 -> 0x55 bytes
+    val alt = Array.tabulate(512)(i => if (i % 2 == 0) 50L else -50L)
+    assert(Multimodal.audioFp64(alt) == Some(0x5555555555555555L))
+    // pseudorandom clips match the independent replay
+    for (seed <- Seq("a", "b", "c")) {
+      val s = rndSamples(seed)
+      assert(Multimodal.audioFp64(s) == fpBrute(s.toSeq))
+    }
+    // DC offset cancels exactly; exact scaling preserves every order
+    val s = rndSamples("dc")
+    val fp = Multimodal.audioFp64(s)
+    assert(Multimodal.audioFp64(s.map(_ + 37L)) == fp)
+    assert(Multimodal.audioFp64(s.map(_ * 4L)) == fp)
+    // too short: frameLen must exceed the deepest lag
+    assert(Multimodal.audioFp64(Array.fill(72)(1L)).isEmpty)
+    // bit layout must be 64 wide exactly
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFp64(s, nFrames = 4, nBands = 9)
+    }
+  }
+
+  test("audioFingerprint: real WAV round-trip equals direct fp; undecodable drops") {
+    val u = rndSamples("wav").map(_.toInt)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.pcmWavU8(u), 0, 0, 0),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val got = Multimodal.audioFingerprint(media).collect()
+    assert(got.map(_.doc_id).toSeq == Seq(1L))
+    // decoded u8 arrives as u - 128; differences cancel the bias, so
+    // the decoded fp must equal the fp of the raw unsigned stream
+    val want = Multimodal.audioFp64(u.map(_.toLong)).get
+    assert(got.head.fp_i64 == want)
+    assert(got.head.fp ==
+      String.format("%016x", java.lang.Long.valueOf(want)))
+    assert(got.head.n_samples == 512L)
+  }
+
+  test("audioNearDups: re-leveled copy recovered at true hamming, strangers silent, stable") {
+    val u = rndSamples("clip").map(_.toInt)
+    val releveled = u.map(x => x * 9 / 10)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.pcmWavU8(u), 0, 0, 0),
+      Multimodal.MediaRow(2L, "audio", Multimodal.pcmWavU8(releveled), 0, 0, 0),
+      Multimodal.MediaRow(3L, "audio",
+        Multimodal.pcmWavU8(rndSamples("other").map(_.toInt)), 0, 0, 0),
+    ).toDS()
+    val wantHam = java.lang.Long.bitCount(
+      Multimodal.audioFp64(u.map(_.toLong)).get ^
+        Multimodal.audioFp64(releveled.map(_.toLong)).get)
+    assert(wantHam <= 3) // the planted transform must be recoverable
+    val got = Multimodal.audioNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, wantHam)))
+    val again = Multimodal.audioNearDups(media.repartition(5), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+  }
+
+  test("audioNearDupsDelta: cross + in-batch pairs, equals one-shot on batch-touching pairs") {
+    def row(id: Long, h: Long) =
+      (id, 512L, h, String.format("%016x", java.lang.Long.valueOf(h)))
+    val index = Seq(row(1L, 0L), row(2L, 0x7000000000000000L)).toDF(
+      "doc_id", "n_samples", "fp_i64", "fp")
+    val batch = Seq(row(10L, 1L), row(11L, 3L), row(12L, 0x7000000000000001L))
+      .toDF("doc_id", "n_samples", "fp_i64", "fp")
+    val got = Multimodal.audioNearDupsDelta(index, batch, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1),
+      (10L, 11L, 1), (10L, 12L, 3)))
+  }
 }
