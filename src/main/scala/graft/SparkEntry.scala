@@ -52,6 +52,25 @@ object SparkEntry {
     "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "d" -> "</w>",
     "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r", "an" -> "d</w>")
 
+  /** doc ids spread over the session's full parallelism before a
+    * decode-heavy synthetic-media flatMap. The documents table is a
+    * few small parquet files, so the scan coalesces to 1-8 input
+    * partitions — and a heavy decode flatMap INHERITS that layout and
+    * runs nearly serial while the skinny scan itself is trivially
+    * parallel (the r15 corpus soak read m_audio_dedup at ~15x wall
+    * for 8x volume from exactly this: volume grew, decode
+    * parallelism didn't). One cheap exchange of the id column buys
+    * the decode stage the full core count; the general lesson is
+    * that a fan-out stage's parallelism must be set by the WORK it
+    * produces, not by the bytes it reads.
+    */
+  private def mediaIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+  }
+
   /** d_unigram_encode's frozen model: integer costs as exactly-
     * representable log-probs (pieces −7, any single character −5 via
     * the unk fallback), so every Viterbi value is an exact integer in
@@ -2079,7 +2098,7 @@ object SparkEntry {
       // lag/threshold window from doc_id arithmetic; the engine's
       // lumas come from decoded GIF rasters.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .map { id =>
           val g = (id % 100).toInt
           Multimodal.MediaRow(id, "video",
@@ -2099,7 +2118,7 @@ object SparkEntry {
       // from doc_id alone — a decoder that trusted metadata or
       // misread any frame's raster breaks the hash.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .map { id =>
           val g = (id % 256).toInt
           Multimodal.MediaRow(id, "video",
@@ -2117,7 +2136,7 @@ object SparkEntry {
       // decoded rasters; the oracle rebuilds the 16-hex string
       // nibble by nibble.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .map { id =>
           val grays = for (y <- 0 until 8; x <- 0 until 9)
             yield ((id * 37 + y * 9 + x * 13) % 256).toInt
@@ -2137,7 +2156,7 @@ object SparkEntry {
       // oracle rebuilds every gray from the same md5 and replays
       // banding AND verification.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .flatMap { id =>
           val md = java.security.MessageDigest.getInstance("MD5")
           def gray(p: Int, pert: Boolean): Int = {
@@ -2163,7 +2182,7 @@ object SparkEntry {
       // (base×base and batch×batch find nothing), so the delta
       // result hash-matches the same oracle as m_image_dedup.
       import s.implicits._
-      def media(pert: Boolean) = Tables.documents(s, d).select("doc_id").as[Long]
+      def media(pert: Boolean) = mediaIds(s, d)
         .map { id =>
           val md = java.security.MessageDigest.getInstance("MD5")
           def gray(p: Int): Int = {
@@ -2190,7 +2209,7 @@ object SparkEntry {
       // sample from the same md5 and replays the lag-difference
       // energies, banding AND verification.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .flatMap { id =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val base = (0 until 32).flatMap(blk =>
@@ -2213,7 +2232,7 @@ object SparkEntry {
       // the delta result hash-matches the same oracle as
       // m_audio_dedup.
       import s.implicits._
-      def media(pert: Boolean) = Tables.documents(s, d).select("doc_id").as[Long]
+      def media(pert: Boolean) = mediaIds(s, d)
         .map { id =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val base = (0 until 32).flatMap(blk =>
@@ -2237,7 +2256,7 @@ object SparkEntry {
       // the 8-byte hashes, and verify exact set jaccard; the oracle
       // predicts the whole output from the planted structure.
       import s.implicits._
-      val media = Tables.documents(s, d).select("doc_id").as[Long]
+      val media = mediaIds(s, d)
         .flatMap { id =>
           val md = java.security.MessageDigest.getInstance("MD5")
           def frame(key: String): Seq[Int] = (0 until 72).map { p =>
@@ -2281,10 +2300,10 @@ object SparkEntry {
   // digest(id ':' blk) = hex pair j of DuckDB's md5 string), apply the
   // 90% re-level to the perturbed copy ((u*9)//10 — non-negative, so
   // floor == Java's trunc), replay the lag-difference band energies
-  // over 8 frames of 64 (signed-vs-unsigned cancels in differences),
-  // the sign-delta bits MSB-first, then the engine's own pigeonhole
-  // scheme: 4 bands of 4 hex chars for candidates, exact bit-diff
-  // count as verification.
+  // over 16 frames of 32 (signed-vs-unsigned cancels in differences),
+  // the 128 sign-delta bits MSB-first, then the engine's own
+  // pigeonhole scheme: 4 bands of 8 hex chars for candidates, exact
+  // bit-diff count as verification.
   private val audioDedupOracle: String =
     """WITH ids AS (
       |  SELECT doc_id, 0 AS pert FROM documents
@@ -2299,12 +2318,12 @@ object SparkEntry {
       |    END AS u
       |  FROM ids i CROSS JOIN range(512) t(s)
       |), eng AS (
-      |  SELECT a.doc_id, a.s // 64 AS f, r.b AS band,
+      |  SELECT a.doc_id, a.s // 32 AS f, r.b AS band,
       |    sum((b.u - a.u) * (b.u - a.u)) AS e
       |  FROM smp a CROSS JOIN range(9) r(b)
       |  JOIN smp b ON b.doc_id = a.doc_id AND b.s = a.s + r.b + 1
-      |    AND b.s // 64 = a.s // 64
-      |  GROUP BY a.doc_id, a.s // 64, r.b
+      |    AND b.s // 32 = a.s // 32
+      |  GROUP BY a.doc_id, a.s // 32, r.b
       |), bits AS (
       |  SELECT a.doc_id, a.f * 8 + a.band AS bi,
       |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
@@ -2319,7 +2338,7 @@ object SparkEntry {
       |    string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY ni) AS fp
       |  FROM nib GROUP BY doc_id
       |), bands AS (
-      |  SELECT doc_id, b AS band_idx, substring(fp, CAST(b*4 + 1 AS INT), 4) AS band
+      |  SELECT doc_id, b AS band_idx, substring(fp, CAST(b*8 + 1 AS INT), 8) AS band
       |  FROM hex, range(4) r(b)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

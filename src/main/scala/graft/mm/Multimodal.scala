@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** JVM-global, idempotent, touched by every decode path: ImageIO's
+    * DEFAULT stream cache backs each decode with a temp FILE
+    * (FileCacheImageInputStream) — measured on this box, 32 threads
+    * doing 32x the decodes of one thread took 22.2 s where the
+    * single thread took 0.95 s (filesystem contention serializes the
+    * executor); with the memory cache the same 32-thread load runs
+    * 1.19 s — near-perfect scaling. In-memory payloads never benefit
+    * from a disk cache, so this is strictly better for the decode
+    * shapes this engine runs. (The audio analogue — the
+    * AudioSystem SPI registry lock — is bypassed in [[parseWavPcm]].)
+    */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
                       width: Int, height: Int, duration_ms: Int)
   case class MediaFeature(doc_id: Long, media_type: String, payload_bytes: Int,
@@ -92,6 +106,7 @@ object Multimodal {
 
   private[mm] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some(lumaFacts(img))
@@ -110,6 +125,7 @@ object Multimodal {
     require(step >= 1, s"step >= 1: $step")
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      imageIoMemCache
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -152,8 +168,67 @@ object Multimodal {
   /** Shared PCM extraction for [[decodeAudio]] and
     * [[audioFrameEnergyDecoded]]: JDK container probe + sample decode.
     */
+  /** Direct RIFF/WAVE PCM parse — the byte-level container walk
+    * [[decodeVideoMeta]] does for MP4, applied to WAV, and here it is
+    * a THROUGHPUT fix, not a convenience: `AudioSystem
+    * .getAudioInputStream` funnels every call through the JVM-global
+    * SPI provider registry, whose lock serializes ALL decode threads
+    * in the JVM — measured on this box: 32 threads doing 32x the
+    * decodes take 19x the single-thread wall (flat throughput, plus
+    * contention overhead), so a 16-core executor decodes audio no
+    * faster than 1 core. Chunk walk per the RIFF spec (u32le sizes,
+    * odd sizes padded to even); accepts plain-PCM `fmt ` (tag 1,
+    * 8/16-bit); anything else — AIFF, AU, float WAV, extensible —
+    * falls back to the AudioSystem path below.
+    */
+  private def parseWavPcm(payload: Array[Byte]): Option[PcmSamples] = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, len
+    while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(pos)
+      val len = u32(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      val body = pos + 8
+      if (id == "fmt " && len >= 16)
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+      else if (id == "data")
+        data = Some((body, len.toInt))
+      pos = body + len.toInt + (len.toInt & 1) // odd chunks pad to even
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((off, dlen)))
+          if (bits == 8 || bits == 16) && ch >= 1 && rate > 0 =>
+        val bytesPerSample = bits / 8
+        val n = dlen / bytesPerSample
+        if (n == 0) None
+        else {
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (bits == 8) (payload(off + i) & 0xff).toLong - 128L
+              else {
+                val o = off + i * 2
+                (((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff))
+                  .toShort.toLong
+              }
+            i += 1
+          }
+          Some(PcmSamples(rate, ch, bits, n.toLong / ch, out,
+            if (bits == 8) 128.0 else 32768.0))
+        }
+      case _ => None
+    }
+  }
+
   private[mm] def pcmSamples(payload: Array[Byte]): Option[PcmSamples] =
-    try {
+    parseWavPcm(payload).orElse(try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -188,7 +263,7 @@ object Multimodal {
             ais.getFrameLength, out, if (bits == 8) 128.0 else 32768.0))
         }
       } finally ais.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => None })
 
   private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
     pcmSamples(payload).map { p =>
@@ -387,6 +462,7 @@ object Multimodal {
       rows.flatMap { r =>
         if (r.media_type != "image") None
         else try {
+          imageIoMemCache
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
           if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
           else {
@@ -720,6 +796,7 @@ object Multimodal {
 
   private[graft] def dhash64(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some((img.getWidth, img.getHeight, dhashOf(img)))
@@ -734,6 +811,7 @@ object Multimodal {
     require(step >= 1, s"step >= 1: $step")
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      imageIoMemCache
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -824,7 +902,13 @@ object Multimodal {
                  maxBandDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxBandDf >= 2, s"maxBandDf must be >= 2: $maxBandDf")
-    val melted0 = meltBands(hashes, idCol, maxHamming)
+    // Materialize the hash frame before the band self-join: both join
+    // sides otherwise re-execute the FULL upstream lineage — for a
+    // dhash/audioFingerprint input that is the whole corpus DECODE,
+    // twice (the r15 soak measured m_audio_dedup at 14.8x for 8x
+    // volume from exactly this; with the checkpoint the hash frame —
+    // 8 bytes a row — computes once and both sides read it).
+    val melted0 = meltBands(hashes.localCheckpoint(false), idCol, maxHamming)
     val melted =
       if (maxBandDf == Int.MaxValue) melted0
       else {
@@ -862,7 +946,11 @@ object Multimodal {
                       maxHamming: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val newBands = meltBands(newHashes, idCol, maxHamming)
+    // the batch's hashes feed BOTH the cross join and the in-batch
+    // dhashPairs — checkpoint so a lazily-built batch (hash-of-decode
+    // lineage) computes once (the dhashPairs rationale)
+    val newH = newHashes.localCheckpoint(false)
+    val newBands = meltBands(newH, idCol, maxHamming)
       .select(col("band_idx"), col("band"),
         col(idCol).as("__new_id"), col("dhash_i64").as("__new_h"))
     val cross = meltBands(index, idCol, maxHamming)
@@ -878,13 +966,13 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-    cross.unionByName(dhashPairs(newHashes, maxHamming, idCol)).distinct()
+    cross.unionByName(dhashPairs(newH, maxHamming, idCol)).distinct()
   }
 
-  final case class AudioFpRow(doc_id: Long, n_samples: Long, fp_i64: Long,
-                              fp: String)
+  final case class AudioFpRow(doc_id: Long, n_samples: Long, fp_hi: Long,
+                              fp_lo: Long, fp: String)
 
-  /** 64-bit acoustic fingerprint of an integer PCM stream — the
+  /** 128-bit acoustic fingerprint of an integer PCM stream — the
     * chromaprint SHAPE (per-window band energies → sign-delta bits)
     * in exact integer DSP, so every bit is bit-reproducible on any
     * JVM and replayable by a SQL oracle (the [[dhashOf]] convention):
@@ -897,25 +985,37 @@ object Multimodal {
     * E[f][b], MSB-first (bit index f·(nBands−1) + b), exactly dHash's
     * adjacent-comparison rule over an nFrames×nBands "energy image".
     *
+    * WHY 128 bits where image dHash is 64: the pigeonhole banding
+    * that finds hamming ≤ 3 pairs needs 4 equal band slices, and a
+    * 64-bit code leaves 16-bit bands — a 65 536-value space whose
+    * birthday collisions mint candidate pairs ≈ N²/2¹⁶ per band as
+    * the corpus grows (the r15 soak measured the compounding; exact
+    * verify keeps it CORRECT but the join volume is quadratic).
+    * 128 bits give 32-bit bands — collision constant 1/2³², so
+    * random candidates stay negligible at any realistic corpus.
+    * dHash's 64 is fixed by the algorithm; this fingerprint is ours
+    * to size.
+    *
     * The invariances are the audio-meaningful ones: EXACT under DC
     * offset (differences cancel the bias — re-centered transfers
     * hash identically), order-preserving under amplitude scaling
     * (every E scales by c², so bits survive re-leveled/re-encoded
     * copies up to rounding near energy ties), and local edits
     * perturb only their own frame's 7 bits. `nFrames·(nBands−1)`
-    * must equal 64.
+    * must equal 128.
     *
     * Overflow-safe by construction: |diff| < 2¹⁷ for 16-bit PCM, so
     * a frame of < 2²⁹ samples keeps Σ diff² below 2⁶³.
     */
-  private[graft] def audioFp64(samples: Array[Long], nFrames: Int = 8,
-                               nBands: Int = 9): Option[Long] = {
-    require(nFrames * (nBands - 1) == 64,
-      s"nFrames*(nBands-1) must be 64: $nFrames x ($nBands-1)")
+  private[graft] def audioFp128(samples: Array[Long], nFrames: Int = 16,
+                                nBands: Int = 9): Option[(Long, Long)] = {
+    require(nFrames * (nBands - 1) == 128,
+      s"nFrames*(nBands-1) must be 128: $nFrames x ($nBands-1)")
     val frameLen = samples.length / nFrames
     if (frameLen <= nBands) None
     else {
-      var fp = 0L
+      var hi = 0L
+      var lo = 0L
       var f = 0
       while (f < nFrames) {
         val from = f * frameLen
@@ -936,69 +1036,134 @@ object Multimodal {
         }
         var c = 0
         while (c < nBands - 1) {
-          if (e(c + 1) > e(c)) fp |= 1L << (63 - (f * (nBands - 1) + c))
+          if (e(c + 1) > e(c)) {
+            val idx = f * (nBands - 1) + c
+            if (idx < 64) hi |= 1L << (63 - idx)
+            else lo |= 1L << (127 - idx)
+          }
           c += 1
         }
         f += 1
       }
-      Some(fp)
+      Some((hi, lo))
     }
   }
 
   /** Acoustic fingerprints for an audio corpus — the audio-side
-    * analogue of [[dhash]]: one 64-bit [[audioFp64]] per REALLY-
-    * decoded payload (undecodable or too-short clips drop), as raw
-    * i64 + zero-padded 16-hex. Scale shape identical to dhash: PCM
-    * arrays die inside the decode task; only (id, count, 8-byte
-    * fingerprint) rows ever move.
+    * analogue of [[dhash]]: one 128-bit [[audioFp128]] per REALLY-
+    * decoded payload (undecodable or too-short clips drop), as two
+    * raw i64 words + the zero-padded 32-hex form. Scale shape
+    * identical to dhash: PCM arrays die inside the decode task; only
+    * (id, count, 16-byte fingerprint) rows ever move.
     */
-  def audioFingerprint(media: Dataset[MediaRow], nFrames: Int = 8,
+  def audioFingerprint(media: Dataset[MediaRow], nFrames: Int = 16,
                        nBands: Int = 9): Dataset[AudioFpRow] = {
     val sp = media.sparkSession
     import sp.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         pcmSamples(r.payload).flatMap { p =>
-          audioFp64(p.samples, nFrames, nBands).map { fp =>
-            AudioFpRow(r.doc_id, p.samples.length.toLong, fp,
-              String.format("%016x", java.lang.Long.valueOf(fp)))
+          audioFp128(p.samples, nFrames, nBands).map { case (hi, lo) =>
+            AudioFpRow(r.doc_id, p.samples.length.toLong, hi, lo,
+              String.format("%016x%016x",
+                java.lang.Long.valueOf(hi), java.lang.Long.valueOf(lo)))
           }
         }
       }
     }
   }
 
-  private def asDhashFrame(fps: DataFrame, idCol: String): DataFrame =
-    fps.select(col(idCol), col("fp_i64").as("dhash_i64"),
-      col("fp").as("dhash"))
+  /** One (id, hi, lo, band_idx, band) row per fingerprint per 32-hex
+    * band slice — [[meltBands]] for the 128-bit audio code.
+    */
+  private def meltAudioBands(fps: DataFrame, idCol: String,
+                             maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands > 0 && 32 % nBands == 0,
+      s"maxHamming + 1 must divide 32, got $maxHamming")
+    val width = 32 / nBands
+    val bands = (0 until nBands).map(i =>
+      struct(lit(i).as("band_idx"),
+        substring(col("fp"), i * width + 1, width).as("band")))
+    fps
+      .select(col(idCol), col("fp_hi"), col("fp_lo"),
+        explode(array(bands: _*)).as("b"))
+      .select(col(idCol), col("fp_hi"), col("fp_lo"),
+        col("b.band_idx").as("band_idx"), col("b.band").as("band"))
+  }
 
   /** Near-duplicate audio pairs by fingerprint hamming distance —
     * completes the multimodal near-dup matrix (text MinHash, image
-    * dHash, video frame-hash sets, AUDIO [[audioFp64]]): re-leveled /
+    * dHash, video frame-hash sets, AUDIO [[audioFp128]]): re-leveled /
     * DC-shifted / lightly-edited copies land within a few bits, and
-    * candidates come from the exact [[dhashPairs]] pigeonhole banding
-    * + XOR-popcount verification over the 64-bit fingerprints — the
-    * machinery is hash-agnostic, so the banding proof and the
-    * one-exchange scale shape carry verbatim.
+    * candidates come from the [[dhashPairs]] pigeonhole scheme over
+    * 32-bit band slices (two fingerprints within `maxHamming` bits
+    * MUST agree on one of the `maxHamming + 1` slices — no missed
+    * pairs) with the true hamming verified as the two-word XOR
+    * popcount sum. Same one-exchange accounting as dhashPairs; the
+    * 32-bit band space keeps random bucket collisions — and with
+    * them the candidate join — linear in the corpus.
     */
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
-                    nFrames: Int = 8, nBands: Int = 9,
-                    maxBandDf: Int = Int.MaxValue): DataFrame =
-    dhashPairs(asDhashFrame(audioFingerprint(media, nFrames, nBands).toDF(),
-      "doc_id"), maxHamming, "doc_id", maxBandDf)
+                    nFrames: Int = 16, nBands: Int = 9): DataFrame =
+    audioPairsOf(audioFingerprint(media, nFrames, nBands).toDF(),
+      maxHamming, "doc_id")
 
-  /** Incremental audio near-dup ingest — [[dhashPairsDelta]] over
-    * [[audioFingerprint]] rows: the standing index is (id, count,
-    * fingerprint) rows (8 bytes of hash per clip, payloads never
-    * re-decoded); a new batch fingerprints once; pairs = batch×index
-    * ∪ batch×batch with the batch's bands broadcast. Union of delta
-    * results over any ingest order == the one-shot pair set.
+  private def audioPairsOf(fps: DataFrame, maxHamming: Int,
+                           idCol: String): DataFrame = {
+    // checkpoint before the self-join — both sides would otherwise
+    // re-execute the full decode lineage (the dhashPairs rationale)
+    val melted = meltAudioBands(fps.localCheckpoint(false), idCol, maxHamming)
+    val a = melted.select(col("band_idx"), col("band"),
+      col(idCol).as("doc_a"), col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    val b = melted.select(col("band_idx"), col("band"),
+      col(idCol).as("doc_b"), col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Incremental audio near-dup ingest — the [[dhashPairsDelta]]
+    * contract over [[audioFingerprint]] rows: the standing index is
+    * (id, count, fingerprint) rows (16 bytes of hash per clip,
+    * payloads never re-decoded); a new batch fingerprints once;
+    * pairs = batch×index ∪ batch×batch with the batch's bands
+    * broadcast — the index never shuffles. Union of delta results
+    * over any ingest order == the one-shot pair set.
     */
   def audioNearDupsDelta(index: DataFrame, newFps: DataFrame,
                          maxHamming: Int = 3,
-                         idCol: String = "doc_id"): DataFrame =
-    dhashPairsDelta(asDhashFrame(index, idCol),
-      asDhashFrame(newFps, idCol), maxHamming, idCol)
+                         idCol: String = "doc_id"): DataFrame = {
+    val newH = newFps.localCheckpoint(false)
+    val newBands = meltAudioBands(newH, idCol, maxHamming)
+      .select(col("band_idx"), col("band"), col(idCol).as("__new_id"),
+        col("fp_hi").as("__new_hi"), col("fp_lo").as("__new_lo"))
+    val cross = meltAudioBands(index, idCol, maxHamming)
+      .join(broadcast(newBands), Seq("band_idx", "band"))
+      .filter(col(idCol) =!= col("__new_id"))
+      .select(least(col(idCol), col("__new_id")).as("doc_a"),
+        greatest(col(idCol), col("__new_id")).as("doc_b"),
+        when(col(idCol) < col("__new_id"), col("fp_hi"))
+          .otherwise(col("__new_hi")).as("hi_a"),
+        when(col(idCol) < col("__new_id"), col("fp_lo"))
+          .otherwise(col("__new_lo")).as("lo_a"),
+        when(col(idCol) < col("__new_id"), col("__new_hi"))
+          .otherwise(col("fp_hi")).as("hi_b"),
+        when(col(idCol) < col("__new_id"), col("__new_lo"))
+          .otherwise(col("fp_lo")).as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    cross.unionByName(audioPairsOf(newH, maxHamming, idCol)).distinct()
+  }
 
   /** Minimal RIFF/WAVE encode of unsigned 8-bit mono PCM — the audio
     * twin of [[grayPixelGif]]: a REAL container the JDK audio stack
@@ -1071,8 +1236,12 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxFrameDf >= 2, s"maxFrameDf must be >= 2: $maxFrameDf")
+    // checkpoint: `sets` feeds both the bucket derivation and the
+    // verify join — without it the per-frame DECODE lineage executes
+    // twice (the dhashPairs rationale)
     val sets = frameHashes(media, step).toDF()
       .groupBy("doc_id").agg(collect_set(col("fhash")).as("hs"))
+      .localCheckpoint(false)
     val buckets = sets.select(col("doc_id"), explode(col("hs")).as("k"))
     val pairs = buckets.groupBy("k")
       .agg(collect_list(col("doc_id")).as("ids"))

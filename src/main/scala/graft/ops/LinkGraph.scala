@@ -664,6 +664,15 @@ object LinkGraph {
     * anti-join dedup, frontier-sized not corpus-sized. Returns
     * (n, cls) with cls in {core, in, out, tube, tendril,
     * disconnected}.
+    *
+    * Measured and NOT adopted (round 15, the probeEvery discipline —
+    * record the negative result so it isn't re-run): reusing SCC's
+    * final-round forward/backward frontiers for the core's class
+    * would cut at most 2 of the 4 reachability passes, but the
+    * graph-sized soak (1e6-node power-law digraph) puts the SCC step
+    * at ~72% of bowTie's wall and all four passes together at ~28%
+    * — a ≤14% ceiling that doesn't pay for entangling bowTie with
+    * SCC round internals.
     */
   def bowTie(edges: DataFrame, srcCol: String = "src",
              dstCol: String = "dst", maxIter: Int = 100): DataFrame = {

@@ -1071,21 +1071,27 @@ class TextMmSpec extends SparkSpec {
     assert(b == Multimodal.vadSegments(frames, 50.0).collect().map(_.toSeq).toSet)
   }
 
-  // Independent replay of audioFp64 for the specs: functional style,
+  // Independent replay of audioFp128 for the specs: functional style,
   // separate bit order derivation — a shared bug would have to be
   // conceptual, not transcribed.
-  private def fpBrute(samples: Seq[Long]): Option[Long] = {
-    val frameLen = samples.length / 8
+  private def fpBrute(samples: Seq[Long]): Option[(Long, Long)] = {
+    val frameLen = samples.length / 16
     if (frameLen <= 9) None
-    else Some((0 until 8).flatMap { f =>
-      val fr = samples.slice(f * frameLen, (f + 1) * frameLen)
-      val e = (1 to 9).map(lag =>
-        fr.drop(lag).zip(fr.dropRight(lag)).map { case (a, b) =>
-          (a - b) * (a - b)
-        }.sum)
-      (0 until 8).map(c => e(c + 1) > e(c))
-    }.zipWithIndex.collect { case (true, i) => 1L << (63 - i) }
-      .foldLeft(0L)(_ | _))
+    else {
+      val bits = (0 until 16).flatMap { f =>
+        val fr = samples.slice(f * frameLen, (f + 1) * frameLen)
+        val e = (1 to 9).map(lag =>
+          fr.drop(lag).zip(fr.dropRight(lag)).map { case (a, b) =>
+            (a - b) * (a - b)
+          }.sum)
+        (0 until 8).map(c => e(c + 1) > e(c))
+      }
+      val hi = bits.take(64).zipWithIndex
+        .collect { case (true, i) => 1L << (63 - i) }.foldLeft(0L)(_ | _)
+      val lo = bits.drop(64).zipWithIndex
+        .collect { case (true, i) => 1L << (63 - i) }.foldLeft(0L)(_ | _)
+      Some((hi, lo))
+    }
   }
 
   private def rndSamples(seed: String, n: Int = 512): Array[Long] = {
@@ -1095,28 +1101,29 @@ class TextMmSpec extends SparkSpec {
       .take(n).toArray
   }
 
-  test("audioFp64: planted patterns, brute-force replay, DC/scale invariance, short drop") {
+  test("audioFp128: planted patterns, brute-force replay, DC/scale invariance, short drop") {
     // constant signal: every band energy 0, no strict rise -> fp 0
-    assert(Multimodal.audioFp64(Array.fill(512)(100L)) == Some(0L))
+    assert(Multimodal.audioFp128(Array.fill(512)(100L)) == Some((0L, 0L)))
     // pure alternation +A/-A: odd lags carry all the energy, even lags
-    // none -> per frame bits 01010101 -> 0x55 bytes
+    // none -> per frame bits 01010101 -> 0x55 bytes in both words
     val alt = Array.tabulate(512)(i => if (i % 2 == 0) 50L else -50L)
-    assert(Multimodal.audioFp64(alt) == Some(0x5555555555555555L))
+    assert(Multimodal.audioFp128(alt) ==
+      Some((0x5555555555555555L, 0x5555555555555555L)))
     // pseudorandom clips match the independent replay
     for (seed <- Seq("a", "b", "c")) {
       val s = rndSamples(seed)
-      assert(Multimodal.audioFp64(s) == fpBrute(s.toSeq))
+      assert(Multimodal.audioFp128(s) == fpBrute(s.toSeq))
     }
     // DC offset cancels exactly; exact scaling preserves every order
     val s = rndSamples("dc")
-    val fp = Multimodal.audioFp64(s)
-    assert(Multimodal.audioFp64(s.map(_ + 37L)) == fp)
-    assert(Multimodal.audioFp64(s.map(_ * 4L)) == fp)
-    // too short: frameLen must exceed the deepest lag
-    assert(Multimodal.audioFp64(Array.fill(72)(1L)).isEmpty)
-    // bit layout must be 64 wide exactly
+    val fp = Multimodal.audioFp128(s)
+    assert(Multimodal.audioFp128(s.map(_ + 37L)) == fp)
+    assert(Multimodal.audioFp128(s.map(_ * 4L)) == fp)
+    // too short: frameLen must exceed the deepest lag (144/16 = 9)
+    assert(Multimodal.audioFp128(Array.fill(144)(1L)).isEmpty)
+    // bit layout must be 128 wide exactly
     intercept[IllegalArgumentException] {
-      Multimodal.audioFp64(s, nFrames = 4, nBands = 9)
+      Multimodal.audioFp128(s, nFrames = 4, nBands = 9)
     }
   }
 
@@ -1130,10 +1137,10 @@ class TextMmSpec extends SparkSpec {
     assert(got.map(_.doc_id).toSeq == Seq(1L))
     // decoded u8 arrives as u - 128; differences cancel the bias, so
     // the decoded fp must equal the fp of the raw unsigned stream
-    val want = Multimodal.audioFp64(u.map(_.toLong)).get
-    assert(got.head.fp_i64 == want)
-    assert(got.head.fp ==
-      String.format("%016x", java.lang.Long.valueOf(want)))
+    val (hi, lo) = Multimodal.audioFp128(u.map(_.toLong)).get
+    assert(got.head.fp_hi == hi && got.head.fp_lo == lo)
+    assert(got.head.fp == String.format("%016x%016x",
+      java.lang.Long.valueOf(hi), java.lang.Long.valueOf(lo)))
     assert(got.head.n_samples == 512L)
   }
 
@@ -1146,9 +1153,10 @@ class TextMmSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "audio",
         Multimodal.pcmWavU8(rndSamples("other").map(_.toInt)), 0, 0, 0),
     ).toDS()
-    val wantHam = java.lang.Long.bitCount(
-      Multimodal.audioFp64(u.map(_.toLong)).get ^
-        Multimodal.audioFp64(releveled.map(_.toLong)).get)
+    val (h1, l1) = Multimodal.audioFp128(u.map(_.toLong)).get
+    val (h2, l2) = Multimodal.audioFp128(releveled.map(_.toLong)).get
+    val wantHam = java.lang.Long.bitCount(h1 ^ h2) +
+      java.lang.Long.bitCount(l1 ^ l2)
     assert(wantHam <= 3) // the planted transform must be recoverable
     val got = Multimodal.audioNearDups(media, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -1159,14 +1167,17 @@ class TextMmSpec extends SparkSpec {
   }
 
   test("audioNearDupsDelta: cross + in-batch pairs, equals one-shot on batch-touching pairs") {
-    def row(id: Long, h: Long) =
-      (id, 512L, h, String.format("%016x", java.lang.Long.valueOf(h)))
+    def row(id: Long, lo: Long) =
+      (id, 512L, 0L, lo, String.format("%016x%016x",
+        java.lang.Long.valueOf(0L), java.lang.Long.valueOf(lo)))
     val index = Seq(row(1L, 0L), row(2L, 0x7000000000000000L)).toDF(
-      "doc_id", "n_samples", "fp_i64", "fp")
+      "doc_id", "n_samples", "fp_hi", "fp_lo", "fp")
     val batch = Seq(row(10L, 1L), row(11L, 3L), row(12L, 0x7000000000000001L))
-      .toDF("doc_id", "n_samples", "fp_i64", "fp")
+      .toDF("doc_id", "n_samples", "fp_hi", "fp_lo", "fp")
     val got = Multimodal.audioNearDupsDelta(index, batch, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // index pair 1-2 (hamming 3) must NOT appear: delta covers only
+    // batch-touching pairs
     assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1),
       (10L, 11L, 1), (10L, 12L, 3)))
   }
