@@ -1291,6 +1291,18 @@ object SparkEntry {
           size(col("tokens")).cast("long").as("n_tokens"),
           (col("total_logp") * lit(-1.0)).cast("long").as("total_cost"))
         .orderBy("doc_id")),
+    "d_unigram_sample" -> ((s, d) =>
+      // subword-REGULARIZED encode (the Kudo paper's point): one
+      // exact P(x)^alpha sample per word, deterministically seeded
+      // per (seed, doc, word ordinal) — reproducible, partition-
+      // independent, but not SQL-replayable (splitmix RNG): rows-only
+      // + the segmentation-law spec (UnigramSpec)
+      graft.text.Unigram.encodeSampled(Tables.documents(s, d),
+          SparkEntry.unigramFrozen, alpha = 0.5, seed = 42L)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id")),
     "q_funnel_windowed" -> ((s, d) =>
       // the funnel with a 2-hour per-step conversion window — a
       // chain spread over a month is not a conversion

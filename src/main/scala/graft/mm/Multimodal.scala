@@ -1085,11 +1085,12 @@ object Multimodal {
     val bands = (0 until nBands).map(i =>
       struct(lit(i).as("band_idx"),
         substring(col("fp"), i * width + 1, width).as("band")))
+    // keep every input column (windowed callers thread window_idx)
     fps
-      .select(col(idCol), col("fp_hi"), col("fp_lo"),
-        explode(array(bands: _*)).as("b"))
-      .select(col(idCol), col("fp_hi"), col("fp_lo"),
-        col("b.band_idx").as("band_idx"), col("b.band").as("band"))
+      .withColumn("__b", explode(array(bands: _*)))
+      .withColumn("band_idx", col("__b.band_idx"))
+      .withColumn("band", col("__b.band"))
+      .drop("__b")
   }
 
   /** Near-duplicate audio pairs by fingerprint hamming distance —
@@ -1163,6 +1164,99 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
     cross.unionByName(audioPairsOf(newH, maxHamming, idCol)).distinct()
+  }
+
+  final case class AudioFpWindowRow(doc_id: Long, window_idx: Long,
+                                    fp_hi: Long, fp_lo: Long, fp: String)
+
+  /** Per-WINDOW fingerprints for long audio — the [[frameHashes]]
+    * analogue on a 1-D signal: the decoded PCM splits into fixed
+    * windows of `windowSamples` advancing by `hop` (default:
+    * non-overlapping), one [[audioFp128]] per complete window (the
+    * ragged tail drops, windows too short for the lag bank drop).
+    * Whole-clip fingerprints break when a long recording is trimmed
+    * or spliced; window fingerprints survive because untouched
+    * windows still hash within a few bits.
+    */
+  def audioFingerprintWindows(media: Dataset[MediaRow],
+                              windowSamples: Int = 4096, hop: Int = 0,
+                              nFrames: Int = 16, nBands: Int = 9)
+      : Dataset[AudioFpWindowRow] = {
+    require(windowSamples > nFrames * nBands,
+      s"windowSamples too small for the lag bank: $windowSamples")
+    val step = if (hop <= 0) windowSamples else hop
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        pcmSamples(r.payload).toSeq.flatMap { p =>
+          Iterator.from(0).map(_ * step)
+            .takeWhile(_ + windowSamples <= p.samples.length)
+            .zipWithIndex.flatMap { case (off, wi) =>
+              audioFp128(java.util.Arrays.copyOfRange(
+                p.samples, off, off + windowSamples), nFrames, nBands)
+                .map { case (hi, lo) =>
+                  AudioFpWindowRow(r.doc_id, wi.toLong, hi, lo,
+                    String.format("%016x%016x",
+                      java.lang.Long.valueOf(hi), java.lang.Long.valueOf(lo)))
+                }
+            }.toSeq
+        }
+      }
+    }
+  }
+
+  /** Long-audio near-dup by WINDOW-fingerprint overlap — the
+    * [[videoNearDups]] contract with hamming tolerance: candidate
+    * window pairs come from the [[audioNearDups]] banding (pigeonhole
+    * over 32-bit slices), verify is the exact two-word popcount, and
+    * doc pairs aggregate matched-window counts plus the matched
+    * FRACTION of each side's windows (a trimmed copy matches a high
+    * fraction of the SHORTER side). Same-doc matches are excluded;
+    * output: (doc_a, doc_b, n_window_pairs, frac_a, frac_b), filtered
+    * to `minFrac` on the smaller side's fraction.
+    *
+    * Scale shape: one exchange on the band key over WINDOW-shaped
+    * rows (16 bytes a window), candidate-bounded verify, counts-only
+    * aggregation — payloads decode once and die in the task.
+    */
+  def audioNearDupsWindowed(media: Dataset[MediaRow], maxHamming: Int = 3,
+                            windowSamples: Int = 4096, hop: Int = 0,
+                            minFrac: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fps = audioFingerprintWindows(media, windowSamples, hop).toDF()
+      .localCheckpoint(false)
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val melted = meltAudioBands(
+      fps.select(col("doc_id"), col("window_idx"), col("fp_hi"),
+        col("fp_lo"), col("fp")), "doc_id", maxHamming)
+      .select(col("doc_id"), col("window_idx"), col("fp_hi"),
+        col("fp_lo"), col("band_idx"), col("band"))
+    val a = melted.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_a"), col("window_idx").as("win_a"),
+      col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    val b = melted.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_b"), col("window_idx").as("win_b"),
+      col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"))
+    val winPairs = a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "win_a", "hi_a", "lo_a",
+        "doc_b", "win_b", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+    winPairs
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_window_pairs"),
+        countDistinct(col("win_a")).as("__ma"),
+        countDistinct(col("win_b")).as("__mb"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_win").as("__na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_win").as("__nb")), "doc_b")
+      .withColumn("frac_a", round(col("__ma") / col("__na"), 6))
+      .withColumn("frac_b", round(col("__mb") / col("__nb"), 6))
+      .filter(greatest(col("frac_a"), col("frac_b")) >= minFrac)
+      .select("doc_a", "doc_b", "n_window_pairs", "frac_a", "frac_b")
   }
 
   /** Minimal RIFF/WAVE encode of unsigned 8-bit mono PCM — the audio

@@ -270,6 +270,106 @@ object Unigram {
     (out.result().toArray, best(n))
   }
 
+  /** Sample one segmentation of `word` from P(x)^alpha (Kudo 2018
+    * §3.2, subword regularization — the reason unigram-LM exists as a
+    * TRAINING-time tokenizer: each epoch sees a different sampled
+    * segmentation, a regularizer BPE cannot express). Exact
+    * forward-filtering backward-sampling on the alpha-tempered
+    * lattice: scaling every edge log-prob by alpha makes the tempered
+    * forward weights alpha_t(j), and walking backward from the end,
+    * edge (i, j) is drawn with probability
+    * exp(alpha_t(i) + alpha*lp(i,j) − alpha_t(j)) — an EXACT sample,
+    * not Metropolis. alpha → inf approaches Viterbi; alpha = 0 is
+    * uniform over segmentations.
+    */
+  private[graft] def sampleWord(word: String, model: Model, alpha: Double,
+                                rng: java.util.SplittableRandom)
+      : Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val maxL = math.max(1, model.maxPieceLen)
+    def lp(i: Int, j: Int): Double = {
+      val s = word.substring(i, j)
+      model.pieces.getOrElse(s,
+        if (j - i == 1) model.unkScore else Double.NegativeInfinity)
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+    val at = Array.fill(n + 1)(Double.NegativeInfinity)
+    at(0) = 0.0
+    for (j <- 1 to n; i <- math.max(0, j - maxL) until j)
+      at(j) = lse(at(j), at(i) + alpha * lp(i, j))
+    if (at(n) == Double.NegativeInfinity) {
+      // fully disconnected can't happen (unk edges), but stay total
+      return viterbiWord(word, model)._1
+    }
+    val rev = List.newBuilder[(Int, Int)]
+    var pos = n
+    while (pos > 0) {
+      val lo = math.max(0, pos - maxL)
+      val ws = (lo until pos).map { i =>
+        val l = lp(i, pos)
+        if (l == Double.NegativeInfinity ||
+          at(i) == Double.NegativeInfinity) 0.0
+        else math.exp(at(i) + alpha * l - at(pos))
+      }
+      val total = ws.sum
+      val u = rng.nextDouble() * total
+      var k = -1
+      var acc = 0.0
+      var m = 0
+      while (m < ws.length) {
+        if (ws(m) > 0) { acc += ws(m); if (k < 0 && u < acc) k = m }
+        m += 1
+      }
+      if (k < 0) k = ws.lastIndexWhere(_ > 0) // fp-rounding tail
+      val i = lo + k
+      rev += ((i, pos))
+      pos = i
+    }
+    rev.result().reverse.map { case (a, b) => word.substring(a, b) }.toArray
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Sampled (subword-regularized) corpus encode: per word, one
+    * segmentation drawn from P(x)^alpha via [[sampleWord]]. The RNG
+    * seeds deterministically per (seed, doc, word ordinal) — splitmix
+    * of the triple — so output is reproducible and partition-
+    * independent (the d_sample_portable convention: randomness from
+    * content keys, never from partition layout), and a new `seed` per
+    * epoch yields the fresh segmentations the regularizer wants.
+    */
+  def encodeSampled(docs: DataFrame, model: Model, alpha: Double = 0.5,
+                    seed: Long = 0L, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var wi = 0
+        val toks = text.split(" ").iterator.filter(_.nonEmpty)
+          .flatMap { w =>
+            val rng = new java.util.SplittableRandom(
+              mix64(mix64(seed ^ id) ^ wi))
+            wi += 1
+            sampleWord(w, bc.value, alpha, rng)
+          }.toArray
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** Encode the corpus under a trained model: (idCol, tokens,
     * total_logp) with each word's Viterbi pieces in document order
     * and the summed segmentation log-prob. Model broadcasts

@@ -23,6 +23,7 @@ class EntryConsistencySpec extends AnyFunSuite {
     "d_embed_outliers", "d_embed_pca", "d_semdedup",     // float-sum class
     "d_pipeline_curate",                                 // xxhash64 chain
     "d_quality_classifier",                              // iterative descent
+    "d_unigram_sample",                                  // splitmix RNG draw
     "d_unigram_tok_train",                               // float EM class
     "q_approx_distinct")                                 // HLL
 

@@ -1166,6 +1166,46 @@ class TextMmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("audioNearDupsWindowed: spliced copy found via surviving windows, fractions exact") {
+    // doc 1 = windows [w0 w1 w2 w3]; doc 2 = [w1' w2' f0 f1] — a
+    // trimmed re-leveled splice keeping half the material; doc 3 all
+    // fresh. Window grid is fixed, so matching is by CONTENT, not
+    // alignment.
+    val win = 512
+    def w(seed: String) = rndSamples(seed, win).map(_.toInt)
+    def relevel(u: Array[Int]) = u.map(x => x * 9 / 10)
+    val a = Array("w0", "w1", "w2", "w3").flatMap(w)
+    val b2 = relevel(w("w1")) ++ relevel(w("w2")) ++ w("f0") ++ w("f1")
+    val c3 = Array("g0", "g1", "g2", "g3").flatMap(w)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.pcmWavU8(a), 0, 0, 0),
+      Multimodal.MediaRow(2L, "audio", Multimodal.pcmWavU8(b2), 0, 0, 0),
+      Multimodal.MediaRow(3L, "audio", Multimodal.pcmWavU8(c3), 0, 0, 0),
+    ).toDS()
+    // expected matches from the kernel itself: re-leveled windows stay
+    // within the radius (assert, so the fixture can't silently rot)
+    def fp(u: Array[Int]) = Multimodal.audioFp128(u.map(_.toLong)).get
+    def ham(x: (Long, Long), y: (Long, Long)) =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    assert(ham(fp(w("w1")), fp(relevel(w("w1")))) <= 3)
+    assert(ham(fp(w("w2")), fp(relevel(w("w2")))) <= 3)
+    val got = Multimodal.audioNearDupsWindowed(media, maxHamming = 3,
+        windowSamples = win)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    val (n, fa, fb) = got((1L, 2L))
+    assert(n == 2L && fa == 0.5 && fb == 0.5)
+    // minFrac gates on the larger side's fraction
+    assert(Multimodal.audioNearDupsWindowed(media, maxHamming = 3,
+      windowSamples = win, minFrac = 0.6).count() == 0L)
+    // hop < window: overlapping windows still find the pair
+    val hop = Multimodal.audioNearDupsWindowed(media, maxHamming = 3,
+        windowSamples = win, hop = win / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hop.contains((1L, 2L)))
+  }
+
   test("audioNearDupsDelta: cross + in-batch pairs, equals one-shot on batch-touching pairs") {
     def row(id: Long, lo: Long) =
       (id, 512L, 0L, lo, String.format("%016x%016x",

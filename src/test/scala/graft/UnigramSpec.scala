@@ -94,6 +94,45 @@ class UnigramSpec extends SparkSpec {
     assert(again(1L) == got(1L)._1)
   }
 
+  test("encodeSampled: exact segmentation law, alpha limits, reproducible, partition-free") {
+    // "ab" under p(a)=p(b)=0.4, p(ab)=0.2 has two segmentations with
+    // P([ab]) = 0.2/0.36 = 5/9 at alpha=1. Sample over 3000 docs and
+    // check the empirical law (3-sigma band ~ 0.027).
+    val m = model("a" -> math.log(0.4), "b" -> math.log(0.4),
+      "ab" -> math.log(0.2))
+    val docs = (1L to 3000L).map((_, "ab")).toDF("doc_id", "text")
+    def fracWhole(alpha: Double, seed: Long): Double = {
+      val rows = Unigram.encodeSampled(docs, m, alpha, seed).collect()
+      rows.count(_.getSeq[String](1) == Seq("ab")).toDouble / rows.length
+    }
+    val f1 = fracWhole(1.0, 7L)
+    assert(math.abs(f1 - 5.0 / 9) < 0.03, s"alpha=1 law: $f1")
+    // alpha=0: uniform over the two segmentations
+    val f0 = fracWhole(0.0, 7L)
+    assert(math.abs(f0 - 0.5) < 0.03, s"alpha=0 uniform: $f0")
+    // tempered law at alpha=16: (0.2/0.16)^16 / (1 + (0.2/0.16)^16)
+    // = 0.9726... — the measured 0.97 is the THEORY, not noise
+    val f16 = fracWhole(16.0, 7L)
+    val want16 = math.pow(1.25, 16) / (1 + math.pow(1.25, 16))
+    assert(math.abs(f16 - want16) < 0.02, s"alpha=16 law: $f16 vs $want16")
+    // large alpha: collapses to Viterbi ([ab] wins: 1.25^64 ~ 1.6e6)
+    assert(fracWhole(64.0, 7L) > 0.999)
+    // reproducible under the same seed, different under another,
+    // partition-independent (the d_sample_portable contract)
+    val a = Unigram.encodeSampled(docs, m, 1.0, 7L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = Unigram.encodeSampled(docs.repartition(11), m, 1.0, 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+    val c = Unigram.encodeSampled(docs, m, 1.0, 8L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(c != a)
+    // every sample tiles the word; unk chars survive
+    val z = Unigram.encodeSampled(Seq((1L, "axb")).toDF("doc_id", "text"),
+      m, 1.0, 7L).head().getSeq[String](1)
+    assert(z.mkString == "axb")
+  }
+
   test("seedPieces: substring counts freq-weighted, capped length") {
     val docs = Seq((1L, "abc abc"), (2L, "ab")).toDF("doc_id", "text")
     val got = Unigram.seedPieces(docs, seedSize = 100, maxPieceLen = 2)
