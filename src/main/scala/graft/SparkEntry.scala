@@ -87,6 +87,22 @@ object SparkEntry {
         "an").map(_ -> -7.0).toMap,
       unkScore = -5.0)
 
+  /** d_wordpiece_encode's frozen vocabulary: initial singles +
+    * `##`-continuation singles for the corpus' characters, plus
+    * multi-char pieces chosen so greedy longest-match makes genuine
+    * decisions ("tab"+"##le" beats "ta"; "sp" rescues 'spark' from
+    * the missing "##p"; "##dow" is dead because "wind" wins first).
+    * `##p` is deliberately ABSENT so 'dup'/'group' exercise the
+    * whole-word `[UNK]` rule.
+    */
+  private[graft] val wordpieceFrozen: Seq[String] =
+    Seq("a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o",
+      "p", "q", "r", "s", "t", "v", "w",
+      "the", "ta", "tab", "sp", "val", "str", "wind") ++
+    Seq("a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n",
+      "o", "r", "s", "t", "u", "w", "y",
+      "le", "ine", "er", "ow", "ue", "eam", "dow").map("##" + _)
+
   /** Group (blob_id, doc_id, record-bytes) rows into multi-record WARC
     * blobs: byte layout deterministic (records sorted by id within a
     * blob), blob COUNT scales with the corpus (callers shard by
@@ -1303,6 +1319,25 @@ object SparkEntry {
           size(col("tokens")).cast("long").as("n_tokens"),
           concat_ws(" ", col("tokens")).as("tokens_str"))
         .orderBy("doc_id")),
+    "d_wordpiece_encode" -> ((s, d) =>
+      // WordPiece INFERENCE on the hash path: greedy longest-match
+      // under the frozen `##`-prefixed vocabulary, whole-word [UNK]
+      // on failure (the BERT rule); the oracle re-derives each
+      // distinct word's greedy path by recursive-CTE walk over
+      // per-position longest matches — same function, independent
+      // mechanics
+      graft.text.Wordpiece.encode(Tables.documents(s, d),
+          SparkEntry.wordpieceFrozen)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id")),
+    "d_wordpiece_pairs" -> ((s, d) =>
+      // WordPiece training's round-0 LIKELIHOOD ranking as a
+      // declarative query: score = cnt/(ca*cb) in double — one
+      // multiply + one divide, IEEE-identical in any engine
+      graft.text.Wordpiece.initialPairScores(Tables.documents(s, d),
+        limit = 50)),
     "q_funnel_windowed" -> ((s, d) =>
       // the funnel with a 2-hour per-step conversion window — a
       // chain spread over a month is not a conversion
@@ -4248,6 +4283,81 @@ object SparkEntry {
         |  CAST(len(string_split(array_to_string(toks, ' '), ' ')) AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS fertility
         |FROM enc ORDER BY doc_id""".stripMargin,
+    "d_wordpiece_encode" ->
+      // greedy longest-match replayed as a recursive-CTE walk: per
+      // (word, position) the LONGEST matching vocab piece (initial vs
+      // ## form keyed off position), the greedy path advances by that
+      // length, a word whose path never reaches len(w) is [UNK]; docs
+      // reassemble token strings by word ordinal. The VALUES list is
+      // interpolated from the SAME frozen Scala vocabulary.
+      s"""WITH RECURSIVE vocab(p) AS (VALUES ${wordpieceFrozen.map(p => s"('$p')").mkString(", ")}),
+        |vocab0 AS (
+        |  SELECT CASE WHEN p LIKE '##%' THEN substring(p, 3) ELSE p END AS s,
+        |         (p LIKE '##%') AS cont
+        |  FROM vocab),
+        |docw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(t.i AS INT) AS i,
+        |         list_extract(ws, CAST(t.i AS INT)) AS w
+        |  FROM docw, UNNEST(range(1, len(ws) + 1)) t(i)),
+        |dwords AS (SELECT DISTINCT w FROM occ),
+        |matches AS (
+        |  SELECT d.w, CAST(t.i AS INT) AS i, CAST(max(len(v.s)) AS INT) AS mlen
+        |  FROM dwords d
+        |  CROSS JOIN UNNEST(range(0, len(d.w))) t(i)
+        |  JOIN vocab0 v
+        |    ON v.cont = (t.i > 0)
+        |   AND substring(d.w, CAST(t.i AS INT) + 1, CAST(len(v.s) AS INT)) = v.s
+        |  GROUP BY d.w, t.i),
+        |greedy(w, pos, toks, nt) AS (
+        |  SELECT w, 0, CAST('' AS VARCHAR), 0 FROM dwords
+        |  UNION ALL
+        |  SELECT g.w, g.pos + m.mlen,
+        |    g.toks || CASE WHEN g.pos = 0 THEN '' ELSE ' ##' END ||
+        |      substring(g.w, g.pos + 1, m.mlen),
+        |    g.nt + 1
+        |  FROM greedy g JOIN matches m ON m.w = g.w AND m.i = g.pos
+        |  WHERE g.pos < len(g.w)),
+        |done AS (SELECT w, toks, nt FROM greedy WHERE pos = len(w)),
+        |wordtok AS (
+        |  SELECT d.w,
+        |    CASE WHEN len(d.w) > 100 OR dn.w IS NULL THEN '[UNK]' ELSE dn.toks END AS toks,
+        |    CASE WHEN len(d.w) > 100 OR dn.w IS NULL THEN 1 ELSE dn.nt END AS nt
+        |  FROM dwords d LEFT JOIN done dn ON dn.w = d.w)
+        |SELECT dd.doc_id,
+        |  CAST(coalesce(sum(wt.nt), 0) AS BIGINT) AS n_tokens,
+        |  coalesce(array_to_string(list(wt.toks ORDER BY o.i), ' '), '') AS tokens_str
+        |FROM documents dd
+        |LEFT JOIN occ o ON o.doc_id = dd.doc_id
+        |LEFT JOIN wordtok wt ON wt.w = o.w
+        |GROUP BY dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
+    "d_wordpiece_pairs" ->
+      // round-0 likelihood scores: unigram and adjacent-pair symbol
+      // counts from the same word-freq table, score = cnt/(ca*cb)
+      """WITH wf AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |syms AS (
+        |  SELECT w, freq, CAST(t.i AS INT) AS i,
+        |    CASE WHEN t.i = 1 THEN substring(w, 1, 1)
+        |         ELSE '##' || substring(w, CAST(t.i AS INT), 1) END AS sym
+        |  FROM wf, UNNEST(range(1, len(w) + 1)) t(i)),
+        |uni AS (SELECT sym, sum(freq) AS ucnt FROM syms GROUP BY sym),
+        |pairs AS (
+        |  SELECT a.sym AS a, b.sym AS b, sum(a.freq) AS cnt
+        |  FROM syms a JOIN syms b ON a.w = b.w AND b.i = a.i + 1
+        |  GROUP BY a.sym, b.sym)
+        |SELECT p.a, p.b, CAST(p.cnt AS BIGINT) AS cnt,
+        |  CAST(p.cnt AS DOUBLE) /
+        |    (CAST(ua.ucnt AS DOUBLE) * CAST(ub.ucnt AS DOUBLE)) AS score
+        |FROM pairs p
+        |JOIN uni ua ON ua.sym = p.a
+        |JOIN uni ub ON ub.sym = p.b
+        |ORDER BY score DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     "q_funnel_windowed" ->
       // greedy earliest-reach == sequential correlated minima:
       // t0 = min(view); t1 = min(click) in (t0, t0+2h];

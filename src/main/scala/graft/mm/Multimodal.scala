@@ -1273,7 +1273,10 @@ object Multimodal {
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    ascii("RIFF"); u32(36L + n); ascii("WAVE")
+    // RIFF requires odd chunks padded to even; data-chunk size stays
+    // n, the pad byte counts toward the enclosing RIFF size
+    val pad = n % 2
+    ascii("RIFF"); u32(36L + n + pad); ascii("WAVE")
     ascii("fmt "); u32(16L); u16(1); u16(1) // PCM, mono
     u32(sampleRate.toLong); u32(sampleRate.toLong) // byte rate = rate (8-bit mono)
     u16(1); u16(8) // block align, bits
@@ -1282,6 +1285,7 @@ object Multimodal {
       require(s >= 0 && s <= 255, s"u8 sample out of range: $s")
       out.write(s)
     }
+    if (pad == 1) out.write(0)
     out.toByteArray
   }
 

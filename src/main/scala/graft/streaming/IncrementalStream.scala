@@ -252,6 +252,50 @@ object IncrementalStream {
           timeCol, tieBreak)
       }
 
+  /** One CDC-changelog micro-batch merge — the streaming form of
+    * [[graft.sync.SyncOps.applyChangeLog]], exposed for replay
+    * testing. The standing snapshot's layout is the batch minus the
+    * op column (the order column stays — it is the row's version);
+    * the first committed batch freezes it. The batch-id skip makes a
+    * replayed committed batch a no-op (the sinkScd2 contract), and
+    * applyChangeLog's last-wins algebra makes the maintained snapshot
+    * row-identical to one applyChangeLog over the concatenated log —
+    * for any micro-batching, provided batches arrive in (orderCol,
+    * tieBreak) order per key (true of a real change feed; Debezium
+    * partitions by key precisely to guarantee it).
+    */
+  def mergeCdcBatch(batch: DataFrame, batchId: Long, targetDir: String,
+                    keys: Seq[String], opCol: String, orderCol: String,
+                    tieBreak: String): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, targetDir)
+    if (store.lastCommittedBatch.exists(batchId <= _)) return // replay
+    val target = store.read().getOrElse(batch.drop(opCol).limit(0))
+    val merged = graft.sync.SyncOps.applyChangeLog(
+      target, batch, keys, opCol, orderCol, tieBreak)
+    store.commit(merged, batchId)
+  }
+
+  /** Streaming CDC sink (foreachBatch): every micro-batch of
+    * insert/update/delete envelopes merges into a parquet snapshot —
+    * the Debezium-stream story the reference's incremental sync
+    * gestures at (reference: oracle_source.py:239 incremental
+    * fetch), closed as a streaming sink: per key the LAST envelope
+    * wins, a final delete removes the key, untouched keys pass
+    * through. The target is a [[SnapshotStore]] (fresh snapshot dir
+    * per batch + atomic pointer swap); read back with
+    * [[readUpsertTarget]] over `targetDir`.
+    */
+  def sinkCdc(df: DataFrame, targetDir: String, checkpointDir: String,
+              keys: Seq[String], opCol: String, orderCol: String,
+              tieBreak: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCdcBatch(batch, batchId, targetDir, keys, opCol, orderCol,
+          tieBreak)
+      }
+
   /** One aggregate-state micro-batch merge — exposed for direct replay
     * testing. foreachBatch is at-least-once and a state MERGE is NOT
     * idempotent: after a failure between the state write and the
@@ -526,7 +570,7 @@ object IncrementalStream {
 
   /** One micro-batch of incremental AUDIO near-dup ingest — the
     * [[imageDedupBatch]] contract over [[graft.mm.Multimodal.audioFingerprint]]
-    * rows: the standing index holds (id, count, 8-byte fingerprint)
+    * rows: the standing index holds (id, count, 16-byte fingerprint)
     * rows only — payloads are never re-read or re-decoded — and the
     * batch's bands broadcast against the index's. Replay-idempotent
     * the same way: the index read excludes the replayed batch's own

@@ -58,13 +58,21 @@ object Unigram {
     val wf = Bpe.wordFreq(docs, textCol)
     val sp = docs.sparkSession
     import sp.implicits._
-    wf.as[(String, Long)].flatMap { case (w, f) =>
+    val subs = wf.as[(String, Long)].flatMap { case (w, f) =>
       for {
         i <- 0 until w.length
         l <- 1 to math.min(maxPieceLen, w.length - i)
       } yield (w.substring(i, i + l), f)
     }.toDF("piece", "freq")
       .groupBy("piece").agg(sum("freq").as("cnt"))
+    // top seedSize by (count desc, piece asc), PLUS every corpus
+    // single character regardless of rank — coverage is what makes
+    // Model's "fallback unreachable on its own training corpus" hold
+    // even when seedSize is small and a rare character's substrings
+    // all miss the cut
+    subs.orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .union(subs.filter(length(col("piece")) === 1))
+      .groupBy("piece").agg(max("cnt").as("cnt"))
   }
 
   /** Forward-backward expected piece counts for one word under the
@@ -172,8 +180,9 @@ object Unigram {
     val wf = Bpe.wordFreq(docs, textCol)
     wf.persist()
     try {
+      // seedPieces already applies the (count desc, piece asc) limit
+      // and pins all corpus single characters on top of seedSize
       val seeds = seedPieces(docs, seedSize, maxPieceLen, textCol)
-        .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val singles = seeds.keysIterator.filter(_.length == 1).toSet ++
         seeds.keysIterator.flatMap(_.iterator.map(_.toString))

@@ -55,9 +55,13 @@ object AudioDedupProbe {
         f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     t0 = System.nanoTime()
+    // the production meltAudioBands scheme at maxHamming=3: 4 bands
+    // of 8 hex chars (32 bits) covering the full 128-bit fingerprint
+    // — 16-bit slices would inflate birthday collisions and
+    // misattribute candidate volume
     val melted = fps.select(col("doc_id"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
-        substring(col("fp"), i * 4 + 1, 4).as("band"))): _*)).as("b"))
+        substring(col("fp"), i * 8 + 1, 8).as("band"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band"))
     val cand = melted.as("a").join(melted.as("b"), Seq("band_idx", "band"))
       .filter(col("a.doc_id") < col("b.doc_id")).count()

@@ -189,6 +189,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cdc micro-batch merges converge to one-shot applyChangeLog; replay is a no-op") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    // synthetic Debezium-ish envelopes: a purchase closes the account
+    // (delete); anything else upserts the row
+    val log = ev.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"),
+      when(col("event_type") === "purchase", lit("delete"))
+        .otherwise(lit("upsert")).as("op"))
+    val tgt = tempDir("graft_cdc_tgt") + "/t"
+    val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+      "2024-01-25 00:00:00", "2099-01-01 00:00:00")
+    var lo = "1970-01-01 00:00:00"
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val wave = log.filter(col("ts") > lit(lo).cast("timestamp") &&
+        col("ts") <= lit(hi).cast("timestamp"))
+      IncrementalStream.mergeCdcBatch(wave, i.toLong, tgt,
+        Seq("user_id"), "op", "ts", "event_id")
+      lo = hi
+    }
+    // at-least-once replay of an already-committed batch: no-op
+    IncrementalStream.mergeCdcBatch(
+      log.filter(col("ts") <= lit(cuts.head).cast("timestamp")),
+      0L, tgt, Seq("user_id"), "op", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"),
+        col("ts").cast("string"), col("event_type"))
+        .as[(Long, Long, String, String)].collect().toSet
+    val got = canon(IncrementalStream.readUpsertTarget(spark, tgt).get)
+    val want = canon(graft.sync.SyncOps.applyChangeLog(
+      log.drop("op").limit(0), log, Seq("user_id"), "op", "ts", "event_id"))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the delete rule has bite: users whose LAST envelope is a
+    // purchase are absent from the snapshot
+    val lastDeleted = graft.sync.SyncOps
+      .upsertKeepLatest(log, Seq("user_id"), "ts", "event_id")
+      .filter(col("op") === "delete")
+      .select("user_id").as[Long].collect().toSet
+    assert(lastDeleted.nonEmpty)
+    assert(got.forall(r => !lastDeleted.contains(r._1)))
+  }
+
   test("image-dedup micro-batches: cross-wave pairs found, replay no-op, == one-shot") {
     import graft.mm.Multimodal
     def img(id: Long, seed: Long, flip: Boolean): Multimodal.MediaRow = {
