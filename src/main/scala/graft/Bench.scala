@@ -69,22 +69,15 @@ object Bench {
     * around a run is the run's whole GC bill (including work the stage
     * labels misattribute).
     */
-  private def jvmGcMs(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-  }
+  private def jvmGcMs(): Long = graft.tools.JvmCounters.gcMs()
 
   /** Whole-stage-codegen compilations so far in this JVM (count, total
     * bytecode bytes). A nonzero per-run delta on a STEADY-STATE run
     * means the generated-class cache is missing — each miss serializes
     * every task of the stage behind one Janino compile.
     */
-  private def codegenStats(): (Long, Long) = {
-    val m = org.apache.spark.metrics.source.CodegenMetrics
-    (m.METRIC_COMPILATION_TIME.getCount,
-      m.METRIC_GENERATED_METHOD_BYTECODE_SIZE.getCount)
-  }
+  private def codegenStats(): (Long, Long) =
+    graft.tools.JvmCounters.codegenStats()
 
   /** Total JIT compilation milliseconds so far in this JVM. Paired
     * with the GC and process-CPU deltas per run, it attributes
@@ -92,23 +85,12 @@ object Bench {
     * tracked wall is thermal/contention; cpu_sec flat + jit_ms high is
     * warm-up; gc_ms high is allocation pressure.
     */
-  private def jvmJitMs(): Long = {
-    val b = java.lang.management.ManagementFactory.getCompilationMXBean
-    if (b != null && b.isCompilationTimeMonitoringSupported)
-      b.getTotalCompilationTime
-    else -1L
-  }
+  private def jvmJitMs(): Long = graft.tools.JvmCounters.jitMs()
 
   /** Cumulative process CPU seconds (all threads — in local mode the
     * executors live here, so this is the whole compute bill).
     */
-  private def processCpuSec(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case os: com.sun.management.OperatingSystemMXBean =>
-        val t = os.getProcessCpuTime
-        if (t < 0) -1.0 else t / 1e9
-      case _ => -1.0
-    }
+  private def processCpuSec(): Double = graft.tools.JvmCounters.cpuSec()
 
   /** Median with the even-n midpoint averaged (not the biased upper-middle). */
   private def median(xs: Seq[Double]): Double = {

@@ -95,6 +95,15 @@ object SparkEntry {
     * `##p` is deliberately ABSENT so 'dup'/'group' exercise the
     * whole-word `[UNK]` rule.
     */
+  /** d_pq_encode's frozen codebook: 4 subspaces x 4 centroids over
+    * 16 dims each, components ((k + j + s) % 4 - 1.5) / 8 — exact
+    * multiples of 1/16, so every dist = cnorm - 2*dot is an exact
+    * IEEE double and the DuckDB oracle replays the argmin bit for
+    * bit. K=4 keeps hex code pairs to digits (case-free compare).
+    */
+  private[graft] val pqFrozen: Array[Array[Array[Double]]] =
+    Array.tabulate(4, 4, 16) { (s, k, j) => ((k + j + s) % 4 - 1.5) * 0.125 }
+
   private[graft] val wordpieceFrozen: Seq[String] =
     Seq("a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o",
       "p", "q", "r", "s", "t", "v", "w",
@@ -1998,6 +2007,47 @@ object SparkEntry {
           count(when(col("prob") >= 0.5, 1)).as("n_pred_pos"))
         .orderBy("label")
     }),
+    "d_lang_id_learned" -> ((s, d) => {
+      // LEARNED language ID — the CCNet production gate (fastText
+      // langid = softmax over hashed grams) layered on the heuristic:
+      // the testdata's lang column is uncorrelated with its one
+      // shared vocab, so the entry plants per-language marker phrases
+      // (the d_quality_classifier convention), weak-labels every doc
+      // with the HEURISTIC langId, trains the softmax gate on those
+      // weak labels, and rolls up agreement + calibration per
+      // heuristic language. rows-only (iterative descent);
+      // ClassifierSpec pins exact softmax semantics vs a plain-JVM
+      // sequential reference
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            expr("repeat(element_at(" +
+              "map('en', ' the and', 'de', ' der und', 'es', ' el los', " +
+              "'fr', ' le les', 'zh', ' 的 是'), lang), 8)"),
+            lit(" ")).as("text"))
+      val weak = graft.text.TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("pred_lang"))
+      val langArr = array(langs.map(lit): _*)
+      val labels = weak.select(col("doc_id"),
+        (array_position(langArr, col("pred_lang")) - 1).cast("int").as("label"))
+      // raw presence features (the d_quality_classifier conditioning
+      // rationale): the planted markers carry count-8 evidence, so a
+      // few full-batch passes separate decisively
+      val m = graft.pipeline.TextClassifier.trainSoftmax(
+        docs, labels, dim = 1 << 15, nClasses = langs.size,
+        iters = 8, lr = 1.0, l1Normalize = false)
+      graft.pipeline.TextClassifier.scoreSoftmax(docs, m)
+        .join(labels, "doc_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("cls") === col("label"), 1)).as("n_agree"),
+          round(sum(col("prob").cast("decimal(30,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_prob"))
+        .select(element_at(langArr, col("label") + 1).as("weak_lang"),
+          col("n_docs"), col("n_agree"), col("mean_prob"))
+        .orderBy("weak_lang")
+    }),
     "d_ann_quantized" -> ((s, d) =>
       // int8-packed brute-force top-k: quantization, integer dots, and
       // the cosine normalization are all deterministic, so the DuckDB
@@ -2005,6 +2055,30 @@ object SparkEntry {
       Similarity.cosineTopKQuantized(
         Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 10), 10)),
+    "d_ann_pq" -> ((s, d) => {
+      // IVF-PQ: trained coarse router + per-subspace PQ codebooks,
+      // search over the (id, cell, 8-byte code) index with per-query
+      // ADC luts. Rows-only (float k-means class, the d_ann_ivf
+      // contract); PqSpec pins kernel exactness + recall vs brute
+      val emb = Tables.embeddings(s, d)
+      val coarse = graft.sim.Ivf.train(emb, 8, 2)
+      val cb = graft.sim.Pq.train(emb, m = 8, k = 16, iters = 2)
+      graft.sim.Pq.annPq(emb, emb.filter(col("vec_id") < 10), 3,
+        coarse, cb, nprobe = 2)
+    }),
+    "d_pq_encode" -> ((s, d) =>
+      // PQ ENCODE on the hash path: the FROZEN exact-double codebook
+      // makes the per-subspace argmin-L2 (cnorm - 2*dot, ties to the
+      // lowest id) fully replayable; codes surface as hex (K=4 ->
+      // digit pairs, so case never enters)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.l2normalize(
+            transform(col("embedding"), _.cast("double"))).as("nv"))
+        .select(col("vec_id"),
+          hex(graft.functions.PqOps.pqEncode(col("nv"),
+            SparkEntry.pqFrozen)).as("code_hex"))
+        .orderBy("vec_id")),
     "d_embed_quantize" -> ((s, d) =>
       // the harness sorts result columns with pandas, which cannot sort
       // array cells — emit the int8 vector as an md5 digest (still
@@ -3559,6 +3633,41 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS cos_sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "d_pq_encode" ->
+      // per-subspace argmin-L2 replay: dist = list_dot_product(c, c)
+      // - 2*list_dot_product(vsub, c) (same left-to-right folds as
+      // PqKernels), argmin by (dist asc, k asc) via row_number, hex
+      // pairs assemble in subspace order; the VALUES list is
+      // interpolated from the SAME frozen Scala codebook
+      s"""WITH cents(s, k, c) AS (VALUES
+        |  ${pqFrozen.zipWithIndex.flatMap { case (cb, s) =>
+             cb.zipWithIndex.map { case (cv, k) =>
+               s"($s, $k, [${cv.mkString(", ")}])" }
+           }.mkString(",\n  ")}),
+        |nv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_dot_product(e, e)) > 0
+        |         THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |         ELSE e END AS v
+        |  FROM nv),
+        |dists AS (
+        |  SELECT n.vec_id, c.s, c.k,
+        |    list_dot_product(c.c, c.c)
+        |      - 2 * list_dot_product(list_slice(n.v, c.s * 16 + 1, c.s * 16 + 16), c.c) AS dist
+        |  FROM nrm n CROSS JOIN cents c),
+        |best AS (
+        |  SELECT vec_id, s, k,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
+        |  FROM dists)
+        |SELECT vec_id,
+        |  array_to_string(list(lpad(to_hex(k), 2, '0') ORDER BY s), '') AS code_hex
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
     "d_embed_quantize" ->
       """WITH prep AS (
         |  SELECT vec_id, embedding,

@@ -193,6 +193,150 @@ object TextClassifier {
     } finally { feats.unpersist(blocking = false); () }
   }
 
+  /** Multi-class softmax model — the fastText langid shape (Joulin
+    * et al. 2017 §2 with a softmax output over `nClasses`): sparse
+    * weights keyed (feature, class), per-class biases, per-iteration
+    * mean cross-entropy trace. Scoring MUST reuse the recorded
+    * feature scaling (the [[Model]] rationale).
+    */
+  final case class SoftmaxModel(dim: Int, nClasses: Int,
+                                biases: Seq[Double],
+                                weights: Map[(Int, Int), Double],
+                                losses: Seq[Double],
+                                l1Normalize: Boolean = true)
+
+  /** Per-doc class-margin array under sparse (feat, cls) weights:
+    * the shared kernel of softmax train and score. Input must carry
+    * (idCol, feat, tf) (+ passthrough columns aggregated by first).
+    * Margins sum as 9-dp decimals per (doc, class); both groupBys
+    * ride the caller's doc partitioning (doc ⊆ (doc, cls)), so the
+    * weight join adds NO exchange.
+    */
+  private def classMargins(feats: DataFrame, wdf: DataFrame,
+                           biases: Seq[Double], idCol: String,
+                           carry: Seq[String]): DataFrame = {
+    val c = biases.size
+    val carried = carry.map(n => first(col(n)).as(n))
+    val joined = feats.join(broadcast(wdf), Seq("feat"), "left")
+      .groupBy(col(idCol), col("cls"))
+      .agg((sum(dec9(col("tf") * coalesce(col("__w"), lit(0.0))))
+        .cast("double")).as("__m"), carried: _*)
+    val bArr = array(biases.map(lit): _*)
+    joined.groupBy(col(idCol))
+      .agg(map_from_entries(
+        expr("filter(collect_list(struct(cls, __m)), e -> e.cls is not null)"))
+        .as("__mm"), carried: _*)
+      .withColumn("__z", zip_with(
+        expr(s"transform(sequence(0, ${c - 1}), cc -> " +
+          "coalesce(element_at(__mm, cc), 0.0d))"),
+        bArr, (m, b) => m + b))
+      .withColumn("__mx", array_max(col("__z")))
+      .withColumn("__ex", expr("transform(__z, x -> exp(x - __mx))"))
+      .withColumn("__probs", expr(
+        "transform(__ex, e -> e / aggregate(__ex, 0.0d, (a, x) -> a + x))"))
+      .drop("__mm", "__z", "__mx", "__ex")
+  }
+
+  /** Fit a `nClasses`-way softmax on (doc, label ∈ [0, nClasses))
+    * weak labels — the learned language-ID gate (fastText langid =
+    * exactly this over hashed grams): full-batch descent, per
+    * iteration ONE broadcast weight join → doc-side margin/softmax
+    * (no exchange past the persisted doc partitioning) → the one
+    * (feat, cls)-keyed gradient shuffle, bounded by dim·nClasses.
+    * Determinism contract as [[train]]: decimal sums everywhere a
+    * float crosses rows, bit-identical on any partitioning
+    * (ClassifierSpec's sequential softmax cross-check pins it).
+    */
+  def trainSoftmax(docs: DataFrame, labels: DataFrame, dim: Int,
+                   nClasses: Int, iters: Int = 8, lr: Double = 2.0,
+                   l2: Double = 0.0, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   l1Normalize: Boolean = true): SoftmaxModel = {
+    require(iters > 0, s"iters must be > 0: $iters")
+    require(nClasses >= 2, s"nClasses must be >= 2: $nClasses")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(docs, dim, textCol, idCol, l1Normalize)
+      .join(labels.select(col(idCol), col("label").cast("int").as("__y")),
+        idCol :: Nil)
+      .repartition(col(idCol))
+      .persist()
+    try {
+      val w = scala.collection.mutable.Map.empty[(Int, Int), Double]
+        .withDefaultValue(0.0)
+      val bias = new Array[Double](nClasses)
+      val losses = Seq.newBuilder[Double]
+      var nDocs = 0.0
+      for (_ <- 1 to iters) {
+        val nz = w.iterator.filter(_._2 != 0.0)
+          .map { case ((f, c), v) => (f, c, v) }.toSeq
+        val wdf =
+          if (nz.isEmpty) Seq((0, 0, 0.0)).toDF("feat", "cls", "__w").limit(0)
+          else nz.toDF("feat", "cls", "__w")
+        val probs = classMargins(feats, wdf, bias.toSeq, idCol, Seq("__y"))
+          .withColumn("__l",
+            -log(greatest(element_at(col("__probs"), col("__y") + 1),
+              lit(1e-15))))
+          .persist()
+        val resid = probs
+          .select(col(idCol), col("__y"),
+            posexplode(col("__probs")).as(Seq("cls", "__p")))
+          .select(col(idCol), col("cls"),
+            (col("__p") - (col("cls") === col("__y")).cast("double"))
+              .as("__r"))
+        // one collect: (feat, cls) gradient rows + feat = -1 bias rows
+        // + a feat = -2 row carrying the loss sum and the doc count
+        val grad = feats.join(resid, idCol :: Nil)
+          .groupBy("feat", "cls")
+          .agg(sum(dec9(col("__r") * col("tf"))).cast("double").as("g"),
+            lit(Double.NaN).as("loss"), lit(0L).as("nd"))
+          .unionByName(resid.groupBy("cls")
+            .agg(sum(dec9(col("__r"))).cast("double").as("g"),
+              lit(Double.NaN).as("loss"), lit(0L).as("nd"))
+            .select(lit(-1).as("feat"), col("cls"), col("g"),
+              col("loss"), col("nd")))
+          .unionByName(probs.agg(
+            lit(-2).as("feat"), lit(-1).as("cls"), lit(0.0).as("g"),
+            sum(dec9(col("__l"))).cast("double").as("loss"),
+            count(lit(1)).as("nd")))
+          .as[(Int, Int, Double, Double, Long)].collect()
+        probs.unpersist(blocking = false)
+        val (_, _, _, lossSum, nd) = grad.find(_._1 == -2).get
+        nDocs = nd.toDouble
+        require(nDocs > 0, "no labeled documents to train on")
+        for ((f, c, g, _, _) <- grad) {
+          if (f >= 0) w((f, c)) = w((f, c)) - lr * (g / nDocs + l2 * w((f, c)))
+          else if (f == -1) bias(c) -= lr * g / nDocs
+        }
+        losses += lossSum / nDocs
+      }
+      SoftmaxModel(dim, nClasses, bias.toSeq,
+        w.iterator.filter(_._2 != 0.0).toMap, losses.result(), l1Normalize)
+    } finally { feats.unpersist(blocking = false); () }
+  }
+
+  /** Score documents under a softmax model: per doc the argmax class
+    * (ties to the lowest class id) and its probability, 6 dp. Same
+    * one-exchange accounting as [[score]].
+    */
+  def scoreSoftmax(docs: DataFrame, model: SoftmaxModel,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nz = model.weights.iterator.map { case ((f, c), v) => (f, c, v) }.toSeq
+    val wdf =
+      if (nz.isEmpty) Seq((0, 0, 0.0)).toDF("feat", "cls", "__w").limit(0)
+      else nz.toDF("feat", "cls", "__w")
+    val feats = hashedFeatures(docs, model.dim, textCol, idCol,
+      model.l1Normalize).repartition(col(idCol))
+    classMargins(feats, wdf, model.biases, idCol, Seq.empty)
+      .withColumn("__best",
+        (expr("array_position(__probs, array_max(__probs))") - 1).cast("int"))
+      .select(col(idCol), col("__best").as("cls"),
+        round(element_at(col("__probs"), col("__best") + 1), 6).as("prob"))
+  }
+
   /** Score documents under a trained model: P(label=1) per doc,
     * rounded to 6 dp. One pass — features build map-side, the weight
     * table joins broadcast, the per-doc margin agg is the only

@@ -1,0 +1,144 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Similarity.toDouble
+
+/** IVF-PQ product-quantized ANN (Jégou et al. 2011; the FAISS
+  * IVFPQ index) — the compression rung past [[Similarity.cosineTopKQuantized]]'s
+  * int8 path: instead of one byte per COMPONENT (4x vs float32), PQ
+  * stores one byte per SUBSPACE — a 64-dim vector becomes M = 8
+  * bytes, 32x smaller than float32 — and queries score codes through
+  * a per-query ADC lookup table (M adds per candidate).
+  *
+  * Scale design (100 TB of vectors):
+  *  - the searchable artifact is [[encodeIndex]]'s (id, cell, code)
+  *    frame — corpus vectors are read ONCE at index build and never
+  *    again; the search path scans only 8-byte codes.
+  *  - codebooks are M·K·dsub doubles (8·256·8 ≈ 130 KB) riding plans
+  *    as reference objects; the per-subspace trainers run over ONE
+  *    bounded hash-deterministic sample (the in-memory-train bound
+  *    FAISS imposes), collected once.
+  *  - the search join broadcasts the exploded (query × probe) side
+  *    with its lut; candidate codes stream per-partition, no corpus
+  *    shuffle (the [[Ivf.annIvf]] plan shape with codes in place of
+  *    vectors).
+  *
+  * Recall contract: ADC ranks by approximate inner product (query ·
+  * reconstruction), so PqSpec pins recall@k against the exact
+  * [[Similarity.cosineTopK]] brute force — the d_ann_ivf contract.
+  */
+object Pq {
+
+  /** Plain (non-spherical) L2 Lloyd over an in-memory point set —
+    * sub-vectors are NOT unit vectors, so PQ trains by Euclidean
+    * k-means: nearest by L2, mean update, no re-normalization.
+    * Deterministic: init = first k points, empty clusters keep their
+    * previous centroid, assignment ties to the lowest id.
+    */
+  private[graft] def lloydL2(pts: Array[Array[Double]], k: Int,
+                             iters: Int): Array[Array[Double]] = {
+    require(pts.length >= k, s"PQ sub-trainer: ${pts.length} points < k=$k")
+    var cents = pts.take(k).map(_.clone)
+    val dims = pts.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dims) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dims) { s(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Train the M per-subspace codebooks ([M][K][dims/M]) on a
+    * hash-deterministic sample of L2-normalized vectors — one bounded
+    * collect, then M driver-local Euclidean k-means. K <= 256 so
+    * codes fit one byte per subspace.
+    */
+  def train(corpus: DataFrame, m: Int, k: Int, iters: Int,
+            sampleMax: Int = 10000, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256]: $k")
+    val sample = corpus
+      .select(col(idCol).as("id"),
+        graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleMax)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    Array.tabulate(m) { s =>
+      lloydL2(sample.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
+    }
+  }
+
+  /** The compact searchable index: (id, IVF cell, M-byte PQ code) —
+    * the ONE pass that reads corpus vectors; everything downstream
+    * touches only codes.
+    */
+  def encodeIndex(corpus: DataFrame, coarse: Array[Array[Double]],
+                  codebook: Array[Array[Array[Double]]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(idCol).as("neighbor_id"),
+        graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("va"))
+      .withColumn("cid", Ivf.nearestCentroid(col("va"), coarse))
+      .withColumn("code", graft.functions.PqOps.pqEncode(col("va"), codebook))
+      .select("neighbor_id", "cid", "code")
+
+  /** ANN top-k over a prebuilt (id, cid, code) index: each query
+    * probes its `nprobe` nearest IVF cells, builds its ADC lut once,
+    * and candidates score in M table adds each. Same output shape and
+    * tie contract as [[Ivf.annIvf]].
+    */
+  def searchPq(index: DataFrame, queries: DataFrame, k: Int,
+               coarse: Array[Array[Double]],
+               codebook: Array[Array[Array[Double]]], nprobe: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val kk = codebook(0).length
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("vb"))
+      .withColumn("cid", explode(Ivf.probeCentroids(col("vb"), coarse, nprobe)))
+      .withColumn("lut", graft.functions.PqOps.pqLut(col("vb"), codebook))
+      .select("query_id", "cid", "lut")
+    val scored = index.join(broadcast(q), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", graft.functions.PqOps.pqAdc(col("code"), col("lut"), kk))
+    Similarity.topKSelect(scored, k)
+  }
+
+  /** Index build + search in one call (the d_ann_pq surface). */
+  def annPq(corpus: DataFrame, queries: DataFrame, k: Int,
+            coarse: Array[Array[Double]],
+            codebook: Array[Array[Array[Double]]], nprobe: Int,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame =
+    searchPq(encodeIndex(corpus, coarse, codebook, idCol, vecCol),
+      queries, k, coarse, codebook, nprobe, idCol, vecCol)
+}

@@ -288,6 +288,11 @@ object ScaleSoak {
     val opNames = Seq("pagerank", "pagerank_dangling", "pagerank_seeded",
       "hits", "harmonic_hll", "components", "scc", "bowtie")
     val times = scala.collection.mutable.Map[(String, Long), Double]()
+    // per-run wall + attribution counters (the Bench spread-block
+    // treatment): a drifted median self-attributes instead of needing
+    // a re-run — see JvmCounters
+    val detail = scala.collection.mutable
+      .Map[(String, Long), Seq[(Double, JvmCounters.Snap)]]()
     // Untimed warm-up over every operator on a small graph: the first
     // timed size otherwise absorbs all JIT/codegen warm-up (measured:
     // pagerank 16.0 s at n=1e4 vs 8.6 s at n=1e5 on a cold JVM) and
@@ -310,9 +315,16 @@ object ScaleSoak {
       val nNodes = e.select(col("src").as("n"))
         .unionByName(e.select(col("dst").as("n"))).distinct().count()
       def t(name: String)(body: => DataFrame): Unit = {
-        val sec = median((1 to graphRuns).map(_ => timed(body.count())._2))
+        val rs = (1 to graphRuns).map { _ =>
+          val before = JvmCounters.snap()
+          val (_, sec) = timed(body.count())
+          (sec, JvmCounters.delta(before, JvmCounters.snap()))
+        }
+        val sec = median(rs.map(_._1))
         times((name, n)) = sec
-        println(f"GRAPHSOAK n=$n%-8d $name%-18s $sec%8.2fs")
+        detail((name, n)) = rs
+        val runsStr = rs.map(r => f"${r._1}%.2f").mkString("/")
+        println(f"GRAPHSOAK n=$n%-8d $name%-18s $sec%8.2fs  runs=$runsStr")
         Console.out.flush()
       }
       // a fixed small seed set (ids 1-16 are the heavy hubs by
@@ -360,6 +372,26 @@ object ScaleSoak {
       val r = sizes.map(n => times((op, n)))
       sb.append("| " + op + " |" + r.map(t => f" $t%.2f |").mkString +
         f" ${r.last / r.head}%.1f |\n")
+    }
+    // per-row attribution detail: every (op, size) row carries its
+    // individual run walls plus the gc/jit/cpu/codegen deltas, so an
+    // outlier median is adjudicable from the artifact alone (wall up
+    // with cpu tracking wall, gc/jit flat = external contention;
+    // codegen > 0 on a warm run = generated-class-cache miss)
+    sb.append("\nPer-run detail (wall s | gc ms | jit ms | cpu s | codegen compiles):\n\n")
+    sb.append("| operator | nodes | runs (s) | gc_ms | jit_ms | cpu_sec | codegen |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    opNames.foreach { op =>
+      sizes.foreach { n =>
+        val rs = detail((op, n))
+        def fmt[A](f: ((Double, JvmCounters.Snap)) => A) =
+          rs.map(r => f(r).toString).mkString("/")
+        sb.append(s"| $op | $n | " +
+          rs.map(r => f"${r._1}%.2f").mkString("/") + " | " +
+          fmt(_._2.gcMs) + " | " + fmt(_._2.jitMs) + " | " +
+          fmt(r => f"${r._2.cpuSec}%.1f") + " | " +
+          fmt(_._2.codegenCompiles) + " |\n")
+      }
     }
     sb.toString
   }

@@ -118,6 +118,119 @@ class ClassifierSpec extends SparkSpec {
     assert(zero.bias != off.bias, "init must shift the first update's margins")
   }
 
+  // three planted languages with disjoint marker vocabularies — the
+  // learned langid regime (fastText langid = softmax over hashed grams)
+  private lazy val multilang = {
+    val en = (0 until 30).map(i => (i.toLong, s"the and of house tree word$i", 0))
+    val de = (30 until 60).map(i => (i.toLong, s"der und das haus baum wort$i", 1))
+    val fr = (60 until 90).map(i => (i.toLong, s"le et la maison arbre mot$i", 2))
+    (en ++ de ++ fr).toDF("doc_id", "text", "label")
+  }
+
+  test("trainSoftmax separates planted languages; loss decreases; argmax calibrated") {
+    val m = TextClassifier.trainSoftmax(multilang,
+      multilang.select("doc_id", "label"), dim = 1 << 12, nClasses = 3,
+      iters = 20, lr = 20.0)
+    assert(m.losses.size == 20)
+    assert(m.losses.forall(l => l > 0 && java.lang.Double.isFinite(l)))
+    assert(m.losses.last < m.losses.head / 4)
+    val scored = TextClassifier.scoreSoftmax(multilang, m)
+      .join(multilang.select("doc_id", "label"), "doc_id")
+      .select(col("doc_id"), col("cls"), col("prob"), col("label"))
+      .collect()
+    assert(scored.length == 90)
+    assert(scored.forall(r => r.getInt(1) == r.getInt(3)),
+      "perfect language separation expected")
+    // softmax probabilities: argmax prob must beat uniform 1/3
+    assert(scored.forall(_.getDouble(2) > 1.0 / 3))
+  }
+
+  test("softmax training is bit-identical on any input partitioning") {
+    def fit(parts: Int) = TextClassifier.trainSoftmax(
+      multilang.repartition(parts),
+      multilang.select("doc_id", "label").repartition(parts),
+      dim = 1 << 12, nClasses = 3, iters = 4, lr = 2.0)
+    val a = fit(7)
+    val b = fit(2)
+    assert(a.biases == b.biases)
+    assert(a.losses == b.losses)
+    assert(a.weights == b.weights)
+  }
+
+  test("distributed softmax training matches a sequential plain-JVM reference") {
+    val docs = Seq(
+      (1L, "up high rise", 0), (2L, "high rise tall", 0),
+      (3L, "down low sink", 1), (4L, "low fall deep", 1),
+      (5L, "mid flat even", 2), (6L, "flat even mid up", 2),
+    ).toDF("doc_id", "text", "label")
+    val dim = 1 << 12
+    val iters = 5
+    val lr = 1.5
+    val nC = 3
+
+    val got = TextClassifier.trainSoftmax(docs, docs.select("doc_id", "label"),
+      dim = dim, nClasses = nC, iters = iters, lr = lr)
+
+    // independent sequential softmax descent over the same sparse
+    // features, mirroring the 9-dp-decimal-sum contract exactly
+    val feats: Map[Long, Seq[(Int, Double)]] =
+      TextClassifier.hashedFeatures(docs, dim)
+        .as[(Long, Int, Double)].collect()
+        .groupBy(_._1).map { case (d, fs) => d -> fs.map(f => (f._2, f._3)).toSeq }
+    val labels: Map[Long, Int] =
+      Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2)
+    def r9(x: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = feats.size.toDouble
+    val w = collection.mutable.Map.empty[(Int, Int), Double].withDefaultValue(0.0)
+    val bias = new Array[Double](nC)
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val perDoc = feats.map { case (d, fs) =>
+        val z = Array.tabulate(nC) { c =>
+          fs.map { case (f, tf) => r9(tf * w((f, c))) }.sum.toDouble + bias(c)
+        }
+        val mx = z.max
+        val ex = z.map(x => math.exp(x - mx))
+        val sum = ex.foldLeft(0.0)(_ + _)
+        val p = ex.map(_ / sum)
+        val y = labels(d)
+        (d, p, y, -math.log(math.max(p(y), 1e-15)))
+      }
+      losses += perDoc.map(v => r9(v._4)).sum.toDouble / n
+      val grad = collection.mutable.Map.empty[(Int, Int), BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      val gb = Array.fill(nC)(BigDecimal(0))
+      for ((d, p, y, _) <- perDoc; c <- 0 until nC) {
+        val r = p(c) - (if (c == y) 1.0 else 0.0)
+        gb(c) += r9(r)
+        for ((f, tf) <- feats(d)) grad((f, c)) += r9(r * tf)
+      }
+      // ulp-exact mirror of the engine's update: lr * (g/n + l2*w),
+      // NOT (lr*g)/n — the association differs by an ulp, which a
+      // HALF_UP 9-dp boundary then amplifies to 1e-9
+      for (((f, c), g) <- grad) w((f, c)) -= lr * (g.toDouble / n + 0.0 * w((f, c)))
+      for (c <- 0 until nC) bias(c) -= lr * gb(c).toDouble / n
+    }
+
+    got.biases.zip(bias).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    got.losses.zip(losses.result()).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    val seqW = w.filter(_._2 != 0.0).toMap
+    assert(got.weights.keySet == seqW.keySet)
+    got.weights.foreach { case (k, v) => assert(math.abs(v - seqW(k)) < 1e-12) }
+  }
+
+  test("scoreSoftmax: zero-weight model gives uniform probs, lowest class wins ties") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val m = TextClassifier.SoftmaxModel(1 << 10, 4, Seq(0.0, 0.0, 0.0, 0.0),
+      Map.empty, Nil)
+    val got = TextClassifier.scoreSoftmax(docs, m).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 0, 0.25), (2L, 0, 0.25)))
+  }
+
   test("score: zero-weight model gives sigmoid(bias); empty text kept") {
     val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val m = TextClassifier.Model(1 << 10, bias = 0.4, weights = Map.empty,

@@ -15,6 +15,7 @@ class EntryConsistencySpec extends AnyFunSuite {
 
   private val declaredRowsOnly = Set(
     "d_ann_ivf", "d_ann_ivf_hier", "d_ann_lsh",          // ANN: tie/float class
+    "d_ann_pq",                                          // float k-means class
     "d_compression_ratio",                               // DuckDB has no deflate
     "d_dedup_clusters", "d_dedup_minhash",               // xxhash64 family
     "d_dedup_minhash_delta", "d_dedup_minhash_pairs",
@@ -22,6 +23,7 @@ class EntryConsistencySpec extends AnyFunSuite {
     "d_domain_mix",                                      // xxhash64 bucket
     "d_embed_outliers", "d_embed_pca", "d_semdedup",     // float-sum class
     "d_pipeline_curate",                                 // xxhash64 chain
+    "d_lang_id_learned",                                 // iterative descent
     "d_quality_classifier",                              // iterative descent
     "d_unigram_sample",                                  // splitmix RNG draw
     "d_unigram_tok_train",                               // float EM class
