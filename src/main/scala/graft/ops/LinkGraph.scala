@@ -131,11 +131,26 @@ object LinkGraph {
       else ranks.agg(coalesce(
           sum(when(!col("__out"), col("r")).cast("decimal(30,12)")),
           lit(0).cast("decimal(30,12)"))).first().getDecimal(0)
+    // AQE's runtime broadcast decision reads COMPRESSED shuffle sizes:
+    // past ~4e5 nodes a checkpointed ranks frame still compresses
+    // under the 10 MB threshold, so the round join re-broadcasts an
+    // ~n-entry hashed relation EVERY iteration (build + serialize +
+    // GC per round). Measured on the 1e6-node soak graph
+    // (PageRankProbe): plain pageRank 23.5 -> 12.6 s median with the
+    // broadcast off; the dangling variant dodged the pathology only
+    // because its extra flag column pushed the stats over threshold —
+    // the r15/r16 "plain slower than dangling" soak inversion was
+    // exactly this. Node-shaped round frames pin the shuffle-hash
+    // strategy once the graph outgrows the broadcast win zone; small
+    // (bench-sized) graphs keep AQE's broadcast, which wins there.
+    val pinShuffle = n >= 400000
+    def nodeSide(df: DataFrame): DataFrame =
+      if (pinShuffle) df.hint("shuffle_hash") else df
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val contribs = eDeg
-        .join(ranks.select(col("n").as("__rn"), col("r")),
+        .join(nodeSide(ranks.select(col("n").as("__rn"), col("r"))),
           eDeg("src") === col("__rn"))
         .select(col("dst").as("__dst"),
           round(col("r") / col("deg"), 9).cast("decimal(30,12)").as("c"))
@@ -153,10 +168,11 @@ object LinkGraph {
         else lit(dang.doubleValue() / n)
       val newRank = round(tele + lit(damping) *
         (coalesce(col("sc").cast("double"), lit(0.0)) + dangTerm), 9).as("r")
-      val base = nodes.join(contribs, Seq("n"), "left")
+      val base = nodes.join(nodeSide(contribs), Seq("n"), "left")
       if ((it + 1) % probeEvery == 0 || it + 1 == iters) {
         val next = base
-          .join(ranks.select(col("n"), col("r").as("__prev")), Seq("n"))
+          .join(nodeSide(ranks.select(col("n"), col("r").as("__prev"))),
+            Seq("n"))
           .select(col("n") +: newRank +: col("__prev") +: flagCols: _*)
           .localCheckpoint(false)
         // the probe round's single job: materializes the lazy

@@ -463,17 +463,26 @@ object ScaleSoak {
     }
 
     val selected = only.fold(queries)(s => queries.filter(s))
+    // per-run wall + attribution counters (the graph-axis treatment):
+    // every soak row self-attributes its spread from the artifact
+    val soakDetail = scala.collection.mutable
+      .Map[(String, Int), Seq[(Double, JvmCounters.Snap)]]()
     val times: Map[(String, Int), Double] = (for {
       f <- factors
       q <- selected
     } yield {
-      val t = median((1 to runs).map { _ =>
+      val rs = (1 to runs).map { _ =>
+        val before = JvmCounters.snap()
         val t0 = System.nanoTime()
         try SparkEntry.queries(q)(spark, s"$work/x$f").count()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      })
-      println(f"SOAK x$f $q%-24s $t%7.2fs")
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, JvmCounters.delta(before, JvmCounters.snap()))
+      }
+      val t = median(rs.map(_._1))
+      soakDetail((q, f)) = rs
+      println(f"SOAK x$f $q%-24s $t%7.2fs  runs=" +
+        rs.map(r => f"${r._1}%.2f").mkString("/"))
       Console.out.flush()
       (q, f) -> t
     }).toMap
@@ -499,6 +508,21 @@ object ScaleSoak {
       val r = fs.map(f => times((q, f)))
       sb.append("| " + q + " |" + r.map(t => f" $t%.2f |").mkString +
         f" ${r.last / r.head}%.1f |\n")
+    }
+    sb.append("\nPer-run detail (wall s | gc ms | jit ms | cpu s | codegen compiles):\n\n")
+    sb.append("| query | factor | runs (s) | gc_ms | jit_ms | cpu_sec | codegen |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    selected.foreach { q =>
+      fs.foreach { f =>
+        val rs = soakDetail((q, f))
+        def fmt[A](g: ((Double, JvmCounters.Snap)) => A) =
+          rs.map(r => g(r).toString).mkString("/")
+        sb.append(s"| $q | ${f}x | " +
+          rs.map(r => f"${r._1}%.2f").mkString("/") + " | " +
+          fmt(_._2.gcMs) + " | " + fmt(_._2.jitMs) + " | " +
+          fmt(r => f"${r._2.cpuSec}%.1f") + " | " +
+          fmt(_._2.codegenCompiles) + " |\n")
+      }
     }
     sb.append("\nd_semdedup self-tunes nlist from the corpus count (nlist = 0 in the\n")
     sb.append("entry), so expected cluster membership — and the per-cluster\n")
