@@ -314,6 +314,13 @@ object ScaleSoak {
       val nEdges = e.distinct().count()
       val nNodes = e.select(col("src").as("n"))
         .unionByName(e.select(col("dst").as("n"))).distinct().count()
+      // untimed PER-SIZE warm-up: the n=2000 JVM warm-up above does
+      // not warm this size's plan shapes (AQE stats, shuffle sizing,
+      // codegen for the size-specific adaptive plans), so the first
+      // TIMED op at each size otherwise absorbs the transition — the
+      // r16 pre-fix table read pagerank's 1e6 run1 at 58 s (jit 5.7 s,
+      // 16 codegen compiles) vs 12.5 s steady state
+      LinkGraph.pageRank(e).count()
       def t(name: String)(body: => DataFrame): Unit = {
         val rs = (1 to graphRuns).map { _ =>
           val before = JvmCounters.snap()
@@ -358,7 +365,11 @@ object ScaleSoak {
     val sb = new StringBuilder
     sb.append("\n## Graph-sized soak: LinkGraph family vs node count\n\n")
     sb.append("Synthetic Chung-Lu power-law digraphs (degree exponent 2.2, avg\n")
-    sb.append(s"out-degree 8, hash-deterministic), per-op median of $graphRuns.\n")
+    sb.append(s"out-degree 8, hash-deterministic), per-op median of $graphRuns,\n")
+    sb.append(f"driver heap ${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB " +
+      "(run with SPARK_DRIVER_MEM >= 32g: at 8g the 1e6 axis\n" +
+      "measures GC churn on accumulated checkpoint blocks, not the\n" +
+      "operators — the r15 20-130 s pagerank band was exactly this).\n")
     sb.append("Edges grow linearly with nodes, so a time ratio near the\n")
     sb.append(f"$ratio%.0fx node ratio = linear (scale-sane); well above = a\n")
     sb.append("super-linear intermediate or round blow-up. The corpus soak\n")
@@ -498,7 +509,9 @@ object ScaleSoak {
         "whole timed section (not the canonical quiet table).**\n\n")
     sb.append(s"Fact tables replicated ${fs.mkString("×/")}× from `$base` (disjoint key\n")
     sb.append("ranges, fixed dims, per-copy-perturbed embeddings); per-query\n")
-    sb.append(s"median of $runs on local[" + cpus + s"]. A time ratio near the $ratio×\n")
+    sb.append(s"median of $runs on local[" + cpus + "], driver heap " +
+      f"${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB.\n")
+    sb.append(s"A time ratio near the $ratio×\n")
     sb.append("volume ratio = linear in input (scale-sane); well above = a\n")
     sb.append("super-linear intermediate. Sub-linear = fixed per-query overhead\n")
     sb.append("still dominates at this size.\n\n")
