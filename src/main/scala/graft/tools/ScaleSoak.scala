@@ -76,7 +76,9 @@ object ScaleSoak {
     "d_kneser_ney", "d_graph_stats", "d_warc_split_read",
     "d_kneser_ney3", "d_crawl_frontier_ranked", "d_scc", "d_graph_bowtie",
     "m_audio_dedup", "m_audio_dedup_delta", "d_unigram_tok_train",
-    "d_unigram_encode", "d_unigram_sample")
+    "d_unigram_encode", "d_unigram_sample",
+    "d_wordpiece_encode", "d_wordpiece_pairs", "d_pq_encode",
+    "d_lang_id_learned")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
