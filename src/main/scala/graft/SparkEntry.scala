@@ -104,6 +104,14 @@ object SparkEntry {
   private[graft] val pqFrozen: Array[Array[Array[Double]]] =
     Array.tabulate(4, 4, 16) { (s, k, j) => ((k + j + s) % 4 - 1.5) * 0.125 }
 
+  /** d_pq_encode's frozen COARSE centroids (4 x 64 dims): exact
+    * multiples of 1/16 like [[pqFrozen]], so the argmax-dot routing,
+    * the residual subtraction, and the per-subspace argmin all replay
+    * bit-for-bit in the DuckDB oracle (the IVFADC by-residual form).
+    */
+  private[graft] val pqCoarseFrozen: Array[Array[Double]] =
+    Array.tabulate(4, 64) { (c, j) => (((c * 5 + j) % 7) - 3.0) * 0.0625 }
+
   private[graft] val wordpieceFrozen: Seq[String] =
     Seq("a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o",
       "p", "q", "r", "s", "t", "v", "w",
@@ -2033,10 +2041,14 @@ object SparkEntry {
         (array_position(langArr, col("pred_lang")) - 1).cast("int").as("label"))
       // raw presence features (the d_quality_classifier conditioning
       // rationale): the planted markers carry count-8 evidence, so a
-      // few full-batch passes separate decisively
+      // few full-batch passes separate decisively. sampleMax = 1000:
+      // the 100 TB learned-gate contract — TRAIN on a bounded
+      // hash-deterministic sample (covers the whole sf0.01 verify
+      // corpus, so the dump is unchanged; 1/5 of sf0.1), SCORE the
+      // full corpus
       val m = graft.pipeline.TextClassifier.trainSoftmax(
         docs, labels, dim = 1 << 15, nClasses = langs.size,
-        iters = 8, lr = 1.0, l1Normalize = false)
+        iters = 8, lr = 1.0, l1Normalize = false, sampleMax = 1000)
       graft.pipeline.TextClassifier.scoreSoftmax(docs, m)
         .join(labels, "doc_id")
         .groupBy("label")
@@ -2056,29 +2068,39 @@ object SparkEntry {
         Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 10), 10)),
     "d_ann_pq" -> ((s, d) => {
-      // IVF-PQ: trained coarse router + per-subspace PQ codebooks,
-      // search over the (id, cell, 8-byte code) index with per-query
-      // ADC luts. Rows-only (float k-means class, the d_ann_ivf
-      // contract); PqSpec pins kernel exactness + recall vs brute
+      // IVF-PQ: trained coarse router + RESIDUAL-trained per-subspace
+      // PQ codebooks (FAISS by_residual — the production IVFADC
+      // form), search over the (id, cell, 8-byte code) index with
+      // per-query ADC luts + the coarse dot term. Rows-only (float
+      // k-means class, the d_ann_ivf contract); PqSpec pins kernel
+      // exactness + residual>=raw precision vs brute
       val emb = Tables.embeddings(s, d)
       val coarse = graft.sim.Ivf.train(emb, 8, 2)
-      val cb = graft.sim.Pq.train(emb, m = 8, k = 16, iters = 2)
+      val cb = graft.sim.Pq.trainResidual(emb, coarse, m = 8, k = 16,
+        iters = 2)
       graft.sim.Pq.annPq(emb, emb.filter(col("vec_id") < 10), 3,
         coarse, cb, nprobe = 2)
     }),
-    "d_pq_encode" -> ((s, d) =>
-      // PQ ENCODE on the hash path: the FROZEN exact-double codebook
-      // makes the per-subspace argmin-L2 (cnorm - 2*dot, ties to the
-      // lowest id) fully replayable; codes surface as hex (K=4 ->
+    "d_pq_encode" -> ((s, d) => {
+      // PQ ENCODE on the hash path, RESIDUAL form: frozen exact-double
+      // coarse centroids route by argmax dot (ties to the lowest id),
+      // the residual v - coarse[cid] feeds the frozen codebook's
+      // per-subspace argmin-L2 (cnorm - 2*dot, ties to the lowest
+      // id) — every step replayable; codes surface as hex (K=4 ->
       // digit pairs, so case never enters)
-      Tables.embeddings(s, d)
+      val nv = Tables.embeddings(s, d)
         .select(col("vec_id"),
           graft.functions.VectorOps.l2normalize(
             transform(col("embedding"), _.cast("double"))).as("nv"))
-        .select(col("vec_id"),
-          hex(graft.functions.PqOps.pqEncode(col("nv"),
+        .withColumn("cid", graft.functions.CentroidOps.nearestCentroid(
+          col("nv"), SparkEntry.pqCoarseFrozen))
+      nv.select(col("vec_id"), col("cid"),
+          hex(graft.functions.PqOps.pqEncode(
+            graft.functions.CentroidOps.centroidResidual(
+              col("nv"), col("cid"), SparkEntry.pqCoarseFrozen),
             SparkEntry.pqFrozen)).as("code_hex"))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
     "d_embed_quantize" -> ((s, d) =>
       // the harness sorts result columns with pandas, which cannot sort
       // array cells — emit the int8 vector as an md5 digest (still
@@ -3634,16 +3656,22 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS cos_sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "d_pq_encode" ->
-      // per-subspace argmin-L2 replay: dist = list_dot_product(c, c)
-      // - 2*list_dot_product(vsub, c) (same left-to-right folds as
-      // PqKernels), argmin by (dist asc, k asc) via row_number, hex
-      // pairs assemble in subspace order; the VALUES list is
-      // interpolated from the SAME frozen Scala codebook
+      // RESIDUAL-form replay (FAISS by_residual): coarse routing =
+      // argmax list_dot_product (ties to the lowest id), residual =
+      // v - coarse[cid] elementwise, then the per-subspace argmin-L2
+      // (dist = list_dot_product(c, c) - 2*list_dot_product(rsub, c),
+      // same left-to-right folds as PqKernels), argmin by (dist asc,
+      // k asc) via row_number, hex pairs assemble in subspace order;
+      // BOTH VALUES lists interpolate from the SAME frozen Scala
+      // arrays
       s"""WITH cents(s, k, c) AS (VALUES
         |  ${pqFrozen.zipWithIndex.flatMap { case (cb, s) =>
              cb.zipWithIndex.map { case (cv, k) =>
                s"($s, $k, [${cv.mkString(", ")}])" }
            }.mkString(",\n  ")}),
+        |coarse(cc, cv) AS (VALUES
+        |  ${pqCoarseFrozen.zipWithIndex.map { case (cv, c) =>
+             s"($c, [${cv.mkString(", ")}])" }.mkString(",\n  ")}),
         |nv AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3654,19 +3682,29 @@ object SparkEntry {
         |         THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
         |         ELSE e END AS v
         |  FROM nv),
+        |routed AS (
+        |  SELECT vec_id, v, cc,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_dot_product(v, cv) DESC, cc ASC) AS crn
+        |  FROM nrm CROSS JOIN coarse),
+        |resid AS (
+        |  SELECT r.vec_id, r.cc AS cid,
+        |    list_transform(range(1, len(r.v) + 1), i -> r.v[i] - co.cv[i]) AS rv
+        |  FROM routed r JOIN coarse co ON co.cc = r.cc
+        |  WHERE r.crn = 1),
         |dists AS (
-        |  SELECT n.vec_id, c.s, c.k,
+        |  SELECT n.vec_id, n.cid, c.s, c.k,
         |    list_dot_product(c.c, c.c)
-        |      - 2 * list_dot_product(list_slice(n.v, c.s * 16 + 1, c.s * 16 + 16), c.c) AS dist
-        |  FROM nrm n CROSS JOIN cents c),
+        |      - 2 * list_dot_product(list_slice(n.rv, c.s * 16 + 1, c.s * 16 + 16), c.c) AS dist
+        |  FROM resid n CROSS JOIN cents c),
         |best AS (
-        |  SELECT vec_id, s, k,
+        |  SELECT vec_id, cid, s, k,
         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
         |  FROM dists)
-        |SELECT vec_id,
+        |SELECT vec_id, CAST(cid AS INT) AS cid,
         |  array_to_string(list(lpad(to_hex(k), 2, '0') ORDER BY s), '') AS code_hex
         |FROM best WHERE rn = 1
-        |GROUP BY vec_id
+        |GROUP BY vec_id, cid
         |ORDER BY vec_id""".stripMargin,
     "d_embed_quantize" ->
       """WITH prep AS (

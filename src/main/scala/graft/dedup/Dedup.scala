@@ -259,19 +259,35 @@ object Dedup {
     * stopword-grade shingles shared by half the corpus generate
     * quadratic candidates while signaling nothing (the dedupLines
     * hot-line convention); the cap gates CANDIDATES only, the verify
-    * counts full intersections. Verification reuses the melted
-    * one-pass rehydrate of [[verifyJaccard]]; a pair survives when
-    * its LARGER containment direction clears `threshold`, and both
-    * directions are reported (which side is the excerpt matters).
+    * counts full intersections. A pair survives when its LARGER
+    * containment direction clears `threshold`, and both directions
+    * are reported (which side is the excerpt matters).
     *
     * Portable contract: shingle hashes are the md5-mod-2^31 family
     * ([[minhashIndexPortable]]), so candidates, both containments,
     * and the survivors all recompute in any engine.
     *
-    * Scale shape: one (hash, id) exchange for the inverted index
-    * (8-byte rows), per-hash combination generation under the df cap,
-    * candidate-bounded verify — the MinHash-LSH accounting with the
-    * inverted index playing the band table's role.
+    * Scale shape — NOTHING wider than 16-byte rows rides any
+    * candidate-sized exchange (the round-16 octave measured 82x CPU
+    * for 32x data when shingle ARRAYS rode the verify shuffle):
+    *  1. one (hash, id) exchange builds the inverted index;
+    *  2. capped buckets expand to (doc_a, doc_b) combinations whose
+    *     groupBy-count collapses duplicates AND yields `__shared` =
+    *     the exact number of shared in-cap shingles (map-side partial
+    *     agg — strictly cheaper than the old distinct());
+    *  3. a SIZE-BOUND pre-filter kills most candidates before any
+    *     verify work: a shared shingle is either in-cap (counted
+    *     exactly by `__shared`) or over-cap, and each doc holds only
+    *     `__over(id)` over-cap shingles, so
+    *       |A∩B| ≤ __shared + min(__over_a, __over_b)
+    *     bounds the larger containment direction by
+    *       (__shared + min(__over_a, __over_b)) / min(|A|, |B|);
+    *  4. survivors verify EXACTLY on narrow rows: the melted
+    *     survivor-pair join against the exploded (id, h) stream,
+    *     grouped by (pair, h) — a shingle shared by both sides counts
+    *     2 (hashes are distinct per doc) — then counted per pair. No
+    *     array ever crosses an exchange; the per-pair verify volume is
+    *     (|A|+|B|) 24-byte rows for SURVIVOR pairs only.
     */
   def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
                        maxShingleDf: Int = 100, textCol: String = "text",
@@ -280,19 +296,53 @@ object Dedup {
     require(maxShingleDf >= 2, s"maxShingleDf must be >= 2: $maxShingleDf")
     val sh = docs.select(col(idCol),
       graft.functions.Hashes.gram_md5_mod31(col(textCol), k).as("hs"))
-    val buckets = sh.select(col(idCol), lit(0).as("band_id"),
-      explode(col("hs")).as("band_hash"))
-    val pairs = bucketPairs(buckets, idCol, maxShingleDf).distinct()
-    val melted = pairs.select(col("doc_a"), col("doc_b"),
+    val shx = sh.select(col(idCol), explode(col("hs")).as("h"))
+    val byHash = shx.groupBy("h").agg(collect_list(col(idCol)).as("ids"))
+    // exact count of shared in-cap shingles per candidate pair: each
+    // capped bucket holding both docs contributes exactly one row
+    val cand = byHash
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("__shared"))
+    // per-doc totals + over-cap slack (a doc's shingles living in
+    // df > cap buckets — the only shared shingles __shared misses)
+    val over = byHash.filter(size(col("ids")) > maxShingleDf)
+      .select(explode(col("ids")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("__over"))
+    val sizes = sh.select(col(idCol), size(col("hs")).cast("long").as("__n"))
+      .join(over, Seq(idCol), "left")
+      .withColumn("__over", coalesce(col("__over"), lit(0L)))
+    val survivors = cand
+      .join(sizes.select(col(idCol).as("doc_a"),
+        col("__n").as("__na"), col("__over").as("__oa")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"),
+        col("__n").as("__nb"), col("__over").as("__ob")), Seq("doc_b"))
+      // threshold - 5e-7: the final filter compares ROUND(c, 6), which
+      // can round a containment up to 5e-7 below threshold over the
+      // line — the bound must not kill those
+      .filter((col("__shared") + least(col("__oa"), col("__ob")))
+        .cast("double") / least(col("__na"), col("__nb")) >=
+        threshold - 5e-7)
+    // exact verify on narrow rows: count shingles present on BOTH
+    // sides of each surviving pair (per-doc hashes are distinct sets,
+    // so a (pair, h) group of 2 means shared)
+    val melted = survivors.select(col("doc_a"), col("doc_b"),
+      col("__na"), col("__nb"),
       explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-    sh.join(melted, idCol)
-      .groupBy("doc_a", "doc_b")
-      .agg(max(when(col(idCol) === col("doc_a"), col("hs"))).as("sh_a"),
-           max(when(col(idCol) === col("doc_b"), col("hs"))).as("sh_b"))
-      .withColumn("__common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("c_a_in_b", round(col("__common") / size(col("sh_a")), 6))
-      .withColumn("c_b_in_a", round(col("__common") / size(col("sh_b")), 6))
+    shx.join(melted, idCol)
+      .groupBy("doc_a", "doc_b", "__na", "__nb", "h")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") === 2)
+      .groupBy("doc_a", "doc_b", "__na", "__nb")
+      .agg(count(lit(1)).cast("double").as("__common"))
+      .withColumn("c_a_in_b", round(col("__common") / col("__na"), 6))
+      .withColumn("c_b_in_a", round(col("__common") / col("__nb"), 6))
       .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
       .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
       .orderBy("doc_a", "doc_b")

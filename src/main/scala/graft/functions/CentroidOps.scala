@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Centroid-assignment kernels. The centroid matrix lives in the
   * expression as a reference object — NOT as per-centroid literal
@@ -151,6 +151,32 @@ object CentroidKernels {
     new GenericArrayData(out.map(Int.box))
   }
 
+  /** v − cents(cid): the IVF residual (Jégou et al. 2011 §IV — FAISS
+    * `by_residual`). PQ codebooks trained on residuals see the
+    * small-variance displacement around each coarse cell instead of
+    * the full vector spread, which is what holds recall at small
+    * nprobe as nlist grows. Components past the centroid's length
+    * pass through unchanged (the dotRow convention).
+    */
+  def residual(v: ArrayData, cid: Int, cents: Array[Array[Double]]): GenericArrayData = {
+    val c = cents(cid)
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getDouble(i) - (if (i < c.length) c(i) else 0.0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** dot(v, cents(cid)) — the query-to-coarse-centroid term a
+    * residual-encoded ADC score adds back (query · x ≈ query · c_cid +
+    * query · residual-reconstruction).
+    */
+  def dotAt(v: ArrayData, cid: Int, cents: Array[Array[Double]]): Double =
+    dotRow(v, cents(cid))
+
   /** Top-`nprobe` centroid ids, nearest first (selection over nlist). */
   def probes(v: ArrayData, cents: Array[Array[Double]], nprobe: Int): ArrayData = {
     val dots = Array.tabulate(cents.length)(i => dotRow(v, cents(i)))
@@ -267,11 +293,65 @@ case class ProbeCentroidsHier(child: Expression, coarse: Array[Array[Double]],
     copy(child = c)
 }
 
+/** (vec, cid) → vec − cents(cid): the IVF residual under a fixed
+  * centroid matrix (reference object, the LshBucket rationale).
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+                            cents: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, cid: Any): Any =
+    CentroidKernels.residual(v.asInstanceOf[ArrayData],
+      cid.asInstanceOf[Int], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.CentroidKernels.residual($v, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (vec, cid) → dot(vec, cents(cid)) — the ADC coarse term. */
+case class CentroidDot(left: Expression, right: Expression,
+                       cents: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, cid: Any): Any =
+    CentroidKernels.dotAt(v.asInstanceOf[ArrayData],
+      cid.asInstanceOf[Int], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.CentroidKernels.dotAt($v, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object CentroidOps {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), cents))
+
+  /** vec − cents(cid) per row (the IVF residual). */
+  def centroidResidual(vec: Column, cid: Column,
+                       cents: Array[Array[Double]]): Column =
+    column(CentroidResidual(expression(vec), expression(cid), cents))
+
+  /** dot(vec, cents(cid)) per row. */
+  def centroidDot(vec: Column, cid: Column,
+                  cents: Array[Array[Double]]): Column =
+    column(CentroidDot(expression(vec), expression(cid), cents))
 
   def probeCentroids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     column(ProbeCentroids(expression(vec), cents, nprobe))

@@ -54,6 +54,28 @@ object TextClassifier {
   private def dec9(c: Column): Column = round(c, 9).cast("decimal(30,12)")
   private val MaxDim = 1 << 20
 
+  /** Bound a training set to `sampleMax` docs by the repo's
+    * hash-deterministic sample convention (ORDER BY xxhash64(id), id
+    * LIMIT n — Pq.train / Ivf.train): returns (sampled labels,
+    * docs semi-joined to them). The 100 TB contract for learned gates
+    * (fastText / CCNet quality filters): TRAINING reads a bounded
+    * sample — the persisted feature frame and the per-epoch passes are
+    * sample-sized, not corpus-sized — while SCORING stays full-corpus.
+    * sampleMax <= 0 disables the bound (the plain-JVM cross-check
+    * trains tiny frames unsampled). When sampleMax >= corpus size the
+    * sample IS the corpus and training is bit-identical to unbounded
+    * (decimal sums make fold order irrelevant).
+    */
+  private def boundTraining(docs: DataFrame, labels: DataFrame,
+                            sampleMax: Int,
+                            idCol: String): (DataFrame, DataFrame) =
+    if (sampleMax <= 0) (docs, labels)
+    else {
+      val lab = labels.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleMax)
+      (docs.join(lab.select(col(idCol)), Seq(idCol), "left_semi"), lab)
+    }
+
   /** Hashed presence features: one row per (doc, feature bucket) with
     * `tf` = cnt/n_features when `l1Normalize` (fastText's
     * mean-of-embeddings shape — margins independent of doc length,
@@ -99,16 +121,18 @@ object TextClassifier {
   def train(docs: DataFrame, labels: DataFrame, dim: Int, iters: Int = 8,
             lr: Double = 2.0, l2: Double = 0.0, textCol: String = "text",
             idCol: String = "doc_id", l1Normalize: Boolean = true,
-            stopTol: Double = 0.0, biasInit: Double = 0.0): Model = {
+            stopTol: Double = 0.0, biasInit: Double = 0.0,
+            sampleMax: Int = 100000): Model = {
     require(iters > 0, s"iters must be > 0: $iters")
     require(stopTol >= 0.0, s"stopTol must be >= 0: $stopTol")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (docsB, labelsB) = boundTraining(docs, labels, sampleMax, idCol)
     // the expensive subtree (tokenize + hash + per-doc agg) evaluates
     // once: doc-partitioned and persisted, every iteration's margin agg
     // and residual join sit on this partitioning with no new exchange
-    val feats = hashedFeatures(docs, dim, textCol, idCol, l1Normalize)
-      .join(labels.select(col(idCol), col("label").cast("double").as("__y")),
+    val feats = hashedFeatures(docsB, dim, textCol, idCol, l1Normalize)
+      .join(labelsB.select(col(idCol), col("label").cast("double").as("__y")),
         idCol :: Nil)
       .repartition(col(idCol))
       .persist()
@@ -226,9 +250,12 @@ object TextClassifier {
       .agg(map_from_entries(
         expr("filter(collect_list(struct(cls, __m)), e -> e.cls is not null)"))
         .as("__mm"), carried: _*)
+      // try_element_at: absent map keys (classes with all-zero weights
+      // for this doc — the common case) must read as NULL → 0.0; plain
+      // element_at throws MAP_KEY_DOES_NOT_EXIST under ANSI mode
       .withColumn("__z", zip_with(
         expr(s"transform(sequence(0, ${c - 1}), cc -> " +
-          "coalesce(element_at(__mm, cc), 0.0d))"),
+          "coalesce(try_element_at(__mm, cc), 0.0d))"),
         bArr, (m, b) => m + b))
       .withColumn("__mx", array_max(col("__z")))
       .withColumn("__ex", expr("transform(__z, x -> exp(x - __mx))"))
@@ -251,13 +278,15 @@ object TextClassifier {
                    nClasses: Int, iters: Int = 8, lr: Double = 2.0,
                    l2: Double = 0.0, textCol: String = "text",
                    idCol: String = "doc_id",
-                   l1Normalize: Boolean = true): SoftmaxModel = {
+                   l1Normalize: Boolean = true,
+                   sampleMax: Int = 100000): SoftmaxModel = {
     require(iters > 0, s"iters must be > 0: $iters")
     require(nClasses >= 2, s"nClasses must be >= 2: $nClasses")
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = hashedFeatures(docs, dim, textCol, idCol, l1Normalize)
-      .join(labels.select(col(idCol), col("label").cast("int").as("__y")),
+    val (docsB, labelsB) = boundTraining(docs, labels, sampleMax, idCol)
+    val feats = hashedFeatures(docsB, dim, textCol, idCol, l1Normalize)
+      .join(labelsB.select(col(idCol), col("label").cast("int").as("__y")),
         idCol :: Nil)
       .repartition(col(idCol))
       .persist()

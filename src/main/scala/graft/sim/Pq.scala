@@ -95,41 +95,100 @@ object Pq {
     }
   }
 
+  /** Train codebooks on RESIDUALS to the coarse centroids (Jégou et
+    * al. 2011 §IV; FAISS `by_residual=true`, the production IVFADC
+    * recipe): the same bounded hash-deterministic sample, with each
+    * vector replaced by (v − coarse(nearest(v))) before the
+    * per-subspace k-means. Residuals have the small per-cell variance
+    * the codebook's K centroids can actually resolve — the quality
+    * rung that holds recall at small nprobe as nlist grows.
+    */
+  def trainResidual(corpus: DataFrame, coarse: Array[Array[Double]],
+                    m: Int, k: Int, iters: Int, sampleMax: Int = 10000,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256]: $k")
+    val sample = corpus
+      .select(col(idCol).as("id"),
+        graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleMax)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val resid = sample.map { v =>
+      val c = coarse(graft.functions.CentroidKernels.nearestVec(v, coarse))
+      Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
+    }
+    Array.tabulate(m) { s =>
+      lloydL2(resid.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
+    }
+  }
+
   /** The compact searchable index: (id, IVF cell, M-byte PQ code) —
     * the ONE pass that reads corpus vectors; everything downstream
-    * touches only codes.
+    * touches only codes. `byResidual` (default — FAISS IVFADC)
+    * PQ-encodes the residual to the assigned coarse centroid, so the
+    * codebook must come from [[trainResidual]]; pass false with a
+    * [[train]] codebook for the raw-vector form.
     */
   def encodeIndex(corpus: DataFrame, coarse: Array[Array[Double]],
                   codebook: Array[Array[Array[Double]]],
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame =
-    corpus
+                  vecCol: String = "embedding",
+                  byResidual: Boolean = true): DataFrame = {
+    val assigned = corpus
       .select(col(idCol).as("neighbor_id"),
         graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("va"))
       .withColumn("cid", Ivf.nearestCentroid(col("va"), coarse))
-      .withColumn("code", graft.functions.PqOps.pqEncode(col("va"), codebook))
-      .select("neighbor_id", "cid", "code")
+    val enc =
+      if (byResidual)
+        graft.functions.PqOps.pqEncode(
+          graft.functions.CentroidOps.centroidResidual(
+            col("va"), col("cid"), coarse), codebook)
+      else graft.functions.PqOps.pqEncode(col("va"), codebook)
+    assigned.withColumn("code", enc).select("neighbor_id", "cid", "code")
+  }
 
   /** ANN top-k over a prebuilt (id, cid, code) index: each query
-    * probes its `nprobe` nearest IVF cells, builds its ADC lut once,
-    * and candidates score in M table adds each. Same output shape and
-    * tie contract as [[Ivf.annIvf]].
+    * probes its `nprobe` nearest IVF cells, builds its ADC lut ONCE
+    * (the lut joins back by query_id — broadcasting it on the
+    * exploded probe side would ship nprobe copies of the M·K-double
+    * table per query), and candidates score in M table adds each.
+    * Under `byResidual` the score adds the query-to-coarse-centroid
+    * dot per probed cell: query · x ≈ query · c_cid + ADC(code) —
+    * `byResidual` MUST match the index's encode mode. Same output
+    * shape and tie contract as [[Ivf.annIvf]].
     */
   def searchPq(index: DataFrame, queries: DataFrame, k: Int,
                coarse: Array[Array[Double]],
                codebook: Array[Array[Array[Double]]], nprobe: Int,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               byResidual: Boolean = true): DataFrame = {
     val kk = codebook(0).length
-    val q = queries
+    val qn = queries
       .select(col(idCol).as("query_id"),
         graft.functions.VectorOps.l2normalize(toDouble(col(vecCol))).as("vb"))
+    val probes = qn
       .withColumn("cid", explode(Ivf.probeCentroids(col("vb"), coarse, nprobe)))
-      .withColumn("lut", graft.functions.PqOps.pqLut(col("vb"), codebook))
-      .select("query_id", "cid", "lut")
-    val scored = index.join(broadcast(q), Seq("cid"))
+      .withColumn("__coarse",
+        if (byResidual)
+          graft.functions.CentroidOps.centroidDot(col("vb"), col("cid"), coarse)
+        else lit(0.0))
+      .select("query_id", "cid", "__coarse")
+    val luts = qn.select(col("query_id"),
+      graft.functions.PqOps.pqLut(col("vb"), codebook).as("lut"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", graft.functions.PqOps.pqAdc(col("code"), col("lut"), kk))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("sim", col("__coarse") +
+        graft.functions.PqOps.pqAdc(col("code"), col("lut"), kk))
     Similarity.topKSelect(scored, k)
   }
 
@@ -138,7 +197,8 @@ object Pq {
             coarse: Array[Array[Double]],
             codebook: Array[Array[Array[Double]]], nprobe: Int,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): DataFrame =
-    searchPq(encodeIndex(corpus, coarse, codebook, idCol, vecCol),
-      queries, k, coarse, codebook, nprobe, idCol, vecCol)
+            vecCol: String = "embedding",
+            byResidual: Boolean = true): DataFrame =
+    searchPq(encodeIndex(corpus, coarse, codebook, idCol, vecCol, byResidual),
+      queries, k, coarse, codebook, nprobe, idCol, vecCol, byResidual)
 }

@@ -29,11 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object Wordpiece {
 
-  /** `[c0, ##c1, ##c2, …]` — a word's initial symbol sequence. */
-  private[graft] def symbols(word: String): Array[String] =
-    word.iterator.zipWithIndex.map { case (c, i) =>
-      if (i == 0) c.toString else "##" + c
-    }.toArray
+  /** `[c0, ##c1, ##c2, …]` — a word's initial symbol sequence, one
+    * symbol per CODEPOINT (not UTF-16 code unit): a non-BMP character
+    * (emoji, supplementary CJK) is one symbol, matching the DuckDB
+    * oracle's codepoint `substring`/`len` semantics — iterating code
+    * units would split it into two surrogate symbols and diverge.
+    */
+  private[graft] def symbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    var first = true
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      val s = word.substring(i, i + n)
+      out += (if (first) s else "##" + s)
+      first = false
+      i += n
+    }
+    out.result()
+  }
 
   private def stripHash(s: String): String =
     if (s.startsWith("##")) s.substring(2) else s
@@ -130,20 +144,36 @@ object Wordpiece {
   /** Greedy longest-match-first segmentation of one word (the BERT
     * WordpieceTokenizer rule): at each position take the LONGEST
     * vocabulary piece (continuation positions require the `##`
-    * form); if no piece matches — or the word exceeds `maxChars` —
-    * the WHOLE word becomes `[UNK]`.
+    * form); if no piece matches — or the word exceeds `maxChars`
+    * CODEPOINTS — the WHOLE word becomes `[UNK]`. Match boundaries
+    * walk codepoints (the [[symbols]] rationale): a candidate piece
+    * never splits a surrogate pair, and the length cutoff counts
+    * characters the way the oracle's `len` does.
     */
   private[graft] def encodeWord(word: String, vocab: Set[String],
                                 maxChars: Int = 100): Array[String] = {
     if (word.isEmpty) return Array.empty
-    if (word.length > maxChars) return Array("[UNK]")
+    // codepoint start offsets + the end sentinel
+    val bounds = {
+      val b = Array.newBuilder[Int]
+      var i = 0
+      while (i < word.length) {
+        b += i
+        i += Character.charCount(word.codePointAt(i))
+      }
+      b += word.length
+      b.result()
+    }
+    val nCp = bounds.length - 1
+    if (nCp > maxChars) return Array("[UNK]")
     val out = Array.newBuilder[String]
     var pos = 0
-    while (pos < word.length) {
-      var end = word.length
+    while (pos < nCp) {
+      var end = nCp
       var found: String = null
       while (end > pos && found == null) {
-        val cand = (if (pos > 0) "##" else "") + word.substring(pos, end)
+        val cand = (if (pos > 0) "##" else "") +
+          word.substring(bounds(pos), bounds(end))
         if (vocab(cand)) found = cand else end -= 1
       }
       if (found == null) return Array("[UNK]")

@@ -22,8 +22,12 @@ object ContainmentProbe {
     spark.sparkContext.setLogLevel("ERROR")
     factors.foreach { f =>
       val docs = graft.core.Tables.documents(spark, s"$work/x$f")
+      // excerpt ids offset past max(doc_id), never a fixed constant —
+      // a corpus with ids >= the constant would silently alias
+      // excerpts onto real docs and skew every count below
+      val off = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
-        docs.select((col("doc_id") + 20000).as("doc_id"),
+        docs.select((col("doc_id") + off).as("doc_id"),
           expr("array_join(slice(split(text, ' '), 1, 12), ' ')").as("text")))
       val sh = corpus.select(col("doc_id"),
         graft.functions.Hashes.gram_md5_mod31(col("text"), 3).as("hs"))

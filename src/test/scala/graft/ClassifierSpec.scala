@@ -33,6 +33,46 @@ class ClassifierSpec extends SparkSpec {
     assert(scored.forall(r => r.getInt(1) == r.getInt(2)), "perfect separation expected")
   }
 
+  test("sampleMax bounds training to the hash-deterministic sample; covering sample is bit-identical") {
+    // sampleMax >= corpus: the sample IS the corpus — every model
+    // field bit-identical to unbounded (decimal sums erase order)
+    val full = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 4, lr = 2.0, sampleMax = 0)
+    val covered = TextClassifier.train(separable, separable.select("doc_id", "label"),
+      dim = 1 << 12, iters = 4, lr = 2.0, sampleMax = 10000)
+    assert(full.bias == covered.bias && full.weights == covered.weights &&
+      full.losses == covered.losses)
+    // sampleMax < corpus: training must equal training on EXACTLY the
+    // sample selected by (xxhash64(id), id) order — the Pq.train
+    // convention — regardless of the input's partitioning
+    val n = 24
+    val sampleIds = separable
+      .select(col("doc_id")).orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(n).as[Long].collect().toSet
+    val manual = TextClassifier.train(
+      separable.filter(col("doc_id").isin(sampleIds.toSeq: _*)),
+      separable.select("doc_id", "label")
+        .filter(col("doc_id").isin(sampleIds.toSeq: _*)),
+      dim = 1 << 12, iters = 4, lr = 2.0, sampleMax = 0)
+    val sampled = TextClassifier.train(
+      separable.repartition(7), separable.select("doc_id", "label").repartition(5),
+      dim = 1 << 12, iters = 4, lr = 2.0, sampleMax = n)
+    assert(sampled.bias == manual.bias && sampled.weights == manual.weights &&
+      sampled.losses == manual.losses)
+    // softmax path: same contract
+    val labels3 = separable.select(col("doc_id"),
+      (col("doc_id") % 3).cast("int").as("label"))
+    val sm = TextClassifier.trainSoftmax(
+      separable.repartition(3), labels3, dim = 1 << 12, nClasses = 3,
+      iters = 3, lr = 1.0, sampleMax = n)
+    val smManual = TextClassifier.trainSoftmax(
+      separable.filter(col("doc_id").isin(sampleIds.toSeq: _*)),
+      labels3.filter(col("doc_id").isin(sampleIds.toSeq: _*)),
+      dim = 1 << 12, nClasses = 3, iters = 3, lr = 1.0, sampleMax = 0)
+    assert(sm.biases == smManual.biases && sm.weights == smManual.weights &&
+      sm.losses == smManual.losses)
+  }
+
   test("training is bit-identical on any input partitioning") {
     def fit(parts: Int) = TextClassifier.train(
       separable.repartition(parts), separable.select("doc_id", "label").repartition(parts),

@@ -95,7 +95,9 @@ class PqSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 12)
     val k = 5
     val coarse = Ivf.train(emb, 4, 2)
-    val codebook = Pq.train(emb, m = 8, k = 16, iters = 3)
+    // residual codebook for the default by-residual path (the FAISS
+    // IVFADC recipe encodeIndex/searchPq now default to)
+    val codebook = Pq.trainResidual(emb, coarse, m = 8, k = 16, iters = 3)
     // full probe isolates PQ quantization loss from IVF routing loss
     val ann = Pq.annPq(emb, queries, k, coarse, codebook, nprobe = 4)
       .select("query_id", "neighbor_id", "cos_sim")
@@ -123,5 +125,51 @@ class PqSpec extends SparkSpec {
     // compression: codes are m bytes
     val codeLen = idx.select(length(col("code"))).as[Int].head()
     assert(codeLen == 8)
+  }
+
+  test("residual encoding >= raw-vector precision at small nprobe") {
+    // the regime by_residual exists for: restricted probes, clustered
+    // corpus — residual codebooks resolve within-cell displacement the
+    // raw codebook spends its K centroids spanning globally
+    val emb = synthetic(500, 64, 10, seed = 11L).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 12)
+    val k = 5
+    val coarse = Ivf.train(emb, 8, 2)
+    def precision(rows: Array[(Long, Long)]): Double =
+      rows.count { case (q, n) => n % 10 == q % 10 }.toDouble / rows.length
+    val raw = Pq.annPq(emb, queries, k, coarse,
+        Pq.train(emb, m = 8, k = 16, iters = 3), nprobe = 2,
+        byResidual = false)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val res = Pq.annPq(emb, queries, k, coarse,
+        Pq.trainResidual(emb, coarse, m = 8, k = 16, iters = 3), nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(res.length == raw.length)
+    assert(precision(res) >= precision(raw),
+      s"residual ${precision(res)} < raw ${precision(raw)}")
+    assert(precision(res) >= 0.95, s"residual precision ${precision(res)}")
+  }
+
+  test("trainResidual: deterministic, partition-invariant, residual geometry") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val coarse = Ivf.train(emb, 4, 2)
+    val cb1 = Pq.trainResidual(emb, coarse, m = 8, k = 4, iters = 2)
+    val cb2 = Pq.trainResidual(emb.repartition(7), coarse, m = 8, k = 4, iters = 2)
+    assert(cb1.length == 8 && cb1.forall(_.length == 4) &&
+      cb1.forall(_.forall(_.length == 8)))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // residual centroids sit near the origin (per-cell displacement)
+    // when cells are real clusters — the clustered fixture, NOT the
+    // unstructured embeddings table, where v − unit-centroid is O(1)
+    val cemb = synthetic(500, 64, 10, seed = 7L).toDF("vec_id", "embedding")
+    val cCoarse = Ivf.train(cemb, 10, 3)
+    def meanNorm(cb: Array[Array[Array[Double]]]): Double = {
+      val all = cb.flatten
+      all.map(c => math.sqrt(c.map(x => x * x).sum)).sum / all.length
+    }
+    val resNorm = meanNorm(Pq.trainResidual(cemb, cCoarse, m = 8, k = 4, iters = 2))
+    val rawNorm = meanNorm(Pq.train(cemb, m = 8, k = 4, iters = 2))
+    assert(resNorm < rawNorm, s"residual $resNorm !< raw $rawNorm")
   }
 }

@@ -41,6 +41,25 @@ class WordpieceSpec extends SparkSpec {
     assert(Wordpiece.encodeWord("", v).isEmpty)
   }
 
+  test("non-BMP codepoints: one symbol each, never split across surrogates") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 code units
+    // symbols() walks codepoints: the emoji is ONE symbol
+    assert(Wordpiece.symbols(s"a${emoji}b").toSeq ==
+      Seq("a", "##" + emoji, "##b"))
+    // a vocab carrying the emoji pieces encodes cleanly — greedy match
+    // boundaries never land inside the surrogate pair
+    val v = Set("a", "##" + emoji, "##b", "a" + emoji)
+    assert(Wordpiece.encodeWord(s"a${emoji}b", v).toSeq ==
+      Seq("a" + emoji, "##b"))
+    // maxChars counts CODEPOINTS (oracle len semantics): 100 emoji =
+    // 200 code units but exactly 100 codepoints -> not [UNK]
+    val hundred = emoji * 100
+    assert(Wordpiece.encodeWord(hundred, Set("##" + emoji) + emoji).toSeq
+      .forall(_ != "[UNK]"))
+    assert(Wordpiece.encodeWord(emoji * 101, Set("##" + emoji) + emoji).toSeq ==
+      Seq("[UNK]"))
+  }
+
   test("encode: distributed tokens per doc, frozen-vocab corpus behavior") {
     val docs = Seq((1L, "aab ab"), (2L, "ba c")).toDF("doc_id", "text")
     val got = Wordpiece.encode(docs, wantVocab)
