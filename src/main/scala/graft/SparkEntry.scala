@@ -52,6 +52,17 @@ object SparkEntry {
     "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "d" -> "</w>",
     "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r", "an" -> "d</w>")
 
+  /** d_bpe_encode_bytes' fixed BYTE-level merge table — [[bpeMerges]]
+    * transposed into the uppercase-hex byte alphabet (65='e', 74='t',
+    * 68='h', 64='d', 69='i', 61='a', 6E='n', 6F='o', 72='r'), same
+    * chained-merge structure so the in-order oracle replay stays
+    * equivalent to greedy inference.
+    */
+  private[graft] val bpeByteMerges: Seq[(String, String)] = Seq(
+    "65" -> "</w>", "74" -> "68", "7468" -> "65</w>", "64" -> "</w>",
+    "69" -> "6E", "61" -> "6E", "6F" -> "6E", "65" -> "72",
+    "616E" -> "64</w>")
+
   /** doc ids spread over the session's full parallelism before a
     * decode-heavy synthetic-media flatMap. The documents table is a
     * few small parquet files, so the scan coalesces to 1-8 input
@@ -1288,6 +1299,21 @@ object SparkEntry {
       // in-order == greedy BPE property (chained outputs only feed
       // LATER-ranked merges; the spec cross-checks on corpus words)
       graft.text.Bpe.encode(Tables.documents(s, d), SparkEntry.bpeMerges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id")
+    }),
+    "d_bpe_encode_bytes" -> ((s, d) => {
+      // BYTE-level BPE (the GPT-2-family form): base symbols are
+      // uppercase hex pairs of each word's UTF-8 bytes, so multibyte
+      // characters split into byte symbols and STILL encode — no
+      // [UNK] exists. The appended ' café 的' marker exercises real
+      // multibyte fallback (C3A9, E79A84); the oracle replays the
+      // fixed merges over DuckDB's hex() of the same words
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" café 的")).as("text"))
+      graft.text.Bpe.encodeBytes(docs, SparkEntry.bpeByteMerges)
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           concat_ws(" ", col("tokens")).as("tokens_str"))
@@ -4324,6 +4350,34 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ver,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE NULL END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d_bpe_encode_bytes" ->
+      // the d_bpe_encode replay over BYTE symbols: hex(w) is the
+      // word's UTF-8 bytes as uppercase hex (DuckDB hex == the JVM
+      // byteSymbols form), decorated into '|'-bounded hex PAIRS; the
+      // 9 byte merges replay in rank order as non-overlapping
+      // replace() passes (same chained-merge structure, same in-order
+      // == greedy equivalence), then boundaries become spaces
+      """SELECT doc_id,
+        |  CAST(len(string_split(tokens_str, ' ')) AS BIGINT) AS n_tokens,
+        |  tokens_str
+        |FROM (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(string_split(text || ' café 的', ' '), w -> w <> ''),
+        |    w -> replace(trim(
+        |      replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |        '||' || regexp_replace(hex(w), '([0-9A-F]{2})', '\1||', 'g') || '</w>||',
+        |        '|65||</w>|', '|65</w>|'),
+        |        '|74||68|', '|7468|'),
+        |        '|7468||65</w>|', '|746865</w>|'),
+        |        '|64||</w>|', '|64</w>|'),
+        |        '|69||6E|', '|696E|'),
+        |        '|61||6E|', '|616E|'),
+        |        '|6F||6E|', '|6F6E|'),
+        |        '|65||72|', '|6572|'),
+        |        '|616E||64</w>|', '|616E64</w>|'),
+        |      '|'), '||', ' ')), ' ') AS tokens_str
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "d_bpe_encode" ->
       // symbols ride a '|'-decorated string ('||' between symbols and
       // at both ends — each replace consumes one '|' per side, so

@@ -540,6 +540,19 @@ object LinkGraph {
     var active = all.localCheckpoint(false)
     var aEdges = e0.localCheckpoint(false)
     var activeCount = active.count() // materializes both checkpoints below
+    // The pageRank AQE trap, measured WORSE here (GraphAqeProbe,
+    // 1e6 nodes): node-shaped round frames (color/inc/mark/cand)
+    // compress under AQE's 10 MB runtime-broadcast threshold, so
+    // EVERY inner coloring/marking round rebuilt and re-broadcast an
+    // ~n-entry hashed relation — default conf read 54→209 s across
+    // runs (cpu to 2531 s, gc to 35 s — broadcast build churn) vs a
+    // stable ~42 s with the broadcast off. Same gated fix: pin
+    // shuffle_hash on node-shaped join sides while the ACTIVE set is
+    // large; the gate re-reads activeCount, so once peeling shrinks
+    // the graph below the threshold small-frame rounds get AQE's
+    // broadcast back (which wins there — bench-sized graphs never pin).
+    def nodeSide(df: DataFrame): DataFrame =
+      if (activeCount >= 400000) df.hint("shuffle_hash") else df
     val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var outer = 0
     while (activeCount > 0 && outer < maxIter) {
@@ -548,18 +561,22 @@ object LinkGraph {
       var trimming = true
       while (trimming && activeCount > 0) {
         val core = active
-          .join(aEdges.select(col("dst").as("n")).distinct(), Seq("n"), "left_semi")
-          .join(aEdges.select(col("src").as("n")).distinct(), Seq("n"), "left_semi")
+          .join(nodeSide(aEdges.select(col("dst").as("n")).distinct()),
+            Seq("n"), "left_semi")
+          .join(nodeSide(aEdges.select(col("src").as("n")).distinct()),
+            Seq("n"), "left_semi")
           .localCheckpoint(false)
         val coreCount = core.count()
         if (coreCount == activeCount) trimming = false
         else {
-          done += active.join(core, Seq("n"), "left_anti")
+          done += active.join(nodeSide(core), Seq("n"), "left_anti")
             .select(col("n"), col("n").as("scc"))
           active = core
           aEdges = aEdges
-            .join(active.select(col("n").as("src")), Seq("src"), "left_semi")
-            .join(active.select(col("n").as("dst")), Seq("dst"), "left_semi")
+            .join(nodeSide(active.select(col("n").as("src"))),
+              Seq("src"), "left_semi")
+            .join(nodeSide(active.select(col("n").as("dst"))),
+              Seq("dst"), "left_semi")
             .select("src", "dst")
             .localCheckpoint(false)
           activeCount = coreCount
@@ -589,9 +606,10 @@ object LinkGraph {
         var changed = 1L
         while (changed > 0) {
           val inc = aEdges
-            .join(color.select(col("n").as("src"), col("c").as("cs")), "src")
+            .join(nodeSide(color.select(col("n").as("src"), col("c").as("cs"))),
+              "src")
             .groupBy(col("dst").as("n")).agg(min("cs").as("ci"))
-          val next = color.join(inc, Seq("n"), "left")
+          val next = color.join(nodeSide(inc), Seq("n"), "left")
             .select(col("n"),
               least(col("c"), coalesce(col("ci"), col("c"))).as("c"),
               when(col("ci").isNotNull && col("ci") < col("c"), 1L)
@@ -610,13 +628,14 @@ object LinkGraph {
         changed = 1L
         while (changed > 0) {
           val cand = aEdges
-            .join(mark.select(col("n").as("dst"), col("c").as("cu"),
-              col("m").as("mu")), "dst")
+            .join(nodeSide(mark.select(col("n").as("dst"), col("c").as("cu"),
+              col("m").as("mu"))), "dst")
             .filter(col("mu"))
             .select(col("src").as("__n2"), col("cu"))
             .distinct()
-          val next = mark.join(cand,
-              mark("n") === cand("__n2") && mark("c") === cand("cu"), "left")
+          val candH = nodeSide(cand)
+          val next = mark.join(candH,
+              mark("n") === candH("__n2") && mark("c") === candH("cu"), "left")
             .select(mark("n"), mark("c"),
               (mark("m") || col("__n2").isNotNull).as("m"),
               when(!mark("m") && col("__n2").isNotNull, 1L)
@@ -631,14 +650,16 @@ object LinkGraph {
         // because the random-priority root need not be the min member
         val marked = mark.filter(col("m")).select(col("n"), col("c"))
         val peeled = marked
-          .join(marked.groupBy("c").agg(min(col("n")).as("scc")), "c")
+          .join(nodeSide(marked.groupBy("c").agg(min(col("n")).as("scc"))), "c")
           .select("n", "scc")
         done += peeled
-        active = active.join(peeled.select("n"), Seq("n"), "left_anti")
+        active = active.join(nodeSide(peeled.select("n")), Seq("n"), "left_anti")
           .localCheckpoint(false)
         aEdges = aEdges
-          .join(active.select(col("n").as("src")), Seq("src"), "left_semi")
-          .join(active.select(col("n").as("dst")), Seq("dst"), "left_semi")
+          .join(nodeSide(active.select(col("n").as("src"))),
+            Seq("src"), "left_semi")
+          .join(nodeSide(active.select(col("n").as("dst"))),
+            Seq("dst"), "left_semi")
           .select("src", "dst")
           .localCheckpoint(false)
         activeCount = active.count()
@@ -696,6 +717,12 @@ object LinkGraph {
       .localCheckpoint()
     val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = eAll.filter(col("src") =!= col("dst")).distinct().persist()
+    // the SCC/pageRank AQE pin (GraphAqeProbe): the per-hop visited
+    // set and the final tag frames are node-shaped and compress under
+    // the runtime broadcast threshold at soak sizes
+    val nNodes = scc.count()
+    def nodeSide(df: DataFrame): DataFrame =
+      if (nNodes >= 400000) df.hint("shuffle_hash") else df
     val out = {
       // the giant SCC: size desc, label asc — a 1-row broadcast
       val coreLabel = scc.groupBy("scc").agg(count(lit(1)).as("__sz"))
@@ -717,7 +744,7 @@ object LinkGraph {
             else
               e.join(frontier.select(col("n").as("dst")), Seq("dst"), "left_semi")
                 .select(col("src").as("n")).distinct()
-          val fresh = step.join(visited, Seq("n"), "left_anti")
+          val fresh = step.join(nodeSide(visited), Seq("n"), "left_anti")
             .localCheckpoint(false)
           if (fresh.count() == 0) growing = false
           else {
@@ -737,11 +764,11 @@ object LinkGraph {
       def tag(df: DataFrame, name: String) =
         df.select(col("n"), lit(true).as(name))
       scc.select("n")
-        .join(tag(core, "__core"), Seq("n"), "left")
-        .join(tag(inSet, "__in"), Seq("n"), "left")
-        .join(tag(outSet, "__out"), Seq("n"), "left")
-        .join(tag(inFwd, "__if"), Seq("n"), "left")
-        .join(tag(outBwd, "__ob"), Seq("n"), "left")
+        .join(nodeSide(tag(core, "__core")), Seq("n"), "left")
+        .join(nodeSide(tag(inSet, "__in")), Seq("n"), "left")
+        .join(nodeSide(tag(outSet, "__out")), Seq("n"), "left")
+        .join(nodeSide(tag(inFwd, "__if")), Seq("n"), "left")
+        .join(nodeSide(tag(outBwd, "__ob")), Seq("n"), "left")
         .select(col("n"),
           when(col("__core"), "core")
             .when(col("__in"), "in")

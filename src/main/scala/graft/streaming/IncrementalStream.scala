@@ -615,6 +615,63 @@ object IncrementalStream {
         audioDedupBatch(batch, batchId, indexDir, pairsDir, maxHamming)
       }
 
+  /** One ANN-INDEX ingest micro-batch: PQ-encode the batch's vectors
+    * (coarse routing + residual PQ codes —
+    * [[graft.sim.Pq.encodeIndex]]) into `indexDir/batch=<id>`. The
+    * searchable artifact GROWS with the stream while each commit
+    * costs O(batch): vectors are read once, at arrival; search scans
+    * only the accumulated 8-byte codes. Replay-idempotent by the
+    * per-batch-partition overwrite (the [[nearDupBatch]] convention)
+    * — a re-delivered batch rewrites its own partition bit-identically
+    * (encode is deterministic under a fixed coarse/codebook) and
+    * touches nothing else.
+    */
+  def annIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                    coarse: Array[Array[Double]],
+                    codebook: Array[Array[Array[Double]]],
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    byResidual: Boolean = true): Unit = {
+    if (batch.isEmpty) return // a part-file-less dir poisons later reads
+    graft.sim.Pq.encodeIndex(batch, coarse, codebook, idCol, vecCol, byResidual)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** Streaming ANN-index sink (foreachBatch over [[annIndexBatch]]) —
+    * the vector-index twin of the dedup-store sinks: a growing corpus
+    * of embeddings maintains a searchable IVF-PQ index incrementally
+    * instead of re-encoding from scratch. The coarse centroids and
+    * codebooks are FROZEN at sink-construction time (the FAISS
+    * contract: retraining quantizers invalidates every stored code —
+    * retrain offline, re-encode, swap directories). Query the
+    * accumulated index with [[readAnnIndex]] +
+    * [[graft.sim.Pq.searchPq]].
+    */
+  def sinkAnnIndex(df: DataFrame, indexDir: String, checkpointDir: String,
+                   coarse: Array[Array[Double]],
+                   codebook: Array[Array[Array[Double]]],
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   byResidual: Boolean = true,
+                   compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIndexBatch(batch, batchId, indexDir, coarse, codebook,
+          idCol, vecCol, byResidual)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          StoreMaintenance.compactStore(batch.sparkSession, indexDir): Unit
+      }
+
+  /** The accumulated (neighbor_id, cid, code) ANN index across all
+    * committed batches (None before the first commit) — feed to
+    * [[graft.sim.Pq.searchPq]] with the SAME coarse/codebook/
+    * byResidual the sink was built with.
+    */
+  def readAnnIndex(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    readDeduped(spark, indexDir)
+      .map(_.select("neighbor_id", "cid", "code"))
+
   /** Streaming CURATION sink: foreachBatch over
     * [[graft.pipeline.Curation.curateDelta]] — each micro-batch is
     * exact-deduped against the seen-hash store, near-dup-pruned

@@ -130,8 +130,16 @@ object Bpe {
     * training encodes to its training-time symbols.
     */
   private[graft] def encodeWord(word: String,
-                               ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray :+ "</w>"
+                               ranks: Map[(String, String), Int]): Array[String] =
+    greedyMerge(word.map(_.toString).toArray :+ "</w>", ranks)
+
+  /** The shared greedy lowest-rank-first loop over an initial symbol
+    * sequence (char-level [[encodeWord]] and byte-level
+    * [[encodeWordBytes]] differ only in their base alphabet).
+    */
+  private def greedyMerge(syms0: Array[String],
+                          ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = syms0
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -146,6 +154,56 @@ object Bpe {
       else syms = mergeOnce(syms, bestPair)
     }
     syms
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** A word's BYTE-level initial symbols: one uppercase hex pair per
+    * UTF-8 byte plus the terminal `</w>` — the GPT-2-family base
+    * alphabet (Radford et al. 2019 use a byte→unicode remap; hex
+    * pairs carry the same information and replay portably — DuckDB's
+    * `hex()` emits exactly this form). All 256 bytes are base
+    * symbols, so EVERY word is encodable — byte fallback is inherent
+    * and `[UNK]` never exists at this level.
+    */
+  private[graft] def byteSymbols(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length + 1)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      out(i) = new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+      i += 1
+    }
+    out(bs.length) = "</w>"
+    out
+  }
+
+  /** Greedy byte-level encoding of one word (no UNK — see
+    * [[byteSymbols]]); tokens are concatenated hex pairs, the last
+    * one `</w>`-terminated.
+    */
+  private[graft] def encodeWordBytes(word: String,
+                                     ranks: Map[(String, String), Int]): Array[String] =
+    greedyMerge(byteSymbols(word), ranks)
+
+  /** Train `numMerges` BYTE-level BPE merges — [[train]] with the
+    * byte base alphabet: same one-pass Zipf-bounded word-frequency
+    * table, same driver-local likelihood loop, merges over hex-pair
+    * symbols. The practical difference from char-level is the
+    * alphabet bound (≤ 257 base symbols regardless of script) and
+    * the no-UNK guarantee at encode time.
+    */
+  def trainBytes(docs: DataFrame, numMerges: Int, maxVocab: Int = 100000,
+                 textCol: String = "text"): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val vocab: Array[(Array[String], Long)] =
+      wordFreq(docs, textCol)
+        .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)
+        .collect()
+        .map(r => (byteSymbols(r.getString(0)), r.getLong(1)))
+    trainOnVocab(vocab, numMerges)
   }
 
   /** Encode the corpus: (idCol, tokens) with each word's subword
@@ -167,6 +225,29 @@ object Bpe {
       .map { case (id, text) =>
         val toks = text.split(" ").iterator.filter(_.nonEmpty)
           .flatMap(w => encodeWord(w, bc.value)).toArray
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+  }
+
+  /** Byte-level corpus encode — [[encode]] with [[encodeWordBytes]]:
+    * merge ranks broadcast, per-word greedy merging off the driver,
+    * shuffle-free; tokens are hex-pair concatenations (last one
+    * `</w>`-terminated), so the output is engine-replayable and
+    * [[fertility]] applies unchanged.
+    */
+  def encodeBytes(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap: Map[(String, String), Int])
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").iterator.filter(_.nonEmpty)
+          .flatMap(w => encodeWordBytes(w, bc.value)).toArray
         (id, toks)
       }
       .toDF(idCol, "tokens")

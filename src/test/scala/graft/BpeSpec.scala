@@ -93,4 +93,55 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("and", ranks).toSeq == Seq("and</w>"))
     assert(Bpe.encodeWord("thin", ranks).toSeq == Seq("th", "in", "</w>"))
   }
+
+  test("byte-level: no UNK ever, lossless round-trip, hex form") {
+    // hex-pair base symbols; byte merges mirror the char table
+    val merges = graft.SparkEntry.bpeByteMerges
+    val ranks = merges.zipWithIndex.toMap
+    // 'the' = 74 68 65 -> chained merges land the full word
+    assert(Bpe.encodeWordBytes("the", ranks).toSeq == Seq("746865</w>"))
+    assert(Bpe.encodeWordBytes("and", ranks).toSeq == Seq("616E64</w>"))
+    // round-trip: stripping </w> and unhexing the concatenation
+    // recovers the word's exact UTF-8 bytes — for ANY input,
+    // including multibyte scripts no merge has ever seen (no UNK)
+    def roundTrip(w: String): String = {
+      val toks = Bpe.encodeWordBytes(w, ranks)
+      val hexStr = toks.mkString.replace("</w>", "")
+      val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    for (w <- Seq("the", "error", "café", "的是", "naïve",
+        new String(Character.toChars(0x1F600)), "mixed的word")) {
+      assert(roundTrip(w) == w, s"round-trip '$w'")
+      assert(!Bpe.encodeWordBytes(w, ranks).contains("[UNK]"))
+    }
+    // multibyte chars split to byte symbols (C3A9 = é) but merges
+    // trained on ASCII still fire inside mixed words
+    assert(Bpe.encodeWordBytes("é", ranks).toSeq == Seq("C3", "A9", "</w>"))
+  }
+
+  test("trainBytes: hand-derived byte merges, deterministic on any partitioning") {
+    // the:3, and:2, in:1 — counts hand-derived over hex symbols.
+    // (NOT the hex image of char merges: ties break pair-lex ASC and
+    // hex digits sort BEFORE '<', so ("65","72") would beat
+    // ("65","</w>") where char-level ("e","</w>") beats ("e","r") —
+    // the tie ORDER is alphabet-specific by design.)
+    val docs = Seq((1L, "the the and in"), (2L, "the and")).toDF("doc_id", "text")
+    val got = Bpe.trainBytes(docs, 4)
+    assert(got == Seq("65" -> "</w>", "68" -> "65</w>",
+      "74" -> "6865</w>", "61" -> "6E"))
+    assert(Bpe.trainBytes(docs.repartition(5), 4) == got)
+  }
+
+  test("encodeBytes: distributed, fertility carries over") {
+    val merges = graft.SparkEntry.bpeByteMerges
+    val docs = Seq((1L, "the and café"), (2L, "on 的")).toDF("doc_id", "text")
+    val enc = Bpe.encodeBytes(docs, merges).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    assert(enc(0)._2 == Seq("746865</w>", "616E64</w>",
+      "63", "61", "66", "C3", "A9", "</w>"))
+    val fert = Bpe.fertility(Bpe.encodeBytes(docs, merges)).orderBy("doc_id")
+      .select("doc_id", "n_words", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(fert(0) == ((1L, 3L, 8L)))
+  }
 }

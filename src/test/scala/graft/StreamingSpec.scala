@@ -410,6 +410,53 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == oneShot)
   }
 
+  test("sinkAnnIndex: 3 streamed waves == one-shot encodeIndex; replay no-op; search matches") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val coarse = graft.sim.Ivf.train(emb, 4, 2)
+    val cb = graft.sim.Pq.trainResidual(emb, coarse, m = 8, k = 16, iters = 2)
+    val in = tempDir("graft_annix_in")
+    emb.repartition(6).write.mode("overwrite").parquet(in)
+    val idx = tempDir("graft_annix_i") + "/i"
+    val ckpt = tempDir("graft_annix_ck")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+    val q = IncrementalStream.sinkAnnIndex(stream, idx, ckpt, coarse, cb).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = IncrementalStream.readAnnIndex(spark, idx).get
+    val oneShot = graft.sim.Pq.encodeIndex(emb, coarse, cb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"neighbor_id".cast("long"), $"cid",
+        org.apache.spark.sql.functions.hex($"code"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(streamed) == rows(oneShot))
+    // the stream really arrived in > 1 batch
+    assert(spark.read.parquet(idx).select("batch").distinct().count() > 1)
+
+    // replay of the last batch (uncommitted-crash shape): the batch
+    // partition rewrites bit-identically, nothing else changes
+    val lastBatch = spark.read.parquet(idx)
+      .groupBy().agg(org.apache.spark.sql.functions.max("batch")).as[Long].head()
+    val replayIds = spark.read.parquet(idx)
+      .filter(col("batch") === lastBatch).select("neighbor_id").as[Long].collect()
+    IncrementalStream.annIndexBatch(
+      emb.filter($"vec_id".isin(replayIds.toSeq: _*)), lastBatch, idx, coarse, cb)
+    // the overwrite replaced part files under batch=<last>; this
+    // session's FileStatusCache still lists the old names — refresh
+    // (a fresh session, the real crash-recovery reader, needs nothing)
+    spark.catalog.refreshByPath(idx)
+    assert(rows(IncrementalStream.readAnnIndex(spark, idx).get) == rows(oneShot))
+
+    // search over the streamed index == search over the one-shot index
+    // (fresh read: the pre-replay frame pins overwritten file names)
+    val queries = emb.filter($"vec_id" < 5)
+    def topk(index: org.apache.spark.sql.DataFrame) =
+      graft.sim.Pq.searchPq(index, queries, 3, coarse, cb, nprobe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSeq
+    assert(topk(IncrementalStream.readAnnIndex(spark, idx).get) == topk(oneShot))
+  }
+
   test("sinkCurate stream == one-shot curate on the same corpus") {
     val corpus = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter("doc_id < 200")
