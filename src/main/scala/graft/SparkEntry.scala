@@ -565,6 +565,38 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), 3)
     }),
+    "d_ann_filtered" -> ((s, d) => {
+      // ATTRIBUTE-FILTERED vector search, exact path: the allowed set
+      // comes from a real attribute table (documents.lang = 'en';
+      // vec_id aligns with doc_id by construction) and pre-filters
+      // the corpus BEFORE scoring — top-k is exact over the subset,
+      // no post-filter recall hole. Fully oracle-replayable (the
+      // d_cosine_topk math over the semi-joined corpus); the PQ-index
+      // form of the same shape is d_ann_pq_filtered
+      val emb = Tables.embeddings(s, d)
+      val allowed = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.cosineTopK(
+        emb.join(allowed, Seq("vec_id"), "left_semi"),
+        emb.filter(col("vec_id") < 10), 3)
+    }),
+    "d_ann_pq_filtered" -> ((s, d) => {
+      // the filtered shape on the compressed index: allowed ids
+      // semi-join the (id, cell, code) frame before the probe join —
+      // non-matching codes never score. Rows-only (float k-means
+      // class, the d_ann_pq contract); PqSpec pins filtered ==
+      // search-over-allowed-only-index equality
+      val emb = Tables.embeddings(s, d)
+      val allowed = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val coarse = graft.sim.Ivf.train(emb, 8, 2)
+      val cb = graft.sim.Pq.trainResidual(emb, coarse, m = 8, k = 16,
+        iters = 2)
+      graft.sim.Pq.searchPqFiltered(
+        graft.sim.Pq.encodeIndex(emb, coarse, cb),
+        emb.filter(col("vec_id") < 10), 3, coarse, cb, nprobe = 2,
+        allowed = allowed)
+    }),
     "d_ann_lsh" -> ((s, d) =>
       Similarity.lshBucketSizes(Tables.embeddings(s, d), 12)),
     "d_dedup_embed" -> ((s, d) =>
@@ -3461,6 +3493,20 @@ object SparkEntry {
         |      c.vec_id) AS INT) AS rank,
         |    round(list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) q
+        |    ON c.vec_id != q.vec_id) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "d_ann_filtered" ->
+      // the d_cosine_topk replay with the attribute pre-filter: the
+      // corpus side semi-joins the en-language doc ids before scoring
+      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+        |      c.vec_id) AS INT) AS rank,
+        |    round(list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |        WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')) c
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) q
         |    ON c.vec_id != q.vec_id) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,

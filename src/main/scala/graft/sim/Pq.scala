@@ -192,6 +192,34 @@ object Pq {
     Similarity.topKSelect(scored, k)
   }
 
+  /** ATTRIBUTE-FILTERED ANN over a prebuilt index — the production
+    * vector-search shape (lang = X, date > Y, license ∈ …): the
+    * predicate's surviving ids semi-join the index BEFORE the probe
+    * join, so non-matching codes never score and the returned top-k
+    * is exact over the allowed subset (pre-filtering, not the
+    * post-filter recall hole where matching neighbors fall outside
+    * the unfiltered top-k). `allowed` carries the allowed ids in
+    * `idCol` (derive it from any attribute table); the semi-join
+    * exchanges ids-only rows — the index side is (id, cell, code),
+    * already the narrowest frame in the system — and AQE broadcasts
+    * the allowed side when the predicate is selective. Result ==
+    * [[searchPq]] over an index built from ONLY the allowed vectors
+    * (encode is per-row deterministic; PqSpec pins the equality).
+    */
+  def searchPqFiltered(index: DataFrame, queries: DataFrame, k: Int,
+                       coarse: Array[Array[Double]],
+                       codebook: Array[Array[Array[Double]]], nprobe: Int,
+                       allowed: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       byResidual: Boolean = true): DataFrame = {
+    val filtered = index.join(
+      allowed.select(col(idCol).as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_semi")
+    searchPq(filtered, queries, k, coarse, codebook, nprobe,
+      idCol, vecCol, byResidual)
+  }
+
   /** Index build + search in one call (the d_ann_pq surface). */
   def annPq(corpus: DataFrame, queries: DataFrame, k: Int,
             coarse: Array[Array[Double]],

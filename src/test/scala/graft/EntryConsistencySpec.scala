@@ -15,7 +15,7 @@ class EntryConsistencySpec extends AnyFunSuite {
 
   private val declaredRowsOnly = Set(
     "d_ann_ivf", "d_ann_ivf_hier", "d_ann_lsh",          // ANN: tie/float class
-    "d_ann_pq",                                          // float k-means class
+    "d_ann_pq", "d_ann_pq_filtered",                     // float k-means class
     "d_compression_ratio",                               // DuckDB has no deflate
     "d_dedup_clusters", "d_dedup_minhash",               // xxhash64 family
     "d_dedup_minhash_delta", "d_dedup_minhash_pairs",

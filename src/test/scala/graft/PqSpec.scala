@@ -150,6 +150,30 @@ class PqSpec extends SparkSpec {
     assert(precision(res) >= 0.95, s"residual precision ${precision(res)}")
   }
 
+  test("searchPqFiltered == searchPq over an allowed-only index; results stay in the allowed set") {
+    val emb = synthetic(500, 64, 10, seed = 5L).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val allowed = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val coarse = Ivf.train(emb, 4, 2)
+    val cb = Pq.trainResidual(emb, coarse, m = 8, k = 16, iters = 2)
+    val viaFilter = Pq.searchPqFiltered(
+        Pq.encodeIndex(emb, coarse, cb), queries, 5, coarse, cb,
+        nprobe = 4, allowed = allowed)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // encode is per-row deterministic, so an index built from ONLY the
+    // allowed vectors carries the same (cid, code) rows — pre-filtered
+    // search must return the identical exact-over-subset top-k
+    val viaSubIndex = Pq.searchPq(
+        Pq.encodeIndex(emb.join(allowed, Seq("vec_id"), "left_semi"),
+          coarse, cb), queries, 5, coarse, cb, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaFilter == viaSubIndex)
+    assert(viaFilter.nonEmpty)
+    assert(viaFilter.forall(_._3 % 2 == 0), "a non-allowed id scored")
+  }
+
   test("trainResidual: deterministic, partition-invariant, residual geometry") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val coarse = Ivf.train(emb, 4, 2)
