@@ -279,9 +279,11 @@ object TextClassifier {
                    l2: Double = 0.0, textCol: String = "text",
                    idCol: String = "doc_id",
                    l1Normalize: Boolean = true,
-                   sampleMax: Int = 100000): SoftmaxModel = {
+                   sampleMax: Int = 100000,
+                   stopTol: Double = 0.0): SoftmaxModel = {
     require(iters > 0, s"iters must be > 0: $iters")
     require(nClasses >= 2, s"nClasses must be >= 2: $nClasses")
+    require(stopTol >= 0.0, s"stopTol must be >= 0: $stopTol")
     val spark = docs.sparkSession
     import spark.implicits._
     val (docsB, labelsB) = boundTraining(docs, labels, sampleMax, idCol)
@@ -296,7 +298,15 @@ object TextClassifier {
       val bias = new Array[Double](nClasses)
       val losses = Seq.newBuilder[Double]
       var nDocs = 0.0
-      for (_ <- 1 to iters) {
+      // the [[train]] plateau rule verbatim: iters stays the hard
+      // budget, stopTol > 0 ends training when the RELATIVE loss
+      // improvement falls below it; 0.0 (default) = the fixed schedule
+      // the plain-JVM cross-check pins
+      var prevLoss = Double.NaN
+      var plateaued = false
+      var it = 0
+      while (it < iters && !plateaued) {
+        it += 1
         val nz = w.iterator.filter(_._2 != 0.0)
           .map { case ((f, c), v) => (f, c, v) }.toSeq
         val wdf =
@@ -337,7 +347,12 @@ object TextClassifier {
           if (f >= 0) w((f, c)) = w((f, c)) - lr * (g / nDocs + l2 * w((f, c)))
           else if (f == -1) bias(c) -= lr * g / nDocs
         }
-        losses += lossSum / nDocs
+        val loss = lossSum / nDocs
+        losses += loss
+        if (stopTol > 0.0 && !prevLoss.isNaN &&
+          math.abs(prevLoss - loss) <= stopTol * math.max(prevLoss, 1e-12))
+          plateaued = true
+        prevLoss = loss
       }
       SoftmaxModel(dim, nClasses, bias.toSeq,
         w.iterator.filter(_._2 != 0.0).toMap, losses.result(), l1Normalize)

@@ -78,7 +78,8 @@ object ScaleSoak {
     "m_audio_dedup", "m_audio_dedup_delta", "d_unigram_tok_train",
     "d_unigram_encode", "d_unigram_sample",
     "d_wordpiece_encode", "d_wordpiece_pairs", "d_pq_encode",
-    "d_lang_id_learned")
+    "d_lang_id_learned",
+    "d_bpe_encode_bytes", "d_ann_filtered", "d_ann_pq_filtered")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

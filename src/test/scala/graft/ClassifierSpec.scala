@@ -262,6 +262,26 @@ class ClassifierSpec extends SparkSpec {
     got.weights.foreach { case (k, v) => assert(math.abs(v - seqW(k)) < 1e-12) }
   }
 
+  test("softmax stopTol: plateau stop == the truncated fixed schedule, bit-for-bit") {
+    val labels3 = separable.select(col("doc_id"),
+      (col("doc_id") % 3).cast("int").as("label"))
+    // stopTol = 10: |Δloss| <= 10·prev holds at epoch 2 for any
+    // trajectory, so training must stop there and equal the
+    // fixed-2-epoch model exactly (the semantics pin — convergence
+    // behavior is corpus-dependent and not what this test is about)
+    val early = TextClassifier.trainSoftmax(separable, labels3,
+      dim = 1 << 12, nClasses = 3, iters = 8, lr = 1.0, stopTol = 10.0)
+    val two = TextClassifier.trainSoftmax(separable, labels3,
+      dim = 1 << 12, nClasses = 3, iters = 2, lr = 1.0)
+    assert(early.losses.size == 2)
+    assert(early.losses == two.losses && early.biases == two.biases &&
+      early.weights == two.weights)
+    // default 0.0 = the full fixed schedule
+    val full = TextClassifier.trainSoftmax(separable, labels3,
+      dim = 1 << 12, nClasses = 3, iters = 4, lr = 1.0)
+    assert(full.losses.size == 4)
+  }
+
   test("scoreSoftmax: zero-weight model gives uniform probs, lowest class wins ties") {
     val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val m = TextClassifier.SoftmaxModel(1 << 10, 4, Seq(0.0, 0.0, 0.0, 0.0),
