@@ -80,7 +80,8 @@ object LinkGraph {
                tol: Double = 0.0,
                seeds: Option[DataFrame] = None,
                seedCol: String = "n",
-               probeEvery: Int = 1): DataFrame = {
+               probeEvery: Int = 1,
+               localMax: Int = 50000): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0.0, s"tol >= 0: $tol")
@@ -93,6 +94,25 @@ object LinkGraph {
     val nodes0 = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct().persist()
     val n = nodes0.count().toDouble // one node-shaped action, reused below
+    // small-graph fast path (the sccWithRounds gate): the decimal
+    // contract was designed to be engine-portable — per-edge
+    // contributions round to 9dp and sum as exact decimals, so a
+    // driver kernel mirroring the same rounding/cast sequence is
+    // BIT-IDENTICAL to the distributed loop (and to the SQL oracle
+    // that unrolls it). Below the bounded-collect gate the iterative
+    // job latency dominates wall time; the kernel answers in
+    // milliseconds. localMax <= 0 forces the distributed path (the
+    // spec's knob; the soak's 1e6 graphs never gate).
+    // (tol > 0 with probeEvery > 1 changes WHERE the distributed loop
+    // stops — see the probeEvery scaladoc; the kernel mirrors the
+    // probeEvery = 1 canonical, so that combination stays distributed)
+    if (n <= localMax && n > 0 && (probeEvery == 1 || tol == 0.0) &&
+        e.count() <= math.max(4L * localMax, 2000000L)) {
+      val out = pageRankLocal(nodes0, e, iters, damping,
+        redistributeDangling, tol, seeds.map(_.select(col(seedCol).as("n"))))
+      nodes0.unpersist(blocking = false)
+      return out
+    }
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
       .persist()
@@ -199,6 +219,104 @@ object LinkGraph {
     nodes0.unpersist(blocking = false)
     eDeg.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-side pageRank kernel — [[pageRank]]'s bounded-collect
+    * path. Every float boundary mirrors the distributed expressions
+    * exactly: round(x, 9) = HALF_UP over the double's shortest
+    * decimal representation (Spark's Round on DoubleType), the
+    * decimal(30,12) cast = setScale(12, HALF_UP) of the same
+    * representation, contributions sum as exact decimals, and the
+    * per-round update is round9(tele + damping · (sc + dang)) in the
+    * identical IEEE order — so the kernel is bit-identical to the
+    * distributed loop AND to the SQL oracle that unrolls it
+    * (spec- and oracle-pinned).
+    */
+  private def pageRankLocal(nodes0: DataFrame, e: DataFrame, iters: Int,
+                            damping: Double, redistributeDangling: Boolean,
+                            tol: Double,
+                            seeds: Option[DataFrame]): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val sp = nodes0.sparkSession
+    def rnd(x: Double, s: Int): Double =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(s, RoundingMode.HALF_UP).doubleValue
+    def dec12(x: Double): JBD =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(12, RoundingMode.HALF_UP)
+    val nodeArr: Array[Any] = nodes0.orderBy("n").collect().map(_.get(0))
+    val n = nodeArr.length
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    nodeArr.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val es = e.collect().map(r =>
+      (idx.get(r.get(0)).intValue, idx.get(r.get(1)).intValue))
+    val deg = new Array[Int](n)
+    es.foreach(p => deg(p._1) += 1)
+    val seedFlag: Array[Boolean] = seeds match {
+      case Some(sd) =>
+        val f = new Array[Boolean](n)
+        sd.distinct().collect().foreach { r =>
+          val i = idx.get(r.get(0))
+          if (i != null) f(i.intValue) = true
+        }
+        f
+      case None => null
+    }
+    val seeded = seedFlag != null
+    val nD = n.toDouble
+    val s = if (seeded) seedFlag.count(identity).toDouble else nD
+    require(!seeded || s >= 1, "no seed is present in the graph")
+    var r = Array.tabulate(n)(i =>
+      if (seeded) { if (seedFlag(i)) rnd(1.0 / s, 9) else 0.0 }
+      else rnd(1.0 / nD, 9))
+    def dangMass(rr: Array[Double]): JBD = {
+      var acc = JBD.ZERO.setScale(12)
+      var i = 0
+      while (i < n) { if (deg(i) == 0) acc = acc.add(dec12(rr(i))); i += 1 }
+      acc
+    }
+    var dang: JBD = if (redistributeDangling) dangMass(r) else JBD.ZERO
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val sc = new Array[JBD](n)
+      var k = 0
+      while (k < es.length) {
+        val u = es(k)._1
+        val v = es(k)._2
+        val c = dec12(rnd(r(u) / deg(u).toDouble, 9))
+        sc(v) = if (sc(v) == null) c else sc(v).add(c)
+        k += 1
+      }
+      val dangD = dang.doubleValue
+      val next = Array.tabulate(n) { i =>
+        val tele =
+          if (seeded) { if (seedFlag(i)) (1.0 - damping) / s else 0.0 }
+          else (1.0 - damping) / nD
+        val dt =
+          if (!redistributeDangling) 0.0
+          else if (seeded) { if (seedFlag(i)) dangD / s else 0.0 }
+          else dangD / nD
+        val scD = if (sc(i) == null) 0.0 else sc(i).doubleValue
+        rnd(tele + damping * (scD + dt), 9)
+      }
+      var delta = 0.0
+      var i = 0
+      while (i < n) { delta += math.abs(next(i) - r(i)); i += 1 }
+      if (redistributeDangling) dang = dangMass(next)
+      r = next
+      converged = delta <= tol
+      it += 1
+    }
+    val dt0 = nodes0.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", dt0),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodeArr.indices.map(i =>
+        org.apache.spark.sql.Row(nodeArr(i), rnd(r(i), 6))): _*)
+    sp.createDataFrame(rows, schema)
   }
 
   /** Harmonic centrality — the signal Common Crawl actually ranks its
@@ -325,13 +443,25 @@ object LinkGraph {
     */
   def hits(edges: DataFrame, srcCol: String = "src",
            dstCol: String = "dst", iters: Int = 3,
-           tol: Double = 0.0): DataFrame = {
+           tol: Double = 0.0, localMax: Int = 50000): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(tol >= 0.0, s"tol >= 0: $tol")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct().persist()
+    // small-graph fast path (the pageRank kernel rationale): the L1
+    // normalization is a decimal sum cast to double — order-free — so
+    // the driver mirror is bit-identical (spec-pinned); below the gate
+    // the 4-jobs-per-iteration latency dominates
+    val nCount = nodes.count()
+    if (nCount <= localMax &&
+        e.count() <= math.max(4L * localMax, 2000000L)) {
+      val out = hitsLocal(nodes, e, iters, tol)
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return out
+    }
     // raw phase sums (9dp inputs, exact decimal) -> L1-normalized 9dp
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("r")).cast("double").as("__t"))
@@ -375,6 +505,78 @@ object LinkGraph {
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-side HITS kernel — [[hits]]'s bounded-collect path. The
+    * same float-boundary mirror as the pageRank kernel: phase sums are
+    * decimals of 9dp-rounded scores, the L1 total is the decimal sum
+    * cast to double (order-free), each normalized score rounds to 9dp,
+    * the emit to 6dp — bit-identical to the distributed loop and its
+    * SQL oracle.
+    */
+  private def hitsLocal(nodes: DataFrame, e: DataFrame, iters: Int,
+                        tol: Double): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val sp = nodes.sparkSession
+    def rnd(x: Double, s: Int): Double =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(s, RoundingMode.HALF_UP).doubleValue
+    def dec12(x: Double): JBD =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(12, RoundingMode.HALF_UP)
+    val nodeArr: Array[Any] = nodes.orderBy("n").collect().map(_.get(0))
+    val n = nodeArr.length
+    val dt0 = nodes.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", dt0),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("authority",
+        org.apache.spark.sql.types.DoubleType)))
+    if (n == 0)
+      return sp.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    nodeArr.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val es = e.collect().map(r =>
+      (idx.get(r.get(0)).intValue, idx.get(r.get(1)).intValue))
+    // one phase: raw(v) = Σ_incident dec12(round9(x(other))), then
+    // x'(v) = round9(coalesce(raw)/Σraw) — the normalize() mirror
+    def phase(x: Array[Double], bySrc: Boolean): Array[Double] = {
+      val raw = new Array[JBD](n)
+      var k = 0
+      while (k < es.length) {
+        val (u, v) = es(k)
+        val (from, to) = if (bySrc) (u, v) else (v, u)
+        val c = dec12(rnd(x(from), 9))
+        raw(to) = if (raw(to) == null) c else raw(to).add(c)
+        k += 1
+      }
+      var tot = JBD.ZERO.setScale(12)
+      var i = 0
+      while (i < n) { if (raw(i) != null) tot = tot.add(raw(i)); i += 1 }
+      val totD = tot.doubleValue
+      Array.tabulate(n)(i =>
+        rnd((if (raw(i) == null) 0.0 else raw(i).doubleValue) / totD, 9))
+    }
+    var h = Array.fill(n)(1.0)
+    var a = h
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      a = phase(h, bySrc = true) // authority: sum hub scores of in-links
+      val hNext = phase(a, bySrc = false) // hub: sum authority of out-links
+      var delta = 0.0
+      var i = 0
+      while (i < n) { delta += math.abs(hNext(i) - h(i)); i += 1 }
+      h = hNext
+      converged = delta <= tol
+      it += 1
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodeArr.indices.map(i =>
+        org.apache.spark.sql.Row(nodeArr(i), rnd(h(i), 6), rnd(a(i), 6))): _*)
+    sp.createDataFrame(rows, schema)
   }
 
   /** One-row structural summary of a link graph — the sanity panel a
@@ -519,8 +721,88 @@ object LinkGraph {
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
                                   dstCol: String = "dst",
-                                  maxIter: Int = 100): DataFrame =
-    sccWithRounds(edges, srcCol, dstCol, maxIter)._1
+                                  maxIter: Int = 100,
+                                  localMax: Int = 50000): DataFrame =
+    sccWithRounds(edges, srcCol, dstCol, maxIter, localMax)._1
+
+  /** Driver-side iterative Tarjan over an int-indexed edge list —
+    * the small-graph kernel behind [[sccWithRounds]]'s bounded-collect
+    * gate. Returns per node the MIN member index of its SCC (callers
+    * index nodes in label order, so min index == min member).
+    */
+  private[graft] def sccLocal(n: Int, edges: Array[(Int, Int)]): Array[Int] = {
+    val deg = new Array[Int](n)
+    edges.foreach { case (s, d) => if (s != d) deg(s) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val tgt = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (s, d) =>
+      if (s != d) { tgt(fill(s)) = d; fill(s) += 1 }
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val stk = new Array[Int](n)
+    var sp = 0
+    val comp = Array.fill(n)(-1)
+    var counter = 0
+    val frameV = new Array[Int](n + 1)
+    val frameE = new Array[Int](n + 1)
+    var v0 = 0
+    while (v0 < n) {
+      if (index(v0) == -1) {
+        var top = 0
+        frameV(0) = v0
+        frameE(0) = off(v0)
+        index(v0) = counter; low(v0) = counter; counter += 1
+        stk(sp) = v0; sp += 1; onStk(v0) = true
+        while (top >= 0) {
+          val v = frameV(top)
+          if (frameE(top) < off(v + 1)) {
+            val w = tgt(frameE(top))
+            frameE(top) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stk(sp) = w; sp += 1; onStk(w) = true
+              top += 1
+              frameV(top) = w
+              frameE(top) = off(w)
+            } else if (onStk(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              // pop v's SCC; label every member with the min member
+              // index (nodes are indexed in label order)
+              var j = sp - 1
+              var minIdx = Int.MaxValue
+              var found = false
+              while (!found) {
+                val w = stk(j)
+                if (w < minIdx) minIdx = w
+                if (w == v) found = true else j -= 1
+              }
+              var p = j
+              while (p < sp) {
+                val w = stk(p)
+                onStk(w) = false
+                comp(w) = minIdx
+                p += 1
+              }
+              sp = j
+            }
+            top -= 1
+            if (top >= 0) {
+              val u = frameV(top)
+              if (low(v) < low(u)) low(u) = low(v)
+            }
+          }
+        }
+      }
+      v0 += 1
+    }
+    comp
+  }
 
   /** [[stronglyConnectedComponents]] plus the outer-round count it
     * took — exposed for the adversarial-depth spec (a k-SCC chain
@@ -528,7 +810,8 @@ object LinkGraph {
     */
   private[graft] def sccWithRounds(edges: DataFrame, srcCol: String = "src",
                                    dstCol: String = "dst",
-                                   maxIter: Int = 100): (DataFrame, Int) = {
+                                   maxIter: Int = 100,
+                                   localMax: Int = 50000): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter >= 1: $maxIter")
     val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // self-loops never change membership ({v} is an SCC with or
@@ -540,6 +823,34 @@ object LinkGraph {
     var active = all.localCheckpoint(false)
     var aEdges = e0.localCheckpoint(false)
     var activeCount = active.count() // materializes both checkpoints below
+    // small-graph fast path (the Clusters.scala union-find precedent):
+    // the distributed peel costs DOZENS of tiny jobs whose scheduling
+    // latency dominates below ~1e4 nodes (a 21-node domain graph paid
+    // ~2.5 s for ~50 jobs); under the bounded-collect gate a driver
+    // Tarjan answers in milliseconds with the IDENTICAL contract
+    // (label = smallest member — nodes sort through Spark's own
+    // ordering, so string/long label semantics carry verbatim; spec
+    // pins local == distributed on every fixture). localMax <= 0
+    // forces the distributed path (the adversarial-depth spec's knob).
+    if (activeCount <= localMax &&
+        aEdges.count() <= math.max(4L * localMax, 2000000L)) {
+      val sp = edges.sparkSession
+      val nodeArr: Array[Any] =
+        active.orderBy("n").collect().map(_.get(0))
+      val idx = new java.util.HashMap[Any, Integer](nodeArr.length * 2)
+      nodeArr.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+      val es = aEdges.collect().map(r =>
+        (idx.get(r.get(0)).intValue, idx.get(r.get(1)).intValue))
+      val comp = sccLocal(nodeArr.length, es)
+      val dt = active.schema.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", dt),
+        org.apache.spark.sql.types.StructField("scc", dt)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(nodeArr.indices.map(i =>
+          org.apache.spark.sql.Row(nodeArr(i), nodeArr(comp(i)))): _*)
+      return (sp.createDataFrame(rows, schema), 0)
+    }
     // The pageRank AQE trap, measured WORSE here (GraphAqeProbe,
     // 1e6 nodes): node-shaped round frames (color/inc/mark/cand)
     // compress under AQE's 10 MB runtime-broadcast threshold, so
@@ -712,15 +1023,27 @@ object LinkGraph {
     * SCC round internals.
     */
   def bowTie(edges: DataFrame, srcCol: String = "src",
-             dstCol: String = "dst", maxIter: Int = 100): DataFrame = {
-    val scc = stronglyConnectedComponents(edges, srcCol, dstCol, maxIter)
-      .localCheckpoint()
+             dstCol: String = "dst", maxIter: Int = 100,
+             localMax: Int = 50000): DataFrame = {
+    val scc = stronglyConnectedComponents(edges, srcCol, dstCol, maxIter,
+      localMax).localCheckpoint()
     val eAll = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = eAll.filter(col("src") =!= col("dst")).distinct().persist()
     // the SCC/pageRank AQE pin (GraphAqeProbe): the per-hop visited
     // set and the final tag frames are node-shaped and compress under
     // the runtime broadcast threshold at soak sizes
     val nNodes = scc.count()
+    // small-graph fast path (the sccWithRounds gate): each BFS reach
+    // costs a job per hop and the classification five node joins —
+    // under the bounded-collect gate the whole Broder decomposition
+    // runs driver-side over the collected edge list with identical
+    // semantics (spec pins local == distributed == brute force)
+    if (nNodes <= localMax &&
+        e.count() <= math.max(4L * localMax, 2000000L)) {
+      val out = bowTieLocal(scc, e)
+      e.unpersist(blocking = false)
+      return out
+    }
     def nodeSide(df: DataFrame): DataFrame =
       if (nNodes >= 400000) df.hint("shuffle_hash") else df
     val out = {
@@ -780,6 +1103,85 @@ object LinkGraph {
     }
     e.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-side Broder classification over a collected small graph —
+    * [[bowTie]]'s bounded-collect path. `scc` carries (n, scc) for
+    * every node; the giant-core tiebreak (size desc, label asc) runs
+    * through the same tiny DataFrame as the distributed path so label
+    * ordering semantics are engine-identical.
+    */
+  private def bowTieLocal(scc: DataFrame, e: DataFrame): DataFrame = {
+    val sp = scc.sparkSession
+    val coreL = scc.groupBy("scc").agg(count(lit(1)).as("__sz"))
+      .orderBy(desc("__sz"), asc("scc")).limit(1)
+      .collect()(0).get(0)
+    val nodeRows = scc.collect()
+    val n = nodeRows.length
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    nodeRows.zipWithIndex.foreach { case (r, i) => idx.put(r.get(0), i) }
+    val es = e.collect().map(r =>
+      (idx.get(r.get(0)).intValue, idx.get(r.get(1)).intValue))
+    def csr(rev: Boolean): (Array[Int], Array[Int]) = {
+      val deg = new Array[Int](n)
+      es.foreach { case (s, d) => deg(if (rev) d else s) += 1 }
+      val off = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+      val tgt = new Array[Int](off(n))
+      val fill = java.util.Arrays.copyOf(off, n)
+      es.foreach { case (s, d) =>
+        val (a, b) = if (rev) (d, s) else (s, d)
+        tgt(fill(a)) = b
+        fill(a) += 1
+      }
+      (off, tgt)
+    }
+    val (fOff, fTgt) = csr(rev = false)
+    val (bOff, bTgt) = csr(rev = true)
+    def reach(seed: Array[Boolean], forward: Boolean): Array[Boolean] = {
+      val (off, tgt) = if (forward) (fOff, fTgt) else (bOff, bTgt)
+      val vis = seed.clone()
+      val queue = new Array[Int](n)
+      var qh = 0
+      var qt = 0
+      var i = 0
+      while (i < n) { if (vis(i)) { queue(qt) = i; qt += 1 }; i += 1 }
+      while (qh < qt) {
+        val v = queue(qh); qh += 1
+        var p = off(v)
+        while (p < off(v + 1)) {
+          val w = tgt(p)
+          if (!vis(w)) { vis(w) = true; queue(qt) = w; qt += 1 }
+          p += 1
+        }
+      }
+      vis
+    }
+    val core = Array.tabulate(n)(i => nodeRows(i).get(1) == coreL)
+    val fwdCore = reach(core, forward = true)
+    val bwdCore = reach(core, forward = false)
+    val inSet = Array.tabulate(n)(i => bwdCore(i) && !core(i))
+    val outSet = Array.tabulate(n)(i => fwdCore(i) && !core(i))
+    val inFwd = reach(inSet, forward = true)
+    val outBwd = reach(outSet, forward = false)
+    val cls = Array.tabulate(n) { i =>
+      if (core(i)) "core"
+      else if (inSet(i)) "in"
+      else if (outSet(i)) "out"
+      else if (inFwd(i) && outBwd(i)) "tube"
+      else if (inFwd(i) || outBwd(i)) "tendril"
+      else "disconnected"
+    }
+    val dt = scc.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", dt),
+      org.apache.spark.sql.types.StructField("cls",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodeRows.indices.map(i =>
+        org.apache.spark.sql.Row(nodeRows(i).get(0), cls(i))): _*)
+    sp.createDataFrame(rows, schema)
   }
 
   /** Anchor-text aggregation per link target — the classic off-page

@@ -190,6 +190,19 @@ class LinkGraphSpec extends SparkSpec {
       edges.toDF("src", "dst").repartition(13), iters = 3)
       .collect().map(_.toSeq).toSet
     assert(a == b)
+    // driver kernel == distributed loop bit-for-bit (the pageRank
+    // kernel contract; localMax = 0 forces the distributed plan)
+    val dist = graft.ops.LinkGraph.hits(
+      edges.toDF("src", "dst"), iters = 3, localMax = 0)
+      .collect().map(_.toSeq).toSet
+    assert(a == dist)
+    // tol early-stop agrees across paths on a fixpoint graph
+    val bip = for (s <- Seq("u1", "u2"); t <- Seq("v1", "v2")) yield (s, t)
+    val el = graft.ops.LinkGraph.hits(bip.toDF("src", "dst"), iters = 40)
+      .collect().map(_.toSeq).toSet
+    val ed = graft.ops.LinkGraph.hits(bip.toDF("src", "dst"), iters = 40,
+      localMax = 0).collect().map(_.toSeq).toSet
+    assert(el == ed)
   }
 
   test("components: string nodes, lexicographic representative, singletons via self-edge, determinism") {
@@ -358,10 +371,12 @@ class LinkGraphSpec extends SparkSpec {
     // K ragged against iters (the forced last-round probe)
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
       ("d", "a"), ("d", "b"), ("e", "d"))
+    // localMax = 0: round chaining is a DISTRIBUTED-plan property —
+    // the driver kernel must not absorb the comparison
     def run(iters: Int, k: Int, seeded: Boolean = false) = {
       val seeds = if (seeded) Some(Seq("a", "e").toDF("n")) else None
       LinkGraph.pageRank(edges.toDF("src", "dst"), iters = iters,
-          probeEvery = k, seeds = seeds)
+          probeEvery = k, seeds = seeds, localMax = 0)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     }
     for (iters <- Seq(1, 4, 5); k <- Seq(2, 3, 5, 7)) {
@@ -373,8 +388,10 @@ class LinkGraphSpec extends SparkSpec {
     // fixpoint at round 1, so a 60-round budget with K=4 stays cheap
     val ring = (0 until 20).map(i => (s"n$i", s"n${(i + 1) % 20}"))
     val r4 = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 60,
-      probeEvery = 4).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    val r1 = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 2)
+      probeEvery = 4, localMax = 0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val r1 = LinkGraph.pageRank(ring.toDF("src", "dst"), iters = 2,
+      localMax = 0)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(r4 == r1)
     // redistribute mode needs per-round dangling mass on the driver
@@ -382,6 +399,27 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRank(edges.toDF("src", "dst"),
         redistributeDangling = true, probeEvery = 2)
     }
+  }
+
+  test("pageRank driver kernel == distributed loop bit-for-bit (all modes)") {
+    // the decimal contract is engine-portable by design; this pins the
+    // local kernel's rounding/cast mirror against the distributed plan
+    // on an asymmetric graph with dangling nodes and self-loops
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("d", "b"), ("e", "d"), ("f", "f"), ("c", "g"))
+    def both(redistribute: Boolean, seeded: Boolean): Unit = {
+      val seeds = if (seeded) Some(Seq("a", "e").toDF("n")) else None
+      def run(lm: Int) = LinkGraph.pageRank(edges.toDF("src", "dst"),
+          iters = 5, redistributeDangling = redistribute, seeds = seeds,
+          localMax = lm)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(run(50000) == run(0),
+        s"redistribute=$redistribute seeded=$seeded")
+    }
+    both(redistribute = false, seeded = false)
+    both(redistribute = true, seeded = false)
+    both(redistribute = false, seeded = true)
+    both(redistribute = true, seeded = true)
   }
 
   test("empty edge frame: centralities return empty, not NPE") {
@@ -413,9 +451,18 @@ class LinkGraphSpec extends SparkSpec {
       val r = nodes.map(n => n -> reach(n)).toMap
       nodes.map(n => n -> nodes.filter(m => r(n)(m) && r(m)(n)).min).toMap
     }
-    def run(edges: Seq[(String, String)]) =
-      LinkGraph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+    // run BOTH paths: the small-graph driver Tarjan (default gate) and
+    // the distributed peel (localMax = 0 forces it) must agree with
+    // brute force — and therefore with each other — on every fixture
+    def run(edges: Seq[(String, String)]) = {
+      val local = LinkGraph.stronglyConnectedComponents(edges.toDF("src", "dst"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val dist = LinkGraph.stronglyConnectedComponents(
+          edges.toDF("src", "dst"), localMax = 0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(local == dist, "local Tarjan != distributed peel")
+      local
+    }
     val graphs = Seq(
       // figure-eight: two cycles sharing b collapse to one SCC
       Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")),
@@ -434,9 +481,9 @@ class LinkGraphSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val rg = Seq.fill(60)((s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
     assert(run(rg) == brute(rg))
-    // partition-invariant
+    // partition-invariant (distributed path — the local path collects)
     val a = LinkGraph.stronglyConnectedComponents(
-      rg.toDF("src", "dst").repartition(13))
+      rg.toDF("src", "dst").repartition(13), localMax = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(a == brute(rg))
   }
@@ -456,7 +503,10 @@ class LinkGraphSpec extends SparkSpec {
         if (i < k - 1) Seq((a, f"c${i + 1}%03da")) else Seq.empty
       Seq((a, b), (b, a)) ++ chain
     }
-    val (df, rounds) = LinkGraph.sccWithRounds(edges.toDF("src", "dst"))
+    // localMax = 0: the adversarial-depth contract is about the
+    // DISTRIBUTED peel's round count — the driver path must not absorb it
+    val (df, rounds) = LinkGraph.sccWithRounds(edges.toDF("src", "dst"),
+      localMax = 0)
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val want = (0 until k).flatMap { i =>
       val a = f"c$i%03da"; val b = f"c$i%03db"
@@ -505,9 +555,16 @@ class LinkGraphSpec extends SparkSpec {
         })
       }.toMap
     }
-    def run(edges: Seq[(String, String)]) =
-      LinkGraph.bowTie(edges.toDF("src", "dst"))
+    // both paths (the SCC spec convention): driver BFS under the gate
+    // and the distributed reach must agree with brute force
+    def run(edges: Seq[(String, String)]) = {
+      val local = LinkGraph.bowTie(edges.toDF("src", "dst"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val dist = LinkGraph.bowTie(edges.toDF("src", "dst"), localMax = 0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(local == dist, "local bow-tie != distributed bow-tie")
+      local
+    }
     // the textbook bow-tie: core triangle, 2-hop IN chain, 2-hop OUT
     // chain, a tube bypassing the core, tendrils off IN and into OUT,
     // and a disconnected 2-cycle
